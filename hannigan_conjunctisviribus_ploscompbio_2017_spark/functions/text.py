@@ -1,0 +1,115 @@
+"""Text-analysis functions for the training-data pipeline (north star).
+
+All pure Catalyst expressions over the `documents` table — language ID
+heuristic, quality scoring, token counting, fingerprinting.  These run
+JVM-side so a 100 TB corpus scan stays in whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker sets for the n-gram/stopword language-ID
+# heuristic. Chosen to be discriminative between the synthetic corpus langs.
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "ist", "das"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "la", "que", "de", "los"],
+}
+
+EN_STOPWORDS = [
+    "the", "and", "of", "to", "a", "in", "is", "it", "that", "for",
+    "on", "with", "as", "was", "at", "by", "an", "be", "this", "are",
+]
+
+_TOKEN_SPLIT = "\\s+"
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization → array<string> (empty string → empty array)."""
+    c = F.col(col) if isinstance(col, str) else col
+    trimmed = F.trim(c)
+    return F.when(F.length(trimmed) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, _TOKEN_SPLIT)
+    )
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count (BIGINT)."""
+    return F.size(tokens(col)).cast("long")
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Sub-word-ish token count: split on word/number/punct boundaries.
+
+    A cheap proxy for BPE token counts (regex word pieces + punctuation),
+    good enough for corpus sizing at scale.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    pieces = F.regexp_extract_all(c, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)
+    return F.size(pieces).cast("long")
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """#punctuation chars / #chars (0.0 for empty)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+    punct = n - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(punct.cast("double") / n.cast("double"))
+
+
+def stopword_ratio(col: Column | str, stopwords: list[str] | None = None) -> Column:
+    """Fraction of tokens that are (lowercased) stopwords."""
+    sw = F.array(*[F.lit(w) for w in (stopwords or EN_STOPWORDS)])
+    toks = tokens(F.lower(F.col(col) if isinstance(col, str) else col))
+    n = F.size(toks)
+    # count every occurrence, not just distinct stopwords
+    occ = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.when(n == 0, F.lit(0.0)).otherwise(occ.cast("double") / n.cast("double"))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite [0,1] quality score: length + punctuation + stopword signals.
+
+    Mirrors common pretraining-corpus heuristics (Gopher/C4 rules): docs
+    that are too short, punctuation-soup, or stopword-free score low.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    n_tok = token_count(c)
+    len_score = F.least(n_tok.cast("double") / F.lit(50.0), F.lit(1.0))
+    punct_score = F.lit(1.0) - F.least(punct_ratio(c) * 4.0, F.lit(1.0))
+    sw_score = F.least(stopword_ratio(c) * 5.0, F.lit(1.0))
+    return F.round((len_score + punct_score + sw_score) / 3.0, 6)
+
+
+def lang_id(col: Column | str) -> Column:
+    """Stopword-marker language ID over LANG_MARKERS; 'und' if no hits.
+
+    Deterministic tie-break: language with most marker-token hits, ties
+    broken by language code ascending.
+    """
+    toks = tokens(F.lower(F.col(col) if isinstance(col, str) else col))
+    scores = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        arr = F.array(*[F.lit(m) for m in markers])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+        scores.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
+    # max by (hits, then lexicographically-smallest lang wins on ties) —
+    # array_max on struct compares fields in order, so negate nothing and
+    # invert the tie-break by sorting langs descending and taking max.
+    best = F.array_max(F.array(*reversed(scores)))
+    return F.when(best.getField("hits") > 0, best.getField("lang")).otherwise(F.lit("und"))
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text.
+
+    Normalization = lowercase, collapse whitespace/punct runs to single
+    space, trim — so trivial formatting edits map to the same fingerprint
+    (cheap near-dup canary; exact-dup key).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    norm = F.trim(F.regexp_replace(F.lower(c), r"[^a-z0-9]+", " "))
+    return F.md5(norm)

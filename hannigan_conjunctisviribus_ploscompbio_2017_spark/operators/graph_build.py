@@ -1,0 +1,148 @@
+"""Property-graph build (SURVEY §2.9) — the reference's Perl REST loaders
+re-expressed as one declarative merge.
+
+The reference loads the graph through millions of per-row HTTP round trips
+(bin/BenchmarkDatabaseCreation.pl:103-175 in /root/reference): per input
+line, ≥2 label-index lookups, conditional node creates, an O(degree)
+outgoing-relationship scan, then an edge create-or-update.  Here the whole
+build is: node union + dropDuplicates, one full-outer join cascade for the
+Infects feature columns, anti-join + union for predicted edges, plain
+unions for metadata edges, join-and-coalesce for property updates.  One
+shuffle stage per step; at 100 TB the edge table partitions on (src, dst).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.relational import feature_merge
+
+# Column order for the canonical edges table (schemas.EDGES).
+EDGE_COLS = [
+    "src",
+    "dst",
+    "type",
+    "interaction",
+    "crispr",
+    "blast",
+    "blastx",
+    "pfam",
+    "prediction",
+    "abundance",
+]
+
+NODE_ATTRS = [
+    "genus",
+    "species",
+    "length",
+    "platform",
+    "mda",
+    "body_location",
+    "purification",
+    "location",
+    "host",
+]
+
+
+def _conform_edges(df: DataFrame) -> DataFrame:
+    cols = set(df.columns)
+    out = df
+    for c in EDGE_COLS:
+        if c not in cols:
+            out = out.withColumn(c, F.lit(None))
+    return out.select(
+        F.col("src").cast("string"),
+        F.col("dst").cast("string"),
+        F.col("type").cast("string"),
+        F.col("interaction").cast("int"),
+        F.col("crispr").cast("double"),
+        F.col("blast").cast("double"),
+        F.col("blastx").cast("double"),
+        F.col("pfam").cast("double"),
+        F.col("prediction").cast("string"),
+        F.col("abundance").cast("long"),
+    )
+
+
+def build_nodes(parts: list[DataFrame], assert_unique: bool = True) -> DataFrame:
+    """Node upsert with name-dedup (bin/BenchmarkDatabaseCreation.pl:103-143).
+
+    Each input carries (id, label, name, [attrs]). Later parts may enrich
+    earlier nodes; dedup keeps the FIRST occurrence per (label, id), which
+    encodes the reference's create-if-absent semantics.
+    """
+    out: DataFrame | None = None
+    for p in parts:
+        cols = set(p.columns)
+        cur = p
+        for c in NODE_ATTRS:
+            if c not in cols:
+                cur = cur.withColumn(c, F.lit(None))
+        cur = cur.select("id", "label", "name", *NODE_ATTRS)
+        out = cur if out is None else out.unionByName(cur)
+    assert out is not None
+    deduped = out.dropDuplicates(["label", "id"])
+    if assert_unique:
+        # die-on-duplicate semantics (bin/AddPredictedRelationships.pl:57-58):
+        # same id under two labels is a modeling error.
+        dupes = deduped.groupBy("id").count().filter(F.col("count") > 1)
+        if dupes.limit(1).count() > 0:
+            raise ValueError("duplicate node ids across labels: " + str(dupes.take(5)))
+    return deduped
+
+
+def build_infects_edges(
+    interactions: DataFrame | None,
+    score_tables: dict[str, DataFrame],
+) -> DataFrame:
+    """Infects-edge feature merge (bin/BenchmarkDatabaseCreation.pl:147-175).
+
+    ≤1 edge per (phage, bacterium); each score file contributes one
+    property, merged via full-outer join (update-or-create). Inputs carry
+    (src, dst, score) — already collapsed to one row per pair (A2 mean
+    upstream, bin/CollapseGeneScores.R:38).
+    """
+    merged = feature_merge(score_tables, keys=["src", "dst"], value_col="score", fill=None)
+    if interactions is not None:
+        inter = interactions.select("src", "dst", F.col("interaction").cast("int"))
+        merged = merged.join(inter, ["src", "dst"], "full_outer")
+    return _conform_edges(merged.withColumn("type", F.lit("Infects")))
+
+
+def add_predicted_edges(edges: DataFrame, predictions: DataFrame) -> DataFrame:
+    """PredictedInteraction edges, skip-if-exists
+    (bin/AddPredictedRelationships.pl:63-92): anti-join against existing
+    (src, dst, type) then union."""
+    pred = _conform_edges(
+        predictions.select("src", "dst", "prediction").withColumn(
+            "type", F.lit("PredictedInteraction")
+        )
+    )
+    existing = edges.filter(F.col("type") == "PredictedInteraction").select("src", "dst")
+    new = pred.join(existing, ["src", "dst"], "left_anti")
+    return edges.unionByName(new)
+
+
+def add_metadata_edges(edges: DataFrame, meta_edges: DataFrame) -> DataFrame:
+    """Sampled/Diseased/IncludedInStudy/TimePoint/IncludedForPatient edges
+    (bin/Metadata2graph.pl:45-207). Input carries (src, dst, type
+    [, abundance])."""
+    return edges.unionByName(_conform_edges(meta_edges))
+
+
+def update_node_lengths(nodes: DataFrame, lengths: DataFrame) -> DataFrame:
+    """Length property join-update; unknown ids are skipped (reported by
+    caller if desired) — bin/length2graph.pl:42-59."""
+    ln = lengths.select(F.col("id"), F.col("length").alias("_new_len"))
+    return (
+        nodes.join(F.broadcast(ln), "id", "left")
+        .withColumn("length", F.coalesce(F.col("_new_len"), F.col("length")))
+        .drop("_new_len")
+    )
+
+
+def simplify(edges: DataFrame) -> DataFrame:
+    """G12 — drop self-loops and multi-edges (igraph::simplify,
+    bin/TriadicClosures.R:45)."""
+    return edges.filter(F.col("src") != F.col("dst")).dropDuplicates(["src", "dst", "type"])

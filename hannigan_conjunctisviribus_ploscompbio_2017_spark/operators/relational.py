@@ -1,0 +1,202 @@
+"""Relational operator layer (SURVEY §2.2-2.8).
+
+Small composable DataFrame functions covering the reference's entire
+projection/filter/join/aggregate/window/set-op/pivot surface.  Everything
+is declarative — Catalyst handles pushdown, pruning, join selection; the
+only hints we add are explicit broadcasts for dimension-sized sides.
+
+Scale notes per operator group:
+- joins: small sides are broadcast (no shuffle); large-large joins rely on
+  AQE for skew splitting.  Callers joining repeatedly on one key should
+  pre-`repartition(key)` once and reuse.
+- aggregations: all expressed as groupBy().agg() → partial (map-side)
+  aggregation is automatic.
+- top-k per group: window row_number, which shuffles once on the partition
+  key — the same shuffle the aggregation would need; no sort of the full
+  data (rank is computed per partition after hash exchange).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+# --- filters (P1-P10) ------------------------------------------------------
+
+
+def filter_positive(df: DataFrame, col: str) -> DataFrame:
+    """P3 — numeric predicate (reference: toInt(abundance) > 0,
+    bin/GetSkinGraphs.R:62-63)."""
+    return df.filter(F.col(col) > 0)
+
+
+def filter_any_positive(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """P6 — keep rows where ANY score > 0 (bin/PredictRelationships.R:68)."""
+    return df.filter(F.greatest(*[F.col(c) for c in cols]) > 0)
+
+
+def filter_length_range(df: DataFrame, col: str, lo: int, hi: int) -> DataFrame:
+    """P7 — sequence-length window (bin/LengthFilterSeqs.pl:44-61)."""
+    return df.filter(F.length(F.col(col)).between(lo, hi))
+
+
+def anti_filter(df: DataFrame, removal: DataFrame, on: str | list[str]) -> DataFrame:
+    """P8 — drop rows whose key appears in a removal list
+    (bin/interpersonaldiversity.R:49-53). Removal lists are small → broadcast."""
+    return df.join(F.broadcast(removal), on, "left_anti")
+
+
+def semi_filter(df: DataFrame, keep: DataFrame, on: str | list[str]) -> DataFrame:
+    """P9 — keep rows whose key appears in a keep-list (bin/ApplySepAbund.R:38-39)."""
+    return df.join(F.broadcast(keep), on, "left_semi")
+
+
+def route_by_label(df: DataFrame, col: str, value: str) -> DataFrame:
+    """P10 — label-driven routing (bin/SepAbundanceTable.sh:44-60); one
+    filter per side. For a persistent split, prefer write.partitionBy(col)."""
+    return df.filter(F.col(col) == value)
+
+
+# --- joins (J1-J10) ---------------------------------------------------------
+
+
+def annotate(
+    df: DataFrame,
+    mapping: DataFrame,
+    on: str | list[str],
+    default: dict[str, str] | None = None,
+) -> DataFrame:
+    """J2 — broadcast map-side annotation with miss-default, mirroring the
+    awk `FNR==NR{a[$1]=$2}` idiom + NoClusterPhage fallback
+    (bin/ClusterContigScores.sh:29-35)."""
+    out = df.join(F.broadcast(mapping), on, "left")
+    if default:
+        for c, v in default.items():
+            out = out.withColumn(c, F.coalesce(F.col(c), F.lit(v)))
+    return out
+
+
+def feature_merge(
+    tables: dict[str, DataFrame],
+    keys: Sequence[str],
+    value_col: str = "score",
+    fill: float | None = 0.0,
+) -> DataFrame:
+    """J3 — the graph-edge feature matrix: full-outer join cascade merging
+    per-feature score tables on (bacterium, phage), one output column per
+    feature (bin/iteratePredictedRelationships.R:50-52;
+    bin/BenchmarkDatabaseCreation.pl:147-175 upsert semantics).
+
+    Scale: all inputs shuffle once on the same key set, then AQE coalesces;
+    at 100 TB this is a single co-partitioned multi-way merge.
+    """
+    keys = list(keys)
+    out: DataFrame | None = None
+    for name, df in tables.items():
+        cur = df.select(*keys, F.col(value_col).alias(name))
+        out = cur if out is None else out.join(cur, keys, "full_outer")
+    assert out is not None, "feature_merge needs ≥1 table"
+    if fill is not None:
+        out = out.fillna(fill, subset=[n for n in tables])
+    return out
+
+
+# --- aggregations (A1-A12) --------------------------------------------------
+
+
+def collapse_sum(df: DataFrame, keys: Sequence[str], col: str, alias: str) -> DataFrame:
+    """A1 — group-by sum (bin/CollapseContigCounts.R:29)."""
+    return df.groupBy(*keys).agg(F.sum(col).alias(alias))
+
+
+def collapse_mean(df: DataFrame, keys: Sequence[str], col: str, alias: str) -> DataFrame:
+    """A2 — group-by mean score per pair (bin/CollapseGeneScores.R:38)."""
+    return df.groupBy(*keys).agg(F.avg(col).alias(alias))
+
+
+def collapse_min(df: DataFrame, keys: Sequence[str], col: str, alias: str) -> DataFrame:
+    """A3 — group-by min (bin/iteratePredictedRelationships.R:30-33)."""
+    return df.groupBy(*keys).agg(F.min(col).alias(alias))
+
+
+def degree_count(edges: DataFrame, node_col: str, alias: str = "degree") -> DataFrame:
+    """A4/G1 — edges per node (bin/GetNetworkLinkCounts.R:80,101)."""
+    return edges.groupBy(node_col).agg(F.count(F.lit(1)).alias(alias))
+
+
+def rarefaction_depth(
+    df: DataFrame, sample_col: str, count_col: str, quantile: float | None = None
+) -> DataFrame:
+    """A7 — rarefaction depth: min (or q-quantile) of per-sample totals
+    (bin/interpersonaldiversity.R:56-57). Returns a 1-row DataFrame so the
+    value stays in-plan (no driver collect on the hot path)."""
+    sums = df.groupBy(sample_col).agg(F.sum(count_col).alias("total"))
+    if quantile is None:
+        return sums.agg(F.min("total").alias("depth"))
+    return sums.agg(
+        F.expr(f"percentile(total, {quantile})").cast("double").alias("depth")
+    )
+
+
+def best_hit(
+    df: DataFrame, keys: Sequence[str], order: Sequence[Column], n: int = 1
+) -> DataFrame:
+    """A9/W1/W2 — first-row-per-group dedup / per-group top-N
+    (bin/AssembleBlastDistances.sh:42-46; bin/GetLongestContig.R:46).
+    `order` must be a deterministic total order (add a key tiebreak)."""
+    w = W.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n)
+        .drop("_rn")
+    )
+
+
+def row_votes(df: DataFrame, cols: Sequence[str], alias: str = "votes") -> DataFrame:
+    """A12 — horizontal sum across feature columns
+    (bin/CalculateModelSpecSens.R:32)."""
+    expr = None
+    for c in cols:
+        expr = F.col(c) if expr is None else expr + F.col(c)
+    return df.withColumn(alias, expr)
+
+
+# --- reshape (R1-R7) --------------------------------------------------------
+
+
+def pivot_matrix(
+    df: DataFrame,
+    row_key: str | Sequence[str],
+    pivot_col: str,
+    value_col: str,
+    values: Sequence[str] | None = None,
+    agg: str = "sum",
+    fill: float = 0.0,
+) -> DataFrame:
+    """R1/R2/R3 — long→wide incidence/abundance matrix
+    (bin/ReshapeAlignedAbundance.R:36-39).
+
+    Pass `values` explicitly at scale: it removes the extra distinct-scan
+    job Spark otherwise runs to discover pivot values.
+    """
+    rows = [row_key] if isinstance(row_key, str) else list(row_key)
+    gb = df.groupBy(*rows)
+    piv = gb.pivot(pivot_col, list(values) if values is not None else None)
+    agg_fn = getattr(F, agg)
+    return piv.agg(agg_fn(value_col)).fillna(fill)
+
+
+def melt(
+    df: DataFrame,
+    id_cols: Sequence[str],
+    value_cols: Sequence[str],
+    var_name: str = "variable",
+    value_name: str = "value",
+) -> DataFrame:
+    """R4/R5 — wide→long (reshape2::melt). Uses the native stack() expr —
+    no shuffle, row-local explode."""
+    stack_args = ", ".join(f"'{c}', `{c}`" for c in value_cols)
+    stack_expr = f"stack({len(value_cols)}, {stack_args}) as ({var_name}, {value_name})"
+    return df.select(*id_cols, F.expr(stack_expr))

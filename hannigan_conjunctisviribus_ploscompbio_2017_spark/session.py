@@ -1,0 +1,52 @@
+"""SparkSession factory tuned for both local testing and cluster scale.
+
+Local runs are ``local[N]`` single-JVM; the configs below are chosen so the
+same code paths (AQE, adaptive coalesce, skew-join handling, Arrow transfer)
+are exercised locally that we rely on at cluster scale.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Shuffle partition count: ~cores locally; on a real cluster this is
+# overridden by AQE coalescing (initial partition num stays high so AQE can
+# split skewed stages).
+_LOCAL_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(app_name: str = "hannigan-cvb-spark", cpus: str | None = None) -> SparkSession:
+    """Build (or reuse) the tuned SparkSession.
+
+    Scale notes: every config here is also correct on a 1000-executor
+    cluster — AQE re-plans shuffles at runtime (partition coalescing +
+    skew-join splitting), broadcast threshold keeps dimension tables
+    (region/nation/supplier-sized) map-side, and Arrow makes the few
+    pandas-UDF operators batch-transfer instead of per-row pickle.
+    """
+    cpus = cpus or _LOCAL_CPUS
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+    )
+    if "spark.master" not in os.environ.get("SPARK_CONF", ""):
+        master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+        builder = builder.master(master)
+        if master.startswith("local"):
+            builder = builder.config(
+                "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
+            )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
