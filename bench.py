@@ -1,0 +1,76 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": ...}
+
+The headline set covers every operator family: TPC-H-style aggregation,
+the flagship 7-way graph join, the feature-merge edge build, the 2-hop
+closure self-join, Bray-Curtis pairwise stats, entropy aggregation,
+sessionization windows, MinHash LSH dedup, and brute-force cosine ANN.
+
+Each query is materialized via a count()-style noop write (collect of an
+aggregated count) so the timing covers the full plan, not just planning.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from hannigan_conjunctisviribus_ploscompbio_2017_spark.queries_testdata import QUERIES
+from hannigan_conjunctisviribus_ploscompbio_2017_spark.session import get_spark
+
+HEADLINE = [
+    ("q1", "a1_pricing_summary"),
+    ("q2", "gq5_sample_network"),
+    ("q3", "j3_feature_merge"),
+    ("q4", "gq3_triadic_closure"),
+    ("q5", "m2_bray_curtis"),
+    ("q6", "g10_node_entropy"),
+    ("q7", "ev_sessionize"),
+    ("q8", "dd_minhash_lsh"),
+    ("q9", "ss_cosine_topk"),
+    ("q10", "w1_top_per_group"),
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("bench")
+
+    # warm the JVM + parquet footers once so timings measure the queries
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for label, name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.time()
+        n = fn(spark, sf_dir).count()
+        dt = round(time.time() - t0, 3)
+        timings[label] = dt
+        total += dt
+        print(f"# {label} {name}: {n} rows in {dt}s", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_clock",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,136 @@
+"""Interaction-prediction model (SURVEY §2.11 M7-M12), mirroring
+bin/CalculatePredModel.R + bin/PredictRelationships.R in /root/reference.
+
+Semantics preserved from the reference:
+- missing scores mean absence of evidence → fillna(0)
+  (bin/CalculatePredModel.R:35; doc/manuscript.md:180);
+- stratified train/test split (caret::createDataPartition,
+  bin/CalculatePredModel.R:72-77) → sampleBy on the label;
+- random forest, CV'd, ROC-AUC metric (caret train method='rf',
+  bin/CalculatePredModel.R:47-57) → MLlib RandomForestClassifier +
+  CrossValidator + BinaryClassificationEvaluator;
+- predictions written back as Interacts/NotInteracts
+  (bin/PredictRelationships.R:70-75, bin/AddPredictedRelationships.pl:85-92).
+"""
+
+from __future__ import annotations
+
+from pyspark.ml import Pipeline, PipelineModel
+from pyspark.ml.classification import RandomForestClassifier
+from pyspark.ml.evaluation import BinaryClassificationEvaluator
+from pyspark.ml.feature import VectorAssembler
+from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURES = ["crispr", "blast", "blastx", "pfam"]
+
+
+def prepare_training(edges: DataFrame, label_col: str = "interaction") -> DataFrame:
+    """Q1 output → ML input: fillna(0) on features, binary label."""
+    df = edges.select(
+        "src", "dst", *FEATURES, F.col(label_col).cast("double").alias("label")
+    ).fillna(0.0, subset=FEATURES)
+    return df.dropna(subset=["label"])
+
+
+def stratified_split(
+    df: DataFrame, train_frac: float = 0.8, seed: int = 42
+) -> tuple[DataFrame, DataFrame]:
+    """M7 — per-label-stratum split (createDataPartition)."""
+    train = df.sampleBy("label", {0.0: train_frac, 1.0: train_frac}, seed=seed)
+    test = df.join(train.select("src", "dst"), ["src", "dst"], "left_anti")
+    return train, test
+
+
+def build_pipeline(num_trees: int = 500, seed: int = 42) -> Pipeline:
+    """RF pipeline (caret rf used 500 trees by default, mtry tuned;
+    featureSubsetStrategy covers the mtry grid)."""
+    assembler = VectorAssembler(inputCols=FEATURES, outputCol="features")
+    rf = RandomForestClassifier(
+        labelCol="label",
+        featuresCol="features",
+        numTrees=num_trees,
+        seed=seed,
+        probabilityCol="probability",
+    )
+    return Pipeline(stages=[assembler, rf])
+
+
+def train_cv(
+    train: DataFrame,
+    num_folds: int = 5,
+    num_trees: int = 100,
+    parallelism: int = 4,
+    seed: int = 42,
+):
+    """M8/M10 — 5-fold CV over an mtry-style grid with ROC-AUC metric
+    (caret trainControl(method='cv', number=5) + twoClassSummary).
+    Returns (best PipelineModel, cv AUC of best params)."""
+    pipe = build_pipeline(num_trees=num_trees, seed=seed)
+    rf = pipe.getStages()[-1]
+    grid = (
+        ParamGridBuilder()
+        .addGrid(rf.featureSubsetStrategy, ["1", "2", "3"])  # mtry ∈ {1,2,3}
+        .build()
+    )
+    evaluator = BinaryClassificationEvaluator(
+        labelCol="label", rawPredictionCol="rawPrediction", metricName="areaUnderROC"
+    )
+    cv = CrossValidator(
+        estimator=pipe,
+        estimatorParamMaps=grid,
+        evaluator=evaluator,
+        numFolds=num_folds,
+        parallelism=parallelism,
+        seed=seed,
+    )
+    model = cv.fit(train)
+    return model.bestModel, max(model.avgMetrics)
+
+
+def evaluate(model: PipelineModel, test: DataFrame) -> dict:
+    """M11 — AUC / sensitivity / specificity on held-out data
+    (twoClassSummary semantics)."""
+    pred = model.transform(test)
+    auc = BinaryClassificationEvaluator(
+        labelCol="label", rawPredictionCol="rawPrediction", metricName="areaUnderROC"
+    ).evaluate(pred)
+    counts = (
+        pred.groupBy("label", "prediction").count().collect()
+    )
+    tp = sum(r["count"] for r in counts if r["label"] == 1.0 and r["prediction"] == 1.0)
+    fn = sum(r["count"] for r in counts if r["label"] == 1.0 and r["prediction"] == 0.0)
+    tn = sum(r["count"] for r in counts if r["label"] == 0.0 and r["prediction"] == 0.0)
+    fp = sum(r["count"] for r in counts if r["label"] == 0.0 and r["prediction"] == 1.0)
+    return {
+        "auc": auc,
+        "sensitivity": tp / (tp + fn) if tp + fn else float("nan"),
+        "specificity": tn / (tn + fp) if tn + fp else float("nan"),
+        "n_test": tp + fn + tn + fp,
+    }
+
+
+def predict_interactions(model: PipelineModel, pairs: DataFrame) -> DataFrame:
+    """M9 — classify unlabeled pairs; returns (src, dst, prediction
+    ∈ {Interacts, NotInteracts}, p_interacts) ready for
+    add_predicted_edges (graph_build)."""
+    from pyspark.ml.functions import vector_to_array
+
+    pred = model.transform(pairs.fillna(0.0, subset=FEATURES))
+
+    pred = pred.withColumn("_p", vector_to_array("probability").getItem(1))
+    return pred.select(
+        "src",
+        "dst",
+        F.when(F.col("prediction") == 1.0, "Interacts")
+        .otherwise("NotInteracts")
+        .alias("prediction"),
+        F.round(F.col("_p"), 6).alias("p_interacts"),
+    )
+
+
+def feature_importances(model: PipelineModel) -> dict[str, float]:
+    """M11 — varImp analog."""
+    rf = model.stages[-1]
+    return dict(zip(FEATURES, [float(x) for x in rf.featureImportances.toArray()]))

@@ -1,0 +1,222 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Exact (hash groupBy), shingle-Jaccard (exact pairwise over an explode-join),
+MinHash+LSH (the 100 TB near-dup path), and SimHash.  All operate on a
+(id, text) DataFrame and return either per-doc keep decisions or candidate
+duplicate pairs.
+
+Scale design:
+- exact: one shuffle on the 128-bit content hash; no text comparison.
+- shingle-Jaccard: explode → self-join on shingle → group — exact but
+  O(Σ pairs-per-shingle); use only after LSH banding has cut candidates,
+  or on bounded corpora.
+- MinHash LSH: signature = k independent min-hashes over shingle hashes
+  (computed in ONE explode+groupBy, no UDF); banding buckets rows so the
+  join only compares same-bucket candidates — the standard web-scale
+  near-dup pipeline shape (cf. pyspark.ml.feature.MinHashLSH, same math,
+  kept DataFrame-native here so the plan stays in whole-stage codegen).
+- SimHash: 64-bit weighted-projection fingerprint; hamming-near pairs via
+  band-exact match on 4×16-bit chunks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Mersenne prime 2^31-1 for the affine min-hash family: keeps h*a + b
+# within 62 bits so the modular arithmetic stays in native LongType
+# (no overflow under ANSI mode, no BigDecimal fallback).
+_MERSENNE = (1 << 31) - 1
+
+
+def normalized(text_col="text"):
+    c = F.col(text_col)
+    return F.trim(F.regexp_replace(F.lower(c), r"[^a-z0-9]+", " "))
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup on the md5 of normalized text: returns
+    (id, fingerprint, keeper_id, is_dup) — keeper = min id per group.
+
+    One shuffle on the fingerprint; at 100 TB partition by fingerprint
+    prefix and the group sizes stay tiny (hash uniformity).
+    """
+    fp = df.select(F.col(id_col).alias("id"), F.md5(normalized(text_col)).alias("fingerprint"))
+    keepers = fp.groupBy("fingerprint").agg(F.min("id").alias("keeper_id"))
+    return (
+        fp.join(keepers, "fingerprint")
+        .withColumn("is_dup", (F.col("id") != F.col("keeper_id")).cast("int"))
+        .select("id", "fingerprint", "keeper_id", "is_dup")
+    )
+
+
+def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3) -> DataFrame:
+    """(id, shingle) pairs: k-token shingles of the normalized text,
+    deduped per doc. Pure Catalyst (sequence + transform), no UDF."""
+    toks = F.split(normalized(text_col), "\\s+")
+    sh = F.expr(
+        f"transform(sequence(0, greatest(size(split(trim(regexp_replace(lower({text_col}),"
+        f" '[^a-z0-9]+', ' ')), '\\\\s+')) - {k}, -1)),"
+        f" i -> concat_ws(' ', slice(split(trim(regexp_replace(lower({text_col}),"
+        f" '[^a-z0-9]+', ' ')), '\\\\s+'), i + 1, {k})))"
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact k-shingle Jaccard similarity for all pairs ≥ threshold:
+    |A∩B| / (|A|+|B|−|A∩B|) via explode-join (n-gram Jaccard dedup).
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    sh = shingles(df, id_col, text_col, k).cache()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _hash_coeffs(num: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic affine coefficients for the min-hash family."""
+    import random
+
+    rng = random.Random(seed)
+    return [(rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE)) for _ in range(num)]
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 32,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash signature per doc: (id, sig array<long>).
+
+    Shingle → 64-bit hash (xxhash64) → num_hashes affine min-hashes, all
+    in one groupBy over the exploded shingles (no per-row Python)."""
+    sh = shingles(df, id_col, text_col, k)
+    h = F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE))
+    coeffs = _hash_coeffs(num_hashes, seed)
+    mins = [
+        F.min(F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE))).alias(f"h{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    sig = sh.groupBy("id").agg(*mins)
+    return sig.select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """LSH candidate pairs: band the signature (bands × rows-per-band),
+    bucket-join on (band, banded-signature hash), estimate Jaccard from
+    full signature agreement. Returns (id_a, id_b, est_jaccard).
+
+    The banding join is the scale path: candidates ∝ true near-dups, not
+    n² — same plan shape at 100 TB with signature table bucketed by band
+    hash.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, k, num_hashes, seed)
+    banded = sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.xxhash64(
+                            F.slice("sig", i * rows_per_band + 1, rows_per_band)
+                        ).alias("bucket"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        F.round(agree / F.lit(num_hashes), 6).alias("est_jaccard"),
+    )
+
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+) -> DataFrame:
+    """SimHash fingerprint: sign-sum of per-token 64-bit hashes → (id,
+    simhash long). Near-dups = small hamming distance; pair search via
+    16-bit band exact-match (simhash_bands)."""
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(normalized(text_col), "\\s+")).alias("token"),
+    )
+    h = F.xxhash64("token")
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    agg = tok.groupBy("id").agg(*bit_sums)
+    fp = None
+    for i in range(bits):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = bit * F.lit(1 << i).cast("long") if i < 63 else bit * F.lit(-(1 << 63)).cast("long")
+        fp = term if fp is None else fp + term
+    return agg.select("id", fp.alias("simhash"))

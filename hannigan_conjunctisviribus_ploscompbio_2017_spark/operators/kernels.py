@@ -1,0 +1,461 @@
+"""Graph-analytics kernels (SURVEY §2.10) — DataFrame-native.
+
+The reference computes these with igraph on tiny per-sample subgraphs
+(bin/interpersonaldiversity.R:98-114, bin/CompareNetworkGroups.R:108-126,
+bin/compareTwins.R:95-104 in /root/reference).  Two scale regimes:
+
+1. **Per-group kernels** (hundreds/thousands of per-sample subgraphs):
+   NEVER one job per subgraph — every kernel here takes a `group_cols`
+   argument and computes ALL subgraphs in one shuffle by keying every
+   intermediate on the group columns.  This is the §7 risk-register
+   design: per-sample fan-out as grouped aggregation.
+
+2. **Global iterative kernels** (one big graph): power iteration /
+   frontier expansion expressed as a DataFrame loop with
+   `localCheckpoint` lineage truncation — the Pregel pattern without
+   GraphX, shuffle-per-superstep, executor-parallel.
+
+Edges are directed (src, dst [, weight]); kernels that need the
+undirected view symmetrize internally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------------
+# helpers
+# --------------------------------------------------------------------------
+
+
+def _gcols(group_cols: list[str] | None) -> list[str]:
+    return list(group_cols) if group_cols else []
+
+
+def symmetrize(edges: DataFrame, group_cols: list[str] | None = None) -> DataFrame:
+    """Undirected view: union of both directions, deduped."""
+    g = _gcols(group_cols)
+    cols = [*g, "src", "dst"] + (["weight"] if "weight" in edges.columns else [])
+    fwd = edges.select(*cols)
+    rev = edges.select(
+        *g,
+        F.col("dst").alias("src"),
+        F.col("src").alias("dst"),
+        *([F.col("weight")] if "weight" in edges.columns else []),
+    )
+    return fwd.unionByName(rev).dropDuplicates([*g, "src", "dst"])
+
+
+def _checkpoint(df: DataFrame) -> DataFrame:
+    """Truncate lineage between supersteps (keeps plans O(1) per iter)."""
+    return df.localCheckpoint(eager=True)
+
+
+# --------------------------------------------------------------------------
+# G1 — degree / graph size
+# --------------------------------------------------------------------------
+
+
+def degrees(edges: DataFrame, group_cols: list[str] | None = None) -> DataFrame:
+    """Undirected degree per node (igraph::degree,
+    bin/CompareNetworkGroups.R:116-126). One shuffle for all groups."""
+    g = _gcols(group_cols)
+    und = symmetrize(edges, g)
+    return und.groupBy(*g, F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+
+
+def graph_size(edges: DataFrame, group_cols: list[str] | None = None) -> DataFrame:
+    """Node + edge counts per group (gsize/gorder; rtables/nestats.tsv shape)."""
+    g = _gcols(group_cols)
+    und = symmetrize(edges, g)
+    nodes = (
+        und.select(*g, F.col("src").alias("node"))
+        .distinct()
+        .groupBy(*g)
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+    )
+    e = und.groupBy(*g).agg((F.count(F.lit(1)) / 2).cast("long").alias("n_edges"))
+    return nodes.join(e, g) if g else nodes.crossJoin(e)
+
+
+# --------------------------------------------------------------------------
+# G10 — Shannon edge-weight diversity per node (pure aggregation)
+# --------------------------------------------------------------------------
+
+
+def node_entropy(
+    edges: DataFrame,
+    weight_col: str = "weight",
+    group_cols: list[str] | None = None,
+    node_col: str = "src",
+) -> DataFrame:
+    """Shannon diversity of a node's incident edge weights
+    (bin/compareTwins.R:101-104): H = -Σ p·ln(p), p = w/Σw.
+
+    Two-level aggregation — no UDAF needed, fully codegen'd.
+    """
+    g = _gcols(group_cols)
+    w = F.col(weight_col)
+    totals = edges.groupBy(*g, F.col(node_col).alias("node")).agg(
+        F.sum(w).alias("_total")
+    )
+    keyed = edges.select(*g, F.col(node_col).alias("node"), w.alias("_w")).join(
+        totals, [*g, "node"]
+    )
+    p = F.col("_w") / F.col("_total")
+    return keyed.groupBy(*g, "node").agg(
+        F.round(-F.sum(p * F.log(p)), 6).alias("entropy")
+    )
+
+
+# --------------------------------------------------------------------------
+# G6/G8/G9 — eigenvector centrality / PageRank via joint power iteration
+# --------------------------------------------------------------------------
+
+
+def eigenvector_centrality(
+    edges: DataFrame,
+    group_cols: list[str] | None = None,
+    weight_col: str | None = "weight",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Weighted eigenvector centrality (igraph::eigen_centrality,
+    bin/interpersonaldiversity.R:98-114), normalized to max=1 per group
+    (igraph's `scale=TRUE` default).
+
+    Joint power iteration: ONE DataFrame loop computes every group's
+    leading eigenvector simultaneously — scores keyed by (group, node),
+    message passing is a join+aggregate per superstep. 100 TB shape:
+    max_iter shuffles total, independent of #groups.
+
+    Iterates on A + sI (s = per-group max weighted degree): same leading
+    eigenvector as A, but convergent on bipartite graphs where plain
+    power iteration oscillates between the ±λ₁ eigenpair (the reference's
+    phage↔bacteria graphs are exactly bipartite).
+    """
+    g = _gcols(group_cols)
+    und = symmetrize(edges, g)
+    w = F.col(weight_col) if (weight_col and weight_col in und.columns) else F.lit(1.0)
+    adj = und.select(*g, "src", "dst", w.cast("double").alias("w"))
+
+    # spectral shift: s ≥ λ₁ via max weighted degree (Gershgorin bound)
+    wdeg = adj.groupBy(*g, "src").agg(F.sum("w").alias("_wd"))
+    shift = wdeg.groupBy(*g).agg(F.max("_wd").alias("_shift"))
+
+    scores = (
+        adj.select(*g, F.col("src").alias("node"))
+        .distinct()
+        .withColumn("score", F.lit(1.0))
+    )
+    for _ in range(max_iter):
+        msgs = adj.join(
+            scores.withColumnRenamed("node", "src"), [*g, "src"]
+        ).groupBy(*g, F.col("dst").alias("node")).agg(
+            F.sum(F.col("w") * F.col("score")).alias("_ax")
+        )
+        msgs = (
+            (msgs.join(shift, g) if g else msgs.crossJoin(shift))
+            .join(scores, [*g, "node"])
+            .select(
+                *g,
+                "node",
+                (F.col("_ax") + F.col("_shift") * F.col("score")).alias("raw"),
+            )
+        )
+        # L2-normalize per group (power iteration stability)
+        norm = msgs.groupBy(*g).agg(F.sqrt(F.sum(F.col("raw") ** 2)).alias("_n"))
+        scores = (
+            (msgs.join(norm, g) if g else msgs.crossJoin(norm))
+            .select(*g, "node", (F.col("raw") / F.col("_n")).alias("score"))
+        )
+        scores = _checkpoint(scores)
+    # igraph scale: max = 1 per group
+    mx = scores.groupBy(*g).agg(F.max("score").alias("_mx")) if g else None
+    if g:
+        scores = scores.join(mx, g)
+    else:
+        scores = scores.crossJoin(scores.agg(F.max("score").alias("_mx")))
+    return scores.select(
+        *g, "node", F.round(F.col("score") / F.col("_mx"), 6).alias("centrality")
+    )
+
+
+def centralization(
+    centralities: DataFrame,
+    score_col: str = "centrality",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Freeman centralization Σ(max − cᵢ) normalized by (n−1)
+    (doc/manuscript.md:219-227 formula family; bin/alteredDiet.R:125-131)."""
+    g = _gcols(group_cols)
+    s = F.col(score_col)
+    agg = centralities.groupBy(*g).agg(
+        F.max(s).alias("_mx"), F.sum(s).alias("_sum"), F.count(F.lit(1)).alias("_n")
+    )
+    return agg.select(
+        *g,
+        F.round(
+            (F.col("_n") * F.col("_mx") - F.col("_sum")) / (F.col("_n") - 1), 6
+        ).alias("centralization"),
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    group_cols: list[str] | None = None,
+    weight_col: str | None = None,
+    damping: float = 0.85,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Weighted PageRank on the undirected view (igraph::page_rank,
+    bin/compareTwins.R:98-100). Same joint-iteration shape as
+    eigenvector_centrality."""
+    g = _gcols(group_cols)
+    und = symmetrize(edges, g)
+    w = F.col(weight_col) if (weight_col and weight_col in und.columns) else F.lit(1.0)
+    adj = und.select(*g, "src", "dst", w.cast("double").alias("w"))
+    # out-weight normalization
+    outw = adj.groupBy(*g, "src").agg(F.sum("w").alias("_ow"))
+    adj = adj.join(outw, [*g, "src"]).withColumn("p", F.col("w") / F.col("_ow"))
+
+    nodes = adj.select(*g, F.col("src").alias("node")).distinct()
+    counts = nodes.groupBy(*g).agg(F.count(F.lit(1)).alias("_n"))
+    ranks = (nodes.join(counts, g) if g else nodes.crossJoin(counts)).select(
+        *g, "node", (F.lit(1.0) / F.col("_n")).alias("rank")
+    )
+    for _ in range(max_iter):
+        contrib = adj.join(
+            ranks.withColumnRenamed("node", "src"), [*g, "src"]
+        ).groupBy(*g, F.col("dst").alias("node")).agg(
+            F.sum(F.col("p") * F.col("rank")).alias("_in")
+        )
+        base = nodes.join(counts, g) if g else nodes.crossJoin(counts)
+        ranks = (
+            base.join(contrib, [*g, "node"], "left")
+            .select(
+                *g,
+                "node",
+                (
+                    (1 - damping) / F.col("_n")
+                    + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+        ranks = _checkpoint(ranks)
+    return ranks.select(*g, "node", F.round("rank", 8).alias("pagerank"))
+
+
+# --------------------------------------------------------------------------
+# G3 — connected components (large-star/small-star style min-label)
+# --------------------------------------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame, group_cols: list[str] | None = None, max_iter: int = 50
+) -> DataFrame:
+    """Weak connectivity (igraph components,
+    bin/GeneralNetworkProperties.R:68-84): iterative min-label
+    propagation to convergence, all groups jointly. O(diameter)
+    supersteps; converges in ≤ log² n with the symmetrized adjacency."""
+    g = _gcols(group_cols)
+    und = symmetrize(edges, g)
+    labels = (
+        und.select(*g, F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            und.join(labels.withColumnRenamed("node", "src"), [*g, "src"])
+            .groupBy(*g, F.col("dst").alias("node"))
+            .agg(F.min("component").alias("_nbr"))
+        )
+        new_labels = labels.join(nbr_min, [*g, "node"], "left").select(
+            *g, "node", F.least(F.col("component"), F.col("_nbr")).alias("component")
+        )
+        new_labels = _checkpoint(new_labels)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), [*g, "node"])
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+# --------------------------------------------------------------------------
+# G2/G4/G5/G7 — BFS distances → diameter / radius / eccentricity / closeness
+# --------------------------------------------------------------------------
+
+
+def bfs_distances(
+    edges: DataFrame,
+    group_cols: list[str] | None = None,
+    sources: DataFrame | None = None,
+    max_depth: int = 20,
+) -> DataFrame:
+    """Multi-source BFS: distances (group, root, node, dist) for every
+    root in `sources` (default: ALL nodes → exact all-pairs, right for
+    reference-scale graphs ≤~10⁴ nodes; pass sampled landmark roots at
+    scale).
+
+    Frontier expansion keyed by (group, root) — one shuffle per depth
+    level for every root simultaneously, never a per-root job.
+    """
+    g = _gcols(group_cols)
+    und = symmetrize(edges, g)
+    all_nodes = und.select(*g, F.col("src").alias("node")).distinct()
+    roots = sources if sources is not None else all_nodes.select(*g, F.col("node").alias("root"))
+
+    visited = roots.select(*g, "root", F.col("root").alias("node")).withColumn(
+        "dist", F.lit(0)
+    )
+    frontier = visited
+    for depth in range(1, max_depth + 1):
+        neighbors = (
+            frontier.join(und.withColumnRenamed("src", "node"), [*g, "node"])
+            .select(*g, "root", F.col("dst").alias("node"))
+            .distinct()
+        )
+        new = neighbors.join(visited.select(*g, "root", "node"), [*g, "root", "node"], "left_anti").withColumn(
+            "dist", F.lit(depth)
+        )
+        new = _checkpoint(new)
+        if new.limit(1).count() == 0:
+            break
+        visited = _checkpoint(visited.unionByName(new))
+        frontier = new
+    return visited
+
+
+def eccentricity(distances: DataFrame, group_cols: list[str] | None = None) -> DataFrame:
+    """G4 — per-node eccentricity from BFS distances
+    (bin/CompareNetworkGroups.R:108-114)."""
+    g = _gcols(group_cols)
+    return distances.groupBy(*g, F.col("root").alias("node")).agg(
+        F.max("dist").alias("eccentricity")
+    )
+
+
+def diameter_radius(
+    distances: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
+    """G2 — diameter & radius (igraph::diameter/radius,
+    bin/GeneralNetworkProperties.R:60-66; golden: master graph 4/2,
+    rtables/genfigurestats.tsv)."""
+    g = _gcols(group_cols)
+    ecc = eccentricity(distances, g)
+    return ecc.groupBy(*g).agg(
+        F.max("eccentricity").alias("diameter"),
+        F.min("eccentricity").alias("radius"),
+    )
+
+
+def closeness_centrality(
+    distances: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
+    """G7 — closeness = (reachable−1)/Σdist per root
+    (doc/manuscript.md:199-215 family)."""
+    g = _gcols(group_cols)
+    return distances.groupBy(*g, F.col("root").alias("node")).agg(
+        F.round(
+            (F.count(F.lit(1)) - 1) / F.sum("dist"), 6
+        ).alias("closeness")
+    )
+
+
+def mean_distance(distances: DataFrame, group_cols: list[str] | None = None) -> DataFrame:
+    """G5 — mean shortest-path length (bin/CompareNetworkGroups.R:121-122)."""
+    g = _gcols(group_cols)
+    pos = distances.filter(F.col("dist") > 0)
+    return pos.groupBy(*g).agg(F.round(F.avg("dist"), 6).alias("mean_distance"))
+
+
+# --------------------------------------------------------------------------
+# G11 — community detection (label propagation) + modularity
+# --------------------------------------------------------------------------
+
+
+def label_propagation(
+    edges: DataFrame, group_cols: list[str] | None = None, max_iter: int = 10
+) -> DataFrame:
+    """Community detection via synchronous label propagation — the
+    scalable analog of walktrap/fastgreedy (bin/CompareNetworkGroups.R:66-69;
+    semantic difference documented in SURVEY §2.10 G11).
+
+    Deterministic: ties broken by (count desc, label asc); synchronous
+    updates with min-label seeds.
+    """
+    g = _gcols(group_cols)
+    und = symmetrize(edges, g)
+    labels = (
+        und.select(*g, F.col("src").alias("node"))
+        .distinct()
+        .withColumn("community", F.col("node"))
+    )
+    for _ in range(max_iter):
+        votes = (
+            und.join(labels.withColumnRenamed("node", "src"), [*g, "src"])
+            .groupBy(*g, F.col("dst").alias("node"), "community")
+            .agg(F.count(F.lit(1)).alias("_votes"))
+        )
+        w = W.partitionBy(*g, "node").orderBy(F.desc("_votes"), F.asc("community"))
+        winner = (
+            votes.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(*g, "node", "community")
+        )
+        labels = _checkpoint(winner)
+    return labels
+
+
+def modularity(
+    edges: DataFrame,
+    communities: DataFrame,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Newman modularity Q = Σ_c [ e_c/m − (d_c/2m)² ] as a pure
+    aggregation over the undirected edge list (igraph::modularity,
+    bin/TriadicClosures.R:58-61)."""
+    g = _gcols(group_cols)
+    und = symmetrize(edges, g)  # both directions present
+    lab = communities.select(*g, "node", "community")
+    e = (
+        und.join(lab.withColumnRenamed("node", "src").withColumnRenamed("community", "_cs"), [*g, "src"])
+        .join(lab.withColumnRenamed("node", "dst").withColumnRenamed("community", "_cd"), [*g, "dst"])
+    )
+    m2 = e.groupBy(*g).agg(F.count(F.lit(1)).alias("_m2"))  # 2m directed-half-edges
+    intra = (
+        e.filter(F.col("_cs") == F.col("_cd"))
+        .groupBy(*g, F.col("_cs").alias("community"))
+        .agg(F.count(F.lit(1)).alias("_e_c2"))
+    )
+    deg = e.groupBy(*g, F.col("_cs").alias("community")).agg(
+        F.count(F.lit(1)).alias("_d_c")
+    )
+    per_c = deg.join(intra, [*g, "community"], "left").fillna(0, subset=["_e_c2"])
+    per_c = per_c.join(m2, g) if g else per_c.crossJoin(m2)
+    q = per_c.withColumn(
+        "_q_c",
+        F.col("_e_c2") / F.col("_m2") - (F.col("_d_c") / F.col("_m2")) ** 2,
+    )
+    return q.groupBy(*g).agg(F.round(F.sum("_q_c"), 6).alias("modularity"))
+
+
+# --------------------------------------------------------------------------
+# G13 — robustness via random edge removal
+# --------------------------------------------------------------------------
+
+
+def sample_edges(edges: DataFrame, fraction: float, seed: int = 42) -> DataFrame:
+    """Noise-injection edge sampling (NetSwan robustness,
+    bin/error_interpersonaldiversity.R:62-66): keep `fraction` of edges,
+    deterministic per seed. Rerun any kernel on the result."""
+    return edges.sample(withReplacement=False, fraction=fraction, seed=seed)

@@ -1,0 +1,169 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exact baseline, plus an LSH-bucketed
+(random hyperplane / SRP) approximate variant as the scale path.
+
+Dot products run JVM-side via F.zip_with + F.aggregate — no Python in the
+scan. At 100 TB the SRP variant is the only sane shape: candidates come
+from bucket-equality joins, the exact rerank touches only candidates.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    items: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact cosine top-k: every query against every item (minus self).
+
+    Returns (query_id, neighbor_id, cosine_sim, rank). Rank order is
+    deterministic: (rounded sim desc, neighbor id asc).
+
+    Scale: the crossJoin is O(|Q|·|N|) — correct baseline for evaluation
+    sets (small |Q|); broadcast the query side. For corpus-scale ANN use
+    srp_lsh_topk.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    n = items.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv"))
+    scored = (
+        n.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("_qv"), F.col("_nv")), round_to).alias("cosine_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hyperplanes(dim: int, num: int, seed: int = 42) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        for _ in range(num)
+    ]
+
+
+def srp_signature(
+    df: DataFrame,
+    dim: int,
+    num_planes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Signed-random-projection bit signature per vector: (id, vec, sig).
+
+    sig bit i = sign(v · h_i); cos(θ) ≈ cos(π · hamming/num_planes).
+    Hyperplanes are literal arrays compiled into the plan (no broadcast
+    variable needed; num_planes×dim doubles is tiny).
+    """
+    planes = _hyperplanes(dim, num_planes, seed)
+    v = F.col(vec_col)
+    bits = []
+    for i, h in enumerate(planes):
+        harr = F.array(*[F.lit(x) for x in h])
+        bits.append(F.when(_dot(v, harr) >= 0, F.lit(1)).otherwise(F.lit(0)).alias(f"bit{i}"))
+    out = df.select(F.col(id_col).alias("id"), v.alias("vec"), *bits)
+    sig = None
+    for i in range(num_planes):
+        term = F.col(f"bit{i}").cast("long") * F.lit(1 << i).cast("long")
+        sig = term if sig is None else sig + term
+    return out.select("id", "vec", sig.alias("sig"))
+
+
+def srp_lsh_topk(
+    items: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    num_planes: int = 16,
+    bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    round_to: int = 6,
+) -> DataFrame:
+    """Approximate cosine top-k: SRP signatures → band-bucket join for
+    candidates → exact cosine rerank of candidates only.
+
+    The 100 TB shape: items hashed once (persist the signature table,
+    bucketed by (band, bucket)); each query probes its own buckets — the
+    item side never cross-joins.
+    """
+    bits_per_band = num_planes // bands
+
+    def banded(df: DataFrame, label: str) -> DataFrame:
+        sig = srp_signature(df, dim, num_planes, id_col, vec_col, seed)
+        bandcols = F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.shiftright(F.col("sig"), i * bits_per_band)
+                    .bitwiseAND(F.lit((1 << bits_per_band) - 1))
+                    .alias("bucket"),
+                )
+                for i in range(bands)
+            ]
+        )
+        return sig.select(
+            F.col("id").alias(f"{label}_id"),
+            F.col("vec").alias(f"{label}_vec"),
+            F.explode(bandcols).alias("bb"),
+        ).select(
+            f"{label}_id", f"{label}_vec", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+        )
+
+    cand = (
+        banded(items, "n")
+        .join(banded(queries, "q"), ["band", "bucket"])
+        .filter(F.col("q_id") != F.col("n_id"))
+        .dropDuplicates(["q_id", "n_id"])
+    )
+    scored = cand.select(
+        F.col("q_id").alias("query_id"),
+        F.col("n_id").alias("neighbor_id"),
+        F.round(cosine(F.col("q_vec"), F.col("n_vec")), round_to).alias("cosine_sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

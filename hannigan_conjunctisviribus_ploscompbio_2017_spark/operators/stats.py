@@ -1,0 +1,196 @@
+"""Resampling & ecology statistics (SURVEY §2.11).
+
+- rarefy: vegan::rrarefy — per-sample multinomial subsample to a fixed
+  depth (bin/interpersonaldiversity.R:60-76 in /root/reference).
+  Arrow-batched applyInPandas, one group per sample; seed derived from
+  the sample key by hash so results are reproducible regardless of
+  partitioning/order (the reference itself is NOT reproducible here —
+  bin/catcontigs.sh:47-51 embeds rand() in contig names; we fix that).
+- bray_curtis: vegan::vegdist — pairwise Bray-Curtis over per-sample
+  abundance vectors as a sparse join-aggregate (no dense matrix, no
+  driver collect): BC(a,b) = 1 − 2·Σ min(xai, xbi) / (Σ xai + Σ xbi).
+- rarefaction_curve: M13 — repeated rarefy at increasing depths.
+- permutation_pvalue: M4 harness — label-permutation null distribution
+  for a group-difference statistic, all permutations in one job.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _seed_for(key: str, base_seed: int) -> int:
+    h = hashlib.sha256(f"{base_seed}:{key}".encode()).digest()
+    return int.from_bytes(h[:4], "big")
+
+
+def rarefy(
+    df: DataFrame,
+    sample_col: str,
+    item_col: str,
+    count_col: str,
+    depth: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Subsample each sample's counts to exactly `depth` total
+    (multinomial without replacement — vegan::rrarefy semantics).
+    Samples with total < depth are dropped (vegan warns; we drop,
+    matching the reference's depth-first filter).
+
+    Output: (sample_col, item_col, count_col) with per-sample sums ==
+    depth. Deterministic: RNG seeded from sha256(seed, sample key).
+    """
+    out_schema = f"{sample_col} string, {item_col} string, {count_col} long"
+
+    def _rarefy_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        total = int(pdf[count_col].sum())
+        if total < depth:
+            return pd.DataFrame(columns=pdf.columns[:3]).astype(
+                {sample_col: str, item_col: str, count_col: np.int64}
+            )
+        # canonical item order: the draw must not depend on partition
+        # layout or shuffle order, only on (seed, sample, item multiset)
+        pdf = pdf.sort_values(item_col, kind="mergesort").reset_index(drop=True)
+        key = str(pdf[sample_col].iloc[0])
+        rng = np.random.default_rng(_seed_for(key, seed))
+        counts = pdf[count_col].to_numpy(dtype=np.int64)
+        # draw `depth` individuals without replacement from the pooled
+        # community: multivariate hypergeometric via sequential draws
+        kept = rng.multivariate_hypergeometric(counts, depth)
+        res = pdf[[sample_col, item_col]].copy()
+        res[count_col] = kept
+        return res[res[count_col] > 0]
+
+    typed = df.select(
+        F.col(sample_col).cast("string").alias(sample_col),
+        F.col(item_col).cast("string").alias(item_col),
+        F.col(count_col).cast("long").alias(count_col),
+    )
+    return typed.groupBy(sample_col).applyInPandas(_rarefy_group, schema=out_schema)
+
+
+def bray_curtis(
+    df: DataFrame,
+    sample_col: str,
+    item_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Pairwise Bray-Curtis dissimilarity between all sample pairs
+    (vegan::vegdist default). Sparse formulation: zeros contribute
+    nothing to Σmin, so the item-join over shared keys is exact.
+
+    Returns (sample_a, sample_b, bray_curtis) for sample_a < sample_b.
+    Scale: one self-join shuffled on item_col (hot items handled by AQE
+    skew split), then one aggregation on the pair key — never a dense
+    S×I matrix.
+    """
+    v = df.select(
+        F.col(sample_col).alias("_s"),
+        F.col(item_col).alias("_i"),
+        F.col(value_col).cast("double").alias("_v"),
+    )
+    totals = v.groupBy("_s").agg(F.sum("_v").alias("_tot"))
+    a, b = v.alias("a"), v.alias("b")
+    shared_min = (
+        a.join(b, F.col("a._i") == F.col("b._i"))
+        .filter(F.col("a._s") < F.col("b._s"))
+        .groupBy(F.col("a._s").alias("sample_a"), F.col("b._s").alias("sample_b"))
+        .agg(F.sum(F.least(F.col("a._v"), F.col("b._v"))).alias("_minsum"))
+    )
+    ta = totals.select(F.col("_s").alias("sample_a"), F.col("_tot").alias("_ta"))
+    tb = totals.select(F.col("_s").alias("sample_b"), F.col("_tot").alias("_tb"))
+    # pairs with NO shared items need BC=1: build the full pair frame from
+    # totals (S² pairs of sample keys only — cheap), left join shared sums.
+    pairs = ta.crossJoin(tb).filter(F.col("sample_a") < F.col("sample_b"))
+    return (
+        pairs.join(shared_min, ["sample_a", "sample_b"], "left")
+        .fillna(0.0, subset=["_minsum"])
+        .select(
+            "sample_a",
+            "sample_b",
+            F.round(
+                1.0 - 2.0 * F.col("_minsum") / (F.col("_ta") + F.col("_tb")), 6
+            ).alias("bray_curtis"),
+        )
+    )
+
+
+def rarefaction_curve(
+    df: DataFrame,
+    sample_col: str,
+    item_col: str,
+    count_col: str,
+    depths: list[int],
+    seed: int = 42,
+) -> DataFrame:
+    """M13 — species richness after rarefying to each depth: one unioned
+    lazy plan, not a loop of actions. Output (sample, depth, richness)."""
+    out = None
+    for d in depths:
+        r = (
+            rarefy(df, sample_col, item_col, count_col, d, seed)
+            .groupBy(sample_col)
+            .agg(F.count(F.lit(1)).alias("richness"))
+            .withColumn("depth", F.lit(d).cast("long"))
+        )
+        out = r if out is None else out.unionByName(r)
+    return out
+
+
+def permutation_pvalue(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    n_perm: int = 999,
+    seed: int = 42,
+) -> DataFrame:
+    """M4 — permutation test for a two-group mean difference, fully
+    distributed: explode n_perm pseudo-permutations (hash-seeded label
+    reassignment), compute the statistic per permutation in ONE
+    aggregation, compare against the observed statistic.
+
+    Returns 1 row: (observed_diff, p_value, n_perm).
+    """
+    base = df.select(
+        F.col(group_col).alias("_g"), F.col(value_col).cast("double").alias("_v")
+    )
+    groups = [r["_g"] for r in base.select("_g").distinct().collect()]
+    if len(groups) != 2:
+        raise ValueError(f"permutation_pvalue needs exactly 2 groups, got {groups}")
+    g1 = groups[0] if str(groups[0]) < str(groups[1]) else groups[1]
+
+    obs = base.groupBy("_g").agg(F.avg("_v").alias("m"))
+    # deterministic row id for permutation hashing
+    rid = F.xxhash64("_v", F.lit(seed))
+    perms = base.withColumn("_rid", rid).select(
+        "_v",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(n_perm)),
+                lambda p: F.struct(
+                    p.alias("perm"),
+                    # pseudo-random group flip per (row, perm)
+                    (F.pmod(F.xxhash64(F.col("_rid"), p), 2) == 0).alias("in_g1"),
+                ),
+            )
+        ).alias("pp"),
+    )
+    perm_stats = perms.groupBy(F.col("pp.perm").alias("perm")).agg(
+        (
+            F.avg(F.when(F.col("pp.in_g1"), F.col("_v")))
+            - F.avg(F.when(~F.col("pp.in_g1"), F.col("_v")))
+        ).alias("diff")
+    )
+    obs_rows = {r["_g"]: r["m"] for r in obs.collect()}
+    observed = float(obs_rows[g1] - [v for k, v in obs_rows.items() if k != g1][0])
+    exceed = perm_stats.filter(F.abs(F.col("diff")) >= abs(observed)).count()
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(round(observed, 6), round((exceed + 1) / (n_perm + 1), 6), n_perm)],
+        "observed_diff double, p_value double, n_perm long",
+    )

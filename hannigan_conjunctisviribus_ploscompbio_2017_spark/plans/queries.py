@@ -93,13 +93,15 @@ def q4_study_network(edges: DataFrame, study: str) -> DataFrame:
     ).select(F.col("dst").alias("sample"))
     sampled = edges.filter((F.col("type") == "Sampled") & (F.col("abundance") > 0))
     infects = edges.filter(F.col("type") == "Infects")
-    s1 = sampled.join(F.broadcast(member), sampled.src == member.sample).select(
+    # NB: the column is named "sample" — always address it via F.col();
+    # DataFrame.sample is a method and attribute access returns it.
+    s1 = sampled.join(F.broadcast(member), sampled.src == F.col("sample")).select(
         F.col("sample").alias("sample1"),
         F.col("dst").alias("phage"),
         F.col("abundance").alias("phage_abundance"),
     )
     hop = s1.join(infects.select(F.col("src").alias("phage"), F.col("dst").alias("host")), "phage")
-    s2 = sampled.join(F.broadcast(member), sampled.src == member.sample).select(
+    s2 = sampled.join(F.broadcast(member), sampled.src == F.col("sample")).select(
         F.col("sample").alias("sample2"),
         F.col("dst").alias("host"),
         F.col("abundance").alias("host_abundance"),
@@ -179,7 +181,7 @@ def q7_disease_scope(edges: DataFrame, disease: str, min_abundance: int = 0) -> 
     )
     infects = edges.filter(F.col("type") == "Infects")
     return (
-        sampled.join(F.broadcast(diseased), sampled.src == diseased.sample)
+        sampled.join(F.broadcast(diseased), sampled.src == F.col("sample"))
         .select("sample", F.col("dst").alias("n"))
         .join(infects.select(F.col("src").alias("n"), F.col("dst").alias("m")), "n")
         .select("sample", "n", "m")

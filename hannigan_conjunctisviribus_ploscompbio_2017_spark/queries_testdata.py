@@ -745,3 +745,644 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+# =========================================================================
+# Graph pattern queries Q1-Q7 on the testdata bipartite mapping (§2.9)
+# =========================================================================
+
+
+@query(
+    "gq1_interaction_scores",
+    oracle="""
+    SELECT 'P' || l_partkey AS from_name, 'S' || l_suppkey AS to_name,
+           ROUND(AVG(l_quantity), 4) AS crispr,
+           ROUND(AVG(l_extendedprice), 4) AS blast,
+           ROUND(AVG(l_discount), 4) AS blastx,
+           ROUND(AVG(l_tax), 4) AS pfam,
+           CASE WHEN MAX(l_quantity) > 45 THEN 1 ELSE 0 END AS interaction
+    FROM lineitem GROUP BY 1, 2
+    """,
+)
+def gq1_interaction_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 — full Infects-edge scan with all score properties + gold label
+    (Cypher at bin/CalculatePredModel.R:181-205). The model-training
+    input query."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.plans.testdata_graph import infects_edges
+
+    e = infects_edges(spark, sf_dir)
+    return e.select(
+        F.col("src").alias("from_name"),
+        F.col("dst").alias("to_name"),
+        "crispr",
+        "blast",
+        "blastx",
+        "pfam",
+        "interaction",
+    )
+
+
+@query(
+    "gq3_triadic_closure",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT l_partkey AS src, l_suppkey AS dst
+      FROM lineitem WHERE l_quantity > 40
+    )
+    SELECT a.src AS n, b.src AS k, CAST(COUNT(*) AS BIGINT) AS shared
+    FROM e a JOIN e b ON a.dst = b.dst AND a.src < b.src
+    GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    """,
+)
+def gq3_triadic_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 — 2-hop co-target closure (n)-->(m)<--(k), n<k, with shared-
+    target count ≥2 (bin/TriadicClosures.R:88-89; aggregated instead of
+    LIMIT 50000 so the result is deterministic)."""
+    li = _t(spark, sf_dir, "lineitem")
+    e = (
+        li.filter(F.col("l_quantity") > 40)
+        .select(F.col("l_partkey").alias("src"), F.col("l_suppkey").alias("dst"))
+        .distinct()
+    )
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(b, (F.col("a.dst") == F.col("b.dst")) & (F.col("a.src") < F.col("b.src")))
+        .groupBy(F.col("a.src").alias("n"), F.col("b.src").alias("k"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= 2)
+    )
+
+
+@query(
+    "gq6_label_scan",
+    oracle="SELECT r_name AS name FROM region",
+)
+def gq6_label_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 — node-label scan MATCH (x:StudyID) RETURN x.Name
+    (bin/VisGraphByGroup.R:45-47)."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.plans.testdata_graph import nodes
+
+    return nodes(spark, sf_dir).filter(F.col("label") == "StudyID").select("name")
+
+
+@query(
+    "gq7_disease_scope",
+    oracle="""
+    WITH diseased_samples AS (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    ), sampled AS (
+      SELECT o_custkey, l_partkey, SUM(l_quantity) AS ab
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE o_custkey IN (SELECT c_custkey FROM diseased_samples)
+      GROUP BY 1, 2 HAVING SUM(l_quantity) > 50
+    ), infects AS (
+      SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    )
+    SELECT i.l_suppkey AS host, CAST(COUNT(*) AS BIGINT) AS n_paths
+    FROM sampled s JOIN infects i ON s.l_partkey = i.l_partkey
+    GROUP BY 1
+    """,
+)
+def gq7_disease_scope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 — disease-scoped 3-hop expansion with abundance predicate
+    (bin/CompareNetworkGroups.R:147-201): Disease→Sample→Phage→Host path
+    counts."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    sampled = (
+        orders.join(F.broadcast(cust.select("c_custkey")), orders.o_custkey == cust.c_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_custkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("ab"))
+        .filter(F.col("ab") > 50)
+    )
+    infects = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        sampled.join(infects, "l_partkey")
+        .groupBy(F.col("l_suppkey").alias("host"))
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+    )
+
+
+# =========================================================================
+# Graph kernels on the testdata graph (§2.10)
+# =========================================================================
+
+
+@query(
+    "g1_degree_per_node",
+    oracle="""
+    WITH e AS (SELECT DISTINCT 'P' || l_partkey AS src, 'S' || l_suppkey AS dst
+               FROM lineitem)
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+      SELECT src AS node, dst AS peer FROM e
+      UNION ALL
+      SELECT dst AS node, src AS peer FROM e
+    ) GROUP BY node
+    """,
+)
+def g1_degree_per_node(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1 — undirected degree per node over the Infects graph, via the
+    kernels.degrees grouped aggregation."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.kernels import degrees
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.plans.testdata_graph import infects_edges
+
+    e = infects_edges(spark, sf_dir).select("src", "dst")
+    return degrees(e)
+
+
+@query(
+    "g10_node_entropy",
+    oracle="""
+    WITH ab AS (
+      SELECT 'C' || o_custkey AS node, l_partkey, SUM(l_quantity) AS w
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY 1, 2
+    ), tot AS (
+      SELECT node, SUM(w) AS total FROM ab GROUP BY node
+    )
+    SELECT ab.node, ROUND(-SUM((w / total) * LN(w / total)), 6) AS entropy
+    FROM ab JOIN tot ON ab.node = tot.node
+    GROUP BY ab.node
+    """,
+)
+def g10_node_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G10 — Shannon edge-weight diversity per sample node
+    (bin/compareTwins.R:101-104), via kernels.node_entropy."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.kernels import node_entropy
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy(
+            F.concat(F.lit("C"), F.col("o_custkey")).alias("src"),
+            F.col("l_partkey").alias("dst"),
+        )
+        .agg(F.sum("l_quantity").alias("weight"))
+    )
+    return node_entropy(edges, weight_col="weight", node_col="src")
+
+
+@query(
+    "g12_simplify",
+    oracle="""
+    SELECT DISTINCT 'P' || l_partkey AS src, 'S' || l_suppkey AS dst,
+           'Infects' AS type
+    FROM lineitem
+    """,
+)
+def g12_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G12 — simplify: drop loops + multi-edges (igraph::simplify,
+    bin/TriadicClosures.R:45)."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.graph_build import simplify
+
+    li = _t(spark, sf_dir, "lineitem")
+    raw = li.select(
+        F.concat(F.lit("P"), F.col("l_partkey")).alias("src"),
+        F.concat(F.lit("S"), F.col("l_suppkey")).alias("dst"),
+        F.lit("Infects").alias("type"),
+    )
+    return simplify(raw)
+
+
+@query("gk_connected_components")
+def gk_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3 — weak connectivity on the Infects graph (rows-only check:
+    iterative min-label propagation isn't single-statement SQL).
+    Returns component sizes."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.kernels import connected_components
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.plans.testdata_graph import infects_edges
+
+    e = infects_edges(spark, sf_dir).select("src", "dst")
+    comp = connected_components(e)
+    return comp.groupBy("component").agg(F.count(F.lit(1)).alias("size"))
+
+
+@query("gk_diameter_radius")
+def gk_diameter_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2 — diameter/radius of the Infects graph via landmark-sampled
+    multi-source BFS (rows-only; golden shape: master graph diameter 4 /
+    radius 2, rtables/genfigurestats.tsv).
+
+    Landmarks: deterministic ~1/32 node sample. Exact all-pairs BFS
+    (sources=None) is the right call at reference scale (≤~10³ nodes);
+    landmark sampling is the 100 TB path — diameter is a lower bound,
+    radius an upper bound."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.kernels import (
+        bfs_distances,
+        diameter_radius,
+        symmetrize,
+    )
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.plans.testdata_graph import infects_edges
+
+    e = infects_edges(spark, sf_dir).select("src", "dst")
+    landmarks = (
+        symmetrize(e)
+        .select(F.col("src").alias("root"))
+        .distinct()
+        .filter(F.abs(F.xxhash64("root")) % 32 == 0)
+    )
+    return diameter_radius(bfs_distances(e, sources=landmarks, max_depth=8))
+
+
+@query("gk_eigenvector_centrality")
+def gk_eigenvector_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G6 — weighted eigenvector centrality on the Infects graph
+    (bin/interpersonaldiversity.R:98-114), blast-score weights
+    (rows-only: iterative)."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.kernels import eigenvector_centrality
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.plans.testdata_graph import infects_edges
+
+    e = infects_edges(spark, sf_dir).select("src", "dst", F.col("blast").alias("weight"))
+    return eigenvector_centrality(e, weight_col="weight", max_iter=15)
+
+
+@query("gk_pagerank")
+def gk_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G9 — PageRank on the Infects graph (bin/compareTwins.R:98-100;
+    rows-only: iterative)."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.kernels import pagerank
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.plans.testdata_graph import infects_edges
+
+    e = infects_edges(spark, sf_dir).select("src", "dst")
+    return pagerank(e, max_iter=10)
+
+
+@query("gk_communities_modularity")
+def gk_communities_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G11 — label-propagation communities + Newman modularity
+    (bin/CompareNetworkGroups.R:66-69; rows-only: iterative)."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.kernels import (
+        label_propagation,
+        modularity,
+    )
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.plans.testdata_graph import infects_edges
+
+    e = infects_edges(spark, sf_dir).select("src", "dst")
+    comm = label_propagation(e, max_iter=5)
+    return modularity(e, comm)
+
+
+# =========================================================================
+# Training-data pipeline: dedup / similarity / text analysis (north star)
+# =========================================================================
+
+
+@query(
+    "dd_exact_dedup",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id AS id,
+             MD5(TRIM(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
+      FROM documents
+    ), keep AS (
+      SELECT fingerprint, MIN(id) AS keeper_id FROM fp GROUP BY fingerprint
+    )
+    SELECT fp.id, fp.fingerprint, keep.keeper_id,
+           CAST(CASE WHEN fp.id <> keep.keeper_id THEN 1 ELSE 0 END AS INT) AS is_dup
+    FROM fp JOIN keep ON fp.fingerprint = keep.fingerprint
+    """,
+)
+def dd_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via normalized-text md5 (hash groupBy + min-id keeper)."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "dd_jaccard_pairs",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id AS id,
+             string_split(TRIM(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
+      FROM documents
+    ), idx AS (
+      SELECT unnest(generate_series(1, 4096)) AS i
+    ), sh AS (
+      SELECT DISTINCT id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+      FROM norm CROSS JOIN idx
+      WHERE i <= len(toks) - 2
+    ), sizes AS (
+      SELECT id, COUNT(*) AS n FROM sh GROUP BY id
+    ), inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, ROUND(i / (na.n + nb.n - i), 6) AS jaccard
+    FROM inter JOIN sizes na ON inter.id_a = na.id
+               JOIN sizes nb ON inter.id_b = nb.id
+    WHERE i / (na.n + nb.n - i) >= 0.12
+    """,
+)
+def dd_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-shingle Jaccard near-dup pairs ≥ 0.12 (n-gram Jaccard
+    dedup; explode-join plan)."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.dedup import jaccard_pairs
+
+    return jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.12)
+
+
+@query("dd_minhash_lsh")
+def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates (banding join; rows-only — the
+    hash family isn't reproducible in single-statement SQL)."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_t(spark, sf_dir, "documents")).filter(
+        F.col("est_jaccard") >= 0.25
+    )
+
+
+@query("dd_simhash")
+def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash 64-bit fingerprints (rows-only)."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.dedup import simhash
+
+    return simhash(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "ss_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
+    idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+    -- double-precision cosine (list_cosine_similarity accumulates in
+    -- float32; Spark computes in double — sum each product as double)
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             ROUND(
+               SUM(CAST(q.qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))
+               / (SQRT(SUM(CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+                  * SQRT(SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))),
+               6) AS cosine_sim
+      FROM embeddings e CROSS JOIN q CROSS JOIN idx
+      WHERE e.vec_id <> q.query_id
+      GROUP BY q.query_id, e.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def ss_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for the first 20 vectors
+    (exact ANN baseline; JVM-side zip_with/aggregate dot products)."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 20)
+    out = brute_force_topk(emb, queries_df, k=5)
+    return out.select("query_id", "neighbor_id", "cosine_sim", F.col("rank").cast("long").alias("rank"))
+
+
+@query("ss_srp_lsh_topk")
+def ss_srp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH bucketed approximate top-k (the corpus-scale ANN path;
+    rows-only — hyperplane family not SQL-reproducible)."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.similarity import srp_lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 20)
+    return srp_lsh_topk(emb, queries_df, dim=64, k=5)
+
+
+@query(
+    "tx_token_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(TRIM(text), ' ')) AS BIGINT) AS n_tokens,
+           ROUND((LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^\\w\\s]', '', 'g'))) * 1.0
+                 / LENGTH(text), 6) AS punct_ratio
+    FROM documents
+    """,
+)
+def tx_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text quality signals: whitespace token count + punctuation ratio
+    (JVM-side regex, no UDF)."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.functions import text as TX
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.token_count("text").alias("n_tokens"),
+        F.round(TX.punct_ratio("text"), 6).alias("punct_ratio"),
+    )
+
+
+@query(
+    "tx_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           MD5(TRIM(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+)
+def tx_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (normalized md5)."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.functions import text as TX
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.fingerprint("text").alias("fingerprint"))
+
+
+@query(
+    "tx_corpus_summary",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split(TRIM(text), ' '))) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY source
+    """,
+)
+def tx_corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus sizing rollup per source (token counting at scale)."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.functions import text as TX
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(TX.token_count("text")).alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@query("tx_quality_langid")
+def tx_quality_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality score + language-ID heuristic per doc (rows-only: the
+    composite score / marker sets aren't worth re-encoding in SQL)."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.functions import text as TX
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.quality_score("text").alias("quality"),
+        TX.lang_id("text").alias("lang_pred"),
+        TX.bpe_ish_token_count("text").alias("n_bpe_tokens"),
+    )
+
+
+# =========================================================================
+# Events: windowed + sessionized aggregation (streaming-equivalent batch)
+# =========================================================================
+
+
+@query(
+    "ev_hourly_agg",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def ev_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation over the events table — the batch twin
+    of the Structured Streaming path (streaming/events.py uses the same
+    logic with a watermark)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
+@query(
+    "ev_sessionize",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    )
+    SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM gaps GROUP BY user_id
+    """,
+)
+def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-min inactivity gap → new session (lag + cumsum
+    pattern; session_window in the streaming twin)."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.sum("new_session").cast("long").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# =========================================================================
+# Resampling / ecology stats (§2.11) + ML
+# =========================================================================
+
+
+@query(
+    "m2_bray_curtis",
+    oracle="""
+    WITH ab AS (
+      SELECT 'C' || o_custkey AS s, l_partkey AS i, CAST(SUM(l_quantity) AS DOUBLE) AS v
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE o_custkey < 100
+      GROUP BY 1, 2
+    ), tot AS (
+      SELECT s, SUM(v) AS t FROM ab GROUP BY s
+    ), shared AS (
+      SELECT a.s AS sample_a, b.s AS sample_b, SUM(LEAST(a.v, b.v)) AS msum
+      FROM ab a JOIN ab b ON a.i = b.i AND a.s < b.s
+      GROUP BY 1, 2
+    )
+    SELECT ta.s AS sample_a, tb.s AS sample_b,
+           ROUND(1.0 - 2.0 * COALESCE(shared.msum, 0) / (ta.t + tb.t), 6) AS bray_curtis
+    FROM tot ta JOIN tot tb ON ta.s < tb.s
+    LEFT JOIN shared ON shared.sample_a = ta.s AND shared.sample_b = tb.s
+    """,
+)
+def m2_bray_curtis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2 — pairwise Bray-Curtis over per-sample abundance vectors
+    (vegan::vegdist, bin/interpersonaldiversity.R:122), sparse
+    join-aggregate — no dense matrix."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.stats import bray_curtis
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    ab = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy(
+            F.concat(F.lit("C"), F.col("o_custkey")).alias("sample"),
+            F.col("l_partkey").alias("item"),
+        )
+        .agg(F.sum("l_quantity").alias("v"))
+    )
+    return bray_curtis(ab, "sample", "item", "v")
+
+
+@query("m1_rarefaction")
+def m1_rarefaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1 — seeded per-sample rarefaction to the global min depth
+    (vegan::rrarefy, bin/interpersonaldiversity.R:60-76). Rows-only:
+    the multivariate-hypergeometric draw is seeded and reproducible in
+    the engine but not expressible in SQL. Returns per-sample richness
+    after rarefying (sums == depth by construction)."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.stats import rarefy
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    ab = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy(
+            F.concat(F.lit("C"), F.col("o_custkey")).alias("sample"),
+            F.col("l_partkey").cast("string").alias("item"),
+        )
+        .agg(F.sum("l_quantity").cast("long").alias("count"))
+    )
+    depth = ab.groupBy("sample").agg(F.sum("count").alias("t")).agg(F.min("t")).collect()[0][0]
+    r = rarefy(ab, "sample", "item", "count", depth=int(depth), seed=42)
+    return r.groupBy("sample").agg(
+        F.count(F.lit(1)).alias("richness"),
+        F.sum("count").alias("total"),
+    )
+
+
+@query("ml_rf_interactions")
+def ml_rf_interactions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7-M12 — the reference's model pipeline end-to-end
+    (bin/CalculatePredModel.R): Q1 edge scan → stratified 80/20 split →
+    RF → predict the held-out pairs → Interacts/NotInteracts labels
+    (rows-only: RF internals aren't SQL). Returns per-class prediction
+    counts joined with gold labels (confusion-matrix shape)."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.ml.model import (
+        build_pipeline,
+        predict_interactions,
+        prepare_training,
+        stratified_split,
+    )
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.plans.testdata_graph import infects_edges
+
+    edges = infects_edges(spark, sf_dir)
+    data = prepare_training(edges)
+    train, test = stratified_split(data, 0.8, seed=42)
+    model = build_pipeline(num_trees=20, seed=42).fit(train)
+    pred = predict_interactions(model, test.drop("label"))
+    labeled = pred.join(
+        data.select("src", "dst", F.col("label").cast("int").alias("gold")),
+        ["src", "dst"],
+    )
+    return labeled.groupBy("prediction", "gold").agg(F.count(F.lit(1)).alias("n"))

@@ -166,7 +166,22 @@ TESTDATA_TABLES = (
 
 
 def load_table(spark, sf_dir: str, name: str):
-    """Read one driver-generated parquet table."""
+    """Read one driver-generated parquet table.
+
+    The events table stores TIMESTAMP(NANOS), which Spark's parquet reader
+    rejects by default ([PARQUET_TYPE_ILLEGAL]); we read nanos as long via
+    the legacy conf and rebuild a microsecond TimestampType column.
+    """
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            )
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

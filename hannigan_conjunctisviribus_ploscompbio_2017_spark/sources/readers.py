@@ -1,0 +1,223 @@
+"""Typed sources for the reference's interchange formats (SURVEY §2.1).
+
+Everything tabular goes through spark.read.csv with explicit schemas
+(S1/S2/S5/S12); the bioinformatics flat formats (FASTA/FASTQ, pilerCR,
+EMBL, GenBank) are line-stateful and parse via mapPartitions over
+spark.read.text — per-partition imperative parsing is the one legitimate
+RDD-adjacent spot in the engine (SURVEY §2.13), and files are split by
+record boundary using wholeTextFiles only when records can span partition
+splits.
+
+Citations are to /root/reference.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hannigan_conjunctisviribus_ploscompbio_2017_spark import schemas as S
+
+# --- S1/S2: delimited text -------------------------------------------------
+
+
+def read_tsv(spark: SparkSession, path: str, schema: T.StructType, header: bool = False) -> DataFrame:
+    """S1 — headerless TSV (the reference's universal interchange;
+    bin/CollapseContigCounts.R:27)."""
+    return spark.read.csv(path, sep="\t", schema=schema, header=header)
+
+
+def read_csv(spark: SparkSession, path: str, schema: T.StructType, header: bool = False) -> DataFrame:
+    """S2 — CSV (CONCOCT cluster maps; bin/collapseLength.R:39-43)."""
+    return spark.read.csv(path, sep=",", schema=schema, header=header)
+
+
+def write_tsv(df: DataFrame, path: str, header: bool = False) -> None:
+    """S12 — TSV sink (write.table(quote=F, sep='\\t'),
+    bin/CollapseGeneScores.R:40-46)."""
+    df.write.mode("overwrite").option("header", header).csv(path, sep="\t")
+
+
+def read_metadata(spark: SparkSession, path: str) -> DataFrame:
+    """16-col sample metadata with header (consumed positionally at
+    bin/Metadata2graph.pl:95-110)."""
+    return spark.read.csv(path, sep="\t", schema=S.METADATA, header=True)
+
+
+def read_blast6(spark: SparkSession, path: str) -> DataFrame:
+    """BLAST outfmt-6 (bin/GetProphagesByBlast.sh:39-51)."""
+    return spark.read.csv(path, sep="\t", schema=S.BLAST6)
+
+
+# --- S5: SAM → per-contig counts --------------------------------------------
+
+
+def sam_contig_counts(spark: SparkSession, path: str) -> DataFrame:
+    """S5 — skip @ headers, count alignments per reference contig
+    (bin/calculate_abundance_from_sam.pl:25-38): pure filter+groupBy."""
+    lines = spark.read.text(path)
+    fields = F.split(F.col("value"), "\t")
+    return (
+        lines.filter(~F.col("value").startswith("@"))
+        .select(fields.getItem(2).alias("contig"))
+        .filter(F.col("contig") != "*")
+        .groupBy("contig")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+# --- S3: FASTA --------------------------------------------------------------
+
+FASTA_SCHEMA = "id string, seq string"
+
+
+def read_fasta(spark: SparkSession, path: str) -> DataFrame:
+    """S3 — FASTA → (id, seq), multi-line records supported
+    (bin/ContigLengthTable.pl:43-57 dies on malformed leading sequence;
+    we drop pre-header garbage).
+
+    Parses per file via mapPartitions over wholeTextFiles-style binary
+    read: FASTA records can span text-partition boundaries, so the unit
+    of parallelism is the file (fine: assemblies come as many per-sample
+    files; a single multi-TB FASTA should be pre-chunked upstream).
+    """
+    files = spark.sparkContext.wholeTextFiles(path)
+
+    def parse(kv):
+        _, content = kv
+        name, chunks = None, []
+        for line in content.splitlines():
+            if line.startswith(">"):
+                if name is not None:
+                    yield (name, "".join(chunks))
+                name = line[1:].split()[0]
+                chunks = []
+            elif name is not None:
+                chunks.append(line.strip())
+        if name is not None:
+            yield (name, "".join(chunks))
+
+    return files.flatMap(parse).toDF(FASTA_SCHEMA)
+
+
+def fasta_lengths(fasta: DataFrame) -> DataFrame:
+    """S3b — (id, length) table (bin/contigstats.sh:25-29)."""
+    return fasta.select("id", F.length("seq").cast("long").alias("length"))
+
+
+def length_filter(fasta: DataFrame, lo: int = 20, hi: int = 65) -> DataFrame:
+    """P7 — spacer length window (bin/LengthFilterSeqs.pl:44-61)."""
+    return fasta.filter(F.length("seq").between(lo, hi))
+
+
+# --- S4: FASTQ pair intersection ---------------------------------------------
+
+
+def read_fastq_ids(spark: SparkSession, path: str) -> DataFrame:
+    """S4a — read ids from FASTQ (line index % 4 == 0).
+
+    monotonically_increasing_id is only contiguous within a partition and
+    FASTQ's 4-line frame breaks across partition splits → single-partition
+    read per file (FASTQ at scale arrives pre-split per sample, so the
+    parallel unit is the file, like FASTA)."""
+    lines = spark.read.text(path).coalesce(1).withColumn(
+        "_idx", F.monotonically_increasing_id()
+    )
+    return (
+        lines.filter(F.col("_idx") % 4 == 0)
+        .select(F.regexp_extract("value", r"^@(\S+)", 1).alias("read_id"))
+    )
+
+
+def paired_reads(r1_ids: DataFrame, r2_ids: DataFrame) -> DataFrame:
+    """S4b — keep reads present in both mates (set-intersection join,
+    bin/get_trimmed_pairs.py:7-35)."""
+    return r1_ids.join(r2_ids, "read_id", "inner").select("read_id").distinct()
+
+
+# --- S6: GenBank (phage organism, host) --------------------------------------
+
+
+def genbank_phage_hosts(spark: SparkSession, path: str) -> DataFrame:
+    """S6 — extract (organism, host) per GenBank record
+    (bin/Genbank2phagehost.py:24-34): record-stateful → per-file parse."""
+    files = spark.sparkContext.wholeTextFiles(path)
+
+    def parse(kv):
+        _, content = kv
+        organism = host = None
+        for line in content.splitlines():
+            ls = line.strip()
+            if ls.startswith("ORGANISM"):
+                organism = ls[len("ORGANISM") :].strip()
+            elif ls.startswith('/host="'):
+                host = ls.split('"')[1]
+            elif ls.startswith("//"):
+                if organism:
+                    yield (organism, host)
+                organism = host = None
+        if organism:
+            yield (organism, host)
+
+    return files.flatMap(parse).toDF("organism string, host string")
+
+
+# --- S7: pilerCR report → spacers ---------------------------------------------
+
+
+def pilercr_spacers(spark: SparkSession, path: str) -> DataFrame:
+    """S7 — CRISPR spacer extraction from pilerCR reports
+    (bin/ExtractSpacers.pl:44-77): array-block line-state parse →
+    (array_id, position, spacer)."""
+    files = spark.sparkContext.wholeTextFiles(path)
+
+    def parse(kv):
+        _, content = kv
+        array_id, in_block, pos = None, False, 0
+        for line in content.splitlines():
+            ls = line.strip()
+            if ls.startswith("Array "):
+                array_id = ls.split()[1]
+                in_block, pos = False, 0
+            elif array_id is not None and set(ls) <= set("= ") and ls:
+                in_block = not in_block
+            elif in_block and ls:
+                parts = ls.split()
+                # data rows: pos len %id spacer_len consensus spacer
+                if len(parts) >= 6 and parts[0].isdigit():
+                    spacer = parts[-1]
+                    if spacer.upper().strip("ACGTN") == "" and spacer != "":
+                        pos += 1
+                        yield (array_id, pos, spacer)
+
+    return files.flatMap(parse).toDF("array_id string, position int, spacer string")
+
+
+# --- S8: EMBL .dat ------------------------------------------------------------
+
+
+def embl_records(spark: SparkSession, path: str) -> DataFrame:
+    """S8 — EMBL flat-file ID/OS/host stanza parse
+    (bin/ProteinNetworkCreation.pl:99-131, bin/dat2fasta.pl):
+    (record_id, organism, host)."""
+    files = spark.sparkContext.wholeTextFiles(path)
+
+    def parse(kv):
+        _, content = kv
+        rid = organism = host = None
+        for line in content.splitlines():
+            if line.startswith("ID "):
+                rid = line[3:].split(";")[0].strip()
+            elif line.startswith("OS "):
+                organism = line[3:].strip()
+            elif "/host=" in line:
+                host = line.split('"')[1] if '"' in line else None
+            elif line.startswith("//"):
+                if rid:
+                    yield (rid, organism, host)
+                rid = organism = host = None
+        if rid:
+            yield (rid, organism, host)
+
+    return files.flatMap(parse).toDF("record_id string, organism string, host string")

@@ -1,0 +1,104 @@
+"""Dedup + similarity-search operators on crafted fixtures."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators import dedup, similarity
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy dog"),          # exact dup of 0
+    (2, "The quick brown fox JUMPS over the lazy dog!!"),        # normalized dup of 0
+    (3, "the quick brown fox leaps over the lazy dog"),          # near dup (1 token)
+    (4, "completely different content about spark engines here"),
+    (5, "spark engines here are completely different content about"),  # same tokens, diff order
+]
+
+
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(spark):
+    out = {r.id: r for r in dedup.exact_dedup(docs_df(spark)).collect()}
+    assert out[1].keeper_id == 0 and out[1].is_dup == 1
+    assert out[2].keeper_id == 0 and out[2].is_dup == 1  # normalization folds case/punct
+    assert out[3].is_dup == 0
+    assert out[0].is_dup == 0
+
+
+def test_shingles(spark):
+    sh = dedup.shingles(docs_df(spark).filter(F.col("doc_id") == 0), k=3).collect()
+    shingle_set = {r.shingle for r in sh}
+    assert "the quick brown" in shingle_set
+    assert "lazy dog" not in shingle_set  # only full 3-grams
+    assert len(shingle_set) == 7  # 9 tokens → 7 shingles
+
+
+def test_jaccard_near_dup(spark):
+    pairs = {(r.id_a, r.id_b): r.jaccard
+             for r in dedup.jaccard_pairs(docs_df(spark), threshold=0.3).collect()}
+    assert pairs[(0, 1)] == pytest.approx(1.0)
+    assert pairs[(0, 2)] == pytest.approx(1.0)
+    # one token changed: 3 of 7 shingles touch it → J = 4/(7+7-4) = 0.4
+    assert pairs[(0, 3)] == pytest.approx(0.4)
+    assert (0, 4) not in pairs
+    # rotated word order still shares 3 shingles → J = 3/(5+6-3) = 0.375
+    assert pairs[(4, 5)] == pytest.approx(0.375)
+
+
+def test_minhash_lsh_finds_exact_and_near(spark):
+    pairs = {(r.id_a, r.id_b): r.est_jaccard
+             for r in dedup.minhash_lsh_pairs(docs_df(spark)).collect()}
+    assert pairs[(0, 1)] == pytest.approx(1.0)
+    assert pairs[(0, 2)] == pytest.approx(1.0)
+    assert (0, 4) not in pairs
+
+
+def test_simhash_hamming(spark):
+    fps = {r.id: r.simhash for r in dedup.simhash(docs_df(spark)).collect()}
+    assert fps[0] == fps[1]  # identical text → identical fingerprint
+
+    def hamming(a, b):
+        return bin((a & 0xFFFFFFFFFFFFFFFF) ^ (b & 0xFFFFFFFFFFFFFFFF)).count("1")
+
+    # near-dup (one token changed) is closer than unrelated text
+    assert hamming(fps[0], fps[3]) < hamming(fps[0], fps[4])
+    # doc5 = doc4 + one extra token, reordered: simhash is order-insensitive
+    # so only the extra token moves bits → very close
+    assert hamming(fps[4], fps[5]) < hamming(fps[4], fps[0])
+
+
+def _embeddings(spark, n=100, dim=8):
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    rows = []
+    for i in range(n):
+        v = rng.normal(size=dim)
+        rows.append((i, [float(x) for x in v]))
+    # make 1 a near-copy of 0
+    rows[1] = (1, [x + 0.01 for x in rows[0][1]])
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk(spark):
+    emb = _embeddings(spark)
+    q = emb.filter(F.col("vec_id") == 0)
+    out = similarity.brute_force_topk(emb, q, k=3).collect()
+    assert len(out) == 3
+    assert out[0].neighbor_id == 1  # the near-copy ranks first
+    assert out[0].cosine_sim > 0.999
+    ranks = [r.rank for r in out]
+    assert ranks == [1, 2, 3]
+
+
+def test_srp_lsh_recall_vs_brute_force(spark):
+    emb = _embeddings(spark, n=200)
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = similarity.brute_force_topk(emb, q, k=1).collect()
+    approx = similarity.srp_lsh_topk(emb, q, dim=8, k=1, num_planes=16, bands=8).collect()
+    exact_top = {r.query_id: r.neighbor_id for r in exact}
+    approx_top = {r.query_id: r.neighbor_id for r in approx}
+    hits = sum(1 for k, v in exact_top.items() if approx_top.get(k) == v)
+    assert hits >= 6  # recall@1 ≥ 0.6 with 8 bands of 2 bits on random data

@@ -1,0 +1,165 @@
+"""Graph build (§2.9) + pattern queries Q1-Q7 on reference-shaped fixtures."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators import graph_build as GB
+from hannigan_conjunctisviribus_ploscompbio_2017_spark.plans import queries as Q
+
+
+@pytest.fixture(scope="module")
+def graph(spark):
+    """Tiny reference-shaped property graph: 2 phages, 2 hosts, 2 samples,
+    1 study, 1 disease."""
+    phages = spark.createDataFrame(
+        [("p1", "Phage", "p1"), ("p2", "Phage", "p2")], "id string, label string, name string"
+    )
+    hosts = spark.createDataFrame(
+        [("h1", "Bacterial_Host", "h1"), ("h2", "Bacterial_Host", "h2")],
+        "id string, label string, name string",
+    ).withColumn("species", F.concat(F.col("id"), F.lit("_sp")))
+    samples = spark.createDataFrame(
+        [("s1", "SampleID", "s1"), ("s2", "SampleID", "s2")],
+        "id string, label string, name string",
+    )
+    study = spark.createDataFrame([("st1", "StudyID", "st1")], "id string, label string, name string")
+    disease = spark.createDataFrame([("d1", "Disease", "d1")], "id string, label string, name string")
+    nodes = GB.build_nodes([phages, hosts.drop("species"), samples, study, disease])
+    # re-attach species for q2 (build_nodes conforms columns; species rides along)
+    nodes = nodes.drop("species").join(
+        hosts.select("id", "species"), "id", "left"
+    )
+
+    crispr = spark.createDataFrame([("p1", "h1", 90.0)], "src string, dst string, score double")
+    blast = spark.createDataFrame(
+        [("p1", "h1", 500.0), ("p2", "h2", 700.0)], "src string, dst string, score double"
+    )
+    inter = spark.createDataFrame([("p1", "h1", 1), ("p2", "h1", 0)], "src string, dst string, interaction int")
+    edges = GB.build_infects_edges(inter, {"crispr": crispr, "blast": blast})
+
+    meta = spark.createDataFrame(
+        [
+            ("s1", "p1", "Sampled", 100),
+            ("s1", "h1", "Sampled", 200),
+            ("s2", "p2", "Sampled", 50),
+            ("s2", "h2", "Sampled", 10),
+            ("st1", "s1", "IncludedInStudy", None),
+            ("st1", "s2", "IncludedInStudy", None),
+            ("d1", "s1", "Diseased", None),
+        ],
+        "src string, dst string, type string, abundance int",
+    )
+    edges = GB.add_metadata_edges(edges, meta)
+    lengths = spark.createDataFrame([("p1", 1000), ("p2", 2000), ("zz", 5)], "id string, length long")
+    nodes = GB.update_node_lengths(nodes, lengths)
+    return nodes, edges
+
+
+def test_build_nodes_unique(graph):
+    nodes, _ = graph
+    assert nodes.count() == 8  # 2 phage + 2 host + 2 sample + study + disease
+    assert nodes.filter(F.col("label") == "Phage").count() == 2
+
+
+def test_build_nodes_duplicate_across_labels_raises(spark):
+    a = spark.createDataFrame([("x", "Phage", "x")], "id string, label string, name string")
+    b = spark.createDataFrame([("x", "Bacterial_Host", "x")], "id string, label string, name string")
+    with pytest.raises(ValueError, match="duplicate node ids"):
+        GB.build_nodes([a, b])
+
+
+def test_infects_edge_merge(graph):
+    _, edges = graph
+    infects = {(r.src, r.dst): r for r in edges.filter(F.col("type") == "Infects").collect()}
+    assert len(infects) == 3  # (p1,h1) merged, (p2,h2) blast-only, (p2,h1) label-only
+    assert infects[("p1", "h1")].crispr == 90.0
+    assert infects[("p1", "h1")].blast == 500.0
+    assert infects[("p1", "h1")].interaction == 1
+    assert infects[("p2", "h2")].crispr is None
+    assert infects[("p2", "h1")].interaction == 0
+
+
+def test_predicted_edges_skip_existing(spark, graph):
+    _, edges = graph
+    preds = spark.createDataFrame(
+        [("p1", "h2", "Interacts"), ("p2", "h1", "NotInteracts")],
+        "src string, dst string, prediction string",
+    )
+    e2 = GB.add_predicted_edges(edges, preds)
+    assert e2.filter(F.col("type") == "PredictedInteraction").count() == 2
+    # second add of same pairs is a no-op (skip-if-exists)
+    e3 = GB.add_predicted_edges(e2, preds)
+    assert e3.filter(F.col("type") == "PredictedInteraction").count() == 2
+
+
+def test_node_length_update(graph):
+    nodes, _ = graph
+    lens = {r.id: r.length for r in nodes.select("id", "length").collect()}
+    assert lens["p1"] == 1000 and lens["p2"] == 2000
+    assert lens["h1"] is None  # not in the length table → untouched
+
+
+def test_q1_interaction_scores(graph):
+    nodes, edges = graph
+    pos = Q.q1_interaction_scores(edges, nodes, interaction=1).collect()
+    assert len(pos) == 1 and pos[0].from_name == "p1"
+    allrows = Q.q1_interaction_scores(edges, nodes).collect()
+    assert len(allrows) == 3
+
+
+def test_q2_predicted_links(spark, graph):
+    nodes, edges = graph
+    preds = spark.createDataFrame(
+        [("p1", "h2", "Interacts")], "src string, dst string, prediction string"
+    )
+    e2 = GB.add_predicted_edges(edges, preds)
+    rows = Q.q2_predicted_links(e2, nodes).collect()
+    assert len(rows) == 1
+    assert rows[0].from_name == "p1" and rows[0].to_species == "h2_sp"
+
+
+def test_q3_triadic(graph):
+    _, edges = graph
+    rows = Q.q3_triadic_closure(edges, limit=None).collect()
+    # p1->h1 and p2->h1 share target h1 → one pair
+    assert [(r.n, r.k) for r in rows] == [("p1", "p2")]
+
+
+def test_q4_study_network(graph):
+    _, edges = graph
+    rows = Q.q4_study_network(edges, "st1").collect()
+    # s1 samples p1 (ab 100) and h1 (ab 200); p1 infects h1 → row
+    found = {(r.sample1, r.phage, r.host, r.sample2) for r in rows}
+    assert ("s1", "p1", "h1", "s1") in found
+
+
+def test_q5_sample_network(graph):
+    nodes, edges = graph
+    rows = Q.q5_sample_network(edges, nodes, study="st1").collect()
+    by_key = {(r.sample, r.phage, r.host): r for r in rows}
+    r = by_key[("s1", "p1", "h1")]
+    assert r.phage_abundance == 100 and r.host_abundance == 200
+    assert r.phage_length == 1000
+    assert r.phage_norm == pytest.approx(1e7 * 100 / 1000)
+    assert r.weight == pytest.approx(4.30103, abs=1e-5)  # log10(100*200)
+
+
+def test_q6_label_scan(graph):
+    nodes, _ = graph
+    assert [r.name for r in Q.q6_label_scan(nodes, "StudyID").collect()] == ["st1"]
+
+
+def test_q7_disease_scope(graph):
+    _, edges = graph
+    rows = Q.q7_disease_scope(edges, "d1").collect()
+    # d1→s1; s1 samples p1,h1; p1→h1 infects: expansion from p1 AND h1 nodes
+    assert ("s1", "p1", "h1") in {(r.sample, r.n, r.m) for r in rows}
+
+
+def test_simplify(spark):
+    e = spark.createDataFrame(
+        [("a", "b", "T"), ("a", "b", "T"), ("a", "a", "T"), ("a", "b", "U")],
+        "src string, dst string, type string",
+    )
+    out = GB.simplify(e).collect()
+    assert len(out) == 2  # (a,b,T) deduped, loop dropped, (a,b,U) kept

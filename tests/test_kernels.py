@@ -1,0 +1,170 @@
+"""Closed-form graph-kernel fixtures (FIXTURES.md §8): path P5, star S10,
+clique K5, two-component graph, weighted triangle, bipartite 3x3."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators import kernels as K
+from tests.conftest import edges_df
+
+P5 = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]
+S10 = [("hub", f"leaf{i}") for i in range(9)]  # star, 10 nodes
+K5 = [(a, b) for a in "abcde" for b in "abcde" if a < b]
+TWO_COMP = [("a", "b"), ("b", "c"), ("x", "y")]
+BIPARTITE_33 = [(p, h) for p in ["p1", "p2", "p3"] for h in ["h1", "h2", "h3"]]
+
+
+def as_map(rows, k, v):
+    return {r[k]: r[v] for r in rows}
+
+
+def test_degrees_star(spark):
+    deg = as_map(K.degrees(edges_df(spark, S10)).collect(), "node", "degree")
+    assert deg["hub"] == 9
+    assert deg["leaf3"] == 1
+
+
+def test_graph_size(spark):
+    row = K.graph_size(edges_df(spark, K5)).collect()[0]
+    assert row.n_nodes == 5 and row.n_edges == 10
+
+
+def test_diameter_radius_path(spark):
+    d = K.bfs_distances(edges_df(spark, P5))
+    row = K.diameter_radius(d).collect()[0]
+    assert row.diameter == 4 and row.radius == 2
+
+
+def test_diameter_clique(spark):
+    d = K.bfs_distances(edges_df(spark, K5))
+    row = K.diameter_radius(d).collect()[0]
+    assert row.diameter == 1 and row.radius == 1
+
+
+def test_eccentricity_path(spark):
+    d = K.bfs_distances(edges_df(spark, P5))
+    ecc = as_map(K.eccentricity(d).collect(), "node", "eccentricity")
+    assert ecc == {"a": 4, "b": 3, "c": 2, "d": 3, "e": 4}
+
+
+def test_closeness_path(spark):
+    d = K.bfs_distances(edges_df(spark, P5))
+    clo = as_map(K.closeness_centrality(d).collect(), "node", "closeness")
+    # center c: dists 2+1+1+2 = 6 → 4/6
+    assert clo["c"] == pytest.approx(4 / 6, abs=1e-6)
+    # end a: dists 1+2+3+4 = 10 → 4/10
+    assert clo["a"] == pytest.approx(0.4, abs=1e-6)
+
+
+def test_connected_components(spark):
+    comp = as_map(
+        K.connected_components(edges_df(spark, TWO_COMP)).collect(), "node", "component"
+    )
+    assert comp["a"] == comp["b"] == comp["c"] == "a"
+    assert comp["x"] == comp["y"] == "x"
+    assert comp["a"] != comp["x"]
+
+
+def test_eigenvector_star(spark):
+    # star: hub has max centrality 1; leaves all equal at 1/sqrt(k) for S_k
+    cen = as_map(
+        K.eigenvector_centrality(edges_df(spark, S10), weight_col=None).collect(),
+        "node",
+        "centrality",
+    )
+    assert cen["hub"] == pytest.approx(1.0, abs=1e-6)
+    for i in range(9):
+        # star S_k leading eigenvector: hub=1, leaves = 1/sqrt(k)
+        assert cen[f"leaf{i}"] == pytest.approx(1 / math.sqrt(9), abs=1e-3)
+
+
+def test_eigenvector_weighted_triangle(spark):
+    # triangle with one heavy edge: a-b weight 2, others 1.
+    # Adjacency [[0,2,1],[2,0,1],[1,1,0]]: eigenvector (1,1,t) with
+    # t² + 2t − 2 = 0 → t = √3 − 1 ≈ 0.7321, λ₁ = 2 + t.
+    e = edges_df(spark, [("a", "b"), ("b", "c"), ("a", "c")], weights=[2.0, 1.0, 1.0])
+    cen = as_map(K.eigenvector_centrality(e).collect(), "node", "centrality")
+    assert cen["a"] == pytest.approx(cen["b"], abs=1e-5)
+    assert cen["c"] < cen["a"]
+    assert cen["c"] == pytest.approx(math.sqrt(3) - 1, abs=1e-3)
+
+
+def test_centralization_star_vs_clique(spark):
+    star_c = K.centralization(
+        K.eigenvector_centrality(edges_df(spark, S10), weight_col=None)
+    ).collect()[0]["centralization"]
+    clique_c = K.centralization(
+        K.eigenvector_centrality(edges_df(spark, K5), weight_col=None)
+    ).collect()[0]["centralization"]
+    assert star_c > 0.5  # star maximizes centralization
+    assert clique_c == pytest.approx(0.0, abs=1e-5)  # symmetric graph → 0
+
+
+def test_pagerank_star(spark):
+    pr = as_map(
+        K.pagerank(edges_df(spark, S10)).collect(),
+        "node",
+        "pagerank",
+    )
+    assert pr["hub"] > pr["leaf0"]
+    assert sum(pr.values()) == pytest.approx(1.0, abs=1e-4)
+    assert pr["leaf1"] == pytest.approx(pr["leaf7"], abs=1e-8)
+
+
+def test_node_entropy_uniform(spark):
+    # node with k equal-weight edges → entropy ln(k)
+    e = edges_df(spark, [("n", "a"), ("n", "b"), ("n", "c"), ("n", "d")],
+                 weights=[1, 1, 1, 1])
+    h = as_map(K.node_entropy(e).collect(), "node", "entropy")
+    assert h["n"] == pytest.approx(math.log(4), abs=1e-6)
+
+
+def test_label_propagation_two_cliques(spark):
+    # two K3s joined by one bridge edge → two communities
+    pairs = (
+        [(a, b) for a in "abc" for b in "abc" if a < b]
+        + [(a, b) for a in "xyz" for b in "xyz" if a < b]
+        + [("c", "x")]
+    )
+    lab = as_map(K.label_propagation(edges_df(spark, pairs)).collect(), "node", "community")
+    assert lab["a"] == lab["b"] == lab["c"]
+    assert lab["x"] == lab["y"] == lab["z"]
+    assert lab["a"] != lab["x"]
+
+
+def test_modularity_two_cliques(spark):
+    pairs = (
+        [(a, b) for a in "abc" for b in "abc" if a < b]
+        + [(a, b) for a in "xyz" for b in "xyz" if a < b]
+        + [("c", "x")]
+    )
+    e = edges_df(spark, pairs)
+    comm = K.label_propagation(e)
+    q = K.modularity(e, comm).collect()[0]["modularity"]
+    # known value for two K3s + bridge with perfect split: Q = 10/49 ≈ 0.367 — wait,
+    # m=7; intra=6; Q = 6/7 - ( (7/14)^2 + (7/14)^2 ) = 0.857 - 0.5 = 0.357
+    assert q == pytest.approx(0.357, abs=0.01)
+
+
+def test_grouped_kernels_independent_groups(spark):
+    # same kernel invocation computes both groups at once
+    e1 = edges_df(spark, P5, group="g1")
+    e2 = edges_df(spark, S10, group="g2")
+    e = e1.unionByName(e2)
+    sizes = {r["g"]: (r.n_nodes, r.n_edges) for r in K.graph_size(e, ["g"]).collect()}
+    assert sizes["g1"] == (5, 4)
+    assert sizes["g2"] == (10, 9)
+    d = K.bfs_distances(e, ["g"])
+    dr = {r["g"]: (r.diameter, r.radius) for r in K.diameter_radius(d, ["g"]).collect()}
+    assert dr["g1"] == (4, 2)
+    assert dr["g2"] == (2, 1)
+
+
+def test_sample_edges_deterministic(spark):
+    e = edges_df(spark, K5)
+    a = sorted(map(tuple, K.sample_edges(e, 0.5, seed=7).select("src", "dst").collect()))
+    b = sorted(map(tuple, K.sample_edges(e, 0.5, seed=7).select("src", "dst").collect()))
+    assert a == b
+    assert 0 < len(a) < 10

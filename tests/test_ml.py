@@ -1,0 +1,74 @@
+"""ML interaction model (§2.11 M7-M12) on a separable synthetic fixture."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hannigan_conjunctisviribus_ploscompbio_2017_spark.ml import model as M
+
+
+@pytest.fixture(scope="module")
+def labeled(spark):
+    """Separable: positives have high crispr/blast, negatives low."""
+    import random
+
+    rng = random.Random(42)
+    rows = []
+    for i in range(300):
+        pos = i % 2 == 0
+        rows.append(
+            (
+                f"p{i}",
+                f"h{i}",
+                rng.uniform(70, 100) if pos else rng.uniform(0, 20),
+                rng.uniform(500, 1000) if pos else rng.uniform(0, 100),
+                rng.uniform(0, 1),
+                None if rng.random() < 0.3 else rng.uniform(0, 50),  # missing scores
+                1 if pos else 0,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "src string, dst string, crispr double, blast double, blastx double, "
+        "pfam double, interaction int",
+    )
+
+
+def test_prepare_fills_missing(labeled):
+    data = M.prepare_training(labeled)
+    assert data.filter(F.col("pfam").isNull()).count() == 0  # NA→0 semantics
+
+
+def test_stratified_split_preserves_classes(labeled):
+    data = M.prepare_training(labeled)
+    train, test = M.stratified_split(data, 0.8, seed=1)
+    assert train.count() + test.count() == 300
+    assert train.filter(F.col("label") == 1).count() > 0
+    assert test.filter(F.col("label") == 1).count() > 0
+
+
+def test_train_predict_separable(labeled):
+    data = M.prepare_training(labeled)
+    train, test = M.stratified_split(data, 0.8, seed=1)
+    model = M.build_pipeline(num_trees=20).fit(train)
+    metrics = M.evaluate(model, test)
+    assert metrics["auc"] > 0.95  # trivially separable
+    assert metrics["sensitivity"] > 0.9
+    assert metrics["specificity"] > 0.9
+    imps = M.feature_importances(model)
+    # crispr/blast carry the signal
+    assert imps["crispr"] + imps["blast"] > imps["blastx"] + imps["pfam"]
+
+
+def test_predict_interactions_labels(labeled):
+    data = M.prepare_training(labeled)
+    model = M.build_pipeline(num_trees=20).fit(data)
+    preds = M.predict_interactions(model, data.drop("label"))
+    vals = {r.prediction for r in preds.collect()}
+    assert vals <= {"Interacts", "NotInteracts"}
+    assert preds.filter(F.col("p_interacts").between(0, 1)).count() == 300
+
+
+def test_cv_runs(labeled):
+    data = M.prepare_training(labeled)
+    model, auc = M.train_cv(data, num_folds=3, num_trees=10, parallelism=2)
+    assert auc > 0.9

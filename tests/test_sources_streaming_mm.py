@@ -1,0 +1,176 @@
+"""Sources (§2.1), Structured Streaming surface, multimodal plumbing."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators import multimodal as MM
+from hannigan_conjunctisviribus_ploscompbio_2017_spark.schemas import load_table
+from hannigan_conjunctisviribus_ploscompbio_2017_spark.sources import readers as R
+from hannigan_conjunctisviribus_ploscompbio_2017_spark.streaming import events as SE
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+# --- sources ---------------------------------------------------------------
+
+
+def test_fasta_roundtrip(spark, tmp_path):
+    fa = tmp_path / "x.fasta"
+    fa.write_text(">c1 extra header\nACGT\nACGT\n>c2\nTTTT\n")
+    df = R.read_fasta(spark, str(fa))
+    rows = {r.id: r.seq for r in df.collect()}
+    assert rows == {"c1": "ACGTACGT", "c2": "TTTT"}
+    lens = {r.id: r.length for r in R.fasta_lengths(df).collect()}
+    assert lens == {"c1": 8, "c2": 4}
+
+
+def test_fasta_length_filter(spark, tmp_path):
+    fa = tmp_path / "s.fasta"
+    fa.write_text(">a\n" + "A" * 10 + "\n>b\n" + "A" * 30 + "\n>c\n" + "A" * 99 + "\n")
+    kept = {r.id for r in R.length_filter(R.read_fasta(spark, str(fa)), 20, 65).collect()}
+    assert kept == {"b"}
+
+
+def test_fastq_pair_intersection(spark, tmp_path):
+    r1 = tmp_path / "r1.fastq"
+    r2 = tmp_path / "r2.fastq"
+    r1.write_text("@read1\nACGT\n+\nIIII\n@read2\nACGT\n+\nIIII\n")
+    r2.write_text("@read2\nTTTT\n+\nIIII\n@read3\nTTTT\n+\nIIII\n")
+    pairs = R.paired_reads(
+        R.read_fastq_ids(spark, str(r1)), R.read_fastq_ids(spark, str(r2))
+    ).collect()
+    assert [r.read_id for r in pairs] == ["read2"]
+
+
+def test_sam_counts(spark, tmp_path):
+    sam = tmp_path / "a.sam"
+    sam.write_text(
+        "@HD\tVN:1.0\n@SQ\tSN:c1\tLN:100\n"
+        "r1\t0\tc1\t1\t60\t4M\t*\t0\t0\tACGT\tIIII\n"
+        "r2\t0\tc1\t5\t60\t4M\t*\t0\t0\tACGT\tIIII\n"
+        "r3\t4\t*\t0\t0\t*\t*\t0\t0\tACGT\tIIII\n"
+        "r4\t0\tc2\t1\t60\t4M\t*\t0\t0\tACGT\tIIII\n"
+    )
+    counts = {r.contig: r["count"] for r in R.sam_contig_counts(spark, str(sam)).collect()}
+    assert counts == {"c1": 2, "c2": 1}
+
+
+def test_genbank_hosts(spark, tmp_path):
+    gb = tmp_path / "x.gb"
+    gb.write_text(
+        "LOCUS x\n  ORGANISM Pseudomonas phage F116\n"
+        '  /host="Pseudomonas aeruginosa"\n//\n'
+        "LOCUS y\n  ORGANISM Another phage\n//\n"
+    )
+    rows = {r.organism: r.host for r in R.genbank_phage_hosts(spark, str(gb)).collect()}
+    assert rows["Pseudomonas phage F116"] == "Pseudomonas aeruginosa"
+    assert rows["Another phage"] is None
+
+
+def test_embl_records(spark, tmp_path):
+    dat = tmp_path / "x.dat"
+    dat.write_text(
+        "ID   AB12; SV 1; linear\nOS   Some phage\nFT  /host=\"E. coli\"\n//\n"
+    )
+    rows = R.embl_records(spark, str(dat)).collect()
+    assert rows[0].record_id == "AB12" and rows[0].host == "E. coli"
+
+
+def test_tsv_roundtrip(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("a", T.StringType()), T.StructField("b", T.LongType())]
+    )
+    p = tmp_path / "t"
+    df = spark.createDataFrame([("x", 1), ("y", 2)], schema)
+    R.write_tsv(df, str(p))
+    back = R.read_tsv(spark, str(p), schema)
+    assert sorted(map(tuple, back.collect())) == [("x", 1), ("y", 2)]
+
+
+# --- streaming -------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def event_stream_dir(spark, tmp_path_factory):
+    """Bounded file-source stream: events table re-written as parquet
+    with µs timestamps (streaming file source can't read the NANOS
+    parquet either)."""
+    d = tmp_path_factory.mktemp("events_stream")
+    load_table(spark, SF0001, "events").write.mode("overwrite").parquet(str(d / "pq"))
+    return str(d / "pq")
+
+
+def test_streaming_windowed_counts(spark, event_stream_dir):
+    stream = SE.read_event_stream(spark, event_stream_dir)
+    assert stream.isStreaming
+    agg = SE.windowed_counts(stream, window="1 hour")
+    q = SE.run_to_memory(agg, "win_out")
+    try:
+        got = spark.sql(
+            "SELECT SUM(n) AS total FROM win_out"
+        ).collect()[0].total
+        batch_total = load_table(spark, SF0001, "events").count()
+        # append mode only emits windows the watermark has closed; the
+        # final (open) window is withheld → total ≤ batch, most emitted
+        assert got is not None and got >= batch_total * 0.5
+    finally:
+        q.stop()
+
+
+def test_streaming_sessions_match_batch_shape(spark, event_stream_dir):
+    stream = SE.read_event_stream(spark, event_stream_dir)
+    sess = SE.session_aggregates(stream, gap="30 minutes")
+    q = SE.run_to_memory(sess, "sess_out")
+    try:
+        rows = spark.sql("SELECT * FROM sess_out").collect()
+        assert len(rows) > 0
+        assert all(r.session_end >= r.session_start for r in rows)
+    finally:
+        q.stop()
+
+
+# --- multimodal ------------------------------------------------------------
+
+
+def test_multimodal_fake_pipeline(spark):
+    media = MM.make_fake_media(spark, n=30)
+    feats = MM.extract_features(media, dim=8, fake=True)
+    rows = feats.collect()
+    assert len(rows) == 30
+    assert all(len(r.feature) == 8 for r in rows)
+    # deterministic: same content → same feature
+    again = {r.media_id: r.feature for r in MM.extract_features(media, dim=8, fake=True).collect()}
+    first = {r.media_id: r.feature for r in rows}
+    assert first == again
+
+
+def test_multimodal_real_decode_is_stubbed(spark):
+    media = MM.make_fake_media(spark, n=3)
+    with pytest.raises(Exception) as exc_info:
+        MM.extract_features(media, fake=False).collect()
+    assert "NotImplementedError" in str(exc_info.value) or isinstance(
+        exc_info.value, NotImplementedError
+    )
+
+
+def test_multimodal_metadata_prunes_blob(spark):
+    media = MM.make_fake_media(spark, n=30)
+    stats = MM.media_metadata_stats(media)
+    assert stats.count() == 3  # image/audio/video
+    # blob column absent from the aggregation plan
+    assert "content" not in stats.columns
+
+
+def test_frame_sample_plan(spark):
+    media = MM.make_fake_media(spark, n=30)
+    frames = MM.frame_sample_plan(media, every_ms=1000)
+    rows = frames.collect()
+    assert len(rows) > 0
+    per_video = frames.groupBy("media_id").count().collect()
+    durations = {r.media_id: r.duration_ms for r in media.filter(F.col("kind") == "video").collect()}
+    for r in per_video:
+        assert r["count"] == max(durations[r.media_id] // 1000, 1)

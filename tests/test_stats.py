@@ -1,0 +1,78 @@
+"""Stats operators: seeded rarefaction, Bray-Curtis, permutation test."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators import stats
+
+
+def _abundance(spark):
+    rows = [
+        ("s1", "a", 10), ("s1", "b", 20), ("s1", "c", 70),
+        ("s2", "a", 50), ("s2", "b", 50),
+        ("s3", "d", 5),
+    ]
+    return spark.createDataFrame(rows, "sample string, item string, count long")
+
+
+def test_rarefy_sums_to_depth(spark):
+    r = stats.rarefy(_abundance(spark), "sample", "item", "count", depth=30)
+    sums = {x["sample"]: x["t"] for x in r.groupBy("sample").agg(F.sum("count").alias("t")).collect()}
+    assert sums == {"s1": 30, "s2": 30}  # s3 total 5 < depth → dropped
+
+
+def test_rarefy_deterministic(spark):
+    a = sorted(map(tuple, stats.rarefy(_abundance(spark), "sample", "item", "count", 30, seed=7).collect()))
+    b = sorted(map(tuple, stats.rarefy(_abundance(spark), "sample", "item", "count", 30, seed=7).collect()))
+    c = sorted(map(tuple, stats.rarefy(_abundance(spark), "sample", "item", "count", 30, seed=8).collect()))
+    assert a == b
+    assert a != c  # different seed → different draw (overwhelmingly)
+
+
+def test_rarefy_respects_partitioning_invariance(spark):
+    df = _abundance(spark)
+    a = sorted(map(tuple, stats.rarefy(df, "sample", "item", "count", 30).collect()))
+    b = sorted(map(tuple, stats.rarefy(df.repartition(7), "sample", "item", "count", 30).collect()))
+    assert a == b  # seed derives from sample key, not partition layout
+
+
+def test_bray_curtis_known_values(spark):
+    # s1=(10,20,70), s2=(50,50,0): min-sum=10+20=30, totals 100+100
+    # BC = 1 - 2*30/200 = 0.7
+    bc = {(r.sample_a, r.sample_b): r.bray_curtis
+          for r in stats.bray_curtis(_abundance(spark), "sample", "item", "count").collect()}
+    assert bc[("s1", "s2")] == pytest.approx(0.7, abs=1e-6)
+    # s3 shares nothing with s1 → BC = 1
+    assert bc[("s1", "s3")] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_identical_samples_zero_distance(spark):
+    rows = [("x", "a", 3), ("x", "b", 7), ("y", "a", 3), ("y", "b", 7)]
+    df = spark.createDataFrame(rows, "sample string, item string, count long")
+    bc = stats.bray_curtis(df, "sample", "item", "count").collect()[0]
+    assert bc.bray_curtis == pytest.approx(0.0, abs=1e-9)
+
+
+def test_rarefaction_curve_monotone_richness(spark):
+    rows = [("s", f"i{i}", 2) for i in range(50)]  # 50 species, 100 individuals
+    df = spark.createDataFrame(rows, "sample string, item string, count long")
+    curve = {r.depth: r.richness
+             for r in stats.rarefaction_curve(df, "sample", "item", "count", [10, 50, 100]).collect()}
+    assert curve[10] <= curve[50] <= curve[100]
+    assert curve[100] == 50  # full depth → all species
+
+
+def test_permutation_pvalue_detects_difference(spark):
+    rows = [("a", float(v)) for v in range(0, 20)] + [("b", float(v)) for v in range(100, 120)]
+    df = spark.createDataFrame(rows, "grp string, val double")
+    res = stats.permutation_pvalue(df, "grp", "val", n_perm=199).collect()[0]
+    assert abs(res.observed_diff) == pytest.approx(100.0, abs=1e-6)
+    assert res.p_value < 0.05
+
+
+def test_permutation_pvalue_null(spark):
+    # identical distributions → p should be large
+    rows = [("a", float(v % 10)) for v in range(40)] + [("b", float(v % 10)) for v in range(40)]
+    df = spark.createDataFrame(rows, "grp string, val double")
+    res = stats.permutation_pvalue(df, "grp", "val", n_perm=199).collect()[0]
+    assert res.p_value > 0.2
