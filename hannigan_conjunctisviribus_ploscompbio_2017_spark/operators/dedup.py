@@ -53,18 +53,22 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 
 def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3) -> DataFrame:
     """(id, shingle) pairs: k-token shingles of the normalized text,
-    deduped per doc. Pure Catalyst (sequence + transform), no UDF."""
-    toks = F.split(normalized(text_col), "\\s+")
-    sh = F.expr(
-        f"transform(sequence(0, greatest(size(split(trim(regexp_replace(lower({text_col}),"
-        f" '[^a-z0-9]+', ' ')), '\\\\s+')) - {k}, -1)),"
-        f" i -> concat_ws(' ', slice(split(trim(regexp_replace(lower({text_col}),"
-        f" '[^a-z0-9]+', ' ')), '\\\\s+'), i + 1, {k})))"
+    deduped per doc. Pure Catalyst (sequence + transform), no UDF.
+
+    The token array is materialized ONCE per row before the per-index
+    transform — inlining the tokenizer into the lambda re-runs the regex
+    per shingle (O(tokens²) regex work; measured 10× slower)."""
+    toked = df.select(
+        F.col(id_col).alias("id"),
+        F.split(normalized(text_col), "\\s+").alias("_toks"),
     )
-    return (
-        df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
-        .distinct()
-    )
+    # guard short docs: sequence(1, 0) would generate a DESCENDING [1, 0]
+    idx = F.when(
+        F.size("_toks") >= k,
+        F.sequence(F.lit(1), F.size("_toks") - (k - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    sh = F.transform(idx, lambda i: F.array_join(F.slice("_toks", i, k), " "))
+    return toked.select("id", F.explode(sh).alias("shingle")).distinct()
 
 
 def jaccard_pairs(

@@ -695,10 +695,6 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     handles hub-phage skew.
     """
     from hannigan_conjunctisviribus_ploscompbio_2017_spark.functions.scalar import edge_weight, length_normalize
-    from hannigan_conjunctisviribus_ploscompbio_2017_spark.plans.testdata_graph import (
-        infects_edges,
-        sampled_edges,
-    )
 
     cust = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 0)
@@ -706,29 +702,41 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
     ).select(F.concat(F.lit("C"), F.col("c_custkey")).alias("sample"))
 
-    sampled = sampled_edges(spark, sf_dir).filter(F.col("abundance") > 0)
-    infects = infects_edges(spark, sf_dir).select(
-        F.col("src").alias("phage"), F.col("dst").alias("host")
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    # one fact join, pre-filtered to study members so the two abundance
+    # aggregations and everything downstream only touch member rows
+    fact = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.concat(F.lit("C"), F.col("o_custkey")).alias("sample"),
+            "l_partkey",
+            "l_suppkey",
+            "l_quantity",
+        )
+        .join(F.broadcast(members), "sample")
     )
+    phage_ab = (
+        fact.groupBy("sample", F.concat(F.lit("P"), F.col("l_partkey")).alias("phage"))
+        .agg(F.sum("l_quantity").cast("long").alias("phage_abundance"))
+        .filter(F.col("phage_abundance") > 0)
+    )
+    host_ab = (
+        fact.groupBy("sample", F.concat(F.lit("S"), F.col("l_suppkey")).alias("host"))
+        .agg(F.sum("l_quantity").cast("long").alias("host_abundance"))
+        .filter(F.col("host_abundance") > 0)
+    )
+    infects = li.select(
+        F.concat(F.lit("P"), F.col("l_partkey")).alias("phage"),
+        F.concat(F.lit("S"), F.col("l_suppkey")).alias("host"),
+    ).distinct()
     lengths = _t(spark, sf_dir, "part").select(
         F.concat(F.lit("P"), F.col("p_partkey")).alias("phage"),
         F.col("p_size").cast("long").alias("phage_length"),
     )
 
-    phage_ab = sampled.filter(F.col("dst").startswith("P")).select(
-        F.col("src").alias("sample"),
-        F.col("dst").alias("phage"),
-        F.col("abundance").alias("phage_abundance"),
-    )
-    host_ab = sampled.filter(F.col("dst").startswith("S")).select(
-        F.col("src").alias("sample"),
-        F.col("dst").alias("host"),
-        F.col("abundance").alias("host_abundance"),
-    )
-
     return (
-        phage_ab.join(F.broadcast(members), "sample")
-        .join(infects, "phage")
+        phage_ab.join(infects, "phage")
         .join(host_ab, ["sample", "host"])
         .join(F.broadcast(lengths), "phage", "left")
         .select(
@@ -1386,3 +1394,314 @@ def ml_rf_interactions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["src", "dst"],
     )
     return labeled.groupBy("prediction", "gold").agg(F.count(F.lit(1)).alias("n"))
+
+
+# =========================================================================
+# Coverage completions: W3/O3/A10/F11/R6 + Q4 + G13/M13/M4 + build e2e
+# =========================================================================
+
+
+@query(
+    "w3_global_sort_limit",
+    oracle="""
+    SELECT l_suppkey, degree FROM (
+      SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS degree
+      FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+      GROUP BY l_suppkey
+    ) ORDER BY degree DESC, l_suppkey ASC LIMIT 25
+    """,
+)
+def w3_global_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3+O3 — global order + deterministic LIMIT (sorted link counts,
+    bin/GetNetworkLinkCounts.R:81-82; LIMIT cap, bin/TriadicClosures.R:89).
+    TakeOrderedAndProject: no full sort, a bounded heap per partition."""
+    li = _t(spark, sf_dir, "lineitem")
+    deg = (
+        li.select("l_partkey", "l_suppkey")
+        .distinct()
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return deg.orderBy(F.desc("degree"), F.asc("l_suppkey")).limit(25)
+
+
+@query(
+    "a10_frequency_table",
+    oracle="""
+    SELECT o_orderstatus AS outcome, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def a10_frequency_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 — frequency table (table(x$Correct),
+    bin/CalculateModelSpecSens.R:47-58)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderstatus").alias("outcome"))
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+@query(
+    "f11_substring_extract",
+    oracle="""
+    SELECT p_partkey,
+           SUBSTRING(p_name, 3, 8) AS fragment,
+           SUBSTRING(p_type, 1, 5) AS type_prefix,
+           CAST(LENGTH(p_name) AS BIGINT) AS name_len
+    FROM part WHERE p_size BETWEEN 10 AND 30
+    """,
+)
+def f11_substring_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11 — substring extraction (random-fragment generator family,
+    bin/RandomContigGenerator.pl:76-87 — deterministic offsets here so
+    the oracle matches; the seeded variant is sources-side)."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size").between(10, 30))
+    return part.select(
+        "p_partkey",
+        F.substring("p_name", 3, 8).alias("fragment"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.length("p_name").cast("long").alias("name_len"),
+    )
+
+
+@query(
+    "r6_transpose",
+    oracle="""
+    WITH piv AS (
+      SELECT l_returnflag,
+             ROUND(COALESCE(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 0), 2) AS F,
+             ROUND(COALESCE(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 0), 2) AS O
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT metric,
+           ROUND(COALESCE(SUM(CASE WHEN l_returnflag = 'A' THEN v END), 0), 2) AS A,
+           ROUND(COALESCE(SUM(CASE WHEN l_returnflag = 'N' THEN v END), 0), 2) AS N,
+           ROUND(COALESCE(SUM(CASE WHEN l_returnflag = 'R' THEN v END), 0), 2) AS R
+    FROM (
+      SELECT l_returnflag, 'F' AS metric, F AS v FROM piv
+      UNION ALL
+      SELECT l_returnflag, 'O' AS metric, O AS v FROM piv
+    ) GROUP BY metric
+    """,
+)
+def r6_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R6 — matrix transpose = melt + re-pivot (t(opf_table),
+    bin/OpfRarefaction.R:11): flag×status matrix → status×flag."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.relational import melt, pivot_matrix
+
+    li = _t(spark, sf_dir, "lineitem")
+    piv = pivot_matrix(li, "l_returnflag", "l_linestatus", "l_quantity", values=["F", "O"])
+    piv = piv.select("l_returnflag", F.round("F", 2).alias("F"), F.round("O", 2).alias("O"))
+    melted = melt(piv, ["l_returnflag"], ["F", "O"], var_name="metric", value_name="v")
+    out = pivot_matrix(melted, "metric", "l_returnflag", "v", values=["A", "N", "R"], agg="sum")
+    return out.select(
+        "metric",
+        F.round("A", 2).alias("A"),
+        F.round("N", 2).alias("N"),
+        F.round("R", 2).alias("R"),
+    )
+
+
+@query(
+    "gq4_study_network",
+    oracle="""
+    WITH members AS (
+      SELECT 'C' || c_custkey AS sample
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      WHERE n_regionkey = 1
+    ), fact AS (
+      SELECT 'C' || o_custkey AS sample, l_partkey, l_suppkey, l_quantity
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE 'C' || o_custkey IN (SELECT sample FROM members)
+    ), sampled_phage AS (
+      SELECT sample, 'P' || l_partkey AS phage, CAST(SUM(l_quantity) AS BIGINT) AS phage_abundance
+      FROM fact GROUP BY 1, 2
+    ), sampled_host AS (
+      SELECT sample, 'S' || l_suppkey AS host, CAST(SUM(l_quantity) AS BIGINT) AS host_abundance
+      FROM fact GROUP BY 1, 2
+    ), infects AS (
+      SELECT DISTINCT 'P' || l_partkey AS phage, 'S' || l_suppkey AS host FROM lineitem
+    )
+    SELECT sp.phage, i.host,
+           CAST(COUNT(*) AS BIGINT) AS n_sample_pairs,
+           CAST(SUM(sp.phage_abundance) AS BIGINT) AS total_phage_abundance
+    FROM sampled_phage sp
+    JOIN infects i ON sp.phage = i.phage
+    JOIN sampled_host sh ON sh.host = i.host
+    GROUP BY 1, 2
+    """,
+)
+def gq4_study_network(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 — study-scoped expansion where sample1 and sample2 may DIFFER
+    (bin/VisGraphByGroup.R:52-62): (study)-->(s1)-[:Sampled]->(phage)
+    -[:Infects]->(host)<-[:Sampled]-(s2)<--(study)."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 1)
+    members = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).select(F.concat(F.lit("C"), F.col("c_custkey")).alias("sample"))
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    fact = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.concat(F.lit("C"), F.col("o_custkey")).alias("sample"),
+            "l_partkey",
+            "l_suppkey",
+            "l_quantity",
+        )
+        .join(F.broadcast(members), "sample")
+    )
+    sampled_phage = fact.groupBy(
+        "sample", F.concat(F.lit("P"), F.col("l_partkey")).alias("phage")
+    ).agg(F.sum("l_quantity").cast("long").alias("phage_abundance"))
+    sampled_host = fact.groupBy(
+        "sample", F.concat(F.lit("S"), F.col("l_suppkey")).alias("host")
+    ).agg(F.sum("l_quantity").cast("long").alias("host_abundance"))
+    infects = li.select(
+        F.concat(F.lit("P"), F.col("l_partkey")).alias("phage"),
+        F.concat(F.lit("S"), F.col("l_suppkey")).alias("host"),
+    ).distinct()
+    # the raw (s1, phage, host, s2) expansion is quadratically explosive
+    # (the reference caps its variant with LIMIT 50000,
+    # bin/TriadicClosures.R:89); aggregate to per-edge co-sampling counts
+    return (
+        sampled_phage.join(infects, "phage")
+        .join(
+            sampled_host.select(F.col("sample").alias("sample2"), "host"),
+            "host",
+        )
+        .groupBy("phage", "host")
+        .agg(
+            F.count(F.lit(1)).alias("n_sample_pairs"),
+            F.sum("phage_abundance").cast("long").alias("total_phage_abundance"),
+        )
+    )
+
+
+@query("g13_robustness")
+def g13_robustness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G13 — robustness by random edge removal (NetSwan family,
+    bin/error_interpersonaldiversity.R:62-66): degrade the Infects graph
+    to 90/70/50% and recompute size + degree stats (rows-only: seeded
+    sampling)."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.kernels import (
+        degrees,
+        graph_size,
+        sample_edges,
+    )
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.plans.testdata_graph import infects_edges
+
+    e = infects_edges(spark, sf_dir).select("src", "dst")
+    out = None
+    for frac in (0.9, 0.7, 0.5):
+        sampled = sample_edges(e, frac, seed=42)
+        sz = graph_size(sampled)
+        deg = degrees(sampled).agg(
+            F.round(F.avg("degree"), 4).alias("mean_degree"),
+            F.max("degree").alias("max_degree"),
+        )
+        row = sz.crossJoin(deg).withColumn("fraction", F.lit(frac))
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+@query("m13_rarefaction_curve")
+def m13_rarefaction_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M13 — rarefaction/accumulation curve (bin/OpfRarefaction.R:12-18):
+    per-sample richness at increasing depths, seeded (rows-only)."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.stats import rarefaction_curve
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    ab = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy(
+            F.concat(F.lit("C"), F.col("o_custkey")).alias("sample"),
+            F.col("l_partkey").cast("string").alias("item"),
+        )
+        .agg(F.sum("l_quantity").cast("long").alias("count"))
+    )
+    curve = rarefaction_curve(ab, "sample", "item", "count", depths=[50, 200, 500], seed=42)
+    return curve.groupBy("depth").agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.round(F.avg("richness"), 4).alias("mean_richness"),
+    )
+
+
+@query("m4_permutation_test")
+def m4_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 — permutation test: does avg order value differ between two
+    mktsegments? (ANOSIM/permutest family,
+    bin/CompareSkin.R:336-423; rows-only: hash-seeded permutations)."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.stats import permutation_pvalue
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    )
+    df = orders.join(
+        F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+        orders.o_custkey == F.col("c_custkey"),
+    ).select(F.col("c_mktsegment").alias("grp"), F.col("o_totalprice").alias("val"))
+    return permutation_pvalue(df, "grp", "val", n_perm=199, seed=42)
+
+
+@query("graph_build_e2e")
+def graph_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 end-to-end build on testdata: nodes (7 labels) + Infects
+    feature-merge + Sampled metadata edges + length update, then the
+    nestats.tsv-shaped summary (node/edge counts per label/type) —
+    rows-only (the build is the §2.9 operator composition; per-piece
+    parity is covered by gq1/g12/j3)."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.graph_build import (
+        add_metadata_edges,
+        build_infects_edges,
+        build_nodes,
+    )
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.plans import testdata_graph as TG
+
+    nodes = build_nodes([TG.nodes(spark, sf_dir)], assert_unique=False)
+    infects = TG.infects_edges(spark, sf_dir)
+    edges = build_infects_edges(
+        infects.select("src", "dst", "interaction"),
+        {
+            c: infects.select("src", "dst", F.col(c).alias("score"))
+            for c in ("crispr", "blast", "blastx", "pfam")
+        },
+    )
+    edges = add_metadata_edges(edges, TG.sampled_edges(spark, sf_dir))
+    node_counts = nodes.groupBy(F.col("label").alias("kind")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    edge_counts = edges.groupBy(F.col("type").alias("kind")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return node_counts.unionByName(edge_counts)
+
+
+@query(
+    "a11_cube_rollup",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+           COALESCE(l_linestatus, 'ALL') AS status,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def a11_cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 — cube/grouping-sets (absent in the reference, free in Spark;
+    SURVEY §2.4 A11)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    ).select(
+        F.coalesce("l_returnflag", F.lit("ALL")).alias("flag"),
+        F.coalesce("l_linestatus", F.lit("ALL")).alias("status"),
+        "sum_qty",
+        "n",
+    )
