@@ -1,0 +1,70 @@
+"""SQL surface: register the engine's tables and canonical queries as
+temp views so the whole suite is reachable via spark.sql (SURVEY §7
+step 4 — Catalyst produces the same plans either way).
+
+Usage:
+    register_testdata_views(spark, sf_dir)   # raw tables
+    register_graph_views(spark, sf_dir)      # nodes / edges property graph
+    spark.sql("SELECT * FROM infects_edges WHERE interaction = 1")
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from hannigan_conjunctisviribus_ploscompbio_2017_spark.schemas import TESTDATA_TABLES, load_table
+
+
+def register_testdata_views(spark: SparkSession, sf_dir: str) -> None:
+    """One temp view per driver testdata table."""
+    for t in TESTDATA_TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def register_graph_views(spark: SparkSession, sf_dir: str) -> None:
+    """Property-graph views over the testdata mapping: `graph_nodes`,
+    `infects_edges`, `sampled_edges` — the §2.9 tables as SQL-queryable
+    relations."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.plans import testdata_graph as TG
+
+    TG.nodes(spark, sf_dir).createOrReplaceTempView("graph_nodes")
+    TG.infects_edges(spark, sf_dir).createOrReplaceTempView("infects_edges")
+    TG.sampled_edges(spark, sf_dir).createOrReplaceTempView("sampled_edges")
+
+
+# The canonical pattern queries as plain Spark SQL (same semantics as
+# plans/queries.py; parameterize by string formatting of the anchor).
+SQL_TEMPLATES = {
+    # Q1 — edge scan with scores (bin/CalculatePredModel.R:181-205)
+    "q1_interactions": """
+        SELECT e.src AS from_name, e.dst AS to_name,
+               e.interaction, e.crispr, e.blast, e.blastx, e.pfam
+        FROM infects_edges e
+        {where}
+    """,
+    # Q3 — triadic closure (bin/TriadicClosures.R:88-89)
+    "q3_triadic": """
+        SELECT a.src AS n, b.src AS k, COUNT(*) AS shared
+        FROM infects_edges a JOIN infects_edges b
+          ON a.dst = b.dst AND a.src < b.src
+        GROUP BY a.src, b.src
+    """,
+    # Q6 — label scan (bin/VisGraphByGroup.R:45-47)
+    "q6_label_scan": """
+        SELECT name FROM graph_nodes WHERE label = '{label}'
+    """,
+}
+
+
+def sql_q1(spark: SparkSession, interaction: int | None = None):
+    where = f"WHERE e.interaction = {int(interaction)}" if interaction is not None else ""
+    return spark.sql(SQL_TEMPLATES["q1_interactions"].format(where=where))
+
+
+def sql_q3(spark: SparkSession):
+    return spark.sql(SQL_TEMPLATES["q3_triadic"])
+
+
+def sql_q6(spark: SparkSession, label: str):
+    assert label.isidentifier() or label.replace("_", "").isalnum(), "label must be a plain name"
+    return spark.sql(SQL_TEMPLATES["q6_label_scan"].format(label=label))

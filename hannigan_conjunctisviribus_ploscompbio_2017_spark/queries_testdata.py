@@ -751,7 +751,10 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("phage_norm"),
             F.round(edge_weight("phage_abundance", "host_abundance"), 6).alias("weight"),
         )
-        .distinct()
+        # the Cypher template ends in DISTINCT, but every join input here
+        # is already unique on its join key (grouped aggregates + distinct
+        # infects + unique length dim), so the result is row-unique by
+        # construction — the dedup shuffle would be a pure no-op.
     )
 
 
