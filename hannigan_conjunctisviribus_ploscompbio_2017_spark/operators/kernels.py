@@ -459,3 +459,122 @@ def sample_edges(edges: DataFrame, fraction: float, seed: int = 42) -> DataFrame
     bin/error_interpersonaldiversity.R:62-66): keep `fraction` of edges,
     deterministic per seed. Rerun any kernel on the result."""
     return edges.sample(withReplacement=False, fraction=fraction, seed=seed)
+
+
+# --------------------------------------------------------------------------
+# G7/G8 — betweenness & alpha centrality (grouped per-subgraph solvers)
+# --------------------------------------------------------------------------
+
+
+def betweenness_centrality(
+    edges: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Exact Brandes betweenness per subgraph (igraph::betweenness,
+    bin/alteredDiet.R:127-131; formula doc/manuscript.md:199-215).
+
+    Brandes is O(VE) with sequential dependency accumulation — not
+    shuffle-decomposable. The reference runs it driver-side on collected
+    subgraphs; here each GROUP's subgraph runs inside applyInPandas, so
+    thousands of per-sample graphs compute in parallel across executors
+    and only the per-group edge list (tiny, SURVEY §6: ≤~40k edges) is
+    ever materialized in one place. For one global giant graph, use
+    sampled-source approximation: pass a pre-filtered edge set.
+    """
+    import pandas as pd
+
+    g = _gcols(group_cols)
+    und = symmetrize(edges, g)
+    if not g:
+        und = und.withColumn("_g", F.lit(1))
+        g_eff = ["_g"]
+    else:
+        g_eff = g
+    out_schema = (
+        ", ".join(f"{c} string" for c in g_eff)
+        + ", node string, betweenness double"
+    )
+
+    def _brandes(pdf: pd.DataFrame) -> pd.DataFrame:
+        from collections import deque
+
+        adj: dict[str, list[str]] = {}
+        for s, d in zip(pdf["src"], pdf["dst"]):
+            adj.setdefault(s, []).append(d)
+        nodes = list(adj.keys())
+        bc = dict.fromkeys(nodes, 0.0)
+        for s in nodes:
+            # single-source shortest-path counts
+            dist = {s: 0}
+            sigma = {s: 1.0}
+            order = []
+            preds: dict[str, list[str]] = {s: []}
+            q = deque([s])
+            while q:
+                v = q.popleft()
+                order.append(v)
+                for w in adj[v]:
+                    if w not in dist:
+                        dist[w] = dist[v] + 1
+                        preds[w] = []
+                        sigma[w] = 0.0
+                        q.append(w)
+                    if dist[w] == dist[v] + 1:
+                        sigma[w] += sigma[v]
+                        preds[w].append(v)
+            delta = dict.fromkeys(order, 0.0)
+            for w in reversed(order):
+                for v in preds[w]:
+                    delta[v] += sigma[v] / sigma[w] * (1 + delta[w])
+                if w != s:
+                    bc[w] += delta[w]
+        rows = {c: [str(pdf[c].iloc[0])] * len(nodes) for c in g_eff}
+        rows["node"] = nodes
+        # undirected: every pair counted from both endpoints → halve
+        rows["betweenness"] = [bc[n] / 2.0 for n in nodes]
+        return pd.DataFrame(rows)
+
+    res = und.groupBy(*g_eff).applyInPandas(_brandes, schema=out_schema)
+    return res.select(*g, "node", F.round("betweenness", 6).alias("betweenness"))
+
+
+def alpha_centrality(
+    edges: DataFrame,
+    alpha: float = 0.1,
+    group_cols: list[str] | None = None,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Alpha (Katz-Bonacich) centrality x = (I − αAᵀ)⁻¹·e per subgraph
+    (igraph::alpha_centrality, bin/compareTwins.R:95-97;
+    bin/CompareNetworkGroups.R:123-124). Per-group dense solve inside
+    applyInPandas — same distribution argument as betweenness."""
+    import numpy as np
+    import pandas as pd
+
+    g = _gcols(group_cols)
+    und = symmetrize(edges, g)
+    has_w = weight_col and weight_col in und.columns
+    if not g:
+        und = und.withColumn("_g", F.lit(1))
+        g_eff = ["_g"]
+    else:
+        g_eff = g
+    out_schema = (
+        ", ".join(f"{c} string" for c in g_eff) + ", node string, alpha_centrality double"
+    )
+
+    def _solve(pdf: pd.DataFrame) -> pd.DataFrame:
+        nodes = sorted(set(pdf["src"]) | set(pdf["dst"]))
+        idx = {n: i for i, n in enumerate(nodes)}
+        n = len(nodes)
+        A = np.zeros((n, n))
+        w = pdf[weight_col] if has_w else [1.0] * len(pdf)
+        for s, d, wv in zip(pdf["src"], pdf["dst"], w):
+            A[idx[d], idx[s]] = float(wv)  # transpose: incoming influence
+        x = np.linalg.solve(np.eye(n) - alpha * A, np.ones(n))
+        rows = {c: [str(pdf[c].iloc[0])] * n for c in g_eff}
+        rows["node"] = nodes
+        rows["alpha_centrality"] = x.tolist()
+        return pd.DataFrame(rows)
+
+    res = und.groupBy(*g_eff).applyInPandas(_solve, schema=out_schema)
+    return res.select(*g, "node", F.round("alpha_centrality", 6).alias("alpha_centrality"))

@@ -1708,3 +1708,89 @@ def a11_cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_qty",
         "n",
     )
+
+
+@query(
+    "gq2_predicted_links",
+    oracle="""
+    WITH e AS (
+      SELECT 'P' || l_partkey AS src, 'S' || l_suppkey AS dst,
+             CASE WHEN MAX(l_quantity) > 45 THEN 'Interacts'
+                  ELSE 'NotInteracts' END AS prediction
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT e.src AS from_name, s_name AS to_name
+    FROM e JOIN supplier ON e.dst = 'S' || s_suppkey
+    WHERE e.prediction = 'Interacts'
+    """,
+)
+def gq2_predicted_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 — predicted-interaction scan projecting the target's name
+    (bin/GeneralNetworkProperties.R:95-99): prediction recoded from the
+    gold-label rule (F8 threshold recode), names via broadcast dim join."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.plans.testdata_graph import infects_edges
+
+    e = infects_edges(spark, sf_dir).withColumn(
+        "prediction",
+        F.when(F.col("interaction") == 1, "Interacts").otherwise("NotInteracts"),
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.concat(F.lit("S"), F.col("s_suppkey")).alias("dst"),
+        F.col("s_name").alias("to_name"),
+    )
+    return (
+        e.filter(F.col("prediction") == "Interacts")
+        .join(F.broadcast(supp), "dst")
+        .select(F.col("src").alias("from_name"), "to_name")
+    )
+
+
+@query("gk_betweenness")
+def gk_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G7 — exact Brandes betweenness per per-nation supplier subgraph
+    (grouped applyInPandas — thousands of subgraphs in parallel;
+    rows-only). Subgraph = lineitems of suppliers in one nation."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.kernels import betweenness_centrality
+
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    e = (
+        li.filter(F.col("l_quantity") > 35)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .select(
+            F.col("s_nationkey").cast("string").alias("grp"),
+            F.concat(F.lit("P"), F.col("l_partkey")).alias("src"),
+            F.concat(F.lit("S"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    bc = betweenness_centrality(e, ["grp"])
+    return bc.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.round(F.max("betweenness"), 4).alias("max_betweenness"),
+    )
+
+
+@query("gk_alpha_centrality")
+def gk_alpha_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G8 — alpha (Katz-Bonacich) centrality per per-nation subgraph
+    (grouped dense solve; rows-only)."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.kernels import alpha_centrality
+
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    e = (
+        li.filter(F.col("l_quantity") > 40)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .select(
+            F.col("s_nationkey").cast("string").alias("grp"),
+            F.concat(F.lit("P"), F.col("l_partkey")).alias("src"),
+            F.concat(F.lit("S"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    ac = alpha_centrality(e, alpha=0.05, group_cols=["grp"])
+    return ac.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.round(F.avg("alpha_centrality"), 4).alias("mean_alpha"),
+    )

@@ -168,3 +168,43 @@ def test_sample_edges_deterministic(spark):
     b = sorted(map(tuple, K.sample_edges(e, 0.5, seed=7).select("src", "dst").collect()))
     assert a == b
     assert 0 < len(a) < 10
+
+
+def test_betweenness_path(spark):
+    # path a-b-c-d-e, undirected exact betweenness: a/e=0, b/d=3, c=4
+    bc = as_map(K.betweenness_centrality(edges_df(spark, P5)).collect(), "node", "betweenness")
+    assert bc["a"] == pytest.approx(0.0)
+    assert bc["b"] == pytest.approx(3.0)
+    assert bc["c"] == pytest.approx(4.0)
+    assert bc["d"] == pytest.approx(3.0)
+
+
+def test_betweenness_star(spark):
+    # star: hub on every pair's path: C(9,2)=36; leaves 0
+    bc = as_map(K.betweenness_centrality(edges_df(spark, S10)).collect(), "node", "betweenness")
+    assert bc["hub"] == pytest.approx(36.0)
+    assert bc["leaf0"] == pytest.approx(0.0)
+
+
+def test_betweenness_grouped(spark):
+    e = edges_df(spark, P5, group="g1").unionByName(edges_df(spark, S10, group="g2"))
+    bc = {(r["g"], r["node"]): r["betweenness"]
+          for r in K.betweenness_centrality(e, ["g"]).collect()}
+    assert bc[("g1", "c")] == pytest.approx(4.0)
+    assert bc[("g2", "hub")] == pytest.approx(36.0)
+
+
+def test_alpha_centrality_path_matches_numpy(spark):
+    import numpy as np
+
+    nodes = sorted({n for e in P5 for n in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    A = np.zeros((5, 5))
+    for s, d in P5:
+        A[idx[d], idx[s]] = 1.0
+        A[idx[s], idx[d]] = 1.0
+    expected = np.linalg.solve(np.eye(5) - 0.1 * A, np.ones(5))
+    got = as_map(K.alpha_centrality(edges_df(spark, P5), alpha=0.1).collect(),
+                 "node", "alpha_centrality")
+    for n in nodes:
+        assert got[n] == pytest.approx(expected[idx[n]], abs=1e-5)

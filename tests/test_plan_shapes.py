@@ -1,0 +1,64 @@
+"""Physical-plan guards: the scale properties we rely on must survive
+refactors — filters reach the parquet scan, dimension joins broadcast,
+blob columns prune. These assert on .explain output, the same checks done
+interactively while tuning (README '100 TB design notes')."""
+
+from pyspark.sql import functions as F
+
+from hannigan_conjunctisviribus_ploscompbio_2017_spark.queries_testdata import QUERIES
+from hannigan_conjunctisviribus_ploscompbio_2017_spark.schemas import load_table
+from tests.conftest import SF0001
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_predicate_pushdown_to_parquet(spark):
+    df = load_table(spark, SF0001, "lineitem").filter(F.col("l_quantity") > 30).select(
+        "l_orderkey"
+    )
+    plan = plan_of(df)
+    assert "PushedFilters" in plan
+    assert "GreaterThan(l_quantity,30.0)" in plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    df = load_table(spark, SF0001, "lineitem").select("l_orderkey", "l_quantity")
+    plan = plan_of(df)
+    # ReadSchema must contain only the projected columns
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema
+
+
+def test_flagship_join_strategies(spark):
+    plan = plan_of(QUERIES["gq5_sample_network"](spark, SF0001))
+    # dims broadcast; fact-fact joins shuffle (SMJ or shuffled hash)
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    # the study-membership filter reaches the nation scan
+    assert "EqualTo(n_regionkey,0)" in plan
+
+
+def test_dim_join_broadcasts(spark):
+    plan = plan_of(QUERIES["j1_equi_join"](spark, SF0001))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # lineitem must NOT shuffle for dims
+
+
+def test_whole_stage_codegen_spans(spark):
+    df = QUERIES["a1_pricing_summary"](spark, SF0001)
+    df.collect()  # AQE finalizes codegen stages only on THIS plan's execution
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    # '*(n)' prefixes mark WholeStageCodegen spans in the final plan
+    assert "*(" in executed  # agg stays JVM-side/codegen'd
+
+
+def test_limit_does_not_global_sort(spark):
+    plan = plan_of(QUERIES["w3_global_sort_limit"](spark, SF0001))
+    assert "TakeOrderedAndProject" in plan  # bounded heap, not full sort

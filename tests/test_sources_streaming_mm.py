@@ -174,3 +174,20 @@ def test_frame_sample_plan(spark):
     durations = {r.media_id: r.duration_ms for r in media.filter(F.col("kind") == "video").collect()}
     for r in per_video:
         assert r["count"] == max(durations[r.media_id] // 1000, 1)
+
+
+def test_pilercr_spacers(spark, tmp_path):
+    rpt = tmp_path / "pilercr.txt"
+    rpt.write_text(
+        "pilercr v1.06\n\nArray 1\n>contig_7\n"
+        "===============\n"
+        "      100      29   100.0      32  GTTTTAGAGCTATGCTG    ACGTACGTACGTACGTACGTACGTACGTACGT\n"
+        "      161      29    96.6      33  GTTTTAGAGCTATGCTG    TTTTACGTACGTACGTACGTACGTACGTACGTA\n"
+        "===============\n"
+        "SUMMARY\n"
+    )
+    rows = R.pilercr_spacers(spark, str(rpt)).collect()
+    spacers = {r.spacer for r in rows}
+    assert "ACGTACGTACGTACGTACGTACGTACGTACGT" in spacers
+    assert all(r.array_id == "1" for r in rows)
+    assert len(rows) == 2
