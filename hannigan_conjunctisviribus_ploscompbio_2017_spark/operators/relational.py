@@ -200,3 +200,23 @@ def melt(
     stack_args = ", ".join(f"'{c}', `{c}`" for c in value_cols)
     stack_expr = f"stack({len(value_cols)}, {stack_args}) as ({var_name}, {value_name})"
     return df.select(*id_cols, F.expr(stack_expr))
+
+
+def sample_columns(
+    df: DataFrame, keep: Sequence[str], fraction: float, seed: int = 42
+) -> DataFrame:
+    """R7 — random column subsample (keep 25% of sample columns into
+    CONCOCT, bin/ReshapeAlignedAbundance.R:41-45): deterministic choice of
+    non-key columns by seeded hash of the column NAME (driver-side over
+    metadata only — never touches data; the scan then prunes to the
+    chosen columns)."""
+    import hashlib
+
+    def keeps(name: str) -> bool:
+        h = int.from_bytes(
+            hashlib.sha256(f"{seed}:{name}".encode()).digest()[:4], "big"
+        )
+        return (h / 2**32) < fraction
+
+    chosen = [c for c in df.columns if c in keep or keeps(c)]
+    return df.select(*chosen)

@@ -1794,3 +1794,27 @@ def gk_alpha_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_nodes"),
         F.round(F.avg("alpha_centrality"), 4).alias("mean_alpha"),
     )
+
+
+@query(
+    "f12_json_props",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def f12_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12 — semi-structured JSON property extraction (absent in the
+    reference's surface, SURVEY §2.7 F12 'available natively'): parse the
+    events.props JSON column JVM-side (get_json_object — no UDF) and
+    aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(k), 4).alias("avg_k"),
+        F.max(k).alias("max_k"),
+    )

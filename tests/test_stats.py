@@ -76,3 +76,15 @@ def test_permutation_pvalue_null(spark):
     df = spark.createDataFrame(rows, "grp string, val double")
     res = stats.permutation_pvalue(df, "grp", "val", n_perm=199).collect()[0]
     assert res.p_value > 0.2
+
+
+def test_sample_columns_deterministic(spark):
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.relational import sample_columns
+
+    df = spark.createDataFrame([tuple(range(10))], ", ".join(f"c{i} int" for i in range(10)))
+    a = sample_columns(df, keep=["c0"], fraction=0.4, seed=1).columns
+    b = sample_columns(df, keep=["c0"], fraction=0.4, seed=1).columns
+    c = sample_columns(df, keep=["c0"], fraction=0.4, seed=9).columns
+    assert a == b
+    assert "c0" in a
+    assert a != c or len(a) != len(c)  # different seed → (almost surely) different pick
