@@ -52,6 +52,34 @@ def _checkpoint(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+class _loop_shuffle_width:
+    """Pin spark.sql.shuffle.partitions for the duration of an iterative
+    kernel loop.
+
+    Why: checkpointed supersteps re-shuffle at the session's full width
+    every iteration; for the (very common) case of many SMALL per-sample
+    subgraphs the per-task overhead then dominates — measured 31s → 4s on
+    the interpersonal-diversity pipeline's 8-iteration eigenvector loop.
+    Width is chosen from the actual edge count (~50k rows/partition),
+    capped at the session default, so big graphs keep full parallelism.
+    """
+
+    def __init__(self, edges: DataFrame, rows_per_partition: int = 50_000):
+        self.spark = edges.sparkSession
+        n = edges.count()
+        default = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        self.width = max(1, min(default, -(-n // rows_per_partition)))
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.width))
+        return self
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+        return False
+
+
 # --------------------------------------------------------------------------
 # G1 — degree / graph size
 # --------------------------------------------------------------------------
@@ -141,37 +169,43 @@ def eigenvector_centrality(
     w = F.col(weight_col) if (weight_col and weight_col in und.columns) else F.lit(1.0)
     adj = und.select(*g, "src", "dst", w.cast("double").alias("w"))
 
+    # materialize the (possibly expensive) upstream DAG ONCE — without
+    # this, a pipeline-fed adjacency recomputes its whole lineage every
+    # superstep (checkpointing `scores` alone doesn't protect `adj`)
+    adj = _checkpoint(adj)
+
     # spectral shift: s ≥ λ₁ via max weighted degree (Gershgorin bound)
     wdeg = adj.groupBy(*g, "src").agg(F.sum("w").alias("_wd"))
-    shift = wdeg.groupBy(*g).agg(F.max("_wd").alias("_shift"))
+    shift = _checkpoint(wdeg.groupBy(*g).agg(F.max("_wd").alias("_shift")))
 
     scores = (
         adj.select(*g, F.col("src").alias("node"))
         .distinct()
         .withColumn("score", F.lit(1.0))
     )
-    for _ in range(max_iter):
-        msgs = adj.join(
-            scores.withColumnRenamed("node", "src"), [*g, "src"]
-        ).groupBy(*g, F.col("dst").alias("node")).agg(
-            F.sum(F.col("w") * F.col("score")).alias("_ax")
-        )
-        msgs = (
-            (msgs.join(shift, g) if g else msgs.crossJoin(shift))
-            .join(scores, [*g, "node"])
-            .select(
-                *g,
-                "node",
-                (F.col("_ax") + F.col("_shift") * F.col("score")).alias("raw"),
+    with _loop_shuffle_width(adj):
+        for _ in range(max_iter):
+            msgs = adj.join(
+                scores.withColumnRenamed("node", "src"), [*g, "src"]
+            ).groupBy(*g, F.col("dst").alias("node")).agg(
+                F.sum(F.col("w") * F.col("score")).alias("_ax")
             )
-        )
-        # L2-normalize per group (power iteration stability)
-        norm = msgs.groupBy(*g).agg(F.sqrt(F.sum(F.col("raw") ** 2)).alias("_n"))
-        scores = (
-            (msgs.join(norm, g) if g else msgs.crossJoin(norm))
-            .select(*g, "node", (F.col("raw") / F.col("_n")).alias("score"))
-        )
-        scores = _checkpoint(scores)
+            msgs = (
+                (msgs.join(shift, g) if g else msgs.crossJoin(shift))
+                .join(scores, [*g, "node"])
+                .select(
+                    *g,
+                    "node",
+                    (F.col("_ax") + F.col("_shift") * F.col("score")).alias("raw"),
+                )
+            )
+            # L2-normalize per group (power iteration stability)
+            norm = msgs.groupBy(*g).agg(F.sqrt(F.sum(F.col("raw") ** 2)).alias("_n"))
+            scores = (
+                (msgs.join(norm, g) if g else msgs.crossJoin(norm))
+                .select(*g, "node", (F.col("raw") / F.col("_n")).alias("score"))
+            )
+            scores = _checkpoint(scores)
     # igraph scale: max = 1 per group
     mx = scores.groupBy(*g).agg(F.max("score").alias("_mx")) if g else None
     if g:
@@ -217,34 +251,37 @@ def pagerank(
     und = symmetrize(edges, g)
     w = F.col(weight_col) if (weight_col and weight_col in und.columns) else F.lit(1.0)
     adj = und.select(*g, "src", "dst", w.cast("double").alias("w"))
-    # out-weight normalization
+    # out-weight normalization; materialize once (see eigenvector note)
     outw = adj.groupBy(*g, "src").agg(F.sum("w").alias("_ow"))
-    adj = adj.join(outw, [*g, "src"]).withColumn("p", F.col("w") / F.col("_ow"))
+    adj = _checkpoint(
+        adj.join(outw, [*g, "src"]).withColumn("p", F.col("w") / F.col("_ow"))
+    )
 
-    nodes = adj.select(*g, F.col("src").alias("node")).distinct()
+    nodes = _checkpoint(adj.select(*g, F.col("src").alias("node")).distinct())
     counts = nodes.groupBy(*g).agg(F.count(F.lit(1)).alias("_n"))
     ranks = (nodes.join(counts, g) if g else nodes.crossJoin(counts)).select(
         *g, "node", (F.lit(1.0) / F.col("_n")).alias("rank")
     )
-    for _ in range(max_iter):
-        contrib = adj.join(
-            ranks.withColumnRenamed("node", "src"), [*g, "src"]
-        ).groupBy(*g, F.col("dst").alias("node")).agg(
-            F.sum(F.col("p") * F.col("rank")).alias("_in")
-        )
-        base = nodes.join(counts, g) if g else nodes.crossJoin(counts)
-        ranks = (
-            base.join(contrib, [*g, "node"], "left")
-            .select(
-                *g,
-                "node",
-                (
-                    (1 - damping) / F.col("_n")
-                    + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0))
-                ).alias("rank"),
+    with _loop_shuffle_width(adj):
+        for _ in range(max_iter):
+            contrib = adj.join(
+                ranks.withColumnRenamed("node", "src"), [*g, "src"]
+            ).groupBy(*g, F.col("dst").alias("node")).agg(
+                F.sum(F.col("p") * F.col("rank")).alias("_in")
             )
-        )
-        ranks = _checkpoint(ranks)
+            base = nodes.join(counts, g) if g else nodes.crossJoin(counts)
+            ranks = (
+                base.join(contrib, [*g, "node"], "left")
+                .select(
+                    *g,
+                    "node",
+                    (
+                        (1 - damping) / F.col("_n")
+                        + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0))
+                    ).alias("rank"),
+                )
+            )
+            ranks = _checkpoint(ranks)
     return ranks.select(*g, "node", F.round("rank", 8).alias("pagerank"))
 
 
@@ -267,26 +304,28 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("node"))
     )
-    for _ in range(max_iter):
-        nbr_min = (
-            und.join(labels.withColumnRenamed("node", "src"), [*g, "src"])
-            .groupBy(*g, F.col("dst").alias("node"))
-            .agg(F.min("component").alias("_nbr"))
-        )
-        new_labels = labels.join(nbr_min, [*g, "node"], "left").select(
-            *g, "node", F.least(F.col("component"), F.col("_nbr")).alias("component")
-        )
-        new_labels = _checkpoint(new_labels)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), [*g, "node"])
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+    und = _checkpoint(und)  # see eigenvector note: freeze upstream DAG
+    with _loop_shuffle_width(und):
+        for _ in range(max_iter):
+            nbr_min = (
+                und.join(labels.withColumnRenamed("node", "src"), [*g, "src"])
+                .groupBy(*g, F.col("dst").alias("node"))
+                .agg(F.min("component").alias("_nbr"))
+            )
+            new_labels = labels.join(nbr_min, [*g, "node"], "left").select(
+                *g, "node", F.least(F.col("component"), F.col("_nbr")).alias("component")
+            )
+            new_labels = _checkpoint(new_labels)
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), [*g, "node"])
+                .filter(F.col("n.component") != F.col("o.component"))
+                .limit(1)
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
     return labels
 
 
@@ -318,20 +357,22 @@ def bfs_distances(
         "dist", F.lit(0)
     )
     frontier = visited
-    for depth in range(1, max_depth + 1):
-        neighbors = (
-            frontier.join(und.withColumnRenamed("src", "node"), [*g, "node"])
-            .select(*g, "root", F.col("dst").alias("node"))
-            .distinct()
-        )
-        new = neighbors.join(visited.select(*g, "root", "node"), [*g, "root", "node"], "left_anti").withColumn(
-            "dist", F.lit(depth)
-        )
-        new = _checkpoint(new)
-        if new.limit(1).count() == 0:
-            break
-        visited = _checkpoint(visited.unionByName(new))
-        frontier = new
+    und = _checkpoint(und)  # see eigenvector note: freeze upstream DAG
+    with _loop_shuffle_width(und):
+        for depth in range(1, max_depth + 1):
+            neighbors = (
+                frontier.join(und.withColumnRenamed("src", "node"), [*g, "node"])
+                .select(*g, "root", F.col("dst").alias("node"))
+                .distinct()
+            )
+            new = neighbors.join(
+                visited.select(*g, "root", "node"), [*g, "root", "node"], "left_anti"
+            ).withColumn("dist", F.lit(depth))
+            new = _checkpoint(new)
+            if new.limit(1).count() == 0:
+                break
+            visited = _checkpoint(visited.unionByName(new))
+            frontier = new
     return visited
 
 
@@ -400,19 +441,21 @@ def label_propagation(
         .distinct()
         .withColumn("community", F.col("node"))
     )
-    for _ in range(max_iter):
-        votes = (
-            und.join(labels.withColumnRenamed("node", "src"), [*g, "src"])
-            .groupBy(*g, F.col("dst").alias("node"), "community")
-            .agg(F.count(F.lit(1)).alias("_votes"))
-        )
-        w = W.partitionBy(*g, "node").orderBy(F.desc("_votes"), F.asc("community"))
-        winner = (
-            votes.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select(*g, "node", "community")
-        )
-        labels = _checkpoint(winner)
+    und = _checkpoint(und)  # see eigenvector note: freeze upstream DAG
+    with _loop_shuffle_width(und):
+        for _ in range(max_iter):
+            votes = (
+                und.join(labels.withColumnRenamed("node", "src"), [*g, "src"])
+                .groupBy(*g, F.col("dst").alias("node"), "community")
+                .agg(F.count(F.lit(1)).alias("_votes"))
+            )
+            w = W.partitionBy(*g, "node").orderBy(F.desc("_votes"), F.asc("community"))
+            winner = (
+                votes.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .select(*g, "node", "community")
+            )
+            labels = _checkpoint(winner)
     return labels
 
 

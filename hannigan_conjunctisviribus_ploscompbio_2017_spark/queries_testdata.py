@@ -1818,3 +1818,27 @@ def f12_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(k), 4).alias("avg_k"),
         F.max(k).alias("max_k"),
     )
+
+
+@query("pipeline_interpersonal_diversity")
+def pipeline_interpersonal_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §3.1 — the WHOLE entry-point-A lifecycle fused into one
+    Catalyst DAG: Q5 join → F6 normalize → A7 depth → M1 rarefaction →
+    F7 weights → G6 per-sample eigencentrality (all samples jointly) →
+    M2 Bray-Curtis → F8 class labels → grouped stats (rows-only: seeded
+    resampling + iterative centrality). Classes = customer mktsegment."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.plans.pipelines import interpersonal_diversity
+
+    cust0 = _t(spark, sf_dir, "customer").filter(F.col("c_nationkey") == 0)
+    members = cust0.select(F.concat(F.lit("C"), F.col("c_custkey")).alias("sample"))
+    q5 = (
+        QUERIES["gq5_sample_network"](spark, sf_dir)
+        .select("sample", "phage", "host", "phage_abundance", "host_abundance")
+        .join(F.broadcast(members), "sample")
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.concat(F.lit("C"), F.col("c_custkey")).alias("sample"),
+        F.col("c_mktsegment").alias("cls"),
+    )
+    out = interpersonal_diversity(q5, sample_class=cust, seed=42, eigen_iter=8)
+    return out["stats"]
