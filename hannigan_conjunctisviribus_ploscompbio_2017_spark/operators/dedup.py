@@ -224,3 +224,59 @@ def simhash(
         term = bit * F.lit(1 << i).cast("long") if i < 63 else bit * F.lit(-(1 << 63)).cast("long")
         fp = term if fp is None else fp + term
     return agg.select("id", fp.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pair search: candidates = pairs agreeing exactly
+    on ≥1 of `bands` 16-bit fingerprint chunks (pigeonhole: any pair with
+    hamming < bands must share a chunk... for hamming ≤ bands-1 spread
+    worst-case; wider hamming budgets need more bands), then exact
+    hamming distance filter ≤ max_hamming.
+
+    Returns (id_a, id_b, hamming). The band join is the scale path —
+    candidates come from 64-bit-chunk equality buckets, never n².
+    """
+    bits_per_band = 64 // bands
+    fp = simhash(df, id_col, text_col)
+    mask = (1 << bits_per_band) - 1
+    banded = fp.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("simhash"), i * bits_per_band)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("chunk"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "simhash", F.col("bb.band").alias("band"), F.col("bb.chunk").alias("chunk"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, ["band", "chunk"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("_ha"),
+            F.col("b.simhash").alias("_hb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -220,3 +220,28 @@ def sample_columns(
 
     chosen = [c for c in df.columns if c in keep or keeps(c)]
     return df.select(*chosen)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the LEFT (large, skewed) side into
+    `buckets` sub-keys and explode the RIGHT side across all bucket ids,
+    so one hot key spreads over `buckets` tasks instead of one straggler.
+
+    Semantically identical to left.join(right, on, how) for inner/left
+    joins. AQE's skew-join split handles most cases automatically; this
+    is the explicit tool for super-hot keys (power-law host nodes) or
+    when AQE is unavailable. Salt is deterministic (hash of the whole
+    left row), so results are reproducible.
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(buckets))
+    lsalted = left.withColumn("_salt", salt.cast("int"))
+    rexpl = right.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(buckets)]))
+    )
+    return lsalted.join(rexpl, [on, "_salt"], how).drop("_salt")

@@ -102,3 +102,25 @@ def test_srp_lsh_recall_vs_brute_force(spark):
     approx_top = {r.query_id: r.neighbor_id for r in approx}
     hits = sum(1 for k, v in exact_top.items() if approx_top.get(k) == v)
     assert hits >= 6  # recall@1 ≥ 0.6 with 8 bands of 2 bits on random data
+
+
+def test_simhash_pairs_finds_near_dups(spark):
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in dedup.simhash_pairs(docs_df(spark), max_hamming=16).collect()}
+    assert pairs[(0, 1)] == 0       # identical
+    assert pairs[(0, 2)] == 0       # normalization-identical
+    assert (0, 3) in pairs          # one-token near dup within budget
+    assert (0, 4) not in pairs      # unrelated text
+
+
+def test_salted_join_matches_plain_join(spark):
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.relational import salted_join
+
+    left = spark.createDataFrame(
+        [("hot", i) for i in range(500)] + [("cold", i) for i in range(5)],
+        "k string, v int",
+    )
+    right = spark.createDataFrame([("hot", "H"), ("cold", "C")], "k string, tag string")
+    plain = sorted(map(tuple, left.join(right, "k").select("k", "v", "tag").collect()))
+    salted = sorted(map(tuple, salted_join(left, right, "k", buckets=8).select("k", "v", "tag").collect()))
+    assert plain == salted
