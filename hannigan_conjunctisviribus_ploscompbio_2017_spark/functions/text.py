@@ -81,7 +81,11 @@ def quality_score(col: Column | str) -> Column:
     len_score = F.least(n_tok.cast("double") / F.lit(50.0), F.lit(1.0))
     punct_score = F.lit(1.0) - F.least(punct_ratio(c) * 4.0, F.lit(1.0))
     sw_score = F.least(stopword_ratio(c) * 5.0, F.lit(1.0))
-    return F.round((len_score + punct_score + sw_score) / 3.0, 6)
+    # NULL text → NULL score (size(null) is -1 in non-ANSI mode, which
+    # would otherwise leak a negative length score into the mean)
+    return F.when(c.isNull(), F.lit(None).cast("double")).otherwise(
+        F.round((len_score + punct_score + sw_score) / 3.0, 6)
+    )
 
 
 def lang_id(col: Column | str) -> Column:

@@ -1842,3 +1842,36 @@ def pipeline_interpersonal_diversity(spark: SparkSession, sf_dir: str) -> DataFr
     )
     out = interpersonal_diversity(q5, sample_class=cust, seed=42, eigen_iter=8)
     return out["stats"]
+
+
+@query(
+    "tx_quality_score",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(text), '\\s+') AS toks,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS ltoks,
+             CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^\\w\\s]', '', 'g'))
+                  AS DOUBLE) / LENGTH(text) AS punct
+      FROM documents
+    )
+    SELECT doc_id,
+           ROUND((
+             LEAST(CAST(len(toks) AS DOUBLE) / 50.0, 1.0)
+             + (1.0 - LEAST(punct * 4.0, 1.0))
+             + LEAST(CAST(len(list_filter(ltoks, x -> x IN (
+                 'the','and','of','to','a','in','is','it','that','for',
+                 'on','with','as','was','at','by','an','be','this','are'
+               ))) AS DOUBLE) / len(toks) * 5.0, 1.0)
+           ) / 3.0, 6) AS quality
+    FROM t
+    """,
+)
+def tx_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite document quality score (Gopher/C4-style length +
+    punctuation + stopword heuristics), oracle-verified; langid stays in
+    tx_quality_langid (marker sets not worth re-encoding in SQL)."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.functions import text as TX
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.quality_score("text").alias("quality"))
