@@ -280,3 +280,88 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def char_shingles(
+    df: DataFrame, id_col: str = "id", seq_col: str = "seq", k: int = 8
+) -> DataFrame:
+    """(id, shingle) pairs of character k-mers — the genomic analog of
+    token shingles (SURVEY §2.12: the Spark-native replacement for the
+    reference's BLAST-based contig similarity is k-mer MinHash LSH).
+    Upper-cased; deduped per sequence."""
+    up = F.upper(F.col(seq_col))
+    idx = F.when(
+        F.length(up) >= k, F.sequence(F.lit(1), F.length(up) - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    km = F.transform(idx, lambda i: F.substring(up, F.lit(0) + i, k))
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(km).alias("shingle"))
+        .distinct()
+    )
+
+
+def kmer_minhash_pairs(
+    df: DataFrame,
+    id_col: str = "id",
+    seq_col: str = "seq",
+    k: int = 8,
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Sequence-similarity candidate pairs via k-mer MinHash + LSH
+    banding — in-engine replacement for all-vs-all blastn screening
+    (Makefile:538-613 of /root/reference): est_jaccard over k-mer sets
+    approximates nucleotide identity for same-length sequences.
+
+    Same banding plan as minhash_lsh_pairs; candidates ∝ near-identical
+    sequences, never n² genomes."""
+    sh = char_shingles(df, id_col, seq_col, k)
+    h = F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE))
+    coeffs = _hash_coeffs(num_hashes, seed)
+    mins = [
+        F.min(F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE))).alias(f"h{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    sig = sh.groupBy("id").agg(*mins).select(
+        "id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig")
+    )
+    rows_per_band = num_hashes // bands
+    banded = sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.xxhash64(
+                            F.slice("sig", i * rows_per_band + 1, rows_per_band)
+                        ).alias("bucket"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    )
+    return cand.select(
+        "id_a", "id_b", F.round(agree / F.lit(num_hashes), 6).alias("est_jaccard")
+    )

@@ -989,11 +989,14 @@ def gk_diameter_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hannigan_conjunctisviribus_ploscompbio_2017_spark.plans.testdata_graph import infects_edges
 
     e = infects_edges(spark, sf_dir).select("src", "dst")
+    # fixed 64 landmarks at ANY scale (deterministic hash order + limit),
+    # so BFS cost is O(64 · V) regardless of sf
     landmarks = (
         symmetrize(e)
         .select(F.col("src").alias("root"))
         .distinct()
-        .filter(F.abs(F.xxhash64("root")) % 32 == 0)
+        .orderBy(F.abs(F.xxhash64("root")))
+        .limit(64)
     )
     return diameter_radius(bfs_distances(e, sources=landmarks, max_depth=8))
 
@@ -1752,10 +1755,12 @@ def gk_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only). Subgraph = lineitems of suppliers in one nation."""
     from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.kernels import betweenness_centrality
 
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.relational import best_hit
+
     li = _t(spark, sf_dir, "lineitem")
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     e = (
-        li.filter(F.col("l_quantity") > 35)
+        li.filter(F.col("l_quantity") > 45)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .select(
             F.col("s_nationkey").cast("string").alias("grp"),
@@ -1764,6 +1769,11 @@ def gk_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # Brandes is O(V·E) per group — cap each subgraph at 2000 edges
+    # (deterministic hash order) so the query is scale-bounded; exact
+    # betweenness on unbounded subgraphs is the reference-scale use, and
+    # the kernel itself imposes no cap.
+    e = best_hit(e, keys=["grp"], order=[F.abs(F.xxhash64("src", "dst")).asc()], n=800)
     bc = betweenness_centrality(e, ["grp"])
     return bc.groupBy("grp").agg(
         F.count(F.lit(1)).alias("n_nodes"),
@@ -1779,8 +1789,10 @@ def gk_alpha_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _t(spark, sf_dir, "lineitem")
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.relational import best_hit
+
     e = (
-        li.filter(F.col("l_quantity") > 40)
+        li.filter(F.col("l_quantity") > 45)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .select(
             F.col("s_nationkey").cast("string").alias("grp"),
@@ -1789,6 +1801,9 @@ def gk_alpha_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # dense (I-αA)⁻¹ solve is O(V³) per group — scale-bound the query's
+    # subgraphs (the kernel itself imposes no cap)
+    e = best_hit(e, keys=["grp"], order=[F.abs(F.xxhash64("src", "dst")).asc()], n=800)
     ac = alpha_centrality(e, alpha=0.05, group_cols=["grp"])
     return ac.groupBy("grp").agg(
         F.count(F.lit(1)).alias("n_nodes"),

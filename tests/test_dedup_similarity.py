@@ -124,3 +124,31 @@ def test_salted_join_matches_plain_join(spark):
     plain = sorted(map(tuple, left.join(right, "k").select("k", "v", "tag").collect()))
     salted = sorted(map(tuple, salted_join(left, right, "k", buckets=8).select("k", "v", "tag").collect()))
     assert plain == salted
+
+
+def test_kmer_minhash_contig_similarity(spark):
+    import random
+
+    rng = random.Random(3)
+    base = "".join(rng.choice("ACGT") for _ in range(500))
+    mutated = list(base)
+    for i in rng.sample(range(500), 10):  # 2% point mutations
+        mutated[i] = rng.choice("ACGT")
+    seqs = [
+        ("contig_a", base),
+        ("contig_b", "".join(mutated)),       # near-identical to a
+        ("contig_c", "".join(rng.choice("ACGT") for _ in range(500))),  # unrelated
+    ]
+    df = spark.createDataFrame(seqs, "id string, seq string")
+    pairs = {(r.id_a, r.id_b): r.est_jaccard
+             for r in dedup.kmer_minhash_pairs(df, k=8).collect()}
+    assert ("contig_a", "contig_b") in pairs
+    assert pairs[("contig_a", "contig_b")] > 0.3
+    assert ("contig_a", "contig_c") not in pairs
+
+
+def test_char_shingles(spark):
+    df = spark.createDataFrame([("x", "ACGTACGT")], "id string, seq string")
+    km = {r.shingle for r in dedup.char_shingles(df, k=4).collect()}
+    assert "ACGT" in km and "CGTA" in km
+    assert len(km) == 4  # 5 positions, 'ACGT' repeats → 4 distinct

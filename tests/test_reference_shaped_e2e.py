@@ -33,10 +33,13 @@ def fixture_dir(tmp_path_factory):
     d = tmp_path_factory.mktemp("refshape")
 
     # interactions: phage \t bacterium \t 0/1  (101 rows like the reference)
+    import zlib
+
     inter = []
     for _ in range(101):
         p, b = rng.choice(PHAGES), rng.choice(BACTERIA)
-        label = 1 if (hash(p) + hash(b)) % 3 == 0 else 0
+        # crc32, not hash(): str hash() is salted per interpreter run
+        label = 1 if (zlib.crc32(f"{p}|{b}".encode()) % 3) == 0 else 0
         inter.append((p, b, label))
     (d / "interactions.tsv").write_text(
         "".join(f"{p}\t{b}\t{l}\n" for p, b, l in inter)
@@ -138,8 +141,7 @@ def test_q1_and_model_roundtrip(spark, built_graph):
     labeled = Q.q1_interaction_scores(edges, nodes)
     assert labeled.count() > 0
 
-    data = M.prepare_training(edges.filter(F.col("type") == "Infects"))
-    train = data.filter(F.col("label").isNotNull())
+    train = M.prepare_training(edges.filter(F.col("type") == "Infects"))
     model = M.build_pipeline(num_trees=30, seed=1).fit(train)
     metrics = M.evaluate(model, train)
     assert metrics["auc"] > 0.8  # scores were built with signal
@@ -148,7 +150,6 @@ def test_q1_and_model_roundtrip(spark, built_graph):
         edges.filter(F.col("type") == "Infects")
         .filter(F.col("interaction").isNull())
         .select("src", "dst", "crispr", "blast", "blastx", "pfam")
-        .fillna(0.0)
     )
     preds = M.predict_interactions(model, unlabeled)
     e2 = GB.add_predicted_edges(edges, preds)
