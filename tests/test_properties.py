@@ -1,0 +1,111 @@
+"""Property-based tests (hypothesis) for algebraic invariants the
+operators must hold on ANY input — the engine's analog of the reference's
+degradation/property tests (SURVEY §5).
+
+Spark round trips are slow, so examples are small and capped; the
+properties themselves are the point: reshape round-trips, normalizer
+idempotence, metric bounds/symmetry, dedup keeper sanity.
+"""
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from hannigan_conjunctisviribus_ploscompbio_2017_spark.functions.scalar import sanitize_key
+from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators import dedup, stats
+from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.relational import melt, pivot_matrix
+
+SLOW = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+keys = st.sampled_from(["a", "b", "c", "d"])
+cats = st.sampled_from(["X", "Y"])
+
+
+@SLOW
+@given(
+    rows=st.lists(
+        st.tuples(keys, cats, st.integers(min_value=0, max_value=100)),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_pivot_melt_roundtrip_preserves_sums(spark, rows):
+    """sum over melt(pivot(x)) == sum over x (reshape conserves mass)."""
+    df = spark.createDataFrame(rows, "k string, c string, v long")
+    piv = pivot_matrix(df, "k", "c", "v", values=["X", "Y"])
+    back = melt(piv, ["k"], ["X", "Y"], var_name="c", value_name="v")
+    total_in = df.agg(F.sum("v")).collect()[0][0] or 0
+    total_out = back.agg(F.sum("v")).collect()[0][0] or 0
+    assert total_in == total_out
+
+
+@SLOW
+@given(s=st.text(max_size=40))
+def test_sanitize_key_idempotent(spark, s):
+    """sanitize(sanitize(x)) == sanitize(x); output ∈ [A-Za-z0-9_]*."""
+    df = spark.createDataFrame([(s,)], "raw string")
+    once = df.select(sanitize_key("raw").alias("x"))
+    twice = once.select(sanitize_key("x").alias("x"))
+    a, b = once.collect()[0].x, twice.collect()[0].x
+    assert a == b
+    assert all(ch.isalnum() or ch == "_" for ch in a)
+
+
+@SLOW
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["s1", "s2", "s3"]),
+            st.sampled_from(["i1", "i2", "i3", "i4"]),
+            st.integers(min_value=1, max_value=50),
+        ),
+        min_size=2,
+        max_size=10,
+        unique_by=lambda r: (r[0], r[1]),
+    )
+)
+def test_bray_curtis_bounds(spark, rows):
+    """0 ≤ BC ≤ 1 for any non-negative abundance table."""
+    df = spark.createDataFrame(rows, "sample string, item string, count long")
+    out = stats.bray_curtis(df, "sample", "item", "count").collect()
+    for r in out:
+        assert -1e-9 <= r.bray_curtis <= 1 + 1e-9
+
+
+@SLOW
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab cd", min_size=0, max_size=30), min_size=1, max_size=6
+    )
+)
+def test_exact_dedup_partition_property(spark, texts):
+    """Every doc gets exactly one keeper; keepers are their own keeper;
+    docs with equal normalized text share a keeper."""
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.exact_dedup(df).collect()
+    assert len(out) == len(rows)
+    by_id = {r.id: r for r in out}
+    for r in out:
+        assert by_id[r.keeper_id].is_dup == 0  # keeper is canonical
+        assert by_id[r.keeper_id].fingerprint == r.fingerprint
+
+
+@SLOW
+@given(
+    weights=st.lists(st.integers(min_value=1, max_value=100), min_size=1, max_size=8)
+)
+def test_entropy_bounds(spark, weights):
+    """0 ≤ H ≤ ln(k) for k incident edges."""
+    import math
+
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.kernels import node_entropy
+
+    rows = [("n", f"m{i}", float(w)) for i, w in enumerate(weights)]
+    df = spark.createDataFrame(rows, "src string, dst string, weight double")
+    h = node_entropy(df).collect()[0].entropy
+    assert -1e-6 <= h <= math.log(len(weights)) + 1e-6
