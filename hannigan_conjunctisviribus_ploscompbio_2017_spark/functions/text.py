@@ -95,15 +95,17 @@ def lang_id(col: Column | str) -> Column:
     broken by language code ascending.
     """
     toks = tokens(F.lower(F.col(col) if isinstance(col, str) else col))
+    langs = sorted(LANG_MARKERS.items())
     scores = []
-    for lang, markers in sorted(LANG_MARKERS.items()):
+    for i, (lang, markers) in enumerate(langs):
         arr = F.array(*[F.lit(m) for m in markers])
         hits = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
-        scores.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
-    # max by (hits, then lexicographically-smallest lang wins on ties) —
-    # array_max on struct compares fields in order, so negate nothing and
-    # invert the tie-break by sorting langs descending and taking max.
-    best = F.array_max(F.array(*reversed(scores)))
+        # struct comparison is field-by-field: (hits, pref, lang); pref is
+        # DESCENDING in lang order so array_max breaks hit-ties toward the
+        # lexicographically SMALLEST language code.
+        pref = F.lit(len(langs) - i)
+        scores.append(F.struct(hits.alias("hits"), pref.alias("pref"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*scores))
     return F.when(best.getField("hits") > 0, best.getField("lang")).otherwise(F.lit("und"))
 
 

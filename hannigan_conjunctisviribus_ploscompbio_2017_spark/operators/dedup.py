@@ -83,7 +83,11 @@ def jaccard_pairs(
 
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
-    sh = shingles(df, id_col, text_col, k).cache()
+    # localCheckpoint instead of cache(): shingles are consumed by both
+    # `sizes` and the self-join, but cache() would pin executor storage
+    # until the session ends (no safe place to unpersist a lazy result);
+    # the checkpoint is GC'd with the DataFrame.
+    sh = shingles(df, id_col, text_col, k).localCheckpoint(eager=False)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -230,18 +234,26 @@ def simhash_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_hamming: int = 8,
-    bands: int = 4,
+    max_hamming: int = 7,
+    bands: int = 8,
 ) -> DataFrame:
     """SimHash near-dup pair search: candidates = pairs agreeing exactly
-    on ≥1 of `bands` 16-bit fingerprint chunks (pigeonhole: any pair with
-    hamming < bands must share a chunk... for hamming ≤ bands-1 spread
-    worst-case; wider hamming budgets need more bands), then exact
-    hamming distance filter ≤ max_hamming.
+    on ≥1 of `bands` fingerprint chunks, then exact hamming filter
+    ≤ max_hamming.
+
+    Pigeonhole guarantee: a pair at hamming distance h can differ in at
+    most h chunks, so with bands ≥ h+1 at least one chunk matches —
+    candidate generation is EXACT for h ≤ bands−1 (enforced below);
+    larger budgets need more bands.
 
     Returns (id_a, id_b, hamming). The band join is the scale path —
-    candidates come from 64-bit-chunk equality buckets, never n².
+    candidates come from chunk-equality buckets, never n².
     """
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"bands={bands} only guarantees recall for hamming ≤ {bands - 1}; "
+            f"raise bands to ≥ {max_hamming + 1} for max_hamming={max_hamming}"
+        )
     bits_per_band = 64 // bands
     fp = simhash(df, id_col, text_col)
     mask = (1 << bits_per_band) - 1

@@ -69,20 +69,30 @@ def build_nodes(parts: list[DataFrame], assert_unique: bool = True) -> DataFrame
     """Node upsert with name-dedup (bin/BenchmarkDatabaseCreation.pl:103-143).
 
     Each input carries (id, label, name, [attrs]). Later parts may enrich
-    earlier nodes; dedup keeps the FIRST occurrence per (label, id), which
-    encodes the reference's create-if-absent semantics.
+    earlier nodes; dedup keeps the FIRST part's occurrence per (label, id)
+    — create-if-absent semantics — pinned explicitly by part index
+    (dropDuplicates alone would keep an arbitrary row per key).
     """
+    from pyspark.sql import Window as W
+
     out: DataFrame | None = None
-    for p in parts:
+    for i, p in enumerate(parts):
         cols = set(p.columns)
         cur = p
         for c in NODE_ATTRS:
             if c not in cols:
                 cur = cur.withColumn(c, F.lit(None))
-        cur = cur.select("id", "label", "name", *NODE_ATTRS)
+        cur = cur.select("id", "label", "name", *NODE_ATTRS).withColumn(
+            "_part", F.lit(i)
+        )
         out = cur if out is None else out.unionByName(cur)
     assert out is not None
-    deduped = out.dropDuplicates(["label", "id"])
+    w = W.partitionBy("label", "id").orderBy("_part")
+    deduped = (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_part")
+    )
     if assert_unique:
         # die-on-duplicate semantics (bin/AddPredictedRelationships.pl:57-58):
         # same id under two labels is a modeling error.

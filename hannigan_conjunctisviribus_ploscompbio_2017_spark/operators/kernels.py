@@ -34,17 +34,25 @@ def _gcols(group_cols: list[str] | None) -> list[str]:
 
 
 def symmetrize(edges: DataFrame, group_cols: list[str] | None = None) -> DataFrame:
-    """Undirected view: union of both directions, deduped."""
+    """Undirected view: union of both directions, deduped.
+
+    Weighted edges reduce by MAX per (src, dst) — a deterministic rule
+    for inputs that carry both (a,b,w1) and (b,a,w2); dropDuplicates
+    would keep whichever row a shuffle happened to order first."""
     g = _gcols(group_cols)
-    cols = [*g, "src", "dst"] + (["weight"] if "weight" in edges.columns else [])
+    has_w = "weight" in edges.columns
+    cols = [*g, "src", "dst"] + (["weight"] if has_w else [])
     fwd = edges.select(*cols)
     rev = edges.select(
         *g,
         F.col("dst").alias("src"),
         F.col("src").alias("dst"),
-        *([F.col("weight")] if "weight" in edges.columns else []),
+        *([F.col("weight")] if has_w else []),
     )
-    return fwd.unionByName(rev).dropDuplicates([*g, "src", "dst"])
+    both = fwd.unionByName(rev)
+    if has_w:
+        return both.groupBy(*g, "src", "dst").agg(F.max("weight").alias("weight"))
+    return both.dropDuplicates([*g, "src", "dst"])
 
 
 def _checkpoint(df: DataFrame) -> DataFrame:

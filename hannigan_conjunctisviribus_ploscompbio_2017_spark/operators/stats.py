@@ -165,8 +165,17 @@ def permutation_pvalue(
     g1 = groups[0] if str(groups[0]) < str(groups[1]) else groups[1]
 
     obs = base.groupBy("_g").agg(F.avg("_v").alias("m"))
-    # deterministic row id for permutation hashing
-    rid = F.xxhash64("_v", F.lit(seed))
+    # deterministic row id for permutation hashing. Hashing the VALUE
+    # alone makes tied rows flip in lockstep (degenerate null
+    # distribution); disambiguate ties with their rank among equal
+    # values — the multiset of ids stays deterministic for a given
+    # dataset even though which tied row gets which rank is arbitrary
+    # (tied rows are exchangeable).
+    from pyspark.sql import Window as W
+
+    tie_rank = F.row_number().over(W.partitionBy("_v").orderBy(F.lit(1)))
+    base = base.withColumn("_rid", F.xxhash64("_v", tie_rank, F.lit(seed)))
+    rid = F.col("_rid")
     perms = base.withColumn("_rid", rid).select(
         "_v",
         F.explode(

@@ -115,6 +115,22 @@ def nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("long").alias("length"),
         )
     )
-    return part.unionByName(supp).unionByName(cust).unionByName(region).unionByName(
-        nation
-    ).unionByName(disease)
+    timepoint = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_orderpriority").alias("name"))
+        .distinct()
+        .select(
+            F.concat(F.lit("T"), F.col("name")).alias("id"),
+            F.lit("TimePoint").alias("label"),
+            F.col("name"),
+            F.lit(None).cast("long").alias("length"),
+        )
+    )
+    return (
+        part.unionByName(supp)
+        .unionByName(cust)
+        .unionByName(region)
+        .unionByName(nation)
+        .unionByName(disease)
+        .unionByName(timepoint)
+    )

@@ -175,13 +175,22 @@ def load_table(spark, sf_dir: str, name: str):
     if name == "events":
         from pyspark.sql import functions as F
 
+        prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn(
-                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-            )
-        return df
+        try:
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+            if dict(df.dtypes).get("ts") == "bigint":
+                # integer division: ts/1000 in double loses µs precision
+                # (53-bit mantissa; ulp ≈ 256ns at 1.7e18)
+                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            # force schema resolution while the conf is set (plan is lazy,
+            # but read schema is resolved at read time, which happened above)
+            return df
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+            else:
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -108,26 +108,35 @@ def incremental_edge_upsert(
 ):
     """foreachBatch upsert: fold each micro-batch of (src, dst, abundance
     delta) into the Sampled-edge parquet store — the incremental
-    replacement for the reference's drop-and-rebuild loads. Exactly-once
-    per epoch via checkpointed foreachBatch."""
+    replacement for the reference's drop-and-rebuild loads.
 
-    def _merge(batch: DataFrame, epoch_id: int) -> None:
-        spark = batch.sparkSession
-        agg = batch.groupBy("src", "dst").agg(F.sum("abundance").alias("abundance"))
-        try:
-            existing = spark.read.parquet(target_path)
-            merged = (
-                existing.unionByName(agg)
-                .groupBy("src", "dst")
-                .agg(F.sum("abundance").alias("abundance"))
-            )
-        except Exception:
-            merged = agg
-        merged.write.mode("overwrite").parquet(target_path + "_next")
-        # atomic-ish swap left to the deployment layer; local tests read _next
+    Design: append-log of per-epoch partial aggregates (one write per
+    micro-batch, no read-modify-write race between batches), compacted on
+    read by `read_incremental_edges`. Exactly-once: a retried epoch
+    appends identical rows under the same _epoch, deduped at read time.
+    """
+
+    def _append(batch: DataFrame, epoch_id: int) -> None:
+        agg = (
+            batch.groupBy("src", "dst")
+            .agg(F.sum("abundance").alias("abundance"))
+            .withColumn("_epoch", F.lit(int(epoch_id)))
+        )
+        agg.write.mode("append").parquet(target_path)
 
     return (
-        stream_df.writeStream.foreachBatch(_merge)
+        stream_df.writeStream.foreachBatch(_append)
         .option("checkpointLocation", checkpoint)
         .start()
+    )
+
+
+def read_incremental_edges(spark: SparkSession, target_path: str) -> DataFrame:
+    """Compact the epoch append-log into current edge abundances
+    (dedup epoch retries, then sum deltas)."""
+    log = spark.read.parquet(target_path)
+    return (
+        log.dropDuplicates(["src", "dst", "_epoch"])
+        .groupBy("src", "dst")
+        .agg(F.sum("abundance").alias("abundance"))
     )

@@ -106,7 +106,7 @@ def test_srp_lsh_recall_vs_brute_force(spark):
 
 def test_simhash_pairs_finds_near_dups(spark):
     pairs = {(r.id_a, r.id_b): r.hamming
-             for r in dedup.simhash_pairs(docs_df(spark), max_hamming=16).collect()}
+             for r in dedup.simhash_pairs(docs_df(spark), max_hamming=15, bands=16).collect()}
     assert pairs[(0, 1)] == 0       # identical
     assert pairs[(0, 2)] == 0       # normalization-identical
     assert (0, 3) in pairs          # one-token near dup within budget

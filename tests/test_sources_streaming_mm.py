@@ -191,3 +191,27 @@ def test_pilercr_spacers(spark, tmp_path):
     assert "ACGTACGTACGTACGTACGTACGTACGTACGT" in spacers
     assert all(r.array_id == "1" for r in rows)
     assert len(rows) == 2
+
+
+def test_incremental_edge_upsert_folds_all_batches(spark, tmp_path):
+    """Regression: every micro-batch's deltas must survive compaction
+    (the first implementation dropped all but the last batch)."""
+    src = tmp_path / "edges_stream"
+    src.mkdir()
+    df1 = spark.createDataFrame([("a", "x", 1), ("b", "y", 2)], "src string, dst string, abundance long")
+    df2 = spark.createDataFrame([("a", "x", 10), ("c", "z", 5)], "src string, dst string, abundance long")
+    df1.coalesce(1).write.mode("append").parquet(str(src))
+    df2.coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("src string, dst string, abundance long")
+        .option("maxFilesPerTrigger", 1)  # force multiple micro-batches
+        .load(str(src))
+    )
+    q = SE.incremental_edge_upsert(stream, str(tmp_path / "store"), str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+    out = {(r.src, r.dst): r.abundance
+           for r in SE.read_incremental_edges(spark, str(tmp_path / "store")).collect()}
+    assert out == {("a", "x"): 11, ("b", "y"): 2, ("c", "z"): 5}

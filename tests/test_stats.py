@@ -88,3 +88,13 @@ def test_sample_columns_deterministic(spark):
     assert a == b
     assert "c0" in a
     assert a != c or len(a) != len(c)  # different seed → (almost surely) different pick
+
+
+def test_permutation_pvalue_all_tied_values(spark):
+    # regression: tied values used to share one permutation id, collapsing
+    # the null distribution; all-equal groups must give p ≈ 1, not ≈ 0
+    rows = [("a", 5.0)] * 20 + [("b", 5.0)] * 20
+    df = spark.createDataFrame(rows, "grp string, val double")
+    res = stats.permutation_pvalue(df, "grp", "val", n_perm=99).collect()[0]
+    assert res.observed_diff == 0.0
+    assert res.p_value == pytest.approx(1.0, abs=0.01)
