@@ -958,15 +958,46 @@ def g12_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simplify(raw)
 
 
-@query("gk_connected_components")
+@query(
+    "gk_connected_components",
+    oracle="""
+    WITH RECURSIVE base AS (
+      SELECT DISTINCT 'P' || l_partkey AS src, 'S' || l_suppkey AS dst
+      FROM lineitem WHERE l_quantity = 50 AND l_suppkey % 7 = 0
+    ), und AS (
+      SELECT src, dst FROM base UNION SELECT dst AS src, src AS dst FROM base
+    ), reach(node, root) AS (
+      SELECT src AS node, src AS root FROM und
+      UNION
+      SELECT e.dst AS node, r.root FROM reach r JOIN und e ON e.src = r.node
+    ), comp AS (
+      SELECT node, MIN(root) AS component FROM reach GROUP BY node
+    )
+    SELECT component, CAST(COUNT(*) AS BIGINT) AS size
+    FROM comp GROUP BY component
+    """,
+)
 def gk_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """G3 — weak connectivity on the Infects graph (rows-only check:
-    iterative min-label propagation isn't single-statement SQL).
-    Returns component sizes."""
+    """G3 — weak connectivity per sub-network (igraph components,
+    bin/GeneralNetworkProperties.R:68-84; the reference scopes components
+    to diet/twin/skin sub-networks the same way this scopes to a supplier
+    subset). Oracle: DuckDB recursive-CTE transitive closure + MIN(root)
+    — exactly the fixpoint the iterative min-label kernel converges to.
+    The sub-network predicate keeps the oracle's closure quadratic-in-
+    component-size cost bounded (the full Infects graph is one giant
+    component; closure there is |V|² while the Spark kernel stays
+    O(E·diameter))."""
     from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.kernels import connected_components
-    from hannigan_conjunctisviribus_ploscompbio_2017_spark.plans.testdata_graph import infects_edges
 
-    e = infects_edges(spark, sf_dir).select("src", "dst")
+    li = _t(spark, sf_dir, "lineitem")
+    e = (
+        li.filter((F.col("l_quantity") == 50) & (F.col("l_suppkey") % 7 == 0))
+        .select(
+            F.concat(F.lit("P"), F.col("l_partkey")).alias("src"),
+            F.concat(F.lit("S"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
     comp = connected_components(e)
     return comp.groupBy("component").agg(F.count(F.lit(1)).alias("size"))
 
@@ -1227,10 +1258,48 @@ def tx_corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("tx_quality_langid")
+@query(
+    "tx_quality_langid",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text,
+             regexp_split_to_array(trim(text), '\\s+') AS toks,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS ltoks,
+             CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^\\w\\s]', '', 'g'))
+                  AS DOUBLE) / LENGTH(text) AS punct
+      FROM documents
+    ), hits AS (
+      SELECT *,
+        len(list_filter(ltoks, x -> x IN ('the','and','of','to','is')))   AS h_en,
+        len(list_filter(ltoks, x -> x IN ('der','die','und','ist','das'))) AS h_de,
+        len(list_filter(ltoks, x -> x IN ('le','la','et','les','des')))   AS h_fr,
+        len(list_filter(ltoks, x -> x IN ('el','la','que','de','los')))   AS h_es
+      FROM t
+    )
+    SELECT doc_id,
+           ROUND((
+             LEAST(CAST(len(toks) AS DOUBLE) / 50.0, 1.0)
+             + (1.0 - LEAST(punct * 4.0, 1.0))
+             + LEAST(CAST(len(list_filter(ltoks, x -> x IN (
+                 'the','and','of','to','a','in','is','it','that','for',
+                 'on','with','as','was','at','by','an','be','this','are'
+               ))) AS DOUBLE) / len(toks) * 5.0, 1.0)
+           ) / 3.0, 6) AS quality,
+           CASE WHEN GREATEST(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+                WHEN h_de = GREATEST(h_en, h_de, h_fr, h_es) THEN 'de'
+                WHEN h_en = GREATEST(h_en, h_de, h_fr, h_es) THEN 'en'
+                WHEN h_es = GREATEST(h_en, h_de, h_fr, h_es) THEN 'es'
+                ELSE 'fr' END AS lang_pred,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+                AS BIGINT) AS n_bpe_tokens
+    FROM hits
+    """,
+)
 def tx_quality_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality score + language-ID heuristic per doc (rows-only: the
-    composite score / marker sets aren't worth re-encoding in SQL)."""
+    """Quality score + language-ID + BPE-ish token count per doc. The
+    oracle re-encodes the marker-hit argmax as a CASE cascade in
+    lang-code order (ties break toward the smallest code, matching
+    functions/text.py:lang_id)."""
     from hannigan_conjunctisviribus_ploscompbio_2017_spark.functions import text as TX
 
     docs = _t(spark, sf_dir, "documents")
@@ -1654,13 +1723,37 @@ def m4_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return permutation_pvalue(df, "grp", "val", n_perm=199, seed=42)
 
 
-@query("graph_build_e2e")
+@query(
+    "graph_build_e2e",
+    oracle="""
+    SELECT 'Phage' AS kind, CAST(COUNT(*) AS BIGINT) AS n FROM part
+    UNION ALL SELECT 'Bacterial_Host', CAST(COUNT(*) AS BIGINT) FROM supplier
+    UNION ALL SELECT 'SampleID', CAST(COUNT(*) AS BIGINT) FROM customer
+    UNION ALL SELECT 'StudyID', CAST(COUNT(*) AS BIGINT) FROM region
+    UNION ALL SELECT 'PatientID', CAST(COUNT(*) AS BIGINT) FROM nation
+    UNION ALL SELECT 'Disease', CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT)
+              FROM customer
+    UNION ALL SELECT 'TimePoint', CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT)
+              FROM orders
+    UNION ALL SELECT 'Infects', CAST(COUNT(*) AS BIGINT)
+              FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    UNION ALL SELECT 'Sampled',
+              (SELECT CAST(COUNT(*) AS BIGINT) FROM
+                 (SELECT DISTINCT o_custkey, l_partkey
+                  FROM orders JOIN lineitem ON o_orderkey = l_orderkey))
+            + (SELECT CAST(COUNT(*) AS BIGINT) FROM
+                 (SELECT DISTINCT o_custkey, l_suppkey
+                  FROM orders JOIN lineitem ON o_orderkey = l_orderkey))
+    """,
+)
 def graph_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.9 end-to-end build on testdata: nodes (7 labels) + Infects
     feature-merge + Sampled metadata edges + length update, then the
-    nestats.tsv-shaped summary (node/edge counts per label/type) —
-    rows-only (the build is the §2.9 operator composition; per-piece
-    parity is covered by gq1/g12/j3)."""
+    nestats.tsv-shaped summary (node/edge counts per label/type). The
+    oracle recomputes each label/type cardinality straight from the base
+    tables (build_nodes dedups per (label,id); build_infects_edges keys
+    the feature cascade on (src,dst); Sampled = distinct cust→part plus
+    cust→supp pairs)."""
     from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.graph_build import (
         add_metadata_edges,
         build_infects_edges,
