@@ -48,6 +48,15 @@ def main() -> None:
     # warm the JVM + parquet footers once so timings measure the queries
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
+    # Steady-state timing: the first execution of each query shape pays
+    # one-time JVM costs (whole-stage-codegen compilation, Python worker
+    # fork, broadcast thread spin-up) that dominate at this data size and
+    # swing individual queries 2-4x run-to-run. Warm each query once, then
+    # measure the second execution — that's the per-query cost a cluster
+    # actually pays when the query runs repeatedly.
+    for _, name in HEADLINE:
+        QUERIES[name](spark, sf_dir).count()
+
     timings: dict[str, float] = {}
     total = 0.0
     for label, name in HEADLINE:

@@ -31,7 +31,18 @@ def get_spark(app_name: str = "hannigan-cvb-spark", cpus: str | None = None) -> 
         SparkSession.builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE partition coalescing decides on COMPRESSED SHUFFLE BYTES, not
+        # CPU cost, so compute-dense mid-size shuffles (pair-explosion
+        # aggregations, self-join closures) get collapsed to 1-4 tasks and
+        # lose the whole machine's parallelism — measured 3-5x slower on the
+        # headline closure query. shuffle.partitions is already sized to the
+        # deployment, so default coalescing OFF; re-enable it (e.g. when
+        # running with deliberately over-provisioned shuffle.partitions on a
+        # big cluster) via SPARK_GRAFT_AQE_COALESCE=true.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.enabled",
+            os.environ.get("SPARK_GRAFT_AQE_COALESCE", "false"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
