@@ -337,6 +337,62 @@ def connected_components(
     return labels
 
 
+def connectivity_summary(edges: DataFrame, max_depth: int = 30) -> DataFrame:
+    """G3 — strong + weak connectivity of a directed graph in one row
+    (igraph ``is.connected(mode="strong"|"weak")``,
+    bin/GeneralNetworkProperties.R:68-84).
+
+    A whole-graph strong-connectivity CHECK never needs SCC decomposition:
+    the graph is strongly connected iff every node is reachable from one
+    pivot forward AND backward — two directed BFS sweeps from the
+    deterministic min-id node, O(E·diameter) total, vs the many-round
+    pivot-coloring SCC algorithms. Weak = one undirected sweep.
+
+    Returns (n_nodes, forward_reach, backward_reach, weak_reach,
+    strongly_connected, weakly_connected) — one declarative row; only the
+    BFS supersteps iterate."""
+    fwd = edges.select("src", "dst")
+    nodes = (
+        fwd.select(F.col("src").alias("node"))
+        .unionByName(fwd.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    pivot = nodes.agg(F.min("node").alias("root"))
+    freach = bfs_distances(fwd, sources=pivot, max_depth=max_depth, directed=True)
+    breach = bfs_distances(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
+        sources=pivot,
+        max_depth=max_depth,
+        directed=True,
+    )
+    wreach = bfs_distances(fwd, sources=pivot, max_depth=max_depth)
+    out = (
+        nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+        .crossJoin(freach.agg(F.count(F.lit(1)).alias("forward_reach")))
+        .crossJoin(breach.agg(F.count(F.lit(1)).alias("backward_reach")))
+        .crossJoin(wreach.agg(F.count(F.lit(1)).alias("weak_reach")))
+    )
+    return out.select(
+        "n_nodes",
+        "forward_reach",
+        "backward_reach",
+        "weak_reach",
+        (
+            (F.col("forward_reach") == F.col("n_nodes"))
+            & (F.col("backward_reach") == F.col("n_nodes"))
+        )
+        .cast("int")
+        .alias("strongly_connected"),
+        (F.col("weak_reach") == F.col("n_nodes")).cast("int").alias("weakly_connected"),
+    )
+
+
+def is_connected(edges: DataFrame, mode: str = "weak", max_depth: int = 30) -> bool:
+    """igraph ``is.connected`` twin (bin/GeneralNetworkProperties.R:73-76)."""
+    row = connectivity_summary(edges, max_depth=max_depth).first()
+    return bool(row.strongly_connected if mode == "strong" else row.weakly_connected)
+
+
 # --------------------------------------------------------------------------
 # G2/G4/G5/G7 — BFS distances → diameter / radius / eccentricity / closeness
 # --------------------------------------------------------------------------
@@ -347,18 +403,30 @@ def bfs_distances(
     group_cols: list[str] | None = None,
     sources: DataFrame | None = None,
     max_depth: int = 20,
+    directed: bool = False,
 ) -> DataFrame:
     """Multi-source BFS: distances (group, root, node, dist) for every
     root in `sources` (default: ALL nodes → exact all-pairs, right for
     reference-scale graphs ≤~10⁴ nodes; pass sampled landmark roots at
     scale).
 
+    `directed=True` walks edges src→dst only (strong-connectivity /
+    directed-reachability checks); default symmetrizes first.
+
     Frontier expansion keyed by (group, root) — one shuffle per depth
     level for every root simultaneously, never a per-root job.
     """
     g = _gcols(group_cols)
-    und = symmetrize(edges, g)
-    all_nodes = und.select(*g, F.col("src").alias("node")).distinct()
+    if directed:
+        und = edges.select(*g, "src", "dst").dropDuplicates([*g, "src", "dst"])
+        all_nodes = (
+            und.select(*g, F.col("src").alias("node"))
+            .unionByName(und.select(*g, F.col("dst").alias("node")))
+            .distinct()
+        )
+    else:
+        und = symmetrize(edges, g)
+        all_nodes = und.select(*g, F.col("src").alias("node")).distinct()
     roots = sources if sources is not None else all_nodes.select(*g, F.col("node").alias("root"))
 
     visited = roots.select(*g, "root", F.col("root").alias("node")).withColumn(

@@ -1002,16 +1002,44 @@ def gk_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.groupBy("component").agg(F.count(F.lit(1)).alias("size"))
 
 
-@query("gk_diameter_radius")
+@query(
+    "gk_diameter_radius",
+    oracle="""
+    WITH RECURSIVE base AS (
+      SELECT DISTINCT 'P' || l_partkey AS src, 'S' || l_suppkey AS dst
+      FROM lineitem
+    ), und AS (
+      SELECT src, dst FROM base UNION SELECT dst AS src, src AS dst FROM base
+    ), roots AS (
+      SELECT src AS root FROM und GROUP BY src ORDER BY MD5(src) LIMIT 64
+    ), reach(root, node, dist) AS (
+      SELECT root, root AS node, 0 AS dist FROM roots
+      UNION
+      SELECT r.root, e.dst AS node, r.dist + 1 AS dist
+      FROM reach r JOIN und e ON e.src = r.node
+      WHERE r.dist < 8
+    ), mindist AS (
+      SELECT root, node, MIN(dist) AS dist FROM reach GROUP BY root, node
+    ), ecc AS (
+      SELECT root, MAX(dist) AS eccentricity FROM mindist GROUP BY root
+    )
+    SELECT CAST(MAX(eccentricity) AS INT) AS diameter,
+           CAST(MIN(eccentricity) AS INT) AS radius
+    FROM ecc
+    """,
+)
 def gk_diameter_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G2 — diameter/radius of the Infects graph via landmark-sampled
-    multi-source BFS (rows-only; golden shape: master graph diameter 4 /
-    radius 2, rtables/genfigurestats.tsv).
+    multi-source BFS (golden shape: master graph diameter 4 / radius 2,
+    rtables/genfigurestats.tsv).
 
-    Landmarks: deterministic ~1/32 node sample. Exact all-pairs BFS
-    (sources=None) is the right call at reference scale (≤~10³ nodes);
-    landmark sampling is the 100 TB path — diameter is a lower bound,
-    radius an upper bound."""
+    Landmarks: 64 nodes in deterministic md5 order (portable to the
+    DuckDB oracle, which replays the BFS as a depth-capped recursive-CTE
+    transitive closure + MIN(dist) — integer distances, so the match is
+    exact). Exact all-pairs BFS (sources=None) is the right call at
+    reference scale (≤~10³ nodes); fixed-landmark sampling is the 100 TB
+    path — diameter is a lower bound, radius an upper bound, and BFS cost
+    stays O(64·V) at any sf."""
     from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.kernels import (
         bfs_distances,
         diameter_radius,
@@ -1020,16 +1048,72 @@ def gk_diameter_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hannigan_conjunctisviribus_ploscompbio_2017_spark.plans.testdata_graph import infects_edges
 
     e = infects_edges(spark, sf_dir).select("src", "dst")
-    # fixed 64 landmarks at ANY scale (deterministic hash order + limit),
-    # so BFS cost is O(64 · V) regardless of sf
     landmarks = (
         symmetrize(e)
         .select(F.col("src").alias("root"))
         .distinct()
-        .orderBy(F.abs(F.xxhash64("root")))
+        .orderBy(F.md5(F.col("root")))
         .limit(64)
     )
     return diameter_radius(bfs_distances(e, sources=landmarks, max_depth=8))
+
+
+@query(
+    "gk_connectivity",
+    oracle="""
+    WITH RECURSIVE base AS (
+      SELECT DISTINCT 'P' || l_partkey AS src, 'S' || l_suppkey AS dst
+      FROM lineitem
+    ), nodes AS (
+      SELECT src AS node FROM base UNION SELECT dst AS node FROM base
+    ), pv AS (
+      SELECT MIN(node) AS root FROM nodes
+    ), fwd(node, dist) AS (
+      SELECT root AS node, 0 AS dist FROM pv
+      UNION
+      SELECT e.dst AS node, f.dist + 1 AS dist
+      FROM fwd f JOIN base e ON e.src = f.node WHERE f.dist < 30
+    ), bwd(node, dist) AS (
+      SELECT root AS node, 0 AS dist FROM pv
+      UNION
+      SELECT e.src AS node, b.dist + 1 AS dist
+      FROM bwd b JOIN base e ON e.dst = b.node WHERE b.dist < 30
+    ), und AS (
+      SELECT src, dst FROM base UNION SELECT dst AS src, src AS dst FROM base
+    ), wk(node, dist) AS (
+      SELECT root AS node, 0 AS dist FROM pv
+      UNION
+      SELECT e.dst AS node, w.dist + 1 AS dist
+      FROM wk w JOIN und e ON e.src = w.node WHERE w.dist < 30
+    ), c AS (
+      SELECT (SELECT CAST(COUNT(DISTINCT node) AS BIGINT) FROM nodes) AS n_nodes,
+             (SELECT CAST(COUNT(DISTINCT node) AS BIGINT) FROM fwd) AS forward_reach,
+             (SELECT CAST(COUNT(DISTINCT node) AS BIGINT) FROM bwd) AS backward_reach,
+             (SELECT CAST(COUNT(DISTINCT node) AS BIGINT) FROM wk) AS weak_reach
+    )
+    SELECT n_nodes, forward_reach, backward_reach, weak_reach,
+           CAST(CASE WHEN forward_reach = n_nodes AND backward_reach = n_nodes
+                THEN 1 ELSE 0 END AS INT) AS strongly_connected,
+           CAST(CASE WHEN weak_reach = n_nodes THEN 1 ELSE 0 END AS INT)
+             AS weakly_connected
+    FROM c
+    """,
+)
+def gk_connectivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3 — strong/weak connectivity of the directed Infects graph
+    (igraph is.connected(mode="strong"|"weak"),
+    bin/GeneralNetworkProperties.R:68-84). Two directed BFS sweeps + one
+    undirected from the deterministic min-id pivot — a whole-graph
+    connectivity CHECK never needs SCC decomposition. Oracle: the same
+    three sweeps as depth-capped recursive CTEs (integer counts → exact
+    match). The bipartite phage→host graph is never strongly connected
+    (no cycles) but its weak connectivity is the reference's actual
+    published check."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.kernels import connectivity_summary
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.plans.testdata_graph import infects_edges
+
+    e = infects_edges(spark, sf_dir).select("src", "dst")
+    return connectivity_summary(e, max_depth=30)
 
 
 @query("gk_eigenvector_centrality")
@@ -1576,6 +1660,45 @@ def r6_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("N", 2).alias("N"),
         F.round("R", 2).alias("R"),
     )
+
+
+@query(
+    "r7_column_subsample",
+    oracle="""
+    SELECT 'l_linenumber' AS column_name,
+           CAST(COUNT(DISTINCT l_linenumber) AS BIGINT) AS n_distinct
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_linestatus', CAST(COUNT(DISTINCT l_linestatus) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_orderkey', CAST(COUNT(DISTINCT l_orderkey) AS BIGINT)
+    FROM lineitem
+    """,
+)
+def r7_column_subsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R7 — seeded random column subsample (keep 25%% of sample columns
+    into CONCOCT, bin/ReshapeAlignedAbundance.R:41-45), then a per-kept-
+    column distinct profile. The choice is deterministic by sha256(seed,
+    name) over metadata only, which is exactly why an oracle exists: seed
+    42 @ 0.5 keeps {l_linenumber, l_linestatus} plus the l_orderkey key,
+    and the oracle hardcodes that known-ahead-of-time set. The scan then
+    prunes to the 3 chosen columns (column pruning reaches parquet)."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.relational import sample_columns
+
+    li = _t(spark, sf_dir, "lineitem")
+    sampled = sample_columns(li, keep=["l_orderkey"], fraction=0.5, seed=42)
+    profiles = [
+        sampled.select(
+            F.lit(c).alias("column_name"),
+            F.countDistinct(F.col(c)).alias("n_distinct"),
+        )
+        for c in sorted(sampled.columns)
+    ]
+    out = profiles[0]
+    for p in profiles[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 @query(

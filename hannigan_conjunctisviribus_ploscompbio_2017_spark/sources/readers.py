@@ -167,29 +167,45 @@ def genbank_phage_hosts(spark: SparkSession, path: str) -> DataFrame:
 
 
 def pilercr_spacers(spark: SparkSession, path: str) -> DataFrame:
-    """S7 — CRISPR spacer extraction from pilerCR reports
-    (bin/ExtractSpacers.pl:44-77): array-block line-state parse →
-    (array_id, position, spacer)."""
+    """S7 — CRISPR spacer extraction from pilerCR reports, mirroring the
+    reference's line-state machine exactly (bin/ExtractSpacers.pl:44-77):
+
+    - a ``>name`` line in the DETAIL REPORT opens an array (flag=1);
+    - every ``^\\s+digits`` row inside the array emits its LAST
+      whitespace-separated field as the spacer with a per-array counter
+      (the Perl's ``$name . "_$SpaceCount"`` becomes (array_id, position));
+    - the second ``===`` ruler line closes the array, so the post-ruler
+      consensus row is never emitted;
+    - ``SUMMARY BY`` sections are skipped until ``DETAIL REPORT`` resumes.
+
+    Per-report state never crosses file boundaries, so reports parse in
+    parallel one-per-task (wholeTextFiles partitioning)."""
     files = spark.sparkContext.wholeTextFiles(path)
 
     def parse(kv):
         _, content = kv
-        array_id, in_block, pos = None, False, 0
+        name, flag, in_summary, header, pos = None, False, False, False, 0
         for line in content.splitlines():
+            if "SUMMARY BY" in line:
+                in_summary = True
+                continue
+            if "DETAIL REPORT" in line:
+                in_summary = False
+                continue
+            if in_summary:
+                continue
             ls = line.strip()
-            if ls.startswith("Array "):
-                array_id = ls.split()[1]
-                in_block, pos = False, 0
-            elif array_id is not None and set(ls) <= set("= ") and ls:
-                in_block = not in_block
-            elif in_block and ls:
-                parts = ls.split()
-                # data rows: pos len %id spacer_len consensus spacer
-                if len(parts) >= 6 and parts[0].isdigit():
-                    spacer = parts[-1]
-                    if spacer.upper().strip("ACGTN") == "" and spacer != "":
-                        pos += 1
-                        yield (array_id, pos, spacer)
+            if not flag and ls.startswith(">") and len(ls) > 1:
+                name = ls[1:].split()[0]
+                flag, header, pos = True, False, 0
+            elif flag and line.startswith("==="):
+                if not header:
+                    header = True
+                else:
+                    name, flag, header, pos = None, False, False, 0
+            elif flag and line[:1].isspace() and ls and ls.split()[0].isdigit():
+                pos += 1
+                yield (name, pos, ls.split()[-1])
 
     return files.flatMap(parse).toDF("array_id string, position int, spacer string")
 

@@ -67,6 +67,21 @@ def test_connected_components(spark):
     assert comp["a"] != comp["x"]
 
 
+def test_connectivity_summary(spark):
+    # directed 3-cycle: strongly AND weakly connected
+    cyc = K.connectivity_summary(edges_df(spark, [("a", "b"), ("b", "c"), ("c", "a")])).first()
+    assert (cyc.strongly_connected, cyc.weakly_connected) == (1, 1)
+    # directed chain: weakly but not strongly connected
+    chain = K.connectivity_summary(edges_df(spark, [("a", "b"), ("b", "c")])).first()
+    assert (chain.strongly_connected, chain.weakly_connected) == (0, 1)
+    assert chain.forward_reach == 3 and chain.backward_reach == 1
+    # two components: neither
+    two = K.connectivity_summary(edges_df(spark, TWO_COMP)).first()
+    assert (two.strongly_connected, two.weakly_connected) == (0, 0)
+    assert K.is_connected(edges_df(spark, TWO_COMP), "weak") is False
+    assert K.is_connected(edges_df(spark, [("a", "b"), ("b", "a")]), "strong") is True
+
+
 def test_eigenvector_star(spark):
     # star: hub has max centrality 1; leaves all equal at 1/sqrt(k) for S_k
     cen = as_map(

@@ -62,3 +62,13 @@ def test_whole_stage_codegen_spans(spark):
 def test_limit_does_not_global_sort(spark):
     plan = plan_of(QUERIES["w3_global_sort_limit"](spark, SF0001))
     assert "TakeOrderedAndProject" in plan  # bounded heap, not full sort
+
+
+def test_column_subsample_prunes_scan(spark):
+    # R7's driver-side column choice must turn into parquet-level pruning:
+    # every lineitem scan in the plan reads only the 3 chosen columns.
+    plan = plan_of(QUERIES["r7_column_subsample"](spark, SF0001))
+    read_schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schemas
+    for rs in read_schemas:
+        assert "l_extendedprice" not in rs and "l_quantity" not in rs

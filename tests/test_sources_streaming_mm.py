@@ -78,6 +78,54 @@ def test_embl_records(spark, tmp_path):
     assert rows[0].record_id == "AB12" and rows[0].host == "E. coli"
 
 
+def test_pilercr_spacers(spark, tmp_path):
+    # Realistic pilerCR report shape: DETAIL REPORT with two arrays
+    # (rulers, column header, data rows, post-ruler consensus row) followed
+    # by SUMMARY sections that must be skipped — the exact line-state
+    # machine of bin/ExtractSpacers.pl:44-77.
+    rpt = tmp_path / "contigs.pilercr"
+    rpt.write_text(
+        "pilercr v1.06\n\nDETAIL REPORT\n\n\n"
+        "Array 1\n>contig_A extra descr\n\n"
+        "       Pos  Repeat     %id  Spacer  Left flank    Repeat"
+        "                          Spacer\n"
+        "==========  ======  ======  ======  ==========    "
+        "==============================    ======\n"
+        "       141      29   100.0      32  AAGGAATTGA    "
+        "GTCGCACCTCATGGGGGCGTGGATTGAAAT    ATCAGTACAAGAACAACGGTTAATACAGAGGG\n"
+        "       202      29    96.6      33  GGGTTTACCG    "
+        "GTCGCACCTCATGGGGGCGTGGATTGAAAT    CCAGTTTTTGACGTAACGTTTGAATACTTACCA\n"
+        "       264      29              32                "
+        "GTCGCACCTCATGGGGGCGTGGATTGAAAT\n"
+        "==========  ======  ======  ======  ==========    "
+        "==============================\n"
+        "         3      29              32                "
+        "GTCGCACCTCATGGGGGCGTGGATTGAAAT\n\n\n"
+        "Array 2\n>contig_B\n\n"
+        "       Pos  Repeat     %id  Spacer  Repeat            Spacer\n"
+        "==========  ======  ======  ======  ============    ======\n"
+        "        10      12   100.0      11  ACGTACGTACGT    GATTACAGATT\n"
+        "==========  ======  ======  ======  ============\n"
+        "         1      12              11  ACGTACGTACGT\n\n"
+        "SUMMARY BY SIMILARITY\n\n"
+        "       Pos  Repeat\n==========  ======\n"
+        "       141      29\n\n"
+        "SUMMARY BY POSITION\n\n>contig_A\n"
+        "==========  ======\n       141      29\n"
+    )
+    rows = sorted(
+        map(tuple, R.pilercr_spacers(spark, str(rpt)).collect())
+    )
+    assert rows == [
+        ("contig_A", 1, "ATCAGTACAAGAACAACGGTTAATACAGAGGG"),
+        ("contig_A", 2, "CCAGTTTTTGACGTAACGTTTGAATACTTACCA"),
+        # third repeat row has no spacer column: the reference's parser
+        # emits its last field (the repeat) — bug-compatible by design
+        ("contig_A", 3, "GTCGCACCTCATGGGGGCGTGGATTGAAAT"),
+        ("contig_B", 1, "GATTACAGATT"),
+    ]
+
+
 def test_tsv_roundtrip(spark, tmp_path):
     from pyspark.sql import types as T
 
@@ -174,23 +222,6 @@ def test_frame_sample_plan(spark):
     durations = {r.media_id: r.duration_ms for r in media.filter(F.col("kind") == "video").collect()}
     for r in per_video:
         assert r["count"] == max(durations[r.media_id] // 1000, 1)
-
-
-def test_pilercr_spacers(spark, tmp_path):
-    rpt = tmp_path / "pilercr.txt"
-    rpt.write_text(
-        "pilercr v1.06\n\nArray 1\n>contig_7\n"
-        "===============\n"
-        "      100      29   100.0      32  GTTTTAGAGCTATGCTG    ACGTACGTACGTACGTACGTACGTACGTACGT\n"
-        "      161      29    96.6      33  GTTTTAGAGCTATGCTG    TTTTACGTACGTACGTACGTACGTACGTACGTA\n"
-        "===============\n"
-        "SUMMARY\n"
-    )
-    rows = R.pilercr_spacers(spark, str(rpt)).collect()
-    spacers = {r.spacer for r in rows}
-    assert "ACGTACGTACGTACGTACGTACGTACGTACGT" in spacers
-    assert all(r.array_id == "1" for r in rows)
-    assert len(rows) == 2
 
 
 def test_incremental_edge_upsert_folds_all_batches(spark, tmp_path):
