@@ -131,6 +131,69 @@ def incremental_edge_upsert(
     )
 
 
+def streaming_first_seen(
+    events: DataFrame,
+    key_col: str = "props",
+    watermark: str = "2 hours",
+    retention_ms: int = 24 * 3600 * 1000,
+) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: cross-batch
+    streaming dedup. Emits each key's FIRST event only; every later
+    occurrence — same micro-batch or any later one — is dropped. The
+    streaming twin of the batch exact-dedup operator (operators/dedup.py),
+    for ingest pipelines that must never admit a duplicate document twice.
+
+    State per key is one boolean, evicted by event-time timeout
+    `retention_ms` past the group's max event time — bounded state on an
+    unbounded stream, same discipline as the watermarked windows above.
+    Output: (key, first_event_id, first_ts, n_dups) where n_dups counts
+    suppressed duplicates in the first-seen batch."""
+    import pandas as pd
+
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.StringType()),
+            T.StructField("first_event_id", T.LongType()),
+            T.StructField("first_ts", T.TimestampType()),
+            T.StructField("n_dups", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("seen", T.BooleanType())])
+
+    def dedup(key, pdfs, state):
+        if state.hasTimedOut:
+            state.remove()
+        elif state.exists:
+            for _ in pdfs:  # drain: all rows are duplicates
+                pass
+        else:
+            rows = pd.concat(list(pdfs), ignore_index=True)
+            first = rows.sort_values(["ts", "event_id"]).iloc[0]
+            state.update((True,))
+            state.setTimeoutTimestamp(
+                int(rows["ts"].max().timestamp() * 1000) + retention_ms
+            )
+            yield pd.DataFrame(
+                [
+                    {
+                        "key": key[0],
+                        "first_event_id": int(first["event_id"]),
+                        "first_ts": first["ts"],
+                        "n_dups": int(len(rows) - 1),
+                    }
+                ]
+            )
+
+    return (
+        events.withColumn("key", F.col(key_col))
+        .withWatermark("ts", watermark)
+        .groupBy("key")
+        .applyInPandasWithState(
+            dedup, out_schema, state_schema, "append", "EventTimeTimeout"
+        )
+    )
+
+
 def read_incremental_edges(spark: SparkSession, target_path: str) -> DataFrame:
     """Compact the epoch append-log into current edge abundances
     (dedup epoch retries, then sum deltas)."""

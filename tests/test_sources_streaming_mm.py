@@ -224,6 +224,44 @@ def test_frame_sample_plan(spark):
         assert r["count"] == max(durations[r.media_id] // 1000, 1)
 
 
+def test_streaming_first_seen_dedup_across_batches(spark, tmp_path):
+    """applyInPandasWithState cross-batch dedup: the first batch claims a
+    key; a duplicate arriving in a LATER micro-batch must be suppressed by
+    the per-key state, not re-emitted."""
+    import time as _time
+    from datetime import datetime
+
+    src = tmp_path / "dedup_stream"
+
+    def ev(eid, minute, props):
+        return (eid, datetime(2025, 1, 1, 12, minute), 10 + eid, "doc", 1.0, props)
+
+    batch1 = spark.createDataFrame(
+        [ev(1, 0, "fpA"), ev(2, 1, "fpA"), ev(3, 2, "fpB")], SE.EVENTS_SCHEMA
+    )
+    batch2 = spark.createDataFrame(
+        [ev(4, 10, "fpA"), ev(5, 11, "fpC")], SE.EVENTS_SCHEMA
+    )
+    batch1.coalesce(1).write.mode("append").parquet(str(src))
+    _time.sleep(1.2)  # distinct mod-times → file source preserves order
+    batch2.coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = SE.read_event_stream(spark, str(src), max_files_per_trigger=1)
+    out = SE.streaming_first_seen(stream, key_col="props")
+    q = SE.run_to_memory(out, "first_seen_out")
+    try:
+        rows = {r.key: r for r in spark.sql("SELECT * FROM first_seen_out").collect()}
+        assert set(rows) == {"fpA", "fpB", "fpC"}
+        a = rows["fpA"]
+        # first occurrence wins; the batch-2 duplicate (event 4) was
+        # dropped by state, so n_dups only counts the batch-1 sibling
+        assert a.first_event_id == 1 and a.n_dups == 1
+        assert rows["fpB"].first_event_id == 3 and rows["fpB"].n_dups == 0
+        assert rows["fpC"].first_event_id == 5 and rows["fpC"].n_dups == 0
+    finally:
+        q.stop()
+
+
 def test_incremental_edge_upsert_folds_all_batches(spark, tmp_path):
     """Regression: every micro-batch's deltas must survive compaction
     (the first implementation dropped all but the last batch)."""
