@@ -1059,6 +1059,58 @@ def gk_diameter_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "gk_eccentricity_closeness",
+    oracle="""
+    WITH RECURSIVE base AS (
+      SELECT DISTINCT 'P' || l_partkey AS src, 'S' || l_suppkey AS dst
+      FROM lineitem
+    ), und AS (
+      SELECT src, dst FROM base UNION SELECT dst AS src, src AS dst FROM base
+    ), roots AS (
+      SELECT src AS root FROM und GROUP BY src ORDER BY MD5(src) LIMIT 64
+    ), reach(root, node, dist) AS (
+      SELECT root, root AS node, 0 AS dist FROM roots
+      UNION
+      SELECT r.root, e.dst AS node, r.dist + 1 AS dist
+      FROM reach r JOIN und e ON e.src = r.node
+      WHERE r.dist < 8
+    ), mindist AS (
+      SELECT root, node, MIN(dist) AS dist FROM reach GROUP BY root, node
+    )
+    SELECT root AS node,
+           CAST(MAX(dist) AS INT) AS eccentricity,
+           ROUND(CAST(COUNT(*) - 1 AS DOUBLE) / SUM(dist), 6) AS closeness
+    FROM mindist GROUP BY root
+    """,
+)
+def gk_eccentricity_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4/G5/G7 — per-node eccentricity (integer, exact) and closeness
+    centrality ((reachable−1)/Σdist, rounded 6dp on both sides) for the 64
+    md5-ordered landmark roots (igraph eccentricity/closeness,
+    bin/CompareNetworkGroups.R:108-114, doc/manuscript.md:199-215). Shares
+    the landmark-BFS pattern with gk_diameter_radius; the oracle replays
+    it as the same depth-capped recursive CTE."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.kernels import (
+        bfs_distances,
+        closeness_centrality,
+        eccentricity,
+        symmetrize,
+    )
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.plans.testdata_graph import infects_edges
+
+    e = infects_edges(spark, sf_dir).select("src", "dst")
+    landmarks = (
+        symmetrize(e)
+        .select(F.col("src").alias("root"))
+        .distinct()
+        .orderBy(F.md5(F.col("root")))
+        .limit(64)
+    )
+    d = bfs_distances(e, sources=landmarks, max_depth=8)
+    return eccentricity(d).join(closeness_centrality(d), "node")
+
+
+@query(
     "gk_connectivity",
     oracle="""
     WITH RECURSIVE base AS (
