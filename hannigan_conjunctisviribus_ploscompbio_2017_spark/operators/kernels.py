@@ -656,6 +656,112 @@ def betweenness_centrality(
     return res.select(*g, "node", F.round("betweenness", 6).alias("betweenness"))
 
 
+def approx_betweenness(
+    edges: DataFrame, n_pivots: int | None = 64, max_depth: int = 20
+) -> DataFrame:
+    """Distributed Brandes betweenness with pivot sampling — the 100 TB
+    path for ONE giant graph (SURVEY §7 risk register: exact Brandes is
+    O(VE) and the per-subgraph applyInPandas solver above requires a
+    group's edges to fit on one executor).
+
+    Level-synchronous Brandes over DataFrames, all pivots jointly:
+    forward multi-source BFS accumulating shortest-path counts σ per
+    (pivot, node), then backward dependency accumulation
+    δ(v) += σv/σw·(1+δw) one depth level at a time. 2·diameter shuffle
+    supersteps total, independent of pivot count. Pivots are the first
+    `n_pivots` nodes in deterministic md5 order (None → every node →
+    EXACTLY Brandes); sampled runs scale by V/|pivots| (Brandes-Pich
+    estimator) so values are unbiased estimates of the exact ones.
+    Undirected semantics (symmetrized, halved) matching
+    betweenness_centrality."""
+    und = symmetrize(edges)
+    all_nodes = und.select(F.col("src").alias("node")).distinct()
+    n_nodes = all_nodes.count()
+    if n_pivots is None or n_pivots >= n_nodes:
+        roots = all_nodes.select(F.col("node").alias("root"))
+        scale = 1.0
+    else:
+        roots = (
+            all_nodes.select(F.col("node").alias("root"))
+            .orderBy(F.md5(F.col("root")))
+            .limit(n_pivots)
+        )
+        scale = n_nodes / n_pivots
+
+    und = _checkpoint(und)
+    visited = _checkpoint(
+        roots.select(
+            "root", F.col("root").alias("node"), F.lit(0).alias("dist"),
+            F.lit(1.0).alias("sigma"),
+        )
+    )
+    frontier = visited
+    with _loop_shuffle_width(und):
+        # forward: BFS + σ accumulation (σ flows only level d-1 → d)
+        for depth in range(1, max_depth + 1):
+            contrib = (
+                frontier.join(und.withColumnRenamed("src", "node"), "node")
+                .groupBy("root", F.col("dst").alias("node"))
+                .agg(F.sum("sigma").alias("sigma"))
+            )
+            new = _checkpoint(
+                contrib.join(
+                    visited.select("root", "node"), ["root", "node"], "left_anti"
+                ).withColumn("dist", F.lit(depth))
+            )
+            if new.limit(1).count() == 0:
+                break
+            visited = _checkpoint(visited.unionByName(new.select(*visited.columns)))
+            frontier = new.select(*visited.columns)
+
+        d_max = visited.agg(F.max("dist")).first()[0]
+        # backward: δ accumulation, deepest level first
+        delta_next = None  # rows of level d+1: (root, node, sigma, delta)
+        bc_levels = []
+        for depth in range(d_max, 0, -1):
+            level = visited.filter(F.col("dist") == depth)
+            if delta_next is None:
+                level = level.withColumn("delta", F.lit(0.0))
+            else:
+                w_side = delta_next.select(
+                    "root",
+                    F.col("node").alias("dst"),
+                    F.col("sigma").alias("sigma_w"),
+                    F.col("delta").alias("delta_w"),
+                )
+                up = (
+                    level.join(und.withColumnRenamed("src", "node"), "node")
+                    .join(w_side, ["root", "dst"])
+                    .groupBy("root", "node", "sigma", "dist")
+                    .agg(
+                        F.sum(
+                            F.col("sigma") / F.col("sigma_w") * (1 + F.col("delta_w"))
+                        ).alias("delta")
+                    )
+                )
+                level = up.unionByName(
+                    level.join(up.select("root", "node"), ["root", "node"], "left_anti")
+                    .withColumn("delta", F.lit(0.0))
+                    .select(*up.columns)
+                )
+            level = _checkpoint(level)
+            bc_levels.append(level.select("root", "node", "delta"))
+            delta_next = level
+
+    if not bc_levels:  # pivot set reached nothing (edgeless graph)
+        return all_nodes.withColumn("betweenness", F.lit(0.0))
+    acc = bc_levels[0]
+    for lv in bc_levels[1:]:
+        acc = acc.unionByName(lv)
+    return (
+        acc.filter(F.col("node") != F.col("root"))
+        .groupBy("node")
+        .agg(F.round(F.sum("delta") * scale / 2.0, 6).alias("betweenness"))
+        .join(all_nodes, "node", "right")
+        .fillna(0.0, subset=["betweenness"])
+    )
+
+
 def alpha_centrality(
     edges: DataFrame,
     alpha: float = 0.1,

@@ -2049,6 +2049,22 @@ def gk_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("gk_betweenness_distributed")
+def gk_betweenness_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G7 at scale — pivot-sampled distributed Brandes on the global
+    Infects graph (no per-executor subgraph materialization; 2·diameter
+    shuffle supersteps; Brandes-Pich V/k scaling). 32 md5-ordered pivots
+    keep the query O(32·E·diameter) at any sf. Rows-only: the
+    level-synchronous σ/δ recursion is not SQL-expressible."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.kernels import approx_betweenness
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.plans.testdata_graph import infects_edges
+
+    e = infects_edges(spark, sf_dir).select("src", "dst")
+    bc = approx_betweenness(e, n_pivots=32, max_depth=8)
+    # top-20 central nodes, deterministic ordering
+    return bc.orderBy(F.desc("betweenness"), "node").limit(20)
+
+
 @query("gk_alpha_centrality")
 def gk_alpha_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G8 — alpha (Katz-Bonacich) centrality per per-nation subgraph

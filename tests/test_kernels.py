@@ -67,6 +67,47 @@ def test_connected_components(spark):
     assert comp["a"] != comp["x"]
 
 
+def test_approx_betweenness_exact_when_all_pivots(spark):
+    # pivots=None → every node is a source → exactly Brandes
+    for fixture in (P5, S10):
+        exact = as_map(
+            K.betweenness_centrality(edges_df(spark, fixture)).collect(),
+            "node",
+            "betweenness",
+        )
+        dist = as_map(
+            K.approx_betweenness(edges_df(spark, fixture), n_pivots=None).collect(),
+            "node",
+            "betweenness",
+        )
+        assert dist == exact
+    # path P5 known values sanity: ends 0, center 4
+    p5 = as_map(
+        K.approx_betweenness(edges_df(spark, P5), n_pivots=None).collect(),
+        "node",
+        "betweenness",
+    )
+    assert p5 == {"a": 0.0, "b": 3.0, "c": 4.0, "d": 3.0, "e": 0.0}
+
+
+def test_approx_betweenness_sampled_deterministic(spark):
+    a = as_map(
+        K.approx_betweenness(edges_df(spark, K5), n_pivots=2).collect(),
+        "node",
+        "betweenness",
+    )
+    b = as_map(
+        K.approx_betweenness(edges_df(spark, K5), n_pivots=2).collect(),
+        "node",
+        "betweenness",
+    )
+    assert a == b  # md5 pivot choice is deterministic
+    assert all(v >= 0 for v in a.values())
+    # K5: every node's true betweenness is 0 (all pairs adjacent) — the
+    # estimator must agree regardless of which pivots were sampled
+    assert set(a.values()) == {0.0}
+
+
 def test_connectivity_summary(spark):
     # directed 3-cycle: strongly AND weakly connected
     cyc = K.connectivity_summary(edges_df(spark, [("a", "b"), ("b", "c"), ("c", "a")])).first()
