@@ -904,6 +904,31 @@ def g1_degree_per_node(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "g5_degree_distribution",
+    oracle="""
+    WITH e AS (SELECT DISTINCT 'P' || l_partkey AS src, 'S' || l_suppkey AS dst
+               FROM lineitem),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+        SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e
+      ) GROUP BY node
+    )
+    SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY degree
+    """,
+)
+def g5_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5 — degree distribution (host-range histogram family,
+    bin/CompareNetworkGroups.R:121-122): degrees kernel → one further
+    groupBy. Two shuffles total, both map-side-combined."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.kernels import degrees
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.plans.testdata_graph import infects_edges
+
+    e = infects_edges(spark, sf_dir).select("src", "dst")
+    return degrees(e).groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+@query(
     "g10_node_entropy",
     oracle="""
     WITH ab AS (
