@@ -76,6 +76,72 @@ def brute_force_topk(
     )
 
 
+def embedding_near_dup_pairs(
+    items: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact: bool = False,
+    dim: int = 64,
+    num_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    round_to: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a < id_b, cosine_sim ≥
+    threshold) — the vector-space sibling of the text near-dup family
+    (MinHash/SimHash in operators/dedup.py).
+
+    exact=True is the all-pairs baseline (O(n²)/2 — for bounded inputs
+    and oracle checks). Default is the corpus-scale shape: SRP band-bucket
+    self-join generates candidates (∝ true near-dups, since a pair at
+    cosine ≥ 0.95 collides in ≥1 of the 4-bit bands with high
+    probability), exact cosine reranks candidates only. Same banding as
+    srp_lsh_topk; signature table persistable + bucketed at 100 TB."""
+    a = items.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = items.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    if exact:
+        cand = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    else:
+        sig = srp_signature(items, dim, num_planes, id_col, vec_col, seed)
+        bits_per_band = num_planes // bands
+        bandcols = F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.shiftright(F.col("sig"), i * bits_per_band)
+                    .bitwiseAND(F.lit((1 << bits_per_band) - 1))
+                    .alias("bucket"),
+                )
+                for i in range(bands)
+            ]
+        )
+        banded = sig.select("id", "vec", F.explode(bandcols).alias("bb")).select(
+            "id", "vec", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+        )
+        cand = (
+            banded.select(
+                F.col("id").alias("id_a"), F.col("vec").alias("_va"), "band", "bucket"
+            )
+            .join(
+                banded.select(
+                    F.col("id").alias("id_b"), F.col("vec").alias("_vb"), "band", "bucket"
+                ),
+                ["band", "bucket"],
+            )
+            .filter(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    return (
+        cand.select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("_va"), F.col("_vb")), round_to).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
 def _hyperplanes(dim: int, num: int, seed: int = 42) -> list[list[float]]:
     rng = random.Random(seed)
     return [

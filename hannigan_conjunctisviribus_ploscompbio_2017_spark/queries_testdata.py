@@ -1347,6 +1347,37 @@ def ss_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", "cosine_sim", F.col("rank").cast("long").alias("rank"))
 
 
+@query(
+    "dd_embedding_near_dup",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0),
+    idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+    s AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             ROUND(
+               SUM(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))
+               / (SQRT(SUM(CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))
+                  * SQRT(SUM(CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))),
+               6) AS cosine_sim
+      FROM e a CROSS JOIN e b CROSS JOIN idx
+      WHERE a.vec_id < b.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, cosine_sim FROM s WHERE cosine_sim >= 0.35
+    """,
+)
+def dd_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact all-pairs baseline on a
+    deterministic 1/5 subset — scale-bounded; the SRP-banded variant of
+    the same operator is the corpus path, tested for recall in
+    test_dedup_similarity). Threshold 0.35 fits the synthetic table's
+    cosine range (max ≈0.51 — no planted near-copies)."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
+    return embedding_near_dup_pairs(emb, threshold=0.35, exact=True)
+
+
 @query("ss_srp_lsh_topk")
 def ss_srp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRP-LSH bucketed approximate top-k (the corpus-scale ANN path;

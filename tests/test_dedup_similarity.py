@@ -104,6 +104,29 @@ def test_srp_lsh_recall_vs_brute_force(spark):
     assert hits >= 6  # recall@1 ≥ 0.6 with 8 bands of 2 bits on random data
 
 
+def test_embedding_near_dup_pairs(spark):
+    emb = _embeddings(spark)  # vec 1 = near-copy of vec 0
+    exact = {
+        (r.id_a, r.id_b): r.cosine_sim
+        for r in similarity.embedding_near_dup_pairs(
+            emb, threshold=0.99, exact=True
+        ).collect()
+    }
+    assert (0, 1) in exact and exact[(0, 1)] > 0.999
+    # banded path: candidates via SRP buckets, same exact rerank — the
+    # planted near-copy must collide in at least one band
+    banded = {
+        (r.id_a, r.id_b): r.cosine_sim
+        for r in similarity.embedding_near_dup_pairs(
+            emb, threshold=0.99, exact=False, dim=8, num_planes=16, bands=8
+        ).collect()
+    }
+    assert (0, 1) in banded
+    # banded results are a subset of exact with identical scores
+    assert set(banded) <= set(exact)
+    assert all(banded[k] == exact[k] for k in banded)
+
+
 def test_simhash_pairs_finds_near_dups(spark):
     pairs = {(r.id_a, r.id_b): r.hamming
              for r in dedup.simhash_pairs(docs_df(spark), max_hamming=15, bands=16).collect()}
