@@ -106,7 +106,10 @@ def bray_curtis(
     tb = totals.select(F.col("_s").alias("sample_b"), F.col("_tot").alias("_tb"))
     # pairs with NO shared items need BC=1: build the full pair frame from
     # totals (S² pairs of sample keys only — cheap), left join shared sums.
-    pairs = ta.crossJoin(tb).filter(F.col("sample_a") < F.col("sample_b"))
+    # Broadcast the right side: a plain crossJoin is a CartesianProduct
+    # with |left|×|right| PARTITIONS (32×32 = 1024 tasks for two tiny
+    # aggregate frames); broadcast keeps it one nested-loop pass wide.
+    pairs = ta.crossJoin(F.broadcast(tb)).filter(F.col("sample_a") < F.col("sample_b"))
     return (
         pairs.join(shared_min, ["sample_a", "sample_b"], "left")
         .fillna(0.0, subset=["_minsum"])
