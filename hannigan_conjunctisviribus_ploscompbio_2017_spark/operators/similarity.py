@@ -101,7 +101,9 @@ def embedding_near_dup_pairs(
     a = items.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     b = items.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
     if exact:
-        cand = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+        # bounded-input baseline: broadcast the right side so the pair
+        # frame is one nested-loop pass, not |a|x|b| cartesian partitions
+        cand = a.crossJoin(F.broadcast(b)).filter(F.col("id_a") < F.col("id_b"))
     else:
         sig = srp_signature(items, dim, num_planes, id_col, vec_col, seed)
         bits_per_band = num_planes // bands
