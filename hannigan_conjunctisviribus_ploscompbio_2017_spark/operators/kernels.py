@@ -131,19 +131,16 @@ def node_entropy(
     """Shannon diversity of a node's incident edge weights
     (bin/compareTwins.R:101-104): H = -Σ p·ln(p), p = w/Σw.
 
-    Two-level aggregation — no UDAF needed, fully codegen'd.
+    Computed in ONE aggregation via the identity
+    -Σ (w/W)·ln(w/W) = ln(W) - (Σ w·ln w)/W with W = Σw, so the kernel
+    is a single map-side-combined shuffle — no totals join, no second
+    pass over the edges.
     """
     g = _gcols(group_cols)
     w = F.col(weight_col)
-    totals = edges.groupBy(*g, F.col(node_col).alias("node")).agg(
-        F.sum(w).alias("_total")
-    )
-    keyed = edges.select(*g, F.col(node_col).alias("node"), w.alias("_w")).join(
-        totals, [*g, "node"]
-    )
-    p = F.col("_w") / F.col("_total")
-    return keyed.groupBy(*g, "node").agg(
-        F.round(-F.sum(p * F.log(p)), 6).alias("entropy")
+    total = F.sum(w)
+    return edges.groupBy(*g, F.col(node_col).alias("node")).agg(
+        F.round(F.log(total) - F.sum(w * F.log(w)) / total, 6).alias("entropy")
     )
 
 

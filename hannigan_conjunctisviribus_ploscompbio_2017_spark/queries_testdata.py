@@ -716,6 +716,14 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(members), "sample")
     )
+    # Two separate groupBys deliberately, NOT one grouping-sets pass:
+    # measured at sf0.1, groupingSets([[sample,phage],[sample,host]]) is
+    # 3x slower here because Catalyst pushes each consumer's
+    # grouping-id filter below the aggregate into its own Expand copy —
+    # the branches' exchanges end up non-identical (no reuse), each still
+    # pays the 2x expand, and the shuffle key widens to all grouping
+    # columns + id. The fact subtree is all broadcast joins over one
+    # columnar scan, so recomputing it per branch is the cheaper plan.
     phage_ab = (
         fact.groupBy("sample", F.concat(F.lit("P"), F.col("l_partkey")).alias("phage"))
         .agg(F.sum("l_quantity").cast("long").alias("phage_abundance"))
