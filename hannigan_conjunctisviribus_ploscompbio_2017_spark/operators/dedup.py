@@ -35,6 +35,19 @@ def normalized(text_col="text"):
     return F.trim(F.regexp_replace(F.lower(c), r"[^a-z0-9]+", " "))
 
 
+def portable_token_hash(col):
+    """60-bit non-negative hash: first 15 hex chars of md5, as a long.
+
+    xxhash64 is Spark-only; md5 is implemented identically everywhere, so
+    hash-family-dependent operators (simhash, minhash) become exactly
+    reproducible in external engines (the DuckDB oracle) when run with
+    this family. 60 bits keeps the value inside a signed long with no
+    sign games on either side. Default family for the operators remains
+    xxhash64 (one hash vs md5's full digest per token — cheaper at
+    corpus scale)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact dedup on the md5 of normalized text: returns
     (id, fingerprint, keeper_id, is_dup) — keeper = min id per group.
@@ -127,13 +140,17 @@ def minhash_signatures(
     k: int = 3,
     num_hashes: int = 32,
     seed: int = 42,
+    hash_fn=None,
 ) -> DataFrame:
     """MinHash signature per doc: (id, sig array<long>).
 
-    Shingle → 64-bit hash (xxhash64) → num_hashes affine min-hashes, all
-    in one groupBy over the exploded shingles (no per-row Python)."""
+    Shingle → 64-bit hash (xxhash64, or `hash_fn` e.g.
+    portable_token_hash for cross-engine reproducibility) → num_hashes
+    affine min-hashes, all in one groupBy over the exploded shingles (no
+    per-row Python)."""
     sh = shingles(df, id_col, text_col, k)
-    h = F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE))
+    base = hash_fn("shingle") if hash_fn is not None else F.xxhash64("shingle")
+    h = F.pmod(base, F.lit(_MERSENNE))
     coeffs = _hash_coeffs(num_hashes, seed)
     mins = [
         F.min(F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE))).alias(f"h{i}")
@@ -205,16 +222,22 @@ def minhash_lsh_pairs(
 
 
 def simhash(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+    hash_fn=None,
 ) -> DataFrame:
     """SimHash fingerprint: sign-sum of per-token 64-bit hashes → (id,
     simhash long). Near-dups = small hamming distance; pair search via
-    16-bit band exact-match (simhash_bands)."""
+    16-bit band exact-match (simhash_bands). Pass
+    hash_fn=portable_token_hash (with bits<=60) for a fingerprint any
+    md5-capable engine reproduces bit-for-bit."""
     tok = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(normalized(text_col), "\\s+")).alias("token"),
     )
-    h = F.xxhash64("token")
+    h = hash_fn("token") if hash_fn is not None else F.xxhash64("token")
     bit_sums = [
         F.sum(
             F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)

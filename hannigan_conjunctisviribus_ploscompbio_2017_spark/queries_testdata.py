@@ -1311,12 +1311,108 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dd_simhash")
-def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash 64-bit fingerprints (rows-only)."""
-    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.dedup import simhash
+# Cross-engine building blocks for the hash-family oracles: normalized
+# text and the md5-based 60-bit token hash (see dedup.portable_token_hash
+# — DuckDB computes the same value from the md5 hex digits).
+_NORM_SQL = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+_MD5_60 = (
+    "list_sum(list_transform(generate_series(1, 15), "
+    "j -> (CAST(strpos('0123456789abcdef', substr(md5({c}), j, 1)) AS BIGINT) - 1) "
+    "* (CAST(1 AS BIGINT) << (4 * (15 - j)))))"
+)
 
-    return simhash(_t(spark, sf_dir, "documents"))
+
+@query(
+    "dd_simhash",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id AS id,
+             unnest(string_split({_NORM_SQL}, ' ')) AS token
+      FROM documents
+    ), th AS (
+      SELECT id, {_MD5_60.format(c="token")} AS h FROM tok
+    ), bitsums AS (
+      SELECT id, j,
+             SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM th CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS j)
+      GROUP BY id, j
+    )
+    SELECT id,
+           CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END)
+                AS BIGINT) AS simhash
+    FROM bitsums GROUP BY id
+    """,
+)
+def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints with the portable md5 hash family (60 bits),
+    so the DuckDB oracle reproduces every fingerprint bit-for-bit from
+    the md5 hex digits. The engine default family is xxhash64/64-bit
+    (cheaper per token); near-dup recall of the banded pair search is
+    covered by test_dedup_similarity either way."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.dedup import (
+        portable_token_hash,
+        simhash,
+    )
+
+    return simhash(
+        _t(spark, sf_dir, "documents"), bits=60, hash_fn=portable_token_hash
+    )
+
+
+def _minhash_sig_oracle() -> str:
+    """Generate the DuckDB twin of the 16-perm portable minhash signature:
+    same affine coefficients (seeded identically), same Mersenne modulus,
+    same md5-60 base hash, min per doc over distinct 3-token shingles."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.dedup import (
+        _MERSENNE,
+        _hash_coeffs,
+    )
+
+    mins = ",\n           ".join(
+        f"CAST(MIN((h * {a} + {b}) % {_MERSENNE}) AS BIGINT) AS h{i}"
+        for i, (a, b) in enumerate(_hash_coeffs(16, seed=42))
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             string_split({_NORM_SQL}, ' ') AS t
+      FROM documents
+    ), pos AS (
+      SELECT id, t,
+             unnest(CASE WHEN len(t) >= 3 THEN generate_series(1, len(t) - 2)
+                         ELSE CAST([] AS BIGINT[]) END) AS i
+      FROM toks
+    ), sh AS (
+      SELECT DISTINCT id, array_to_string(list_slice(t, i, i + 2), ' ') AS shingle
+      FROM pos
+    ), th AS (
+      SELECT id, {_MD5_60.format(c="shingle")} % {_MERSENNE} AS h FROM sh
+    )
+    SELECT id,
+           {mins}
+    FROM th GROUP BY id
+    """
+
+
+@query("dd_minhash_sig", oracle=_minhash_sig_oracle())
+def dd_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (16 perms) with the portable md5 hash family:
+    the oracle recomputes every affine min-hash from the same seeded
+    coefficients, verifying the signature math exactly. The banded LSH
+    pair search over these signatures stays rows-only (dd_minhash_lsh) —
+    its bucket hash is engine-internal."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.dedup import (
+        minhash_signatures,
+        portable_token_hash,
+    )
+
+    sig = minhash_signatures(
+        _t(spark, sf_dir, "documents"),
+        num_hashes=16,
+        seed=42,
+        hash_fn=portable_token_hash,
+    )
+    return sig.select("id", *[F.col("sig")[i].alias(f"h{i}") for i in range(16)])
 
 
 @query(

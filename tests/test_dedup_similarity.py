@@ -69,6 +69,46 @@ def test_simhash_hamming(spark):
     assert hamming(fps[4], fps[5]) < hamming(fps[4], fps[0])
 
 
+def test_portable_hash_family(spark):
+    """The md5-based portable family preserves operator semantics (same
+    dup structure as the xxhash64 default) and is reference-computable:
+    the token hash equals int(md5_hex[:15], 16)."""
+    df = docs_df(spark)
+    got = (
+        df.select(F.col("text"))
+        .limit(1)
+        .select(
+            dedup.portable_token_hash(F.lit("hello")).alias("h"),
+        )
+        .collect()[0]
+        .h
+    )
+    import hashlib
+
+    assert got == int(hashlib.md5(b"hello").hexdigest()[:15], 16)
+
+    fps = {
+        r.id: r.simhash
+        for r in dedup.simhash(df, bits=60, hash_fn=dedup.portable_token_hash).collect()
+    }
+    assert fps[0] == fps[1] == fps[2]
+    assert 0 <= fps[0] < (1 << 60)
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    assert hamming(fps[0], fps[3]) < hamming(fps[0], fps[4])
+
+    sig = {
+        r.id: r.sig
+        for r in dedup.minhash_signatures(
+            df, num_hashes=16, hash_fn=dedup.portable_token_hash
+        ).collect()
+    }
+    assert sig[0] == sig[1] == sig[2]
+    assert sig[0] != sig[4]
+
+
 def _embeddings(spark, n=100, dim=8):
     import numpy as np
 
