@@ -1657,7 +1657,11 @@ def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern; session_window in the streaming twin)."""
     ev = _t(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # ts arrives as TIMESTAMP_NTZ from parquet (isAdjustedToUTC=false);
+    # NTZ has no direct bigint cast, so hop through TIMESTAMP (session tz
+    # is pinned to UTC in get_spark, making the epoch conversion exact).
+    secs = F.col("ts").cast("timestamp").cast("long")
+    gap = secs - F.lag(secs).over(w)
     flagged = ev.withColumn(
         "new_session",
         F.when(gap.isNull() | (gap > 1800), 1).otherwise(0),

@@ -1,0 +1,45 @@
+"""Execute every driver-facing queries() entry against the real testdata.
+
+The driver's correctness gate runs each query at sf0.01 against the real
+parquet files; locally most operators are tested on synthetic fixtures
+whose schemas can drift from the testdata's (e.g. parquet TIMESTAMP_NTZ vs
+an in-memory TIMESTAMP fixture). This sweep catches any analysis-time or
+runtime failure against the actual tables before the driver does.
+
+Runs at sf0.001 (smoke scale) and skips only the deliberately expensive
+iterative entries, which have their own fixture tests.
+"""
+
+import pytest
+
+from tests.conftest import SF0001
+
+from __spark_entry__ import entry, oracle_sql, queries
+
+# Iterative / ML entries that take minutes even at smoke scale; each has a
+# dedicated fixture test (test_kernels.py / test_ml.py / test_stats.py).
+SLOW = {
+    "ml_rf_interactions",
+    "pipeline_interpersonal_diversity",
+}
+
+ALL = sorted(queries())
+
+
+@pytest.mark.parametrize("name", [n for n in ALL if n not in SLOW])
+def test_query_runs_on_testdata(spark, name):
+    df = queries()[name](spark, SF0001)
+    # count() executes the full plan; every query must run and have a schema
+    assert df.columns, f"{name}: empty schema"
+    df.count()
+
+
+def test_entry_runs(spark):
+    df = entry(spark)
+    assert df.columns
+    assert df.count() >= 0
+
+
+def test_oracle_keys_subset_of_queries():
+    qs, orc = set(queries()), set(oracle_sql())
+    assert orc <= qs, f"oracles without queries: {sorted(orc - qs)}"
