@@ -3,8 +3,10 @@ against the driver testdata tables, each with a DuckDB oracle SQL twin.
 
 Registry pattern: `@query(name, oracle=...)` adds a (spark, sf_dir) →
 DataFrame builder to QUERIES and its oracle to ORACLES.  Builders with no
-oracle (iterative graph kernels, seeded resampling, ML, streaming-stateful)
-get the driver's weaker rows-only check.
+oracle (seeded resampling, ML, streaming-stateful, and iterative kernels
+whose per-step state isn't SQL-replayable) get the driver's weaker
+rows-only check; fixed-iteration power-iteration kernels (PageRank,
+eigenvector centrality) unroll into chained CTEs and get the full check.
 
 Parity rules (driver hashes values order-insensitively, columns sorted by
 name):
@@ -1201,11 +1203,62 @@ def gk_connectivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connectivity_summary(e, max_depth=30)
 
 
-@query("gk_eigenvector_centrality")
+# Fixed-iteration kernels ARE SQL-expressible: a power-iteration loop with
+# a known iteration count unrolls into chained CTEs (one pair per
+# superstep), so DuckDB replays the exact arithmetic and the driver gets a
+# full value-hash check instead of rows-only. FP summation order still
+# differs between engines (~1e-14 relative); both sides round to 6 dp,
+# far above the noise floor.
+
+
+def _eigencent_oracle(iters: int) -> str:
+    parts = [
+        """
+    WITH base AS (
+      SELECT 'P' || l_partkey AS src, 'S' || l_suppkey AS dst,
+             CAST(ROUND(AVG(l_extendedprice), 4) AS DOUBLE) AS w
+      FROM lineitem GROUP BY 1, 2
+    ), und AS MATERIALIZED (
+      SELECT src, dst, MAX(w) AS w FROM (
+        SELECT src, dst, w FROM base
+        UNION ALL
+        SELECT dst AS src, src AS dst, w FROM base
+      ) GROUP BY src, dst
+    ), shift AS MATERIALIZED (
+      SELECT MAX(wd) AS s FROM (SELECT src, SUM(w) AS wd FROM und GROUP BY src)
+    ), s0 AS MATERIALIZED (
+      SELECT DISTINCT src AS node, CAST(1.0 AS DOUBLE) AS score FROM und
+    )"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f""", m{k} AS (
+      SELECT e.dst AS node, SUM(e.w * s.score) AS ax
+      FROM s{k - 1} s JOIN und e ON e.src = s.node GROUP BY e.dst
+    ), r{k} AS MATERIALIZED (
+      SELECT m.node, m.ax + shift.s * s.score AS raw
+      FROM m{k} m CROSS JOIN shift JOIN s{k - 1} s ON s.node = m.node
+    ), n{k} AS (
+      SELECT SQRT(SUM(raw * raw)) AS nrm FROM r{k}
+    ), s{k} AS MATERIALIZED (
+      SELECT node, raw / nrm AS score FROM r{k} CROSS JOIN n{k}
+    )"""
+        )
+    parts.append(
+        f""", mx AS (SELECT MAX(score) AS mx FROM s{iters})
+    SELECT node, ROUND(score / mx.mx, 6) AS centrality
+    FROM s{iters} CROSS JOIN mx"""
+    )
+    return "".join(parts)
+
+
+@query("gk_eigenvector_centrality", oracle=_eigencent_oracle(15))
 def gk_eigenvector_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G6 — weighted eigenvector centrality on the Infects graph
-    (bin/interpersonaldiversity.R:98-114), blast-score weights
-    (rows-only: iterative)."""
+    (bin/interpersonaldiversity.R:98-114), blast-score weights. The
+    oracle unrolls the 15 shifted power-iteration supersteps (A + sI,
+    s = max weighted degree, L2-normalized per step, scaled to max=1)
+    into chained CTEs — full value-hash parity for an iterative kernel."""
     from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.kernels import eigenvector_centrality
     from hannigan_conjunctisviribus_ploscompbio_2017_spark.plans.testdata_graph import infects_edges
 
@@ -1213,15 +1266,63 @@ def gk_eigenvector_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eigenvector_centrality(e, weight_col="weight", max_iter=15)
 
 
-@query("gk_pagerank")
+def _pagerank_oracle(iters: int, damping: float) -> str:
+    # inject the exact doubles Spark computes with (1-0.85 is not 0.15 in
+    # binary; repr round-trips the bit pattern)
+    d, base = repr(damping), repr(1 - damping)
+    parts = [
+        """
+    WITH base AS (
+      SELECT DISTINCT 'P' || l_partkey AS src, 'S' || l_suppkey AS dst
+      FROM lineitem
+    ), und AS MATERIALIZED (
+      SELECT src, dst FROM base UNION SELECT dst AS src, src AS dst FROM base
+    ), outd AS MATERIALIZED (
+      SELECT src, CAST(COUNT(*) AS DOUBLE) AS od FROM und GROUP BY src
+    ), nodes AS MATERIALIZED (
+      SELECT DISTINCT src AS node FROM und
+    ), nn AS MATERIALIZED (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes
+    ), r0 AS (
+      SELECT node, CAST(1.0 AS DOUBLE) / n AS rank FROM nodes CROSS JOIN nn
+    )"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f""", r{k} AS MATERIALIZED (
+      SELECT nodes.node,
+             CAST({base} AS DOUBLE) / nn.n
+               + CAST({d} AS DOUBLE) * COALESCE(c.m, 0) AS rank
+      FROM nodes CROSS JOIN nn
+      LEFT JOIN (
+        SELECT e.dst AS node, SUM((e.w / o.od) * r.rank) AS m
+        FROM r{k - 1} r
+        JOIN (SELECT src, dst, CAST(1.0 AS DOUBLE) AS w FROM und) e
+          ON e.src = r.node
+        JOIN outd o ON o.src = r.node
+        GROUP BY e.dst
+      ) c ON c.node = nodes.node
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT node, ROUND(ROUND(rank, 8), 6) AS pagerank FROM r{iters}"""
+    )
+    return "".join(parts)
+
+
+@query("gk_pagerank", oracle=_pagerank_oracle(10, 0.85))
 def gk_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """G9 — PageRank on the Infects graph (bin/compareTwins.R:98-100;
-    rows-only: iterative)."""
+    """G9 — PageRank on the Infects graph (bin/compareTwins.R:98-100).
+    The oracle unrolls the 10 damped supersteps into chained CTEs (the
+    kernel rounds to 8 dp; both sides re-round to 6 for the value hash)."""
     from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.kernels import pagerank
     from hannigan_conjunctisviribus_ploscompbio_2017_spark.plans.testdata_graph import infects_edges
 
     e = infects_edges(spark, sf_dir).select("src", "dst")
-    return pagerank(e, max_iter=10)
+    return pagerank(e, max_iter=10).select(
+        "node", F.round("pagerank", 6).alias("pagerank")
+    )
 
 
 @query("gk_communities_modularity")
