@@ -168,6 +168,8 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     seed: int = 42,
+    hash_fn=None,
+    bucket_by_hash: bool = True,
 ) -> DataFrame:
     """LSH candidate pairs: band the signature (bands × rows-per-band),
     bucket-join on (band, banded-signature hash), estimate Jaccard from
@@ -175,22 +177,25 @@ def minhash_lsh_pairs(
 
     The banding join is the scale path: candidates ∝ true near-dups, not
     n² — same plan shape at 100 TB with signature table bucketed by band
-    hash.
+    hash. `bucket_by_hash=False` joins on the band's raw value array
+    instead of its xxhash64 (a wider shuffle key, but collision-free and
+    — with hash_fn=portable_token_hash — replayable by the DuckDB
+    oracle).
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, k, num_hashes, seed)
+    sig = minhash_signatures(df, id_col, text_col, k, num_hashes, seed, hash_fn=hash_fn)
+
+    def _bucket(i: int):
+        band_vals = F.slice("sig", i * rows_per_band + 1, rows_per_band)
+        return F.xxhash64(band_vals) if bucket_by_hash else band_vals
+
     banded = sig.select(
         "id",
         "sig",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.xxhash64(
-                            F.slice("sig", i * rows_per_band + 1, rows_per_band)
-                        ).alias("bucket"),
-                    )
+                    F.struct(F.lit(i).alias("band"), _bucket(i).alias("bucket"))
                     for i in range(bands)
                 ]
             )

@@ -573,8 +573,18 @@ def modularity(
 def sample_edges(edges: DataFrame, fraction: float, seed: int = 42) -> DataFrame:
     """Noise-injection edge sampling (NetSwan robustness,
     bin/error_interpersonaldiversity.R:62-66): keep `fraction` of edges,
-    deterministic per seed. Rerun any kernel on the result."""
-    return edges.sample(withReplacement=False, fraction=fraction, seed=seed)
+    deterministic per seed. Rerun any kernel on the result.
+
+    Hash-filter Bernoulli sample: keep an edge iff the 60-bit md5 of
+    (src, dst, seed) falls below fraction·2^60. Unlike df.sample — whose
+    draw sequence depends on partition layout, so a repartition or AQE
+    re-plan silently changes the sample — the keep decision is a pure
+    function of the row: partition-invariant at any cluster width and
+    reproducible in any md5-capable engine (the DuckDB oracle replays it).
+    """
+    key = F.concat_ws("|", F.col("src"), F.col("dst"), F.lit(str(seed)))
+    h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+    return edges.filter(h < int(fraction * (1 << 60)))
 
 
 # --------------------------------------------------------------------------

@@ -1325,10 +1325,61 @@ def gk_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("gk_communities_modularity")
+def _lpa_modularity_oracle(iters: int) -> str:
+    parts = [
+        """
+    WITH base AS MATERIALIZED (
+      SELECT DISTINCT 'P' || l_partkey AS src, 'S' || l_suppkey AS dst
+      FROM lineitem
+    ), und AS MATERIALIZED (
+      SELECT src, dst FROM base UNION SELECT dst AS src, src AS dst FROM base
+    ), l0 AS MATERIALIZED (
+      SELECT DISTINCT src AS node, src AS community FROM und
+    )"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f""", v{k} AS (
+      SELECT e.dst AS node, l.community, COUNT(*) AS votes
+      FROM l{k - 1} l JOIN und e ON e.src = l.node
+      GROUP BY e.dst, l.community
+    ), l{k} AS MATERIALIZED (
+      SELECT node, community FROM (
+        SELECT node, community,
+               ROW_NUMBER() OVER (
+                 PARTITION BY node ORDER BY votes DESC, community ASC
+               ) AS rn
+        FROM v{k}
+      ) WHERE rn = 1
+    )"""
+        )
+    parts.append(
+        f""", ej AS MATERIALIZED (
+      SELECT a.community AS cs, b.community AS cd
+      FROM und u
+      JOIN l{iters} a ON a.node = u.src
+      JOIN l{iters} b ON b.node = u.dst
+    ), m2 AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS m2 FROM ej
+    ), deg AS (
+      SELECT cs AS community,
+             CAST(COUNT(*) AS BIGINT) AS d_c,
+             CAST(COUNT(*) FILTER (WHERE cs = cd) AS BIGINT) AS e_c2
+      FROM ej GROUP BY cs
+    )
+    SELECT ROUND(SUM(e_c2 / m2.m2 - POWER(d_c / m2.m2, 2)), 6) AS modularity
+    FROM deg CROSS JOIN m2"""
+    )
+    return "".join(parts)
+
+
+@query("gk_communities_modularity", oracle=_lpa_modularity_oracle(5))
 def gk_communities_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G11 — label-propagation communities + Newman modularity
-    (bin/CompareNetworkGroups.R:66-69; rows-only: iterative)."""
+    (bin/CompareNetworkGroups.R:66-69). Synchronous LPA with
+    (votes desc, label asc) tie-breaks is fully deterministic, so the 5
+    supersteps unroll into chained CTEs like the power-iteration kernels
+    and the modularity reduction gets the full value-hash check."""
     from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.kernels import (
         label_propagation,
         modularity,
@@ -1499,9 +1550,10 @@ def _minhash_sig_oracle() -> str:
 def dd_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (16 perms) with the portable md5 hash family:
     the oracle recomputes every affine min-hash from the same seeded
-    coefficients, verifying the signature math exactly. The banded LSH
-    pair search over these signatures stays rows-only (dd_minhash_lsh) —
-    its bucket hash is engine-internal."""
+    coefficients, verifying the signature math exactly. The xxhash64
+    banded pair search stays rows-only (dd_minhash_lsh) — its bucket hash
+    is engine-internal — but dd_minhash_lsh_portable verifies the full
+    banding+estimation pipeline with the portable family."""
     from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.dedup import (
         minhash_signatures,
         portable_token_hash,
@@ -1514,6 +1566,79 @@ def dd_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash_fn=portable_token_hash,
     )
     return sig.select("id", *[F.col("sig")[i].alias(f"h{i}") for i in range(16)])
+
+
+def _minhash_lsh_oracle(num_hashes: int = 32, bands: int = 8) -> str:
+    """DuckDB twin of the full banded LSH pair search: same signatures as
+    _minhash_sig_oracle (extended to 32 perms), candidates = pairs
+    agreeing on at least one whole band, est_jaccard = signature
+    agreement fraction. The n² join is oracle-side only — the engine
+    side shuffles on band keys."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.dedup import (
+        _MERSENNE,
+        _hash_coeffs,
+    )
+
+    rpb = num_hashes // bands
+    mins = ",\n           ".join(
+        f"CAST(MIN((h * {a} + {b}) % {_MERSENNE}) AS BIGINT) AS h{i}"
+        for i, (a, b) in enumerate(_hash_coeffs(num_hashes, seed=42))
+    )
+    band_conds = "\n        OR ".join(
+        "("
+        + " AND ".join(f"a.h{b * rpb + j} = s.h{b * rpb + j}" for j in range(rpb))
+        + ")"
+        for b in range(bands)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN a.h{i} = s.h{i} THEN 1 ELSE 0 END)" for i in range(num_hashes)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             string_split({_NORM_SQL}, ' ') AS t
+      FROM documents
+    ), pos AS (
+      SELECT id, t,
+             unnest(CASE WHEN len(t) >= 3 THEN generate_series(1, len(t) - 2)
+                         ELSE CAST([] AS BIGINT[]) END) AS i
+      FROM toks
+    ), sh AS (
+      SELECT DISTINCT id, array_to_string(list_slice(t, i, i + 2), ' ') AS shingle
+      FROM pos
+    ), th AS (
+      SELECT id, {_MD5_60.format(c="shingle")} % {_MERSENNE} AS h FROM sh
+    ), sig AS MATERIALIZED (
+      SELECT id,
+           {mins}
+      FROM th GROUP BY id
+    )
+    SELECT a.id AS id_a, s.id AS id_b,
+           ROUND(({agree}) / {num_hashes}.0, 6) AS est_jaccard
+    FROM sig a JOIN sig s
+      ON a.id < s.id
+     AND ({band_conds})
+    WHERE ROUND(({agree}) / {num_hashes}.0, 6) >= 0.25
+    """
+
+
+@query("dd_minhash_lsh_portable", oracle=_minhash_lsh_oracle())
+def dd_minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH banded near-dup pair search, portable md5 family +
+    band-content bucket keys: the oracle replays shingling → 32-perm
+    signatures → 8-band candidate join → Jaccard estimation end-to-end.
+    dd_minhash_lsh (xxhash64 family, hashed buckets) remains the
+    corpus-scale path; same plan shape."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        portable_token_hash,
+    )
+
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"),
+        hash_fn=portable_token_hash,
+        bucket_by_hash=False,
+    ).filter(F.col("est_jaccard") >= 0.25)
 
 
 @query(
@@ -2095,12 +2220,51 @@ def gq4_study_network(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("g13_robustness")
+def _g13_oracle(fracs: tuple[float, ...], seed: int = 42) -> str:
+    h_expr = _MD5_60.format(c=f"src || '|' || dst || '|{seed}'")
+    segs, stats = [], []
+    for t, frac in enumerate(fracs):
+        thr = int(frac * (1 << 60))
+        segs.append(
+            f""", u{t} AS MATERIALIZED (
+      SELECT src, dst FROM hashed WHERE h < {thr}
+      UNION
+      SELECT dst AS src, src AS dst FROM hashed WHERE h < {thr}
+    ), d{t} AS (
+      SELECT src, CAST(COUNT(*) AS BIGINT) AS degree FROM u{t} GROUP BY src
+    )"""
+        )
+        stats.append(
+            f"""    SELECT n.n_nodes, e.n_edges, d.mean_degree, d.max_degree,
+           CAST({frac!r} AS DOUBLE) AS fraction
+    FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM d{t}) n
+    CROSS JOIN (SELECT CAST(COUNT(*) / 2 AS BIGINT) AS n_edges FROM u{t}) e
+    CROSS JOIN (SELECT ROUND(AVG(degree), 4) AS mean_degree,
+                       CAST(MAX(degree) AS BIGINT) AS max_degree FROM d{t}) d"""
+        )
+    return (
+        """
+    WITH base AS MATERIALIZED (
+      SELECT DISTINCT 'P' || l_partkey AS src, 'S' || l_suppkey AS dst
+      FROM lineitem
+    ), hashed AS MATERIALIZED (
+      SELECT src, dst, """
+        + h_expr
+        + """ AS h FROM base
+    )"""
+        + "".join(segs)
+        + "\n"
+        + "\n    UNION ALL\n".join(stats)
+    )
+
+
+@query("g13_robustness", oracle=_g13_oracle((0.9, 0.7, 0.5)))
 def g13_robustness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G13 — robustness by random edge removal (NetSwan family,
     bin/error_interpersonaldiversity.R:62-66): degrade the Infects graph
-    to 90/70/50% and recompute size + degree stats (rows-only: seeded
-    sampling)."""
+    to 90/70/50% and recompute size + degree stats. sample_edges keeps an
+    edge iff md5_60(src|dst|seed) < fraction·2^60 — partition-invariant
+    (unlike df.sample) and replayed exactly by the oracle."""
     from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.kernels import (
         degrees,
         graph_size,
