@@ -74,6 +74,73 @@ def rarefy(
     return typed.groupBy(sample_col).applyInPandas(_rarefy_group, schema=out_schema)
 
 
+def rarefy_hash(
+    df: DataFrame,
+    sample_col: str,
+    item_col: str,
+    count_col: str,
+    depth: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Hash-rank rarefaction — the oracle-checkable twin of rarefy().
+
+    Expand each (sample, item) to `count` individuals, rank individuals
+    by the 60-bit md5 of (sample|item|index|seed), keep the `depth`
+    lowest per sample. A hash over distinct ids is a uniform random
+    permutation of the pooled community, so the kept multiset has exact
+    multivariate-hypergeometric marginals — same semantics as rarefy(),
+    but the draw is a pure function of the row: partition-invariant and
+    replayable in any md5-capable engine (the DuckDB oracle reproduces
+    it row for row).
+
+    The explode is ∝ Σ counts: right for bounded abundance counts; for
+    heavy-tailed counts use rarefy() (pandas hypergeometric, no
+    expansion). Samples with total < depth are dropped, as in rarefy().
+    """
+    from pyspark.sql import Window as W
+
+    typed = df.select(
+        F.col(sample_col).cast("string").alias(sample_col),
+        F.col(item_col).cast("string").alias(item_col),
+        F.col(count_col).cast("long").alias(count_col),
+    )
+    ok = (
+        typed.groupBy(sample_col)
+        .agg(F.sum(count_col).alias("_t"))
+        .filter(F.col("_t") >= depth)
+        .select(sample_col)
+    )
+    ind = typed.join(ok, sample_col).withColumn(
+        "_i", F.explode(F.sequence(F.lit(1), F.col(count_col)))
+    )
+    key = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col(sample_col),
+                    F.col(item_col),
+                    F.col("_i"),
+                    F.lit(str(seed)),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = W.partitionBy(sample_col).orderBy("_k", item_col, "_i")
+    kept = (
+        ind.withColumn("_k", key)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= depth)
+    )
+    return kept.groupBy(sample_col, item_col).agg(
+        F.count(F.lit(1)).alias(count_col)
+    )
+
+
 def bray_curtis(
     df: DataFrame,
     sample_col: str,

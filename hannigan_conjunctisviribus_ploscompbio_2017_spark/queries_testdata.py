@@ -1970,6 +1970,62 @@ def m1_rarefaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_M1_PORTABLE_ORACLE = f"""
+    WITH ab AS MATERIALIZED (
+      SELECT 'C' || o_custkey AS sample, CAST(l_partkey AS VARCHAR) AS item,
+             CAST(SUM(l_quantity) AS BIGINT) AS cnt
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY 1, 2
+    ), depth AS (
+      SELECT MIN(t) AS d
+      FROM (SELECT SUM(cnt) AS t FROM ab GROUP BY sample)
+    ), ind AS (
+      SELECT sample, item, unnest(generate_series(1, cnt)) AS i FROM ab
+    ), keyed AS (
+      SELECT sample, item, i,
+             {_MD5_60.format(c="sample || '|' || item || '|' || i || '|42'")} AS k
+      FROM ind
+    ), ranked AS (
+      SELECT sample, item,
+             ROW_NUMBER() OVER (PARTITION BY sample ORDER BY k, item, i) AS rn
+      FROM keyed
+    ), kept AS (
+      SELECT sample, item FROM ranked CROSS JOIN depth WHERE rn <= depth.d
+    )
+    SELECT sample, CAST(COUNT(DISTINCT item) AS BIGINT) AS richness,
+           CAST(COUNT(*) AS BIGINT) AS total
+    FROM kept GROUP BY sample
+    """
+
+
+@query("m1_rarefaction_portable", oracle=_M1_PORTABLE_ORACLE)
+def m1_rarefaction_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1 — hash-rank rarefaction to the global min depth (same
+    vegan::rrarefy semantics as m1_rarefaction, drawn by per-individual
+    md5 ranking instead of a pandas hypergeometric RNG). Every sample
+    meets the min depth by construction, so no sample is dropped and the
+    oracle replays the draw exactly — full value-hash parity for a
+    resampling operator."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.stats import rarefy_hash
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    ab = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy(
+            F.concat(F.lit("C"), F.col("o_custkey")).alias("sample"),
+            F.col("l_partkey").cast("string").alias("item"),
+        )
+        .agg(F.sum("l_quantity").cast("long").alias("count"))
+    )
+    depth = ab.groupBy("sample").agg(F.sum("count").alias("t")).agg(F.min("t")).collect()[0][0]
+    r = rarefy_hash(ab, "sample", "item", "count", depth=int(depth), seed=42)
+    return r.groupBy("sample").agg(
+        F.count(F.lit(1)).alias("richness"),
+        F.sum("count").alias("total"),
+    )
+
+
 @query("ml_rf_interactions")
 def ml_rf_interactions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M7-M12 — the reference's model pipeline end-to-end

@@ -36,6 +36,30 @@ def test_rarefy_respects_partitioning_invariance(spark):
     assert a == b  # seed derives from sample key, not partition layout
 
 
+def test_rarefy_hash_sums_to_depth_and_drops_shallow(spark):
+    r = stats.rarefy_hash(_abundance(spark), "sample", "item", "count", depth=30)
+    sums = {x["sample"]: x["s"] for x in r.groupBy("sample").agg(F.sum("count").alias("s")).collect()}
+    assert sums == {"s1": 30, "s2": 30}  # s3 (total 5) dropped
+
+
+def test_rarefy_hash_partition_invariant(spark):
+    df = _abundance(spark)
+    a = sorted(map(tuple, stats.rarefy_hash(df, "sample", "item", "count", 30).collect()))
+    b = sorted(map(tuple, stats.rarefy_hash(df.repartition(7), "sample", "item", "count", 30).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_rarefy_hash_marginals_track_abundance(spark):
+    # s1 has a 10/20/70 split; the kept 30 must never exceed the source
+    # counts and the dominant item must stay dominant on average
+    r = {x["item"]: x["count"] for x in
+         stats.rarefy_hash(_abundance(spark), "sample", "item", "count", 30)
+         .filter(F.col("sample") == "s1").collect()}
+    assert sum(r.values()) == 30
+    assert r.get("a", 0) <= 10 and r.get("b", 0) <= 20 and r.get("c", 0) <= 70
+    assert r["c"] == max(r.values())
+
+
 def test_bray_curtis_known_values(spark):
     # s1=(10,20,70), s2=(50,50,0): min-sum=10+20=30, totals 100+100
     # BC = 1 - 2*30/200 = 0.7
