@@ -1708,15 +1708,79 @@ def dd_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(emb, threshold=0.35, exact=True)
 
 
-@query("ss_srp_lsh_topk")
+def _srp_oracle(dim: int = 64, num_planes: int = 16, bands: int = 4, k: int = 5) -> str:
+    """DuckDB twin of the SRP-LSH top-k: the hyperplanes are seeded
+    Python literals compiled into the Spark plan, so the generator
+    injects the SAME literal arrays into SQL (repr round-trips the
+    doubles bit-exactly). Signature bits, banding, candidate join, and
+    the exact-cosine rerank are all replayed."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.similarity import _hyperplanes
+
+    bpb = num_planes // bands
+    plane_rows = ",\n        ".join(
+        f"({i}, [{', '.join(repr(x) for x in h)}])"
+        for i, h in enumerate(_hyperplanes(dim, num_planes, seed=42))
+    )
+    return f"""
+    WITH planes AS (
+      SELECT * FROM (VALUES
+        {plane_rows}
+      ) AS t(i, h)
+    ), vecs AS MATERIALIZED (
+      SELECT vec_id AS id, embedding AS v FROM embeddings
+    ), bits AS (
+      SELECT id, p.i,
+             CASE WHEN list_sum(list_transform(generate_series(1, {dim}),
+                    j -> CAST(v[j] AS DOUBLE) * CAST(h[j] AS DOUBLE))) >= 0
+                  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
+      FROM vecs CROSS JOIN planes p
+    ), sigs AS MATERIALIZED (
+      SELECT id, SUM(bit * (CAST(1 AS BIGINT) << i)) AS sig FROM bits GROUP BY id
+    ), banded AS MATERIALIZED (
+      SELECT id, b.band, (sig >> (b.band * {bpb})) & {(1 << bpb) - 1} AS bucket
+      FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, {bands - 1})) AS band) b
+    ), cand AS (
+      SELECT DISTINCT q.id AS query_id, n.id AS neighbor_id
+      FROM banded q JOIN banded n ON q.band = n.band AND q.bucket = n.bucket
+      WHERE q.id < 20 AND q.id != n.id
+    ), idx AS (SELECT unnest(generate_series(1, {dim})) AS j
+    ), scored AS (
+      SELECT c.query_id, c.neighbor_id,
+             ROUND(
+               SUM(CAST(qv.v[j] AS DOUBLE) * CAST(nv.v[j] AS DOUBLE))
+               / (SQRT(SUM(CAST(qv.v[j] AS DOUBLE) * CAST(qv.v[j] AS DOUBLE)))
+                  * SQRT(SUM(CAST(nv.v[j] AS DOUBLE) * CAST(nv.v[j] AS DOUBLE)))),
+               6) AS cosine_sim
+      FROM cand c
+      JOIN vecs qv ON qv.id = c.query_id
+      JOIN vecs nv ON nv.id = c.neighbor_id
+      CROSS JOIN idx
+      GROUP BY c.query_id, c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT query_id, neighbor_id, cosine_sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC
+             ) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@query("ss_srp_lsh_topk", oracle=_srp_oracle())
 def ss_srp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SRP-LSH bucketed approximate top-k (the corpus-scale ANN path;
-    rows-only — hyperplane family not SQL-reproducible)."""
+    """SRP-LSH bucketed approximate top-k (the corpus-scale ANN path).
+    The seeded hyperplanes are plan literals, so the oracle replays
+    signatures → banding → candidate join → exact-cosine rerank with the
+    same literal arrays — full value-hash parity."""
     from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.similarity import srp_lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 20)
-    return srp_lsh_topk(emb, queries_df, dim=64, k=5)
+    return srp_lsh_topk(emb, queries_df, dim=64, k=5).withColumn(
+        "rank", F.col("rank").cast("long")
+    )
 
 
 @query(
