@@ -212,6 +212,30 @@ def rarefaction_curve(
     return out
 
 
+def rarefaction_curve_hash(
+    df: DataFrame,
+    sample_col: str,
+    item_col: str,
+    count_col: str,
+    depths: list[int],
+    seed: int = 42,
+) -> DataFrame:
+    """M13 via rarefy_hash: per-sample richness at each depth. Because
+    the per-individual ranking is depth-independent, all depths share
+    one draw — and the DuckDB oracle replays the whole curve from a
+    single ranked CTE."""
+    out = None
+    for d in depths:
+        r = (
+            rarefy_hash(df, sample_col, item_col, count_col, d, seed)
+            .groupBy(sample_col)
+            .agg(F.count(F.lit(1)).alias("richness"))
+            .withColumn("depth", F.lit(d).cast("long"))
+        )
+        out = r if out is None else out.unionByName(r)
+    return out
+
+
 def permutation_pvalue(
     df: DataFrame,
     group_col: str,

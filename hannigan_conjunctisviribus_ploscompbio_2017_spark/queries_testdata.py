@@ -2429,6 +2429,65 @@ def m13_rarefaction_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_M13_PORTABLE_ORACLE = f"""
+    WITH ab AS MATERIALIZED (
+      SELECT 'C' || o_custkey AS sample, CAST(l_partkey AS VARCHAR) AS item,
+             CAST(SUM(l_quantity) AS BIGINT) AS cnt
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE o_custkey < 50
+      GROUP BY 1, 2
+    ), tot AS (
+      SELECT sample, SUM(cnt) AS t FROM ab GROUP BY sample
+    ), ind AS (
+      SELECT sample, item, unnest(generate_series(1, cnt)) AS i FROM ab
+    ), keyed AS (
+      SELECT sample, item, i,
+             {_MD5_60.format(c="sample || '|' || item || '|' || i || '|42'")} AS k
+      FROM ind
+    ), ranked AS MATERIALIZED (
+      SELECT sample, item,
+             ROW_NUMBER() OVER (PARTITION BY sample ORDER BY k, item, i) AS rn
+      FROM keyed
+    ), depths AS (SELECT unnest([50, 200, 500]) AS depth
+    ), rich AS (
+      SELECT d.depth, r.sample, COUNT(DISTINCT r.item) AS richness
+      FROM ranked r
+      JOIN tot ON tot.sample = r.sample
+      CROSS JOIN depths d
+      WHERE r.rn <= d.depth AND tot.t >= d.depth
+      GROUP BY d.depth, r.sample
+    )
+    SELECT CAST(depth AS BIGINT) AS depth,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           ROUND(AVG(CAST(richness AS DOUBLE)), 4) AS mean_richness
+    FROM rich GROUP BY depth
+    """
+
+
+@query("m13_rarefaction_curve_portable", oracle=_M13_PORTABLE_ORACLE)
+def m13_rarefaction_curve_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M13 — rarefaction curve via hash-rank draws: the per-individual
+    ranking is depth-independent, so the oracle replays all three depths
+    from one ranked CTE. Full value-hash parity for the curve."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.stats import rarefaction_curve_hash
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    ab = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy(
+            F.concat(F.lit("C"), F.col("o_custkey")).alias("sample"),
+            F.col("l_partkey").cast("string").alias("item"),
+        )
+        .agg(F.sum("l_quantity").cast("long").alias("count"))
+    )
+    curve = rarefaction_curve_hash(ab, "sample", "item", "count", depths=[50, 200, 500], seed=42)
+    return curve.groupBy("depth").agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.round(F.avg("richness"), 4).alias("mean_richness"),
+    )
+
+
 @query("m4_permutation_test")
 def m4_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M4 — permutation test: does avg order value differ between two
