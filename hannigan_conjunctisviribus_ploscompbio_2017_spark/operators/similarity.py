@@ -235,3 +235,69 @@ def srp_lsh_topk(
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_topk(
+    items: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF-flat approximate cosine top-k: coarse-quantize items into
+    `n_cells` cells (nearest centroid by cosine distance), probe each
+    query against its `n_probe` nearest cells, exact-rerank candidates.
+
+    Centroids are the `n_cells` md5-first item vectors — a deterministic
+    sample, so cell assignment is a pure function of the data
+    (partition-invariant, replayable by the DuckDB oracle). Swap in
+    KMeans centroids for tighter cells at the same plan shape: assignment
+    and probing are centroid-agnostic.
+
+    The 100 TB shape: centroid selection touches n_cells rows; items are
+    assigned once in a single projection over literal centroid arrays
+    (no shuffle, no Python) and persist bucketed by cell; each query
+    scans n_probe/n_cells of the corpus instead of all of it.
+    """
+    cent_rows = (
+        items.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+        .orderBy(F.md5(F.col("cid").cast("string")))
+        .limit(n_cells)
+        .collect()
+    )
+    cents = [(i, [float(x) for x in r["cvec"]]) for i, r in enumerate(cent_rows)]
+
+    def ranked_cells(v):
+        entries = []
+        for i, cv in cents:
+            carr = F.array(*[F.lit(x) for x in cv])
+            d = F.round(F.lit(1.0) - cosine(v, carr), round_to)
+            entries.append(F.struct(d.alias("d"), F.lit(i).alias("i")))
+        return F.array_sort(F.array(*entries))
+
+    n = items.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("n_vec"),
+        ranked_cells(F.col(vec_col))[0]["i"].alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(
+            F.transform(
+                F.slice(ranked_cells(F.col(vec_col)), 1, n_probe), lambda x: x["i"]
+            )
+        ).alias("cell"),
+    )
+    cand = n.join(F.broadcast(q), "cell").filter(F.col("q_id") != F.col("n_id"))
+    scored = cand.select(
+        F.col("q_id").alias("query_id"),
+        F.col("n_id").alias("neighbor_id"),
+        F.round(cosine(F.col("q_vec"), F.col("n_vec")), round_to).alias("cosine_sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -1783,6 +1783,80 @@ def ss_srp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_oracle(dim: int = 64, n_cells: int = 16, n_probe: int = 4, k: int = 5) -> str:
+    """DuckDB twin of the IVF-flat top-k: centroids are the md5-first
+    item vectors (data-derived, no literal injection needed), cell
+    assignment is argmin of 6dp-rounded cosine distance (ties by
+    centroid index), probing takes the n_probe nearest cells."""
+    cos = """SUM(CAST(t.v[j] AS DOUBLE) * CAST(c.cv[j] AS DOUBLE))
+               / (SQRT(SUM(CAST(t.v[j] AS DOUBLE) * CAST(t.v[j] AS DOUBLE)))
+                  * SQRT(SUM(CAST(c.cv[j] AS DOUBLE) * CAST(c.cv[j] AS DOUBLE))))"""
+    return f"""
+    WITH vecs AS MATERIALIZED (
+      SELECT vec_id AS id, embedding AS v FROM embeddings
+    ), cents AS MATERIALIZED (
+      SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(id AS VARCHAR))) - 1 AS ci,
+             v AS cv
+      FROM (SELECT id, v FROM vecs ORDER BY md5(CAST(id AS VARCHAR)) LIMIT {n_cells})
+    ), idx AS (SELECT unnest(generate_series(1, {dim})) AS j
+    ), dists AS MATERIALIZED (
+      SELECT t.id, c.ci,
+             ROUND(1.0 - {cos}, 6) AS d
+      FROM vecs t CROSS JOIN cents c CROSS JOIN idx
+      GROUP BY t.id, c.ci
+    ), cells AS MATERIALIZED (
+      SELECT id, ci AS cell FROM (
+        SELECT id, ci, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, ci) AS rn
+        FROM dists
+      ) WHERE rn = 1
+    ), probes AS (
+      SELECT id, ci AS cell FROM (
+        SELECT id, ci, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, ci) AS rn
+        FROM dists WHERE id < 20
+      ) WHERE rn <= {n_probe}
+    ), cand AS (
+      SELECT p.id AS query_id, c.id AS neighbor_id
+      FROM probes p JOIN cells c ON c.cell = p.cell
+      WHERE c.id != p.id
+    ), scored AS (
+      SELECT cd.query_id, cd.neighbor_id,
+             ROUND(
+               SUM(CAST(qv.v[j] AS DOUBLE) * CAST(nv.v[j] AS DOUBLE))
+               / (SQRT(SUM(CAST(qv.v[j] AS DOUBLE) * CAST(qv.v[j] AS DOUBLE)))
+                  * SQRT(SUM(CAST(nv.v[j] AS DOUBLE) * CAST(nv.v[j] AS DOUBLE)))),
+               6) AS cosine_sim
+      FROM cand cd
+      JOIN vecs qv ON qv.id = cd.query_id
+      JOIN vecs nv ON nv.id = cd.neighbor_id
+      CROSS JOIN idx
+      GROUP BY cd.query_id, cd.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT query_id, neighbor_id, cosine_sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC
+             ) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@query("ss_ivf_topk", oracle=_ivf_oracle())
+def ss_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat approximate cosine top-k (the cell-probing ANN scale
+    path, complementing SRP-LSH bucketing): deterministic md5-sampled
+    coarse centroids, single-projection cell assignment, n_probe-cell
+    candidate search, exact rerank — replayed end-to-end by the oracle."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 20)
+    return ivf_topk(emb, queries_df, dim=64, k=5).withColumn(
+        "rank", F.col("rank").cast("long")
+    )
+
+
 @query(
     "tx_token_stats",
     oracle="""

@@ -144,6 +144,25 @@ def test_srp_lsh_recall_vs_brute_force(spark):
     assert hits >= 6  # recall@1 ≥ 0.6 with 8 bands of 2 bits on random data
 
 
+def test_ivf_topk_recall_and_determinism(spark):
+    emb = _embeddings(spark, n=200)
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {r.query_id: r.neighbor_id
+             for r in similarity.brute_force_topk(emb, q, k=1).collect()}
+    approx = similarity.ivf_topk(emb, q, dim=8, k=1, n_cells=8, n_probe=4)
+    a = sorted(map(tuple, approx.collect()))
+    hits = sum(1 for qq, nn in exact.items()
+               if dict((r[0], r[1]) for r in a).get(qq) == nn)
+    assert hits >= 6  # recall@1 ≥ 0.6 probing half the cells
+    # the near-copy pair shares a cell: query 0 must find neighbor 1
+    assert dict((r[0], r[1]) for r in a)[0] == 1
+    # deterministic: same result regardless of partitioning
+    b = sorted(map(tuple,
+                   similarity.ivf_topk(emb.repartition(7), q, dim=8, k=1,
+                                       n_cells=8, n_probe=4).collect()))
+    assert a == b
+
+
 def test_embedding_near_dup_pairs(spark):
     emb = _embeddings(spark)  # vec 1 = near-copy of vec 0
     exact = {
