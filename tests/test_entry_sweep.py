@@ -43,3 +43,23 @@ def test_entry_runs(spark):
 def test_oracle_keys_subset_of_queries():
     qs, orc = set(queries()), set(oracle_sql())
     assert orc <= qs, f"oracles without queries: {sorted(orc - qs)}"
+
+
+@pytest.mark.parametrize("name", sorted(oracle_sql()))
+def test_oracle_sql_executes_in_duckdb(name):
+    """Every oracle must at least run in DuckDB against the real tables —
+    catches SQL syntax drift, CTE-inlining blowups, and file-handle
+    exhaustion in seconds, without Spark and without the driver."""
+    import duckdb
+
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.schemas import TESTDATA_TABLES
+
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF0001}/{t}.parquet')"
+        )
+    cur = con.execute(oracle_sql()[name])
+    assert cur.description, f"{name}: no result schema"
+    cur.fetchall()
+    con.close()
