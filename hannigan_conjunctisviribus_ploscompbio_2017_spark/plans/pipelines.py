@@ -138,3 +138,208 @@ def interpersonal_diversity(
         "distances": distances,
         "stats": stats,
     }
+
+
+def compare_skin(
+    site_edges: DataFrame,
+    seed: int = 42,
+    eigen_iter: int = 12,
+) -> dict[str, DataFrame]:
+    """Entry point: bin/CompareSkin.R (:21-423 in /root/reference) — the
+    multi-site interpersonal comparison.
+
+    Input: (patient, location, timepoint, phage, host, phage_abundance,
+    host_abundance) — the Q5 output with skin-site dims.
+
+    Stage trace (reference line cites):
+     1. F4 composite sample key patient__location__timepoint (:92,123-129)
+     2. A7 depth = 5th percentile of per-key phage totals (:55-59)
+     3. M1 seeded rarefaction per key (:63-117)
+     4. F7 log10 co-abundance weights (:142)
+     5. G6 per-key eigenvector centrality + Freeman centralization and
+        degree centralization (:175-189)
+     6. M2 Bray-Curtis between keys over centrality vectors (:292-302)
+     7. F5 key split-back + F8 intra/inter-patient class (:144-148)
+
+    Returns dict of lazy frames: centrality, centralization, distances,
+    stats.
+    """
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.kernels import centralization, degrees
+
+    e = site_edges.withColumn(
+        "skey", F.concat_ws("__", "patient", "location", "timepoint")
+    )
+    ab = e.select("skey", "phage", "phage_abundance").dropDuplicates(["skey", "phage"])
+    totals = ab.groupBy("skey").agg(F.sum("phage_abundance").alias("t"))
+    depth = int(totals.selectExpr("percentile(t, 0.05) AS d").collect()[0]["d"])
+    rarefied = rarefy(ab, "skey", "phage", "phage_abundance", depth=depth, seed=seed)
+
+    weighted = (
+        e.select("skey", "phage", "host", "host_abundance")
+        .join(rarefied, ["skey", "phage"])
+        .withColumn(
+            "weight",
+            edge_weight(F.col("phage_abundance") + 1, F.col("host_abundance") + 1),
+        )
+        .select("skey", F.col("phage").alias("src"), F.col("host").alias("dst"), "weight")
+    )
+    cent = eigenvector_centrality(
+        weighted, group_cols=["skey"], weight_col="weight", max_iter=eigen_iter
+    )
+    eig_cz = centralization(cent, "centrality", group_cols=["skey"]).withColumn(
+        "measure", F.lit("eigenvector")
+    )
+    deg = degrees(weighted, group_cols=["skey"]).withColumn(
+        "degree", F.col("degree").cast("double")
+    )
+    deg_cz = centralization(deg, "degree", group_cols=["skey"]).withColumn(
+        "measure", F.lit("degree")
+    )
+    centzn = eig_cz.unionByName(deg_cz)
+
+    distances = bray_curtis(cent, "skey", "node", "centrality")
+    pa, pb = F.split("sample_a", "__"), F.split("sample_b", "__")
+    distances = (
+        distances.withColumn("patient_a", pa[0])
+        .withColumn("location_a", pa[1])
+        .withColumn("patient_b", pb[0])
+        .withColumn("location_b", pb[1])
+        .withColumn(
+            "pair_class",
+            F.when(F.col("patient_a") == F.col("patient_b"), "intra_patient")
+            .otherwise("inter_patient"),
+        )
+    )
+    stats = distances.groupBy("pair_class").agg(
+        F.round(F.avg("bray_curtis"), 6).alias("mean_distance"),
+        F.round(F.stddev_pop("bray_curtis"), 6).alias("sd_distance"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
+    return {
+        "centrality": cent,
+        "centralization": centzn,
+        "distances": distances,
+        "stats": stats,
+    }
+
+
+def altered_diet(
+    diet_edges: DataFrame,
+    fractions: tuple[float, ...] = (1.0, 0.9, 0.7),
+    max_depth: int = 8,
+    eigen_iter: int = 10,
+    landmarks: int = 32,
+    seed: int = 42,
+) -> dict[str, DataFrame]:
+    """Entry point: bin/alteredDiet.R (:22-204; NetSwan robustness :5) —
+    per-diet-group network stats under progressive edge removal.
+
+    Input: (diet, src, dst, weight). For each retention fraction:
+    per-group node/edge counts, diameter/radius (G2 BFS from `landmarks`
+    md5-first roots per group — deterministic sampling; diameter is a
+    lower bound, radius an upper bound, and BFS cost stays
+    O(landmarks·V) at any scale), eigenvector centralization (G6), mean
+    degree — unioned into one robustness frame (fraction 1.0 row = the
+    undegraded bin/alteredDiet.R stats).
+
+    Edge removal uses the hash-filter sample (kernels.sample_edges), so
+    every fraction's subgraph is deterministic and partition-invariant.
+    """
+    from pyspark.sql import Window as W
+
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.kernels import (
+        bfs_distances,
+        centralization,
+        degrees,
+        diameter_radius,
+        graph_size,
+        sample_edges,
+        symmetrize,
+    )
+
+    out = None
+    for frac in fractions:
+        sub = diet_edges if frac >= 1.0 else sample_edges(diet_edges, frac, seed)
+        sz = graph_size(sub, ["diet"])
+        roots = (
+            symmetrize(sub.select("diet", "src", "dst"), ["diet"])
+            .select("diet", F.col("src").alias("root"))
+            .distinct()
+            .withColumn(
+                "_rn",
+                F.row_number().over(W.partitionBy("diet").orderBy(F.md5("root"))),
+            )
+            .filter(F.col("_rn") <= landmarks)
+            .drop("_rn")
+        )
+        dists = bfs_distances(
+            sub.select("diet", "src", "dst"),
+            group_cols=["diet"],
+            sources=roots,
+            max_depth=max_depth,
+        )
+        dr = diameter_radius(dists, ["diet"])
+        cz = centralization(
+            eigenvector_centrality(
+                sub, group_cols=["diet"], weight_col="weight", max_iter=eigen_iter
+            ),
+            "centrality",
+            ["diet"],
+        )
+        md = degrees(sub, ["diet"]).groupBy("diet").agg(
+            F.round(F.avg("degree"), 4).alias("mean_degree")
+        )
+        row = (
+            sz.join(dr, "diet")
+            .join(cz, "diet")
+            .join(md, "diet")
+            .withColumn("fraction", F.lit(float(frac)))
+        )
+        out = row if out is None else out.unionByName(row)
+    return {"robustness": out}
+
+
+def compare_twins(
+    sample_edges: DataFrame,
+    alpha: float = 0.1,
+    pr_iter: int = 10,
+    seed: int = 42,
+) -> dict[str, DataFrame]:
+    """Entry point: bin/compareTwins.R (:95-104) — per-sample node
+    importance under three measures: weighted PageRank (G9, :98-100),
+    alpha centrality (G8, :95-97), Shannon edge-weight entropy (G10,
+    :101-104), merged per (sample, node), plus a per-sample summary.
+
+    Input: (sample, src, dst, weight). All three kernels run grouped —
+    every per-sample subgraph in one job each, joined on (sample, node).
+    """
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.kernels import (
+        alpha_centrality,
+        degrees,
+        node_entropy,
+        pagerank,
+    )
+
+    pr = pagerank(
+        sample_edges, group_cols=["sample"], weight_col="weight", max_iter=pr_iter
+    )
+    # (I − αAᵀ) is singular once α ≥ 1/λ₁; cap α by the Gershgorin bound
+    # (max degree ≥ λ₁ of the unweighted adjacency) so the solve is
+    # well-posed for every per-sample subgraph regardless of data scale.
+    maxdeg = degrees(sample_edges, ["sample"]).agg(F.max("degree")).collect()[0][0]
+    safe_alpha = min(alpha, 0.5 / float(maxdeg))
+    ac = alpha_centrality(sample_edges, alpha=safe_alpha, group_cols=["sample"])
+    en = node_entropy(
+        sample_edges, weight_col="weight", group_cols=["sample"], node_col="src"
+    )
+    merged = (
+        pr.join(ac, ["sample", "node"], "full")
+        .join(en, ["sample", "node"], "full")
+    )
+    summary = merged.groupBy("sample").agg(
+        F.round(F.max("pagerank"), 6).alias("max_pagerank"),
+        F.round(F.max("alpha_centrality"), 6).alias("max_alpha"),
+        F.round(F.avg("entropy"), 6).alias("mean_entropy"),
+        F.count(F.lit(1)).alias("n_nodes"),
+    )
+    return {"importance": merged, "summary": summary}

@@ -2825,6 +2825,87 @@ def pipeline_interpersonal_diversity(spark: SparkSession, sf_dir: str) -> DataFr
     return out["stats"]
 
 
+@query("pipeline_compare_skin")
+def pipeline_compare_skin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §3 — bin/CompareSkin.R fused: composite
+    patient__location__timepoint keys (F4) → 5th-percentile depth (A7)
+    → rarefaction (M1) → weights (F7) → per-key eigenvector +
+    degree centralization (G6/G7) → Bray-Curtis (M2) → key split-back
+    (F5) + intra/inter-patient stats (rows-only: seeded resampling +
+    iterative centrality). Dims: patient=customer, location=nation,
+    timepoint=order priority."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.plans.pipelines import compare_skin
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 30)
+    cust = _t(spark, sf_dir, "customer")
+    e = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.concat(F.lit("C"), F.col("o_custkey")).alias("patient"),
+            F.concat(F.lit("N"), F.col("c_nationkey")).alias("location"),
+            F.substring("o_orderpriority", 1, 1).alias("timepoint"),
+            F.concat(F.lit("P"), F.col("l_partkey")).alias("phage"),
+            F.concat(F.lit("S"), F.col("l_suppkey")).alias("host"),
+        )
+        .agg(
+            F.sum("l_quantity").cast("long").alias("phage_abundance"),
+            F.sum("l_quantity").cast("long").alias("host_abundance"),
+        )
+    )
+    out = compare_skin(e, seed=42, eigen_iter=6)
+    return out["stats"]
+
+
+@query("pipeline_altered_diet")
+def pipeline_altered_diet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §3 — bin/alteredDiet.R fused: per-diet-group (customer
+    mktsegment) network stats under progressive hash-deterministic edge
+    removal: size, diameter/radius, eigencentralization, mean degree ×
+    retention fraction (rows-only: iterative kernels)."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.plans.pipelines import altered_diet
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    cust = _t(spark, sf_dir, "customer")
+    e = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("diet"),
+            F.concat(F.lit("P"), F.col("l_partkey")).alias("src"),
+            F.concat(F.lit("S"), F.col("l_suppkey")).alias("dst"),
+        )
+        .agg(F.sum("l_quantity").cast("double").alias("weight"))
+    )
+    out = altered_diet(e, fractions=(1.0, 0.8), max_depth=6, eigen_iter=6)
+    return out["robustness"]
+
+
+@query("pipeline_compare_twins")
+def pipeline_compare_twins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §3 — bin/compareTwins.R fused: per-sample weighted PageRank
+    (G9) + alpha centrality (G8) + edge-weight entropy (G10) merged per
+    (sample, node), summarized per sample (rows-only: iterative +
+    matrix-solve kernels)."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.plans.pipelines import compare_twins
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 40)
+    e = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.concat(F.lit("C"), F.col("o_custkey")).alias("sample"),
+            F.concat(F.lit("P"), F.col("l_partkey")).alias("src"),
+            F.concat(F.lit("S"), F.col("l_suppkey")).alias("dst"),
+        )
+        .agg(F.sum("l_quantity").cast("double").alias("weight"))
+    )
+    out = compare_twins(e, alpha=0.05, pr_iter=8)
+    return out["summary"]
+
+
 @query(
     "tx_quality_score",
     oracle="""

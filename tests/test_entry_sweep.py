@@ -17,10 +17,14 @@ from tests.conftest import SF0001
 from __spark_entry__ import entry, oracle_sql, queries
 
 # Iterative / ML entries that take minutes even at smoke scale; each has a
-# dedicated fixture test (test_kernels.py / test_ml.py / test_stats.py).
+# dedicated fixture test (test_kernels.py / test_ml.py / test_stats.py /
+# test_pipelines.py).
 SLOW = {
     "ml_rf_interactions",
     "pipeline_interpersonal_diversity",
+    "pipeline_compare_skin",
+    "pipeline_altered_diet",
+    "pipeline_compare_twins",
 }
 
 ALL = sorted(queries())

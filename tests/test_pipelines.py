@@ -1,0 +1,108 @@
+"""Composed-lifecycle pipelines (SURVEY §3) on closed-form fixtures."""
+
+from pyspark.sql import functions as F
+
+from hannigan_conjunctisviribus_ploscompbio_2017_spark.plans import pipelines as P
+
+
+def _q5_edges(spark):
+    rows = []
+    for s, mult in [("A1", 1), ("A2", 2), ("B1", 3)]:
+        for p, h, pa, ha in [
+            ("p1", "h1", 40, 10),
+            ("p1", "h2", 40, 20),
+            ("p2", "h1", 30, 10),
+            ("p3", "h2", 20, 30),
+        ]:
+            rows.append((s, p, h, pa * mult, ha * mult))
+    return spark.createDataFrame(
+        rows,
+        "sample string, phage string, host string, "
+        "phage_abundance long, host_abundance long",
+    )
+
+
+def test_interpersonal_diversity_stats_classes(spark):
+    cls = spark.createDataFrame(
+        [("A1", "grpA"), ("A2", "grpA"), ("B1", "grpB")], "sample string, cls string"
+    )
+    out = P.interpersonal_diversity(
+        _q5_edges(spark), sample_class=cls, eigen_iter=4
+    )
+    stats = {r["pair_class"]: r for r in out["stats"].collect()}
+    assert set(stats) == {"intra", "inter"}
+    assert stats["intra"]["n_pairs"] == 1  # (A1,A2)
+    assert stats["inter"]["n_pairs"] == 2  # (A1,B1), (A2,B1)
+    # rarefied sums hit the min per-sample depth for every kept sample
+    sums = {
+        r["sample"]: r["s"]
+        for r in out["rarefied"]
+        .groupBy("sample")
+        .agg(F.sum("phage_abundance").alias("s"))
+        .collect()
+    }
+    assert len(set(sums.values())) == 1
+
+
+def _site_edges(spark):
+    rows = []
+    for pt, loc in [("P1", "arm"), ("P1", "leg"), ("P2", "arm")]:
+        for p, h, pa, ha in [
+            ("p1", "h1", 50, 10),
+            ("p2", "h1", 30, 20),
+            ("p3", "h2", 20, 30),
+        ]:
+            rows.append((pt, loc, "T1", p, h, pa, ha))
+    return spark.createDataFrame(
+        rows,
+        "patient string, location string, timepoint string, phage string, "
+        "host string, phage_abundance long, host_abundance long",
+    )
+
+
+def test_compare_skin_centralization_and_classes(spark):
+    out = P.compare_skin(_site_edges(spark), eigen_iter=4)
+    cz = out["centralization"].collect()
+    keys = {r["skey"] for r in cz}
+    assert keys == {"P1__arm__T1", "P1__leg__T1", "P2__arm__T1"}
+    assert {r["measure"] for r in cz} == {"eigenvector", "degree"}
+    stats = {r["pair_class"]: r["n_pairs"] for r in out["stats"].collect()}
+    assert stats == {"intra_patient": 1, "inter_patient": 2}
+
+
+def test_altered_diet_robustness_degrades(spark):
+    rows = []
+    for diet in ("herb", "omni"):
+        for i in range(12):
+            rows.append((diet, f"p{i}", f"h{i % 4}", 1.0 + i))
+    e = spark.createDataFrame(rows, "diet string, src string, dst string, weight double")
+    out = P.altered_diet(e, fractions=(1.0, 0.5), max_depth=6, eigen_iter=4)
+    res = out["robustness"].collect()
+    assert len(res) == 4  # 2 diets x 2 fractions
+    by = {(r["diet"], r["fraction"]): r for r in res}
+    for diet in ("herb", "omni"):
+        assert by[(diet, 0.5)]["n_edges"] <= by[(diet, 1.0)]["n_edges"]
+        assert by[(diet, 1.0)]["n_edges"] == 12
+        assert by[(diet, 1.0)]["diameter"] >= by[(diet, 1.0)]["radius"]
+
+
+def test_compare_twins_importance_measures(spark):
+    rows = []
+    for s in ("tw1", "tw2"):
+        for p, h, w in [("p1", "h1", 2.0), ("p1", "h2", 1.0), ("p2", "h1", 4.0)]:
+            rows.append((s, p, h, w))
+    e = spark.createDataFrame(rows, "sample string, src string, dst string, weight double")
+    out = P.compare_twins(e, pr_iter=6)
+    summary = {r["sample"]: r for r in out["summary"].collect()}
+    assert set(summary) == {"tw1", "tw2"}
+    for r in summary.values():
+        assert 0 < r["max_pagerank"] <= 1
+        assert r["max_alpha"] > 0
+        assert r["n_nodes"] == 4  # p1, p2, h1, h2 (symmetrized node set)
+    imp = out["importance"]
+    # every (sample, node) row carries all three measures after the join
+    n_full = imp.filter(
+        F.col("pagerank").isNotNull()
+        & F.col("alpha_centrality").isNotNull()
+    ).count()
+    assert n_full == imp.count()
