@@ -44,7 +44,16 @@ def get_spark(app_name: str = "hannigan-cvb-spark", cpus: str | None = None) -> 
             os.environ.get("SPARK_GRAFT_AQE_COALESCE", "false"),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Broadcast threshold stays at Spark's 10 MB default ON PURPOSE.
+        # A 64 MB setting measured 5x slower on the flagship at 8x data:
+        # the orders FACT table (12 MB on disk, 1.2M rows) slid under it
+        # and was broadcast — the in-memory HashedRelation is an order of
+        # magnitude larger than the parquet bytes the estimate sees, and
+        # it is built single-threaded on the driver. Scale rule: true
+        # dimension tables get explicit F.broadcast() hints in the
+        # queries; the auto threshold only mops up genuinely small
+        # runtime shuffle outputs via AQE's exact size measurements.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
