@@ -1,0 +1,103 @@
+"""Scale validation: replicate sf0.1 K times with disjoint key spaces,
+run the headline bench queries on both, and report per-query scaling
+factors.
+
+A query whose wall-clock grows faster than data (factor >> K) has a
+scale bug — e.g. a fact table sliding under the broadcast threshold, a
+driver-side collect, or an output-quadratic join. This caught the
+64 MB-threshold orders-broadcast regression (factor ~10x at K=8).
+
+Usage: python tools/scale_check.py [K]   (default 8; writes the scaled
+dataset to .scratch/sfX once and reuses it)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC = "/root/testdata/sf0.1"
+BIG = 10_000_000
+SHIFTS = {
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "events": ["event_id", "user_id"],
+}
+COPY = ["region", "nation", "documents", "embeddings"]
+
+
+def build(dst: str, k: int) -> None:
+    from pyspark.sql import functions as F
+
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.session import get_spark
+
+    spark = get_spark("scale-build")
+    for t, shifts in SHIFTS.items():
+        src = spark.read.parquet(f"{SRC}/{t}.parquet")
+        out = None
+        for i in range(k):
+            d = src
+            for c in shifts:
+                d = d.withColumn(c, F.col(c) + i * BIG)
+            out = d if out is None else out.unionByName(d)
+        out.write.mode("overwrite").parquet(f"{dst}/{t}.parquet")
+    for t in COPY:
+        spark.read.parquet(f"{SRC}/{t}.parquet").write.mode("overwrite").parquet(
+            f"{dst}/{t}.parquet"
+        )
+    spark.stop()
+
+
+def bench(sf_dir: str) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+    out = subprocess.run(
+        [sys.executable, "bench.py"],
+        env=env,
+        capture_output=True,
+        text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        check=True,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    dst = os.path.abspath(f".scratch/sf{k}x")
+    if not os.path.exists(f"{dst}/lineitem.parquet"):
+        print(f"# building {dst} (K={k})", file=sys.stderr)
+        t0 = time.time()
+        build(dst, k)
+        print(f"# built in {time.time() - t0:.0f}s", file=sys.stderr)
+    base = bench(SRC)
+    big = bench(dst)
+    factors = {
+        q: round(big["queries"][q] / max(base["queries"][q], 1e-9), 2)
+        for q in base["queries"]
+    }
+    print(
+        json.dumps(
+            {
+                "k": k,
+                "base_total_s": base["value"],
+                "scaled_total_s": big["value"],
+                "per_query_factor": factors,
+                "verdict": {
+                    q: ("OK" if f <= k * 1.5 else "SUPERLINEAR — investigate")
+                    for q, f in factors.items()
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
