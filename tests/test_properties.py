@@ -109,3 +109,63 @@ def test_entropy_bounds(spark, weights):
     df = spark.createDataFrame(rows, "src string, dst string, weight double")
     h = node_entropy(df).collect()[0].entropy
     assert -1e-6 <= h <= math.log(len(weights)) + 1e-6
+
+
+@SLOW
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["s1", "s2", "s3"]),
+            st.sampled_from(["i1", "i2", "i3", "i4"]),
+            st.integers(min_value=1, max_value=30),
+        ),
+        min_size=1,
+        max_size=10,
+        unique_by=lambda r: (r[0], r[1]),
+    ),
+    depth=st.integers(min_value=1, max_value=40),
+)
+def test_rarefy_hash_invariants(spark, rows, depth):
+    """For ANY abundance table: kept counts never exceed source counts;
+    every surviving sample sums exactly to depth; samples below depth
+    are dropped entirely."""
+    df = spark.createDataFrame(rows, "sample string, item string, count long")
+    out = stats.rarefy_hash(df, "sample", "item", "count", depth=depth)
+    src = {(r["sample"], r["item"]): r["count"] for r in df.collect()}
+    totals: dict[str, int] = {}
+    for r in out.collect():
+        assert r["count"] <= src[(r["sample"], r["item"])]
+        totals[r["sample"]] = totals.get(r["sample"], 0) + r["count"]
+    src_totals: dict[str, int] = {}
+    for (s, _), c in src.items():
+        src_totals[s] = src_totals.get(s, 0) + c
+    for s, t in src_totals.items():
+        if t >= depth:
+            assert totals.get(s) == depth
+        else:
+            assert s not in totals
+
+
+@SLOW
+@given(
+    n=st.integers(min_value=1, max_value=40),
+    frac=st.sampled_from([0.0, 0.3, 0.7, 1.0]),
+    seed=st.integers(min_value=0, max_value=3),
+)
+def test_sample_edges_subset_and_nesting(spark, n, frac, seed):
+    """Hash-filter sampling: result ⊆ input; frac=1 keeps all, frac=0
+    none; and samples NEST — a higher fraction keeps a superset of a
+    lower one (same seed), because the keep rule is a threshold on one
+    per-edge hash. df.sample has no such property."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators import kernels as K
+
+    rows = [(f"p{i}", f"h{i % 5}") for i in range(n)]
+    e = spark.createDataFrame(rows, "src string, dst string")
+    lo = set(map(tuple, K.sample_edges(e, frac, seed=seed).collect()))
+    hi = set(map(tuple, K.sample_edges(e, min(1.0, frac + 0.3), seed=seed).collect()))
+    assert lo <= set(rows)
+    assert lo <= hi
+    if frac >= 1.0:
+        assert lo == set(rows)
+    if frac == 0.0:
+        assert lo == set()
