@@ -290,6 +290,51 @@ def pagerank(
     return ranks.select(*g, "node", F.round("rank", 8).alias("pagerank"))
 
 
+def katz_centrality(
+    edges: DataFrame,
+    group_cols: list[str] | None = None,
+    alpha: float = 0.05,
+    beta: float = 1.0,
+    max_iter: int = 15,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Katz-Bonacich centrality by truncated Neumann series:
+    x ← β·1 + α·Aᵀx, converging to (I − αAᵀ)⁻¹β1 when α < 1/λ₁
+    (igraph::alpha_centrality family, bin/compareTwins.R:95-97).
+
+    The distributed fixed-iteration twin of alpha_centrality's exact
+    per-group dense solve: same joint-iteration shape as pagerank —
+    max_iter shuffles total for every group at once, no per-group
+    matrix ever materialized. Callers must keep α below 1/λ₁ (e.g.
+    0.5 / max degree, the Gershgorin bound) or the truncated series
+    grows geometrically instead of converging.
+    """
+    g = _gcols(group_cols)
+    und = symmetrize(edges, g)
+    w = F.col(weight_col) if (weight_col and weight_col in und.columns) else F.lit(1.0)
+    adj = _checkpoint(und.select(*g, "src", "dst", w.cast("double").alias("w")))
+    nodes = _checkpoint(adj.select(*g, F.col("src").alias("node")).distinct())
+    x = nodes.withColumn("katz", F.lit(float(beta)))
+    with _loop_shuffle_width(adj):
+        for _ in range(max_iter):
+            msgs = adj.join(
+                x.withColumnRenamed("node", "src"), [*g, "src"]
+            ).groupBy(*g, F.col("dst").alias("node")).agg(
+                F.sum(F.col("w") * F.col("katz")).alias("_in")
+            )
+            x = _checkpoint(
+                nodes.join(msgs, [*g, "node"], "left").select(
+                    *g,
+                    "node",
+                    (
+                        F.lit(float(beta))
+                        + F.lit(alpha) * F.coalesce(F.col("_in"), F.lit(0.0))
+                    ).alias("katz"),
+                )
+            )
+    return x.select(*g, "node", F.round("katz", 6).alias("katz"))
+
+
 # --------------------------------------------------------------------------
 # G3 — connected components (large-star/small-star style min-label)
 # --------------------------------------------------------------------------

@@ -1311,6 +1311,60 @@ def _pagerank_oracle(iters: int, damping: float) -> str:
     return "".join(parts)
 
 
+def _katz_oracle(iters: int) -> str:
+    parts = [
+        """
+    WITH base AS MATERIALIZED (
+      SELECT DISTINCT 'P' || l_partkey AS src, 'S' || l_suppkey AS dst
+      FROM lineitem
+    ), und AS MATERIALIZED (
+      SELECT src, dst FROM base UNION SELECT dst AS src, src AS dst FROM base
+    ), nodes AS MATERIALIZED (
+      SELECT DISTINCT src AS node FROM und
+    ), a AS MATERIALIZED (
+      SELECT CAST(0.5 AS DOUBLE) / MAX(deg) AS alpha
+      FROM (SELECT src, COUNT(*) AS deg FROM und GROUP BY src)
+    ), x0 AS (
+      SELECT node, CAST(1.0 AS DOUBLE) AS katz FROM nodes
+    )"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f""", x{k} AS MATERIALIZED (
+      SELECT nodes.node,
+             CAST(1.0 AS DOUBLE)
+               + a.alpha * COALESCE(m.s, 0) AS katz
+      FROM nodes CROSS JOIN a
+      LEFT JOIN (
+        SELECT e.dst AS node, SUM(1.0 * x.katz) AS s
+        FROM x{k - 1} x JOIN und e ON e.src = x.node
+        GROUP BY e.dst
+      ) m ON m.node = nodes.node
+    )"""
+        )
+    parts.append(f"""
+    SELECT node, ROUND(katz, 6) AS katz FROM x{iters}""")
+    return "".join(parts)
+
+
+@query("gk_katz_centrality", oracle=_katz_oracle(15))
+def gk_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G8 — Katz-Bonacich centrality on the Infects graph by truncated
+    Neumann series (the fixed-iteration, shuffle-decomposable twin of
+    gk_alpha_centrality's exact solve; bin/compareTwins.R:95-97).
+    α = 0.5/max-degree (Gershgorin-safe, data-derived on BOTH sides so
+    the oracle replays the exact same series)."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.kernels import (
+        degrees,
+        katz_centrality,
+    )
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.plans.testdata_graph import infects_edges
+
+    e = infects_edges(spark, sf_dir).select("src", "dst")
+    maxdeg = degrees(e).agg(F.max("degree")).collect()[0][0]
+    return katz_centrality(e, alpha=0.5 / float(maxdeg), max_iter=15)
+
+
 @query("gk_pagerank", oracle=_pagerank_oracle(10, 0.85))
 def gk_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G9 — PageRank on the Infects graph (bin/compareTwins.R:98-100).

@@ -264,3 +264,29 @@ def test_alpha_centrality_path_matches_numpy(spark):
                  "node", "alpha_centrality")
     for n in nodes:
         assert got[n] == pytest.approx(expected[idx[n]], abs=1e-5)
+
+
+def test_katz_centrality_matches_truncated_series_and_exact(spark):
+    import numpy as np
+
+    nodes = sorted({n for e in P5 for n in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    A = np.zeros((5, 5))
+    for s, d in P5:
+        A[idx[d], idx[s]] = 1.0
+        A[idx[s], idx[d]] = 1.0
+    alpha, iters = 0.1, 15
+    x = np.ones(5)
+    for _ in range(iters):
+        x = np.ones(5) + alpha * (A @ x)
+    got = as_map(
+        K.katz_centrality(edges_df(spark, P5), alpha=alpha, max_iter=iters).collect(),
+        "node", "katz",
+    )
+    for n in nodes:
+        # exact truncated-series replay (both compute the same finite sum)
+        assert got[n] == pytest.approx(x[idx[n]], abs=1e-6)
+    # and with alpha < 1/lambda1 the series has converged to the solve
+    exact = np.linalg.solve(np.eye(5) - alpha * A, np.ones(5))
+    for n in nodes:
+        assert got[n] == pytest.approx(exact[idx[n]], abs=1e-3)
