@@ -212,6 +212,70 @@ def rarefaction_curve(
     return out
 
 
+def permutation_pvalue_portable(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    n_perm: int = 199,
+    seed: int = 42,
+) -> DataFrame:
+    """M4 with the portable md5 flip family over INTEGER-valued data —
+    the oracle-replayable twin of permutation_pvalue.
+
+    value_col is cast to long: with integral values every group sum is
+    exact, so the per-permutation mean differences are bit-identical
+    across engines and the exceed count needs no rounding tolerance at
+    all (hashing doubles-as-strings, by contrast, is not portable).
+    Row ids hash (value|tie-rank|seed); tied rows are exchangeable, so
+    the arbitrary tie order never changes any permutation statistic.
+    Flip rule per (row, perm): parity of md5_60(rid|perm).
+    """
+    from pyspark.sql import Window as W
+
+    md5_60 = lambda c: F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")  # noqa: E731
+    base = df.select(
+        F.col(group_col).alias("_g"), F.col(value_col).cast("long").alias("_v")
+    )
+    groups = sorted(str(r["_g"]) for r in base.select("_g").distinct().collect())
+    if len(groups) != 2:
+        raise ValueError(f"needs exactly 2 groups, got {groups}")
+    g1 = groups[0]
+
+    tie_rank = F.row_number().over(W.partitionBy("_v").orderBy(F.lit(1)))
+    rid = md5_60(F.concat_ws("|", F.col("_v"), tie_rank, F.lit(str(seed))))
+    perms = base.withColumn("_rid", rid).select(
+        "_v",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(n_perm)),
+                lambda p: F.struct(
+                    p.alias("perm"),
+                    (
+                        F.pmod(md5_60(F.concat_ws("|", F.col("_rid"), p)), 2) == 0
+                    ).alias("in_g1"),
+                ),
+            )
+        ).alias("pp"),
+    )
+    perm_stats = perms.groupBy(F.col("pp.perm").alias("perm")).agg(
+        (
+            F.avg(F.when(F.col("pp.in_g1"), F.col("_v")))
+            - F.avg(F.when(~F.col("pp.in_g1"), F.col("_v")))
+        ).alias("diff")
+    )
+    obs = {str(r["_g"]): r["m"] for r in base.groupBy("_g").agg(F.avg("_v").alias("m")).collect()}
+    observed = float(obs[g1]) - float(obs[groups[1]])
+    exceed = perm_stats.filter(F.abs(F.col("diff")) >= abs(observed)).count()
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(observed, float(exceed), float(n_perm))], "od double, e double, np double"
+    ).select(
+        F.round("od", 6).alias("observed_diff"),
+        F.round((F.col("e") + 1) / (F.col("np") + 1), 6).alias("p_value"),
+        F.col("np").cast("long").alias("n_perm"),
+    )
+
+
 def rarefaction_curve_hash(
     df: DataFrame,
     sample_col: str,

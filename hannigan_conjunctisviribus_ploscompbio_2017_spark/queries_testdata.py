@@ -2634,6 +2634,66 @@ def m4_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return permutation_pvalue(df, "grp", "val", n_perm=199, seed=42)
 
 
+def _m4_portable_oracle(n_perm: int = 199, seed: int = 42) -> str:
+    rid_key = _MD5_60.format(c=f"v || '|' || tr || '|{seed}'")
+    flip_key = _MD5_60.format(c="CAST(rid AS VARCHAR) || '|' || p.p")
+    return f"""
+    WITH base AS MATERIALIZED (
+      SELECT c_mktsegment AS g,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+    ), ranked AS MATERIALIZED (
+      SELECT g, v, ROW_NUMBER() OVER (PARTITION BY v ORDER BY 1) AS tr
+      FROM base
+    ), rids AS MATERIALIZED (
+      SELECT g, v, {rid_key} AS rid FROM ranked
+    ), flips AS (
+      SELECT r.v, p.p, ({flip_key} % 2 = 0) AS in_g1
+      FROM rids r
+      CROSS JOIN (SELECT unnest(generate_series(1, {n_perm})) AS p) p
+    ), stats AS (
+      SELECT p,
+             AVG(CASE WHEN in_g1 THEN v END)
+               - AVG(CASE WHEN NOT in_g1 THEN v END) AS diff
+      FROM flips GROUP BY p
+    ), obs AS (
+      SELECT (SELECT AVG(v) FROM base WHERE g = 'BUILDING')
+           - (SELECT AVG(v) FROM base WHERE g = 'MACHINERY') AS od
+    ), ex AS (
+      SELECT COUNT(*) AS e FROM stats CROSS JOIN obs
+      WHERE ABS(diff) >= ABS(od)
+    )
+    SELECT ROUND(obs.od, 6) AS observed_diff,
+           ROUND((ex.e + 1) / ({n_perm} + 1.0), 6) AS p_value,
+           CAST({n_perm} AS BIGINT) AS n_perm
+    FROM obs CROSS JOIN ex
+    """
+
+
+@query("m4_permutation_portable", oracle=_m4_portable_oracle())
+def m4_permutation_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 — permutation test on integer order-value cents with the
+    portable md5 flip family: integral values make every group sum
+    exact, so per-permutation statistics are bit-identical across
+    engines and the oracle replays the full null distribution, exceed
+    count, and p-value with no tolerance."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.stats import permutation_pvalue_portable
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    )
+    df = orders.join(
+        F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+        orders.o_custkey == F.col("c_custkey"),
+    ).select(
+        F.col("c_mktsegment").alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("val_cents"),
+    )
+    return permutation_pvalue_portable(df, "grp", "val_cents", n_perm=199, seed=42)
+
+
 @query(
     "graph_build_e2e",
     oracle="""

@@ -102,6 +102,18 @@ def test_permutation_pvalue_null(spark):
     assert res.p_value > 0.2
 
 
+def test_permutation_portable_signal_and_null(spark):
+    rows = [("a", v) for v in range(0, 20)] + [("b", v) for v in range(100, 120)]
+    df = spark.createDataFrame(rows, "grp string, val long")
+    res = stats.permutation_pvalue_portable(df, "grp", "val", n_perm=199).collect()[0]
+    assert abs(res.observed_diff) == pytest.approx(100.0, abs=1e-6)
+    assert res.p_value < 0.05
+    null_rows = [("a", v % 10) for v in range(40)] + [("b", v % 10) for v in range(40)]
+    ndf = spark.createDataFrame(null_rows, "grp string, val long")
+    nres = stats.permutation_pvalue_portable(ndf, "grp", "val", n_perm=199).collect()[0]
+    assert nres.p_value > 0.2
+
+
 def test_sample_columns_deterministic(spark):
     from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.relational import sample_columns
 
