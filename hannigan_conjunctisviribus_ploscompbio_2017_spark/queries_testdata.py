@@ -1506,17 +1506,6 @@ def dd_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.12)
 
 
-@query("dd_minhash_lsh")
-def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidates (banding join; rows-only — the
-    hash family isn't reproducible in single-statement SQL)."""
-    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.dedup import minhash_lsh_pairs
-
-    return minhash_lsh_pairs(_t(spark, sf_dir, "documents")).filter(
-        F.col("est_jaccard") >= 0.25
-    )
-
-
 # Cross-engine building blocks for the hash-family oracles: normalized
 # text and the md5-based 60-bit token hash (see dedup.portable_token_hash
 # — DuckDB computes the same value from the md5 hex digits).
@@ -1605,8 +1594,8 @@ def dd_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (16 perms) with the portable md5 hash family:
     the oracle recomputes every affine min-hash from the same seeded
     coefficients, verifying the signature math exactly. The xxhash64
-    banded pair search stays rows-only (dd_minhash_lsh) — its bucket hash
-    is engine-internal — but dd_minhash_lsh_portable verifies the full
+    band/bucket configuration is the production default — its bucket hash
+    is engine-internal — and dd_minhash_lsh verifies the full
     banding+estimation pipeline with the portable family."""
     from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.dedup import (
         minhash_signatures,
@@ -1676,13 +1665,16 @@ def _minhash_lsh_oracle(num_hashes: int = 32, bands: int = 8) -> str:
     """
 
 
-@query("dd_minhash_lsh_portable", oracle=_minhash_lsh_oracle())
-def dd_minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("dd_minhash_lsh", oracle=_minhash_lsh_oracle())
+def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH banded near-dup pair search, portable md5 family +
     band-content bucket keys: the oracle replays shingling → 32-perm
     signatures → 8-band candidate join → Jaccard estimation end-to-end.
-    dd_minhash_lsh (xxhash64 family, hashed buckets) remains the
-    corpus-scale path; same plan shape."""
+    The operator's default (xxhash64 family, hashed band buckets) is the
+    cheaper corpus-scale configuration — identical plan shape, covered by
+    test_dedup_similarity recall/precision fixtures — but its engine-
+    internal hash isn't SQL-replayable, so the registered entry pins the
+    portable family for the oracle gate."""
     from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.dedup import (
         minhash_lsh_pairs,
         portable_token_hash,
