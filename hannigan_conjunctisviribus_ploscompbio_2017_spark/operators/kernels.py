@@ -819,11 +819,17 @@ def alpha_centrality(
     alpha: float = 0.1,
     group_cols: list[str] | None = None,
     weight_col: str | None = None,
+    cap_alpha: bool = False,
 ) -> DataFrame:
     """Alpha (Katz-Bonacich) centrality x = (I − αAᵀ)⁻¹·e per subgraph
     (igraph::alpha_centrality, bin/compareTwins.R:95-97;
     bin/CompareNetworkGroups.R:123-124). Per-group dense solve inside
-    applyInPandas — same distribution argument as betweenness."""
+    applyInPandas — same distribution argument as betweenness.
+
+    cap_alpha=True clamps α per subgraph to 0.5/max_row_sum(|A|) — the
+    Gershgorin bound on λ₁ of the (possibly weighted) adjacency — so
+    (I − αAᵀ) stays nonsingular for every group at any data scale,
+    without a driver-side pass to find the global max degree."""
     import numpy as np
     import pandas as pd
 
@@ -847,7 +853,12 @@ def alpha_centrality(
         w = pdf[weight_col] if has_w else [1.0] * len(pdf)
         for s, d, wv in zip(pdf["src"], pdf["dst"], w):
             A[idx[d], idx[s]] = float(wv)  # transpose: incoming influence
-        x = np.linalg.solve(np.eye(n) - alpha * A, np.ones(n))
+        a_eff = alpha
+        if cap_alpha:
+            row_sum = np.abs(A).sum(axis=1).max()
+            if row_sum > 0:
+                a_eff = min(alpha, 0.5 / float(row_sum))
+        x = np.linalg.solve(np.eye(n) - a_eff * A, np.ones(n))
         rows = {c: [str(pdf[c].iloc[0])] * n for c in g_eff}
         rows["node"] = nodes
         rows["alpha_centrality"] = x.tolist()

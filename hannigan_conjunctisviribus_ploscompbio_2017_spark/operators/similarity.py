@@ -247,6 +247,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 6,
+    centroid_frac: float | None = None,
 ) -> DataFrame:
     """IVF-flat approximate cosine top-k: coarse-quantize items into
     `n_cells` cells (nearest centroid by cosine distance), probe each
@@ -258,17 +259,38 @@ def ivf_topk(
     KMeans centroids for tighter cells at the same plan shape: assignment
     and probing are centroid-agnostic.
 
-    The 100 TB shape: centroid selection touches n_cells rows; items are
-    assigned once in a single projection over literal centroid arrays
-    (no shuffle, no Python) and persist bucketed by cell; each query
-    scans n_probe/n_cells of the corpus instead of all of it.
+    The 100 TB shape: centroid selection is an EAGER pass over the items
+    table at operator-construction time — Catalyst turns orderBy+limit
+    into TakeOrderedAndProject (per-partition top-n heaps merged on the
+    driver, never a global shuffle-sort), but it still reads every row
+    once. `centroid_frac` cuts that to a hash-thresholded subset: only
+    rows with md5_60(id) < frac·2^60 are scanned, which provably
+    contains the global md5-first n_cells whenever ≥ n_cells rows
+    survive (md5_60 ordering is a prefix of full-md5 ordering); if fewer
+    survive, the operator falls back to the unfiltered pass, so results
+    are identical for any frac. Item assignment is then a single
+    projection over literal centroid arrays (no shuffle, no Python) and
+    persists bucketed by cell; each query scans n_probe/n_cells of the
+    corpus instead of all of it.
     """
-    cent_rows = (
-        items.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
-        .orderBy(F.md5(F.col("cid").cast("string")))
-        .limit(n_cells)
-        .collect()
-    )
+    sel = items.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+    cent_rows: list = []
+    if centroid_frac is not None and 0.0 < centroid_frac < 1.0:
+        h = F.conv(
+            F.substring(F.md5(F.col("cid").cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        cent_rows = (
+            sel.filter(h < F.lit(int(centroid_frac * (1 << 60))))
+            .orderBy(F.md5(F.col("cid").cast("string")))
+            .limit(n_cells)
+            .collect()
+        )
+    if len(cent_rows) < n_cells:
+        cent_rows = (
+            sel.orderBy(F.md5(F.col("cid").cast("string")))
+            .limit(n_cells)
+            .collect()
+        )
     cents = [(i, [float(x) for x in r["cvec"]]) for i, r in enumerate(cent_rows)]
 
     def ranked_cells(v):

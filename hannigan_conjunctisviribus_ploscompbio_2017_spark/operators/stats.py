@@ -219,8 +219,16 @@ def permutation_pvalue_portable(
     n_perm: int = 199,
     seed: int = 42,
 ) -> DataFrame:
-    """M4 with the portable md5 flip family over INTEGER-valued data —
+    """M4 with the portable md5 hash family over INTEGER-valued data —
     the oracle-replayable twin of permutation_pvalue.
+
+    MARGIN-PRESERVING permutation null: for each permutation, rows are
+    ranked by md5_60(rid|perm) — a uniform random permutation of the
+    pooled rows — and the n1 lowest are labeled g1, where n1 is the
+    OBSERVED size of group 1.  Permuted group sizes therefore equal the
+    observed n1/n2 exactly (the permutation null), unlike an independent
+    per-row Bernoulli flip (a random-allocation null whose variance
+    deviates for unbalanced groups).
 
     value_col is cast to long: with integral values every group sum is
     exact, so the per-permutation mean differences are bit-identical
@@ -228,7 +236,6 @@ def permutation_pvalue_portable(
     all (hashing doubles-as-strings, by contrast, is not portable).
     Row ids hash (value|tie-rank|seed); tied rows are exchangeable, so
     the arbitrary tie order never changes any permutation statistic.
-    Flip rule per (row, perm): parity of md5_60(rid|perm).
     """
     from pyspark.sql import Window as W
 
@@ -240,27 +247,25 @@ def permutation_pvalue_portable(
     if len(groups) != 2:
         raise ValueError(f"needs exactly 2 groups, got {groups}")
     g1 = groups[0]
+    n1 = base.filter(F.col("_g") == g1).count()
 
     tie_rank = F.row_number().over(W.partitionBy("_v").orderBy(F.lit(1)))
     rid = md5_60(F.concat_ws("|", F.col("_v"), tie_rank, F.lit(str(seed))))
-    perms = base.withColumn("_rid", rid).select(
-        "_v",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.lit(n_perm)),
-                lambda p: F.struct(
-                    p.alias("perm"),
-                    (
-                        F.pmod(md5_60(F.concat_ws("|", F.col("_rid"), p)), 2) == 0
-                    ).alias("in_g1"),
-                ),
-            )
-        ).alias("pp"),
+    keyed = (
+        base.withColumn("_rid", rid)
+        .select(
+            "_v",
+            "_rid",
+            F.explode(F.sequence(F.lit(1), F.lit(n_perm))).alias("perm"),
+        )
+        .withColumn("_pk", md5_60(F.concat_ws("|", F.col("_rid"), F.col("perm"))))
     )
-    perm_stats = perms.groupBy(F.col("pp.perm").alias("perm")).agg(
+    wp = W.partitionBy("perm").orderBy("_pk", "_rid")
+    labeled = keyed.withColumn("in_g1", F.row_number().over(wp) <= n1)
+    perm_stats = labeled.groupBy("perm").agg(
         (
-            F.avg(F.when(F.col("pp.in_g1"), F.col("_v")))
-            - F.avg(F.when(~F.col("pp.in_g1"), F.col("_v")))
+            F.avg(F.when(F.col("in_g1"), F.col("_v")))
+            - F.avg(F.when(~F.col("in_g1"), F.col("_v")))
         ).alias("diff")
     )
     obs = {str(r["_g"]): r["m"] for r in base.groupBy("_g").agg(F.avg("_v").alias("m")).collect()}
@@ -308,9 +313,11 @@ def permutation_pvalue(
     seed: int = 42,
 ) -> DataFrame:
     """M4 — permutation test for a two-group mean difference, fully
-    distributed: explode n_perm pseudo-permutations (hash-seeded label
-    reassignment), compute the statistic per permutation in ONE
-    aggregation, compare against the observed statistic.
+    distributed, MARGIN-PRESERVING: per permutation, rank the pooled
+    rows by xxhash64(rid, perm) (a uniform random permutation) and label
+    the n1 lowest as group 1, where n1 is the observed group-1 size —
+    the exact permutation null, not a per-row Bernoulli reallocation.
+    One explode + one window + ONE aggregation for all permutations.
 
     Returns 1 row: (observed_diff, p_value, n_perm).
     """
@@ -321,10 +328,11 @@ def permutation_pvalue(
     if len(groups) != 2:
         raise ValueError(f"permutation_pvalue needs exactly 2 groups, got {groups}")
     g1 = groups[0] if str(groups[0]) < str(groups[1]) else groups[1]
+    n1 = base.filter(F.col("_g") == g1).count()
 
     obs = base.groupBy("_g").agg(F.avg("_v").alias("m"))
     # deterministic row id for permutation hashing. Hashing the VALUE
-    # alone makes tied rows flip in lockstep (degenerate null
+    # alone makes tied rows move in lockstep (degenerate null
     # distribution); disambiguate ties with their rank among equal
     # values — the multiset of ids stays deterministic for a given
     # dataset even though which tied row gets which rank is arbitrary
@@ -332,25 +340,21 @@ def permutation_pvalue(
     from pyspark.sql import Window as W
 
     tie_rank = F.row_number().over(W.partitionBy("_v").orderBy(F.lit(1)))
-    base = base.withColumn("_rid", F.xxhash64("_v", tie_rank, F.lit(seed)))
-    rid = F.col("_rid")
-    perms = base.withColumn("_rid", rid).select(
-        "_v",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.lit(n_perm)),
-                lambda p: F.struct(
-                    p.alias("perm"),
-                    # pseudo-random group flip per (row, perm)
-                    (F.pmod(F.xxhash64(F.col("_rid"), p), 2) == 0).alias("in_g1"),
-                ),
-            )
-        ).alias("pp"),
+    keyed = (
+        base.withColumn("_rid", F.xxhash64("_v", tie_rank, F.lit(seed)))
+        .select(
+            "_v",
+            "_rid",
+            F.explode(F.sequence(F.lit(1), F.lit(n_perm))).alias("perm"),
+        )
+        .withColumn("_pk", F.xxhash64(F.col("_rid"), F.col("perm")))
     )
-    perm_stats = perms.groupBy(F.col("pp.perm").alias("perm")).agg(
+    wp = W.partitionBy("perm").orderBy("_pk", "_rid")
+    labeled = keyed.withColumn("in_g1", F.row_number().over(wp) <= n1)
+    perm_stats = labeled.groupBy("perm").agg(
         (
-            F.avg(F.when(F.col("pp.in_g1"), F.col("_v")))
-            - F.avg(F.when(~F.col("pp.in_g1"), F.col("_v")))
+            F.avg(F.when(F.col("in_g1"), F.col("_v")))
+            - F.avg(F.when(~F.col("in_g1"), F.col("_v")))
         ).alias("diff")
     )
     obs_rows = {r["_g"]: r["m"] for r in obs.collect()}

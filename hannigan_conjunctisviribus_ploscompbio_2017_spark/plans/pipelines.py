@@ -159,7 +159,8 @@ def compare_skin(
      5. G6 per-key eigenvector centrality + Freeman centralization and
         degree centralization (:175-189)
      6. M2 Bray-Curtis between keys over centrality vectors (:292-302)
-     7. F5 key split-back + F8 intra/inter-patient class (:144-148)
+     7. F5 dim recovery (broadcast skey→dims map, separator-safe) + F8
+        intra/inter-patient class (:144-148)
 
     Returns dict of lazy frames: centrality, centralization, distances,
     stats.
@@ -198,12 +199,27 @@ def compare_skin(
     centzn = eig_cz.unionByName(deg_cz)
 
     distances = bray_curtis(cent, "skey", "node", "centrality")
-    pa, pb = F.split("sample_a", "__"), F.split("sample_b", "__")
+    # Recover the dims by joining the distinct skey→(patient, location)
+    # map back — NOT by re-splitting the composite key, which silently
+    # mis-parses any dimension value containing the separator.
+    dims = e.select("skey", "patient", "location").distinct()
+    da = F.broadcast(
+        dims.select(
+            F.col("skey").alias("sample_a"),
+            F.col("patient").alias("patient_a"),
+            F.col("location").alias("location_a"),
+        )
+    )
+    db = F.broadcast(
+        dims.select(
+            F.col("skey").alias("sample_b"),
+            F.col("patient").alias("patient_b"),
+            F.col("location").alias("location_b"),
+        )
+    )
     distances = (
-        distances.withColumn("patient_a", pa[0])
-        .withColumn("location_a", pa[1])
-        .withColumn("patient_b", pb[0])
-        .withColumn("location_b", pb[1])
+        distances.join(da, "sample_a")
+        .join(db, "sample_b")
         .withColumn(
             "pair_class",
             F.when(F.col("patient_a") == F.col("patient_b"), "intra_patient")
@@ -315,22 +331,35 @@ def compare_twins(
     """
     from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.kernels import (
         alpha_centrality,
-        degrees,
         node_entropy,
         pagerank,
+        symmetrize,
     )
 
     pr = pagerank(
         sample_edges, group_cols=["sample"], weight_col="weight", max_iter=pr_iter
     )
-    # (I − αAᵀ) is singular once α ≥ 1/λ₁; cap α by the Gershgorin bound
-    # (max degree ≥ λ₁ of the unweighted adjacency) so the solve is
-    # well-posed for every per-sample subgraph regardless of data scale.
-    maxdeg = degrees(sample_edges, ["sample"]).agg(F.max("degree")).collect()[0][0]
-    safe_alpha = min(alpha, 0.5 / float(maxdeg))
-    ac = alpha_centrality(sample_edges, alpha=safe_alpha, group_cols=["sample"])
+    # Weighted alpha centrality, as in the reference (compareTwins.R:95-97
+    # passes weights=E(g)$weight).  (I − αAᵀ) is singular once α ≥ 1/λ₁;
+    # cap_alpha clamps α per subgraph by the WEIGHTED Gershgorin bound
+    # (max row-sum of |A| ≥ λ₁) inside the grouped solve itself — no
+    # driver-side max-degree collect, and each sample gets the tightest
+    # well-posedness cap for its own subgraph.
+    ac = alpha_centrality(
+        sample_edges,
+        alpha=alpha,
+        group_cols=["sample"],
+        weight_col="weight",
+        cap_alpha=True,
+    )
+    # igraph::diversity (compareTwins.R:101-104) scores EVERY vertex's
+    # incident-edge weight entropy; symmetrize first so dst-side (host)
+    # nodes are covered too, not just the src-side phages.
     en = node_entropy(
-        sample_edges, weight_col="weight", group_cols=["sample"], node_col="src"
+        symmetrize(sample_edges.select("sample", "src", "dst", "weight"), ["sample"]),
+        weight_col="weight",
+        group_cols=["sample"],
+        node_col="src",
     )
     merged = (
         pr.join(ac, ["sample", "node"], "full")

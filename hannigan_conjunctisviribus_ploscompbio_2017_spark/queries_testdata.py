@@ -1898,7 +1898,9 @@ def ss_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 20)
-    return ivf_topk(emb, queries_df, dim=64, k=5).withColumn(
+    # centroid_frac exercises the hash-threshold centroid scan (identical
+    # result to the full pass by construction — see ivf_topk docstring)
+    return ivf_topk(emb, queries_df, dim=64, k=5, centroid_frac=0.2).withColumn(
         "rank", F.col("rank").cast("long")
     )
 
@@ -2628,7 +2630,7 @@ def m4_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _m4_portable_oracle(n_perm: int = 199, seed: int = 42) -> str:
     rid_key = _MD5_60.format(c=f"v || '|' || tr || '|{seed}'")
-    flip_key = _MD5_60.format(c="CAST(rid AS VARCHAR) || '|' || p.p")
+    perm_key = _MD5_60.format(c="CAST(rid AS VARCHAR) || '|' || p.p")
     return f"""
     WITH base AS MATERIALIZED (
       SELECT c_mktsegment AS g,
@@ -2640,15 +2642,22 @@ def _m4_portable_oracle(n_perm: int = 199, seed: int = 42) -> str:
       FROM base
     ), rids AS MATERIALIZED (
       SELECT g, v, {rid_key} AS rid FROM ranked
-    ), flips AS (
-      SELECT r.v, p.p, ({flip_key} % 2 = 0) AS in_g1
+    ), keyed AS (
+      SELECT r.v, p.p, r.rid, {perm_key} AS pk
       FROM rids r
       CROSS JOIN (SELECT unnest(generate_series(1, {n_perm})) AS p) p
+    ), labeled AS (
+      -- margin-preserving null: per permutation the n1 hash-lowest rows
+      -- take group-1's observed size
+      SELECT v, p,
+             ROW_NUMBER() OVER (PARTITION BY p ORDER BY pk, rid)
+               <= (SELECT COUNT(*) FROM base WHERE g = 'BUILDING') AS in_g1
+      FROM keyed
     ), stats AS (
       SELECT p,
              AVG(CASE WHEN in_g1 THEN v END)
                - AVG(CASE WHEN NOT in_g1 THEN v END) AS diff
-      FROM flips GROUP BY p
+      FROM labeled GROUP BY p
     ), obs AS (
       SELECT (SELECT AVG(v) FROM base WHERE g = 'BUILDING')
            - (SELECT AVG(v) FROM base WHERE g = 'MACHINERY') AS od
@@ -2665,11 +2674,12 @@ def _m4_portable_oracle(n_perm: int = 199, seed: int = 42) -> str:
 
 @query("m4_permutation_portable", oracle=_m4_portable_oracle())
 def m4_permutation_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M4 — permutation test on integer order-value cents with the
-    portable md5 flip family: integral values make every group sum
-    exact, so per-permutation statistics are bit-identical across
-    engines and the oracle replays the full null distribution, exceed
-    count, and p-value with no tolerance."""
+    """M4 — margin-preserving permutation test on integer order-value
+    cents with the portable md5 hash family: per permutation the n1
+    hash-lowest rows take group 1's observed size, and integral values
+    make every group sum exact, so per-permutation statistics are
+    bit-identical across engines and the oracle replays the full null
+    distribution, exceed count, and p-value with no tolerance."""
     from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.stats import permutation_pvalue_portable
 
     orders = _t(spark, sf_dir, "orders")

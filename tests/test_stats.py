@@ -126,6 +126,23 @@ def test_sample_columns_deterministic(spark):
     assert a != c or len(a) != len(c)  # different seed → (almost surely) different pick
 
 
+def test_permutation_unbalanced_groups_null(spark):
+    # margin-preserving null: with a 6-vs-54 split from one distribution
+    # the p-value must stay calibrated (a Bernoulli(1/2) reallocation
+    # null inflates the variance here and over-rejects)
+    rows = [("a", float(v)) for v in (0, 8, 1, 7, 2, 6)] + [
+        ("b", float(v % 9)) for v in range(54)
+    ]  # both groups mean 4.0
+    df = spark.createDataFrame(rows, "grp string, val double")
+    res = stats.permutation_pvalue(df, "grp", "val", n_perm=199).collect()[0]
+    assert res.p_value > 0.2
+    ldf = spark.createDataFrame(
+        [(g, int(v)) for g, v in rows], "grp string, val long"
+    )
+    lres = stats.permutation_pvalue_portable(ldf, "grp", "val", n_perm=199).collect()[0]
+    assert lres.p_value > 0.2
+
+
 def test_permutation_pvalue_all_tied_values(spark):
     # regression: tied values used to share one permutation id, collapsing
     # the null distribution; all-equal groups must give p ≈ 1, not ≈ 0
