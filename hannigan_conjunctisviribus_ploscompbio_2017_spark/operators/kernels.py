@@ -293,7 +293,7 @@ def pagerank(
 def katz_centrality(
     edges: DataFrame,
     group_cols: list[str] | None = None,
-    alpha: float = 0.05,
+    alpha: float | DataFrame = 0.05,
     beta: float = 1.0,
     max_iter: int = 15,
     weight_col: str | None = None,
@@ -307,18 +307,28 @@ def katz_centrality(
     max_iter shuffles total for every group at once, no per-group
     matrix ever materialized. Callers must keep α below 1/λ₁ (e.g.
     0.5 / max degree, the Gershgorin bound) or the truncated series
-    grows geometrically instead of converging.
+    grows geometrically instead of converging.  α may be a float or a
+    1-row/1-column DataFrame (e.g. a data-derived 0.5/max-degree
+    aggregate) broadcast into the plan — no driver-side collect.
     """
     g = _gcols(group_cols)
     und = symmetrize(edges, g)
     w = F.col(weight_col) if (weight_col and weight_col in und.columns) else F.lit(1.0)
     adj = _checkpoint(und.select(*g, "src", "dst", w.cast("double").alias("w")))
-    nodes = _checkpoint(adj.select(*g, F.col("src").alias("node")).distinct())
+    nodes = adj.select(*g, F.col("src").alias("node")).distinct()
+    if isinstance(alpha, DataFrame):
+        acol = alpha.columns[0]
+        nodes = nodes.crossJoin(
+            F.broadcast(alpha.select(F.col(acol).cast("double").alias("_alpha")))
+        )
+    else:
+        nodes = nodes.withColumn("_alpha", F.lit(float(alpha)))
+    nodes = _checkpoint(nodes)
     x = nodes.withColumn("katz", F.lit(float(beta)))
     with _loop_shuffle_width(adj):
         for _ in range(max_iter):
             msgs = adj.join(
-                x.withColumnRenamed("node", "src"), [*g, "src"]
+                x.select(*g, F.col("node").alias("src"), "katz"), [*g, "src"]
             ).groupBy(*g, F.col("dst").alias("node")).agg(
                 F.sum(F.col("w") * F.col("katz")).alias("_in")
             )
@@ -326,9 +336,10 @@ def katz_centrality(
                 nodes.join(msgs, [*g, "node"], "left").select(
                     *g,
                     "node",
+                    "_alpha",
                     (
                         F.lit(float(beta))
-                        + F.lit(alpha) * F.coalesce(F.col("_in"), F.lit(0.0))
+                        + F.col("_alpha") * F.coalesce(F.col("_in"), F.lit(0.0))
                     ).alias("katz"),
                 )
             )

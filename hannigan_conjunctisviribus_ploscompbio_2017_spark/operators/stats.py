@@ -34,7 +34,7 @@ def rarefy(
     sample_col: str,
     item_col: str,
     count_col: str,
-    depth: int,
+    depth: int | DataFrame,
     seed: int = 42,
 ) -> DataFrame:
     """Subsample each sample's counts to exactly `depth` total
@@ -42,26 +42,35 @@ def rarefy(
     Samples with total < depth are dropped (vegan warns; we drop,
     matching the reference's depth-first filter).
 
+    `depth` may be an int or a 1-row/1-column DataFrame (e.g. the A7
+    min-depth aggregate): the frame is broadcast-crossJoined into the
+    plan, so the threshold stays IN the Catalyst DAG — no driver-side
+    collect splitting the pipeline into two jobs.
+
     Output: (sample_col, item_col, count_col) with per-sample sums ==
     depth. Deterministic: RNG seeded from sha256(seed, sample key).
     """
     out_schema = f"{sample_col} string, {item_col} string, {count_col} long"
+    depth_is_frame = isinstance(depth, DataFrame)
+    # the closure must not capture the depth DataFrame (unpicklable)
+    depth_int = None if depth_is_frame else int(depth)
 
     def _rarefy_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        d = int(pdf["_depth"].iloc[0]) if depth_is_frame else depth_int
         total = int(pdf[count_col].sum())
-        if total < depth:
-            return pd.DataFrame(columns=pdf.columns[:3]).astype(
-                {sample_col: str, item_col: str, count_col: np.int64}
-            )
+        if total < d:
+            return pd.DataFrame(
+                {sample_col: [], item_col: [], count_col: []}
+            ).astype({sample_col: str, item_col: str, count_col: np.int64})
         # canonical item order: the draw must not depend on partition
         # layout or shuffle order, only on (seed, sample, item multiset)
         pdf = pdf.sort_values(item_col, kind="mergesort").reset_index(drop=True)
         key = str(pdf[sample_col].iloc[0])
         rng = np.random.default_rng(_seed_for(key, seed))
         counts = pdf[count_col].to_numpy(dtype=np.int64)
-        # draw `depth` individuals without replacement from the pooled
+        # draw `d` individuals without replacement from the pooled
         # community: multivariate hypergeometric via sequential draws
-        kept = rng.multivariate_hypergeometric(counts, depth)
+        kept = rng.multivariate_hypergeometric(counts, d)
         res = pdf[[sample_col, item_col]].copy()
         res[count_col] = kept
         return res[res[count_col] > 0]
@@ -71,6 +80,11 @@ def rarefy(
         F.col(item_col).cast("string").alias(item_col),
         F.col(count_col).cast("long").alias(count_col),
     )
+    if depth_is_frame:
+        dcol = depth.columns[0]
+        typed = typed.crossJoin(
+            F.broadcast(depth.select(F.col(dcol).cast("long").alias("_depth")))
+        )
     return typed.groupBy(sample_col).applyInPandas(_rarefy_group, schema=out_schema)
 
 
@@ -79,7 +93,7 @@ def rarefy_hash(
     sample_col: str,
     item_col: str,
     count_col: str,
-    depth: int,
+    depth: int | DataFrame,
     seed: int = 42,
 ) -> DataFrame:
     """Hash-rank rarefaction — the oracle-checkable twin of rarefy().
@@ -96,6 +110,9 @@ def rarefy_hash(
     The explode is ∝ Σ counts: right for bounded abundance counts; for
     heavy-tailed counts use rarefy() (pandas hypergeometric, no
     expansion). Samples with total < depth are dropped, as in rarefy().
+
+    `depth` may be an int or a 1-row/1-column DataFrame, broadcast into
+    the plan (single Catalyst DAG — no driver-side collect).
     """
     from pyspark.sql import Window as W
 
@@ -104,10 +121,17 @@ def rarefy_hash(
         F.col(item_col).cast("string").alias(item_col),
         F.col(count_col).cast("long").alias(count_col),
     )
+    if isinstance(depth, DataFrame):
+        dcol = depth.columns[0]
+        typed = typed.crossJoin(
+            F.broadcast(depth.select(F.col(dcol).cast("long").alias("_depth")))
+        )
+    else:
+        typed = typed.withColumn("_depth", F.lit(int(depth)))
     ok = (
         typed.groupBy(sample_col)
-        .agg(F.sum(count_col).alias("_t"))
-        .filter(F.col("_t") >= depth)
+        .agg(F.sum(count_col).alias("_t"), F.first("_depth").alias("_d"))
+        .filter(F.col("_t") >= F.col("_d"))
         .select(sample_col)
     )
     ind = typed.join(ok, sample_col).withColumn(
@@ -134,7 +158,7 @@ def rarefy_hash(
     kept = (
         ind.withColumn("_k", key)
         .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= depth)
+        .filter(F.col("_rn") <= F.col("_depth"))
     )
     return kept.groupBy(sample_col, item_col).agg(
         F.count(F.lit(1)).alias(count_col)

@@ -76,14 +76,17 @@ def interpersonal_diversity(
     ab = e.select("sample", "phage", "phage_abundance").dropDuplicates(
         ["sample", "phage"]
     )
-    depth_row = (
+    # A7 min depth stays IN the plan: the 1-row aggregate is broadcast
+    # into the rarefaction (relational.py:129 pattern) — one Catalyst
+    # DAG, no driver-side collect between the stages.
+    depth_df = (
         ab.groupBy("sample")
         .agg(F.sum("phage_abundance").alias("t"))
         .agg(F.min("t").alias("depth"))
-        .collect()[0]
     )
-    depth = int(depth_row["depth"])
-    rarefied = rarefy(ab, "sample", "phage", "phage_abundance", depth=depth, seed=seed)
+    rarefied = rarefy(
+        ab, "sample", "phage", "phage_abundance", depth=depth_df, seed=seed
+    )
 
     # 6. weighted per-sample interaction graph (F7): join rarefied phage
     # abundance back to the host side of each edge
@@ -172,8 +175,9 @@ def compare_skin(
     )
     ab = e.select("skey", "phage", "phage_abundance").dropDuplicates(["skey", "phage"])
     totals = ab.groupBy("skey").agg(F.sum("phage_abundance").alias("t"))
-    depth = int(totals.selectExpr("percentile(t, 0.05) AS d").collect()[0]["d"])
-    rarefied = rarefy(ab, "skey", "phage", "phage_abundance", depth=depth, seed=seed)
+    # A7 5th-percentile depth as an in-plan 1-row frame (no collect)
+    depth_df = totals.selectExpr("CAST(percentile(t, 0.05) AS LONG) AS d")
+    rarefied = rarefy(ab, "skey", "phage", "phage_abundance", depth=depth_df, seed=seed)
 
     weighted = (
         e.select("skey", "phage", "host", "host_abundance")

@@ -1361,8 +1361,8 @@ def gk_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hannigan_conjunctisviribus_ploscompbio_2017_spark.plans.testdata_graph import infects_edges
 
     e = infects_edges(spark, sf_dir).select("src", "dst")
-    maxdeg = degrees(e).agg(F.max("degree")).collect()[0][0]
-    return katz_centrality(e, alpha=0.5 / float(maxdeg), max_iter=15)
+    alpha_df = degrees(e).agg((0.5 / F.max("degree")).alias("a"))
+    return katz_centrality(e, alpha=alpha_df, max_iter=15)
 
 
 @query("gk_pagerank", oracle=_pagerank_oracle(10, 0.85))
@@ -2148,8 +2148,8 @@ def m1_rarefaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum("l_quantity").cast("long").alias("count"))
     )
-    depth = ab.groupBy("sample").agg(F.sum("count").alias("t")).agg(F.min("t")).collect()[0][0]
-    r = rarefy(ab, "sample", "item", "count", depth=int(depth), seed=42)
+    depth_df = ab.groupBy("sample").agg(F.sum("count").alias("t")).agg(F.min("t").alias("d"))
+    r = rarefy(ab, "sample", "item", "count", depth=depth_df, seed=42)
     return r.groupBy("sample").agg(
         F.count(F.lit(1)).alias("richness"),
         F.sum("count").alias("total"),
@@ -2204,8 +2204,8 @@ def m1_rarefaction_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum("l_quantity").cast("long").alias("count"))
     )
-    depth = ab.groupBy("sample").agg(F.sum("count").alias("t")).agg(F.min("t")).collect()[0][0]
-    r = rarefy_hash(ab, "sample", "item", "count", depth=int(depth), seed=42)
+    depth_df = ab.groupBy("sample").agg(F.sum("count").alias("t")).agg(F.min("t").alias("d"))
+    r = rarefy_hash(ab, "sample", "item", "count", depth=depth_df, seed=42)
     return r.groupBy("sample").agg(
         F.count(F.lit(1)).alias("richness"),
         F.sum("count").alias("total"),

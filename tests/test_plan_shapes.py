@@ -64,6 +64,22 @@ def test_limit_does_not_global_sort(spark):
     assert "TakeOrderedAndProject" in plan  # bounded heap, not full sort
 
 
+def test_rarefy_depth_stays_in_plan(spark):
+    # A7→M1: a DataFrame depth must be broadcast INTO the rarefaction
+    # plan (one Catalyst DAG), not collected driver-side — the 1-row
+    # min-depth aggregate appears as a broadcast subtree of the SAME plan
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.stats import rarefy_hash
+
+    ab = load_table(spark, SF0001, "lineitem").groupBy(
+        F.col("l_orderkey").cast("string").alias("s"),
+        F.col("l_partkey").cast("string").alias("i"),
+    ).agg(F.sum("l_quantity").cast("long").alias("c"))
+    depth_df = ab.groupBy("s").agg(F.sum("c").alias("t")).agg(F.min("t").alias("d"))
+    plan = plan_of(rarefy_hash(ab, "s", "i", "c", depth=depth_df))
+    assert "min(" in plan  # depth aggregate is a subtree of this one plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
 def test_column_subsample_prunes_scan(spark):
     # R7's driver-side column choice must turn into parquet-level pruning:
     # every lineitem scan in the plan reads only the 3 chosen columns.

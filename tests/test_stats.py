@@ -114,6 +114,17 @@ def test_permutation_portable_signal_and_null(spark):
     assert nres.p_value > 0.2
 
 
+def test_rarefy_frame_depth_matches_int_depth(spark):
+    rows = [(f"s{j}", f"i{v}", (v * 7) % 11 + 1) for j in range(4) for v in range(12)]
+    df = spark.createDataFrame(rows, "s string, i string, c long")
+    depth_df = df.groupBy("s").agg(F.sum("c").alias("t")).agg(F.min("t").alias("d"))
+    d = depth_df.collect()[0]["d"]
+    for fn in (stats.rarefy, stats.rarefy_hash):
+        by_int = {(r.s, r.i): r.c for r in fn(df, "s", "i", "c", depth=int(d)).collect()}
+        by_frame = {(r.s, r.i): r.c for r in fn(df, "s", "i", "c", depth=depth_df).collect()}
+        assert by_int == by_frame
+
+
 def test_sample_columns_deterministic(spark):
     from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.relational import sample_columns
 
