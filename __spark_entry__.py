@@ -57,6 +57,7 @@ _PRIORITY = [
     "ss_srp_lsh_topk",
     "ss_ivf_topk",
     # rows-only (no cross-engine oracle feasible), unmeasured in r01
+    "gk_greedy_modularity",
     "gk_betweenness",
     "gk_betweenness_distributed",
     "gk_alpha_centrality",

@@ -621,6 +621,124 @@ def modularity(
     return q.groupBy(*g).agg(F.round(F.sum("_q_c"), 6).alias("modularity"))
 
 
+def greedy_modularity(
+    edges: DataFrame,
+    group_cols: list[str] | None = None,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Exact-style greedy modularity maximization (Clauset-Newman-Moore
+    agglomeration) per group — the small-graph fallback the reference
+    reaches for with igraph walktrap/fastgreedy
+    (bin/CompareNetworkGroups.R:66-69, bin/TriadicClosures.R:58-61).
+
+    Scale regime: each GROUP's subgraph is merged greedily inside one
+    applyInPandas task (CNM heap, O(m log² n) per group), so thousands
+    of per-sample subgraphs still run as ONE Spark job — but a single
+    group must fit one task (the reference's use case: per-study
+    networks of 10²-10³ nodes). For one big graph use
+    label_propagation, the O(supersteps) scale path.
+
+    Deterministic: ΔQ ties break on the lexicographically smallest
+    community pair; community ids are each community's minimum node id.
+    Returns (group_cols..., node, community, modularity) — modularity is
+    the final Q of the group's partition (same value the modularity()
+    aggregate computes for these labels).
+    """
+    import heapq
+
+    import pandas as pd
+
+    g = _gcols(group_cols)
+    und = symmetrize(edges, g)
+    has_w = weight_col and weight_col in und.columns
+    if not g:
+        und = und.withColumn("_g", F.lit(1))
+        g_eff = ["_g"]
+    else:
+        g_eff = g
+    out_schema = (
+        ", ".join(f"{c} string" for c in g_eff)
+        + ", node string, community string, modularity double"
+    )
+
+    def _cnm(pdf: pd.DataFrame) -> pd.DataFrame:
+        # one undirected edge per (src<dst) pair; symmetrize emitted both
+        w_ser = pdf[weight_col] if has_w else [1.0] * len(pdf)
+        wmap: dict[tuple[str, str], float] = {}
+        for s, d, wv in zip(pdf["src"], pdf["dst"], w_ser):
+            s, d = str(s), str(d)
+            if s < d:
+                wmap[(s, d)] = float(wv)
+        nodes = sorted({n for p in wmap for n in p} | set(map(str, pdf["src"])))
+        if not wmap:
+            rows = {c: [str(pdf[c].iloc[0])] * len(nodes) for c in g_eff}
+            rows["node"] = nodes
+            rows["community"] = nodes
+            rows["modularity"] = [0.0] * len(nodes)
+            return pd.DataFrame(rows)
+        two_m = 2.0 * sum(wmap.values())
+        # e[i][j]: fraction of edge weight between communities (symmetric,
+        # both directions summed → w/(2m) per direction)
+        e: dict[str, dict[str, float]] = {n: {} for n in nodes}
+        a: dict[str, float] = {n: 0.0 for n in nodes}
+        for (s, d), wv in wmap.items():
+            f_ = wv / two_m
+            e[s][d] = e[s].get(d, 0.0) + f_
+            e[d][s] = e[d].get(s, 0.0) + f_
+            a[s] += f_
+            a[d] += f_
+        members: dict[str, list[str]] = {n: [n] for n in nodes}
+        q = -sum(v * v for v in a.values())  # Σ e_ii − a_i², e_ii = 0
+        stamp: dict[str, int] = {n: 0 for n in nodes}
+        heap: list[tuple[float, str, str, int, int]] = []
+        for i in nodes:
+            for j, f_ in e[i].items():
+                if i < j:
+                    dq = 2.0 * (f_ - a[i] * a[j])
+                    heapq.heappush(heap, (-dq, i, j, 0, 0))
+        while heap:
+            ndq, i, j, si, sj = heapq.heappop(heap)
+            if stamp.get(i) != si or stamp.get(j) != sj:
+                continue  # stale entry
+            if -ndq <= 1e-15:
+                break
+            # merge j into i
+            q += -ndq
+            for n_, f_ in e[j].items():
+                if n_ == i:
+                    continue
+                e[i][n_] = e[i].get(n_, 0.0) + f_
+                e[n_][i] = e[i][n_]
+                del e[n_][j]
+            e[i].pop(j, None)
+            a[i] += a[j]
+            members[i].extend(members.pop(j))
+            del e[j], a[j], stamp[j]
+            stamp[i] = si + 1
+            for n_, f_ in e[i].items():
+                lo, hi = (i, n_) if i < n_ else (n_, i)
+                dq = 2.0 * (f_ - a[i] * a[n_])
+                heapq.heappush(heap, (-dq, lo, hi, stamp[lo], stamp[hi]))
+        rows: dict[str, list] = {c: [] for c in g_eff}
+        out_nodes: list[str] = []
+        out_comm: list[str] = []
+        gvals = [str(pdf[c].iloc[0]) for c in g_eff]
+        for root, ms in members.items():
+            label = min(ms)
+            for n_ in ms:
+                out_nodes.append(n_)
+                out_comm.append(label)
+        for c, v in zip(g_eff, gvals):
+            rows[c] = [v] * len(out_nodes)
+        rows["node"] = out_nodes
+        rows["community"] = out_comm
+        rows["modularity"] = [round(q, 6)] * len(out_nodes)
+        return pd.DataFrame(rows)
+
+    res = und.groupBy(*g_eff).applyInPandas(_cnm, schema=out_schema)
+    return res.select(*g, "node", "community", "modularity")
+
+
 # --------------------------------------------------------------------------
 # G13 — robustness via random edge removal
 # --------------------------------------------------------------------------

@@ -1445,6 +1445,39 @@ def gk_communities_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return modularity(e, comm)
 
 
+@query("gk_greedy_modularity")
+def gk_greedy_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G11 exact fallback — CNM greedy modularity agglomeration on
+    per-disease Infects subgraphs (the reference's walktrap/fastgreedy
+    path, bin/CompareNetworkGroups.R:66-69; SURVEY §7 risk register:
+    'LPA + a driver-side exact fallback for small graphs').  Grouped —
+    all disease subgraphs merge in one applyInPandas job.  Rows-only:
+    the greedy agglomeration sequence isn't SQL-expressible; determinism
+    and Q-vs-modularity() agreement are pinned by test_kernels closed-
+    form fixtures."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.kernels import greedy_modularity
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.schemas import load_table
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_partkey") <= 120)
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    seg = (
+        orders.join(F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+                    orders.o_custkey == F.col("c_custkey"))
+        .select("o_orderkey", "c_mktsegment")
+    )
+    e = (
+        li.join(seg, li.l_orderkey == F.col("o_orderkey"))
+        .select(
+            F.col("c_mktsegment").alias("grp"),
+            F.concat(F.lit("P"), F.col("l_partkey")).alias("src"),
+            F.concat(F.lit("S"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    return greedy_modularity(e, group_cols=["grp"]).orderBy("grp", "node")
+
+
 # =========================================================================
 # Training-data pipeline: dedup / similarity / text analysis (north star)
 # =========================================================================

@@ -204,6 +204,54 @@ def test_modularity_two_cliques(spark):
     assert q == pytest.approx(0.357, abs=0.01)
 
 
+def test_greedy_modularity_two_cliques(spark):
+    # CNM on two K3s + bridge: the greedy agglomeration must recover the
+    # cliques exactly, with the published Q = 2·(3/7 − (7/14)²) = 0.357143
+    pairs = (
+        [(a, b) for a in "abc" for b in "abc" if a < b]
+        + [(a, b) for a in "xyz" for b in "xyz" if a < b]
+        + [("c", "x")]
+    )
+    e = edges_df(spark, pairs)
+    rows = K.greedy_modularity(e).collect()
+    lab = as_map(rows, "node", "community")
+    assert lab["a"] == lab["b"] == lab["c"]
+    assert lab["x"] == lab["y"] == lab["z"]
+    assert lab["a"] != lab["x"]
+    q = rows[0]["modularity"]
+    assert q == pytest.approx(5.0 / 14.0, abs=1e-6)
+    # the reported Q must equal what the modularity() aggregate computes
+    # for the same labels
+    comm = e.sparkSession.createDataFrame(
+        [(n, c) for n, c in lab.items()], "node string, community string"
+    )
+    q2 = K.modularity(e, comm).collect()[0]["modularity"]
+    assert q == pytest.approx(q2, abs=1e-6)
+
+
+def test_greedy_modularity_grouped_and_deterministic(spark):
+    # two disjoint cliques with NO bridge in group g1 (Q = 1/2 for the
+    # 2-clique partition of two K3s: 6/6 − 2·(6/12)² = 0.5) and a path
+    # graph in g2 — one job, per-group results; rerun must be identical
+    pairs1 = [(a, b) for a in "abc" for b in "abc" if a < b] + [
+        (a, b) for a in "xyz" for b in "xyz" if a < b
+    ]
+    pairs2 = [("p", "q"), ("q", "r"), ("r", "s")]
+    e = edges_df(spark, pairs1, group="g1").unionByName(
+        edges_df(spark, pairs2, group="g2")
+    )
+    out1 = sorted(map(tuple, K.greedy_modularity(e, ["g"]).collect()))
+    out2 = sorted(map(tuple, K.greedy_modularity(e, ["g"]).collect()))
+    assert out1 == out2
+    g1 = {r[1]: r[2] for r in out1 if r[0] == "g1"}
+    assert g1["a"] == g1["b"] == g1["c"]
+    assert g1["x"] == g1["y"] == g1["z"]
+    assert g1["a"] != g1["x"]
+    q1 = {r[3] for r in out1 if r[0] == "g1"}
+    assert len(q1) == 1
+    assert next(iter(q1)) == pytest.approx(0.5, abs=1e-6)
+
+
 def test_grouped_kernels_independent_groups(spark):
     # same kernel invocation computes both groups at once
     e1 = edges_df(spark, P5, group="g1")
