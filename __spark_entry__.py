@@ -65,6 +65,8 @@ _PRIORITY = [
     "m4_permutation_test",
     "m13_rarefaction_curve",
     "ml_rf_interactions",
+    "ml_nested_cv",
+    "ml_roc_points",
     "pipeline_interpersonal_diversity",
     "pipeline_compare_skin",
     "pipeline_altered_diet",

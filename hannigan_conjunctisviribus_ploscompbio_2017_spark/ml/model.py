@@ -134,3 +134,100 @@ def feature_importances(model: PipelineModel) -> dict[str, float]:
     """M11 — varImp analog."""
     rf = model.stages[-1]
     return dict(zip(FEATURES, [float(x) for x in rf.featureImportances.toArray()]))
+
+
+def nested_cv(
+    df: DataFrame,
+    n_outer: int = 5,
+    train_frac: float = 0.8,
+    num_folds: int = 5,
+    num_trees: int = 100,
+    seed: int = 42,
+) -> DataFrame:
+    """M10 — explicit nested cross-validation: `n_outer` outer
+    iterations of stratified split → inner CV model selection → held-out
+    evaluation, the reference's avgaucnested.tsv loop
+    (bin/CalculatePredModel.R:68-170: `for (i in 1:iterationcount)`
+    around createDataPartition + caret CV).
+
+    The outer loop is a driver loop by nature (each iteration trains a
+    model), but every iteration's fit/evaluate is fully distributed.
+    Returns one Spark DataFrame: (iteration, cv_auc, auc, sensitivity,
+    specificity, n_test) — mean of the auc column reproduces the
+    reference's nested-average AUC."""
+    rows = []
+    for i in range(n_outer):
+        it_seed = seed + i
+        train, test = stratified_split(df, train_frac=train_frac, seed=it_seed)
+        model, cv_auc = train_cv(
+            train, num_folds=num_folds, num_trees=num_trees, seed=it_seed
+        )
+        m = evaluate(model, test)
+        rows.append(
+            (
+                i,
+                round(float(cv_auc), 6),
+                round(float(m["auc"]), 6),
+                round(float(m["sensitivity"]), 6),
+                round(float(m["specificity"]), 6),
+                int(m["n_test"]),
+            )
+        )
+    return df.sparkSession.createDataFrame(
+        rows,
+        "iteration int, cv_auc double, auc double, sensitivity double, "
+        "specificity double, n_test long",
+    )
+
+
+def roc_from_scores(
+    scored: DataFrame, score_col: str = "score", label_col: str = "label"
+) -> DataFrame:
+    """ROC curve points from (score, binary label) rows — distributed:
+    group ties by score, one global-ordered cumulative window (ROC is a
+    total order by construction; the windowed frame is the already-
+    aggregated distinct-score table, not the raw rows). Returns
+    (threshold, fpr, tpr) descending by threshold, starting at (0, 0).
+    """
+    from pyspark.sql import Window as W
+
+    agg = (
+        scored.select(
+            F.col(score_col).cast("double").alias("threshold"),
+            F.col(label_col).cast("double").alias("_l"),
+        )
+        .groupBy("threshold")
+        .agg(
+            F.sum("_l").alias("_pos"),
+            (F.count(F.lit(1)) - F.sum("_l")).alias("_neg"),
+        )
+    )
+    w_cum = W.orderBy(F.desc("threshold")).rowsBetween(W.unboundedPreceding, W.currentRow)
+    w_all = W.partitionBy()
+    pts = agg.select(
+        "threshold",
+        (F.sum("_neg").over(w_cum) / F.sum("_neg").over(w_all)).alias("fpr"),
+        (F.sum("_pos").over(w_cum) / F.sum("_pos").over(w_all)).alias("tpr"),
+    )
+    anchor = scored.sparkSession.createDataFrame(
+        [(float("inf"), 0.0, 0.0)], "threshold double, fpr double, tpr double"
+    )
+    return anchor.unionByName(
+        pts.select(
+            "threshold", F.round("fpr", 6).alias("fpr"), F.round("tpr", 6).alias("tpr")
+        )
+    )
+
+
+def roc_points(model: PipelineModel, test: DataFrame) -> DataFrame:
+    """M12 — ROC curve points for a fitted model on held-out pairs
+    (bin/CalculatePredModel.R:302-313: the roc() object the reference
+    plots/averages). Returns (threshold, fpr, tpr)."""
+    from pyspark.ml.functions import vector_to_array
+
+    pred = model.transform(test.fillna(0.0, subset=FEATURES))
+    scored = pred.select(
+        vector_to_array("probability").getItem(1).alias("score"),
+        F.col("label"),
+    )
+    return roc_from_scores(scored, "score", "label")

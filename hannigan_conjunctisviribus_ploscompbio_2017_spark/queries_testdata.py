@@ -2272,6 +2272,40 @@ def ml_rf_interactions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labeled.groupBy("prediction", "gold").agg(F.count(F.lit(1)).alias("n"))
 
 
+@query("ml_nested_cv")
+def ml_nested_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M10 — explicit nested CV (bin/CalculatePredModel.R:68-170, the
+    avgaucnested.tsv loop): 2 outer stratified splits × 3-fold inner CV
+    on the Infects feature table; per-iteration cv_auc/auc/sens/spec.
+    Rows-only: RF internals aren't SQL; separable-fixture behavior is
+    pinned by test_ml.test_nested_cv_frame."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.ml.model import nested_cv, prepare_training
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.plans.testdata_graph import infects_edges
+
+    data = prepare_training(infects_edges(spark, sf_dir))
+    return nested_cv(data, n_outer=2, num_folds=3, num_trees=20, seed=42)
+
+
+@query("ml_roc_points")
+def ml_roc_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M12 — ROC curve points (bin/CalculatePredModel.R:302-313): train
+    on the 80% stratum, emit (threshold, fpr, tpr) for the held-out 20%.
+    Rows-only (model scores aren't SQL); the cumulative-window curve
+    math is pinned closed-form by test_ml.test_roc_from_scores."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.ml.model import (
+        build_pipeline,
+        prepare_training,
+        roc_points,
+        stratified_split,
+    )
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.plans.testdata_graph import infects_edges
+
+    data = prepare_training(infects_edges(spark, sf_dir))
+    train, test = stratified_split(data, 0.8, seed=42)
+    model = build_pipeline(num_trees=20, seed=42).fit(train)
+    return roc_points(model, test)
+
+
 # =========================================================================
 # Coverage completions: W3/O3/A10/F11/R6 + Q4 + G13/M13/M4 + build e2e
 # =========================================================================

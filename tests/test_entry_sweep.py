@@ -21,6 +21,8 @@ from __spark_entry__ import entry, oracle_sql, queries
 # test_pipelines.py).
 SLOW = {
     "ml_rf_interactions",
+    "ml_nested_cv",
+    "ml_roc_points",
     "pipeline_interpersonal_diversity",
     "pipeline_compare_skin",
     "pipeline_altered_diet",

@@ -72,3 +72,47 @@ def test_cv_runs(labeled):
     data = M.prepare_training(labeled)
     model, auc = M.train_cv(data, num_folds=3, num_trees=10, parallelism=2)
     assert auc > 0.9
+
+
+def test_nested_cv_frame(labeled):
+    data = M.prepare_training(labeled)
+    res = M.nested_cv(data, n_outer=2, num_folds=3, num_trees=10, seed=7)
+    rows = res.collect()
+    assert len(rows) == 2
+    assert [r.iteration for r in rows] == [0, 1]
+    for r in rows:
+        assert r.auc > 0.9  # separable fixture
+        assert 0.0 <= r.sensitivity <= 1.0
+        assert 0.0 <= r.specificity <= 1.0
+        assert r.n_test > 0
+
+
+def test_roc_from_scores_closed_form(spark):
+    # scores desc: 0.9(+), 0.8(+), 0.6(-), 0.4(+), 0.2(-)
+    # thresholds: .9→(0, 1/3) .8→(0, 2/3) .6→(1/2, 2/3) .4→(1/2,1) .2→(1,1)
+    rows = [(0.9, 1), (0.8, 1), (0.6, 0), (0.4, 1), (0.2, 0)]
+    df = spark.createDataFrame(rows, "score double, label int")
+    pts = {r.threshold: (r.fpr, r.tpr) for r in M.roc_from_scores(df).collect()}
+    assert pts[float("inf")] == (0.0, 0.0)
+    assert pts[0.9] == (0.0, pytest.approx(1 / 3, abs=1e-6))
+    assert pts[0.8] == (0.0, pytest.approx(2 / 3, abs=1e-6))
+    assert pts[0.6] == (pytest.approx(0.5), pytest.approx(2 / 3, abs=1e-6))
+    assert pts[0.4] == (pytest.approx(0.5), 1.0)
+    assert pts[0.2] == (1.0, 1.0)
+
+
+def test_roc_points_separable_auc_one(labeled):
+    data = M.prepare_training(labeled)
+    train, test = M.stratified_split(data, 0.8, seed=1)
+    model = M.build_pipeline(num_trees=20).fit(train)
+    pts = sorted(
+        ((r.fpr, r.tpr) for r in M.roc_points(model, test).collect())
+    )
+    # trapezoid AUC over the curve ≈ 1 on the separable fixture
+    auc = sum(
+        (x2 - x1) * (y1 + y2) / 2.0
+        for (x1, y1), (x2, y2) in zip(pts, pts[1:])
+    )
+    assert auc > 0.95
+    assert pts[0] == (0.0, 0.0)
+    assert pts[-1] == (1.0, 1.0)
