@@ -32,6 +32,7 @@ SF0001 = "/root/testdata/sf0.001"
 _PRIORITY = [
     # oracle-backed, unmeasured in r01
     "dd_minhash_lsh",
+    "dd_kmer_minhash",
     "gq2_predicted_links",
     "gq4_study_network",
     "graph_build_e2e",

@@ -133,22 +133,12 @@ def _hash_coeffs(num: int, seed: int = 42) -> list[tuple[int, int]]:
     return [(rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE)) for _ in range(num)]
 
 
-def minhash_signatures(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    k: int = 3,
-    num_hashes: int = 32,
-    seed: int = 42,
-    hash_fn=None,
+def _sig_from_shingles(
+    sh: DataFrame, num_hashes: int, seed: int, hash_fn=None
 ) -> DataFrame:
-    """MinHash signature per doc: (id, sig array<long>).
-
-    Shingle → 64-bit hash (xxhash64, or `hash_fn` e.g.
-    portable_token_hash for cross-engine reproducibility) → num_hashes
-    affine min-hashes, all in one groupBy over the exploded shingles (no
-    per-row Python)."""
-    sh = shingles(df, id_col, text_col, k)
+    """(id, shingle) → (id, sig array<long>): num_hashes affine
+    min-hashes in one groupBy over the exploded shingles (no per-row
+    Python). Shared by token-shingle and k-mer MinHash."""
     base = hash_fn("shingle") if hash_fn is not None else F.xxhash64("shingle")
     h = F.pmod(base, F.lit(_MERSENNE))
     coeffs = _hash_coeffs(num_hashes, seed)
@@ -160,30 +150,16 @@ def minhash_signatures(
     return sig.select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
 
 
-def minhash_lsh_pairs(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    k: int = 3,
-    num_hashes: int = 32,
-    bands: int = 8,
-    seed: int = 42,
-    hash_fn=None,
-    bucket_by_hash: bool = True,
+def _lsh_pairs_from_sig(
+    sig: DataFrame, num_hashes: int, bands: int, bucket_by_hash: bool
 ) -> DataFrame:
-    """LSH candidate pairs: band the signature (bands × rows-per-band),
-    bucket-join on (band, banded-signature hash), estimate Jaccard from
-    full signature agreement. Returns (id_a, id_b, est_jaccard).
+    """(id, sig) → banded LSH candidate pairs (id_a, id_b, est_jaccard).
 
-    The banding join is the scale path: candidates ∝ true near-dups, not
-    n² — same plan shape at 100 TB with signature table bucketed by band
-    hash. `bucket_by_hash=False` joins on the band's raw value array
-    instead of its xxhash64 (a wider shuffle key, but collision-free and
-    — with hash_fn=portable_token_hash — replayable by the DuckDB
-    oracle).
-    """
+    Candidates = pairs agreeing on ≥1 whole band; the band-bucket
+    equality join is the scale path (candidates ∝ near-dups, never n²).
+    bucket_by_hash=False keys the join on the band's raw value array —
+    wider shuffle key, but collision-free and oracle-replayable."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, k, num_hashes, seed, hash_fn=hash_fn)
 
     def _bucket(i: int):
         band_vals = F.slice("sig", i * rows_per_band + 1, rows_per_band)
@@ -224,6 +200,51 @@ def minhash_lsh_pairs(
         "id_b",
         F.round(agree / F.lit(num_hashes), 6).alias("est_jaccard"),
     )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 32,
+    seed: int = 42,
+    hash_fn=None,
+) -> DataFrame:
+    """MinHash signature per doc: (id, sig array<long>).
+
+    Shingle → 64-bit hash (xxhash64, or `hash_fn` e.g.
+    portable_token_hash for cross-engine reproducibility) → num_hashes
+    affine min-hashes, all in one groupBy over the exploded shingles (no
+    per-row Python)."""
+    sh = shingles(df, id_col, text_col, k)
+    return _sig_from_shingles(sh, num_hashes, seed, hash_fn)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+    hash_fn=None,
+    bucket_by_hash: bool = True,
+) -> DataFrame:
+    """LSH candidate pairs: band the signature (bands × rows-per-band),
+    bucket-join on (band, banded-signature hash), estimate Jaccard from
+    full signature agreement. Returns (id_a, id_b, est_jaccard).
+
+    The banding join is the scale path: candidates ∝ true near-dups, not
+    n² — same plan shape at 100 TB with signature table bucketed by band
+    hash. `bucket_by_hash=False` joins on the band's raw value array
+    instead of its xxhash64 (a wider shuffle key, but collision-free and
+    — with hash_fn=portable_token_hash — replayable by the DuckDB
+    oracle).
+    """
+    sig = minhash_signatures(df, id_col, text_col, k, num_hashes, seed, hash_fn=hash_fn)
+    return _lsh_pairs_from_sig(sig, num_hashes, bands, bucket_by_hash)
 
 
 def simhash(
@@ -348,6 +369,8 @@ def kmer_minhash_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     seed: int = 42,
+    hash_fn=None,
+    bucket_by_hash: bool = True,
 ) -> DataFrame:
     """Sequence-similarity candidate pairs via k-mer MinHash + LSH
     banding — in-engine replacement for all-vs-all blastn screening
@@ -355,53 +378,8 @@ def kmer_minhash_pairs(
     approximates nucleotide identity for same-length sequences.
 
     Same banding plan as minhash_lsh_pairs; candidates ∝ near-identical
-    sequences, never n² genomes."""
+    sequences, never n² genomes. hash_fn=portable_token_hash +
+    bucket_by_hash=False makes the full pipeline oracle-replayable."""
     sh = char_shingles(df, id_col, seq_col, k)
-    h = F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE))
-    coeffs = _hash_coeffs(num_hashes, seed)
-    mins = [
-        F.min(F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE))).alias(f"h{i}")
-        for i, (a, b) in enumerate(coeffs)
-    ]
-    sig = sh.groupBy("id").agg(*mins).select(
-        "id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig")
-    )
-    rows_per_band = num_hashes // bands
-    banded = sig.select(
-        "id",
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.xxhash64(
-                            F.slice("sig", i * rows_per_band + 1, rows_per_band)
-                        ).alias("bucket"),
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    agree = F.size(
-        F.filter(
-            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-            lambda v: v == 1,
-        )
-    )
-    return cand.select(
-        "id_a", "id_b", F.round(agree / F.lit(num_hashes), 6).alias("est_jaccard")
-    )
+    sig = _sig_from_shingles(sh, num_hashes, seed, hash_fn)
+    return _lsh_pairs_from_sig(sig, num_hashes, bands, bucket_by_hash)

@@ -1644,12 +1644,14 @@ def dd_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sig.select("id", *[F.col("sig")[i].alias(f"h{i}") for i in range(16)])
 
 
-def _minhash_lsh_oracle(num_hashes: int = 32, bands: int = 8) -> str:
-    """DuckDB twin of the full banded LSH pair search: same signatures as
-    _minhash_sig_oracle (extended to 32 perms), candidates = pairs
-    agreeing on at least one whole band, est_jaccard = signature
-    agreement fraction. The n² join is oracle-side only — the engine
-    side shuffles on band keys."""
+def _lsh_oracle_tail(
+    shingle_ctes: str, num_hashes: int, bands: int, threshold: float
+) -> str:
+    """Shared DuckDB twin of the banded LSH pair search, parameterized by
+    the CTE chain that produces (id, shingle) rows as `sh`: same affine
+    signatures as the engine, candidates = pairs agreeing on at least one
+    whole band, est_jaccard = signature agreement fraction. The n² join
+    is oracle-side only — the engine side shuffles on band keys."""
     from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.dedup import (
         _MERSENNE,
         _hash_coeffs,
@@ -1670,19 +1672,7 @@ def _minhash_lsh_oracle(num_hashes: int = 32, bands: int = 8) -> str:
         f"(CASE WHEN a.h{i} = s.h{i} THEN 1 ELSE 0 END)" for i in range(num_hashes)
     )
     return f"""
-    WITH toks AS (
-      SELECT doc_id AS id,
-             string_split({_NORM_SQL}, ' ') AS t
-      FROM documents
-    ), pos AS (
-      SELECT id, t,
-             unnest(CASE WHEN len(t) >= 3 THEN generate_series(1, len(t) - 2)
-                         ELSE CAST([] AS BIGINT[]) END) AS i
-      FROM toks
-    ), sh AS (
-      SELECT DISTINCT id, array_to_string(list_slice(t, i, i + 2), ' ') AS shingle
-      FROM pos
-    ), th AS (
+    WITH {shingle_ctes}, th AS (
       SELECT id, {_MD5_60.format(c="shingle")} % {_MERSENNE} AS h FROM sh
     ), sig AS MATERIALIZED (
       SELECT id,
@@ -1694,8 +1684,41 @@ def _minhash_lsh_oracle(num_hashes: int = 32, bands: int = 8) -> str:
     FROM sig a JOIN sig s
       ON a.id < s.id
      AND ({band_conds})
-    WHERE ROUND(({agree}) / {num_hashes}.0, 6) >= 0.25
+    WHERE ROUND(({agree}) / {num_hashes}.0, 6) >= {threshold}
     """
+
+
+def _minhash_lsh_oracle(num_hashes: int = 32, bands: int = 8) -> str:
+    """Token-shingle LSH oracle: 3-token shingles of normalized text."""
+    shingle_ctes = f"""toks AS (
+      SELECT doc_id AS id,
+             string_split({_NORM_SQL}, ' ') AS t
+      FROM documents
+    ), pos AS (
+      SELECT id, t,
+             unnest(CASE WHEN len(t) >= 3 THEN generate_series(1, len(t) - 2)
+                         ELSE CAST([] AS BIGINT[]) END) AS i
+      FROM toks
+    ), sh AS (
+      SELECT DISTINCT id, array_to_string(list_slice(t, i, i + 2), ' ') AS shingle
+      FROM pos
+    )"""
+    return _lsh_oracle_tail(shingle_ctes, num_hashes, bands, 0.25)
+
+
+def _kmer_minhash_oracle(k: int = 8, num_hashes: int = 32, bands: int = 8) -> str:
+    """Character-k-mer LSH oracle: k-char shingles of the upper-cased
+    sequence (documents.text standing in for contig sequences)."""
+    shingle_ctes = f"""pos AS (
+      SELECT doc_id AS id, upper(text) AS s,
+             unnest(CASE WHEN length(upper(text)) >= {k}
+                         THEN generate_series(1, length(upper(text)) - {k - 1})
+                         ELSE CAST([] AS BIGINT[]) END) AS i
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT id, substr(s, i, {k}) AS shingle FROM pos
+    )"""
+    return _lsh_oracle_tail(shingle_ctes, num_hashes, bands, 0.25)
 
 
 @query("dd_minhash_lsh", oracle=_minhash_lsh_oracle())
@@ -1715,6 +1738,31 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return minhash_lsh_pairs(
         _t(spark, sf_dir, "documents"),
+        hash_fn=portable_token_hash,
+        bucket_by_hash=False,
+    ).filter(F.col("est_jaccard") >= 0.25)
+
+
+@query("dd_kmer_minhash", oracle=_kmer_minhash_oracle())
+def dd_kmer_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-mer MinHash + LSH banding over character 8-mers — the in-engine
+    replacement for all-vs-all blastn contig screening
+    (/root/reference Makefile:538-613; documents.text stands in for the
+    contig sequence column). Portable md5 family + band-content buckets
+    so the DuckDB oracle replays shingling → signatures → banded
+    candidate join → Jaccard estimation end-to-end; the xxhash64/hashed-
+    bucket default is the cheaper production configuration with the
+    identical plan shape."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.dedup import (
+        kmer_minhash_pairs,
+        portable_token_hash,
+    )
+
+    return kmer_minhash_pairs(
+        _t(spark, sf_dir, "documents"),
+        id_col="doc_id",
+        seq_col="text",
+        k=8,
         hash_fn=portable_token_hash,
         bucket_by_hash=False,
     ).filter(F.col("est_jaccard") >= 0.25)
