@@ -33,6 +33,7 @@ _PRIORITY = [
     # oracle-backed, unmeasured in r01
     "dd_minhash_lsh",
     "dd_kmer_minhash",
+    "mm_blob_stats",
     "gq2_predicted_links",
     "gq4_study_network",
     "graph_build_e2e",

@@ -837,8 +837,84 @@ def betweenness_centrality(
     return res.select(*g, "node", F.round("betweenness", 6).alias("betweenness"))
 
 
+def _pivot_brandes_local(
+    und: DataFrame, n_pivots: int | None, max_depth: int
+) -> DataFrame:
+    """Small-graph fast path for approx_betweenness: the SAME
+    pivot-restricted truncated Brandes (same md5-ordered pivot set, same
+    V/k scaling, same max_depth BFS cap) computed inside ONE
+    applyInPandas task instead of 2·diameter shuffle supersteps — at
+    small scale the per-superstep job overhead dominates wall-clock by
+    >10× (r01 verdict: 189 s at sf0.01 vs seconds exact). Numerically
+    identical to the distributed path on the same input."""
+    import hashlib
+
+    import pandas as pd
+
+    def _solve(pdf: pd.DataFrame) -> pd.DataFrame:
+        from collections import deque
+
+        adj: dict[str, list[str]] = {}
+        for s, d in zip(pdf["src"], pdf["dst"]):
+            adj.setdefault(str(s), []).append(str(d))
+        nodes = list(adj.keys())
+        if n_pivots is None or n_pivots >= len(nodes):
+            pivots, scale = nodes, 1.0
+        else:
+            pivots = sorted(
+                nodes, key=lambda n: hashlib.md5(n.encode()).hexdigest()
+            )[:n_pivots]
+            scale = len(nodes) / n_pivots
+        bc = dict.fromkeys(nodes, 0.0)
+        for s in pivots:
+            dist = {s: 0}
+            sigma = {s: 1.0}
+            order = []
+            preds: dict[str, list[str]] = {s: []}
+            q = deque([s])
+            while q:
+                v = q.popleft()
+                order.append(v)
+                if dist[v] >= max_depth:
+                    continue
+                for w in adj[v]:
+                    if w not in dist:
+                        dist[w] = dist[v] + 1
+                        preds[w] = []
+                        sigma[w] = 0.0
+                        q.append(w)
+                    if dist[w] == dist[v] + 1:
+                        sigma[w] += sigma[v]
+                        preds[w].append(v)
+            delta = dict.fromkeys(order, 0.0)
+            for w in reversed(order):
+                for v in preds[w]:
+                    delta[v] += sigma[v] / sigma[w] * (1 + delta[w])
+                if w != s:
+                    bc[w] += delta[w]
+        return pd.DataFrame(
+            {
+                "node": nodes,
+                "betweenness": [bc[n] * scale / 2.0 for n in nodes],
+            }
+        )
+
+    # round JVM-side so HALF_UP semantics match the distributed path
+    return (
+        und.withColumn("_g", F.lit(1))
+        .groupBy("_g")
+        .applyInPandas(
+            lambda pdf: _solve(pdf), schema="node string, betweenness double"
+        )
+        .select("node", F.round("betweenness", 6).alias("betweenness"))
+    )
+
+
 def approx_betweenness(
-    edges: DataFrame, n_pivots: int | None = 64, max_depth: int = 20
+    edges: DataFrame,
+    n_pivots: int | None = 64,
+    max_depth: int = 20,
+    local_cutoff: int = 8192,
 ) -> DataFrame:
     """Distributed Brandes betweenness with pivot sampling — the 100 TB
     path for ONE giant graph (SURVEY §7 risk register: exact Brandes is
@@ -854,10 +930,18 @@ def approx_betweenness(
     EXACTLY Brandes); sampled runs scale by V/|pivots| (Brandes-Pich
     estimator) so values are unbiased estimates of the exact ones.
     Undirected semantics (symmetrized, halved) matching
-    betweenness_centrality."""
+    betweenness_centrality.
+
+    Graphs with ≤ local_cutoff nodes short-circuit to a numerically
+    identical single-task solve (_pivot_brandes_local): at small scale
+    the fixed cost of ~2·diameter shuffle supersteps dominates, and the
+    whole edge list fits one executor comfortably. Set local_cutoff=0 to
+    force the superstep path (e.g. for plan testing)."""
     und = symmetrize(edges)
     all_nodes = und.select(F.col("src").alias("node")).distinct()
     n_nodes = all_nodes.count()
+    if n_nodes <= local_cutoff:
+        return _pivot_brandes_local(und, n_pivots, max_depth)
     if n_pivots is None or n_pivots >= n_nodes:
         roots = all_nodes.select(F.col("node").alias("root"))
         scale = 1.0

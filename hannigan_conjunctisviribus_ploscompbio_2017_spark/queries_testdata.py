@@ -1769,6 +1769,50 @@ def dd_kmer_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mm_blob_stats",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             CASE WHEN doc_id % 4 = 0 THEN 'P6 ' || text
+                  WHEN doc_id % 4 = 1 THEN 'BM' || text
+                  WHEN doc_id % 4 = 2 THEN 'RIFFxxxxWAVE' || text
+                  ELSE text END AS s
+      FROM documents
+    )
+    SELECT media_id AS id,
+           octet_length(encode(s)) AS n_bytes,
+           sha256(s) AS content_sha256,
+           -- independent truth for the engine's magic-byte detection
+           CASE media_id % 4 WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp'
+                             WHEN 2 THEN 'wav' ELSE 'unknown' END AS codec
+    FROM m
+    """,
+)
+def mm_blob_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal blob-column sweep: documents.text UTF-8-encoded into a
+    binary `content` column (a quarter each prefixed with PPM / BMP /
+    RIFF-WAVE magic bytes), then blob_stats computes n_bytes + sha256 +
+    hex-magic codec detection fully JVM-side. The oracle derives the
+    codec independently from doc_id, so it cross-checks the engine's
+    magic-byte classifier — the metadata pass a 100 TB media lake runs
+    before any decode fan-out (multimodal.extract_features)."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.multimodal import blob_stats
+
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(
+            F.when(F.col("doc_id") % 4 == 0, F.concat(F.lit("P6 "), F.col("text")))
+            .when(F.col("doc_id") % 4 == 1, F.concat(F.lit("BM"), F.col("text")))
+            .when(F.col("doc_id") % 4 == 2, F.concat(F.lit("RIFFxxxxWAVE"), F.col("text")))
+            .otherwise(F.col("text")),
+            "utf-8",
+        ).alias("content"),
+    )
+    return blob_stats(media)
+
+
+@query(
     "ss_cosine_topk",
     oracle="""
     WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),

@@ -90,6 +90,41 @@ def test_approx_betweenness_exact_when_all_pivots(spark):
     assert p5 == {"a": 0.0, "b": 3.0, "c": 4.0, "d": 3.0, "e": 0.0}
 
 
+def test_approx_betweenness_local_matches_superstep_path(spark):
+    # the small-graph single-task solve and the distributed superstep
+    # path must be numerically identical: same md5 pivot set, same V/k
+    # scaling, same depth cap — on exact AND sampled runs, and when the
+    # depth cap truncates the BFS (P5 with max_depth=2)
+    cases = [
+        (P5, None, 20),
+        (S10, None, 20),
+        (TWO_COMP, None, 20),
+        (P5, 3, 20),
+        (S10, 4, 20),
+        (P5, None, 2),
+        (P5, 3, 2),
+    ]
+    for fixture, n_pivots, max_depth in cases:
+        local = as_map(
+            K.approx_betweenness(
+                edges_df(spark, fixture), n_pivots=n_pivots, max_depth=max_depth
+            ).collect(),
+            "node",
+            "betweenness",
+        )
+        superstep = as_map(
+            K.approx_betweenness(
+                edges_df(spark, fixture),
+                n_pivots=n_pivots,
+                max_depth=max_depth,
+                local_cutoff=0,
+            ).collect(),
+            "node",
+            "betweenness",
+        )
+        assert local == superstep, (fixture, n_pivots, max_depth)
+
+
 def test_approx_betweenness_sampled_deterministic(spark):
     a = as_map(
         K.approx_betweenness(edges_df(spark, K5), n_pivots=2).collect(),

@@ -196,13 +196,87 @@ def test_multimodal_fake_pipeline(spark):
     assert first == again
 
 
-def test_multimodal_real_decode_is_stubbed(spark):
-    media = MM.make_fake_media(spark, n=3)
+def test_multimodal_real_decode_images_and_audio(spark):
+    # PPM and WAV decode for REAL (pure numpy) — no fake flag needed
+    media = MM.make_fake_media(spark, n=30).filter(F.col("kind") != "video")
+    rows = MM.extract_features(media, dim=8, fake=False).collect()
+    assert len(rows) == 20
+    by_kind = {r.media_id: r for r in rows}
+    metas = {r.media_id: r for r in media.collect()}
+    for mid, r in by_kind.items():
+        m = metas[mid]
+        if m.kind == "image":
+            assert r.codec == "ppm"
+            # feature head = [w, h, channels, mean, std]
+            assert r.feature[0] == m.width and r.feature[1] == m.height
+            assert r.feature[2] == 3.0
+            assert 0.0 <= r.feature[3] <= 1.0
+        else:
+            assert r.codec == "wav"
+            assert r.feature[0] == 8000.0  # sample rate recovered from header
+
+
+def test_multimodal_compressed_codec_is_stubbed(spark):
+    # mp4 has no pure-python decode: honest NotImplementedError unless fake
+    media = MM.make_fake_media(spark, n=30).filter(F.col("kind") == "video")
     with pytest.raises(Exception) as exc_info:
         MM.extract_features(media, fake=False).collect()
     assert "NotImplementedError" in str(exc_info.value) or isinstance(
         exc_info.value, NotImplementedError
     )
+    rows = MM.extract_features(media, dim=8, fake=True).collect()
+    assert all(r.codec == "mp4" for r in rows)
+
+
+def test_ppm_roundtrip_exact():
+    import numpy as np
+
+    img = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    assert (MM.decode_ppm(MM.encode_ppm(img)) == img).all()
+    # header comments + multi-whitespace are legal netpbm
+    raw = b"P6\n# comment\n 3\t2\n255\n" + img.tobytes()
+    assert (MM.decode_ppm(raw) == img).all()
+
+
+def test_bmp_decode_exact():
+    import struct
+
+    import numpy as np
+
+    # hand-build a 2x2 24-bit BMP: bottom-up BGR rows padded to 4 bytes
+    px = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [10, 20, 30]]], dtype=np.uint8
+    )  # RGB, top row first
+    rows = b""
+    for r in px[::-1]:  # bottom-up
+        row = b"".join(bytes([b, g, rr]) for rr, g, b in r)  # BGR
+        rows += row + b"\x00" * ((4 - len(row) % 4) % 4)
+    header = b"BM" + struct.pack("<IHHI", 54 + len(rows), 0, 0, 54)
+    header += struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(rows), 0, 0, 0, 0)
+    assert (MM.decode_bmp(header + rows) == px).all()
+
+
+def test_wav_roundtrip_rms():
+    import numpy as np
+
+    t = np.arange(8000, dtype=np.float32) / 8000.0
+    x = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    sr, y = MM.decode_wav(MM.encode_wav(x, 8000))
+    assert sr == 8000 and len(y) == 8000
+    assert abs(float(np.sqrt((y**2).mean())) - 0.5 / np.sqrt(2)) < 1e-3
+
+
+def test_blob_stats_jvm_side(spark):
+    import hashlib
+
+    media = MM.make_fake_media(spark, n=9)
+    stats = {r.id: r for r in MM.blob_stats(media).collect()}
+    for row in media.collect():
+        s = stats[row.media_id]
+        assert s.n_bytes == len(row.content)
+        assert s.content_sha256 == hashlib.sha256(bytes(row.content)).hexdigest()
+        expect = {"image": "ppm", "audio": "wav", "video": "unknown"}[row.kind]
+        assert s.codec == expect
 
 
 def test_multimodal_metadata_prunes_blob(spark):
