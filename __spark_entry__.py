@@ -34,6 +34,7 @@ _PRIORITY = [
     "dd_minhash_lsh",
     "dd_kmer_minhash",
     "mm_blob_stats",
+    "gb_gene_network",
     "gq2_predicted_links",
     "gq4_study_network",
     "graph_build_e2e",

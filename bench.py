@@ -37,6 +37,10 @@ HEADLINE = [
     ("q8", "dd_minhash_lsh"),
     ("q9", "ss_cosine_topk"),
     ("q10", "w1_top_per_group"),
+    # r01 verdict additions: the full-join graph expansion and the
+    # explode-rank rarefaction — the two heaviest newly-verified plans
+    ("q11", "gq4_study_network"),
+    ("q12", "m1_rarefaction_portable"),
 ]
 
 

@@ -156,3 +156,98 @@ def simplify(edges: DataFrame) -> DataFrame:
     """G12 — drop self-loops and multi-edges (igraph::simplify,
     bin/TriadicClosures.R:45)."""
     return edges.filter(F.col("src") != F.col("dst")).dropDuplicates(["src", "dst", "type"])
+
+
+# --------------------------------------------------------------------------
+# gene/protein network variant (bin/ProteinNetworkCreation.pl)
+# --------------------------------------------------------------------------
+
+GENE_NODE_COLS = ["id", "label", "name", "cluster_id", "accession", "data_type"]
+
+
+def sanitize_name(col) -> F.Column:
+    """Identifier normalization from the reference loaders: runs of
+    non-alphanumeric characters → '_', trailing '_' stripped
+    (bin/ProteinNetworkCreation.pl:70,112-119 — the Perl applies the
+    trailing strip on the .dat matching path; normalizing both sides here
+    makes node names and record names join-stable)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.regexp_replace(c, "[^A-Za-z0-9]+", "_"), "_+$", "")
+
+
+def build_gene_nodes(
+    phage_genes: DataFrame, bacteria_genes: DataFrame, assert_unique: bool = True
+) -> DataFrame:
+    """ReferenceGenes node build (bin/ProteinNetworkCreation.pl:59-95):
+    each input carries (unique_id, cluster_id, accession, name); output is
+    the typed node table (id, label Phage|Bacteria, name sanitized,
+    cluster_id, accession, data_type='ReferenceGenes').
+
+    Create-if-absent per id (phage part wins over bacteria, mirroring the
+    reference's load order) pinned by part index; die-on-duplicate ids
+    (the Perl dies on >1 node per UniqueID label). Same shuffle shape as
+    build_nodes: one window dedup over the union."""
+    from pyspark.sql import Window as W
+
+    def _conform(df: DataFrame, label: str, part: int) -> DataFrame:
+        return df.select(
+            F.col("unique_id").cast("string").alias("id"),
+            F.lit(label).alias("label"),
+            sanitize_name("name").alias("name"),
+            F.col("cluster_id").cast("string").alias("cluster_id"),
+            F.col("accession").cast("string").alias("accession"),
+            F.lit("ReferenceGenes").alias("data_type"),
+            F.lit(part).alias("_part"),
+        )
+
+    both = _conform(phage_genes, "Phage", 0).unionByName(
+        _conform(bacteria_genes, "Bacteria", 1)
+    )
+    w = W.partitionBy("label", "id").orderBy("_part")
+    deduped = (
+        both.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_part")
+    )
+    if assert_unique:
+        dupes = deduped.groupBy("id").count().filter(F.col("count") > 1)
+        if dupes.limit(1).count() > 0:
+            raise ValueError("duplicate gene node ids across labels: " + str(dupes.take(5)))
+    return deduped
+
+
+def linked_gene_edges(gene_nodes: DataFrame, records: DataFrame) -> DataFrame:
+    """LinkedGenes edge build (bin/ProteinNetworkCreation.pl:99-131):
+    per flat-file record (record_id, organism, host) — e.g. the
+    sources.embl_records output — connect EVERY Phage gene node named by
+    the sanitized organism to EVERY Bacteria gene node named by the
+    sanitized host, with Literature='TRUE'.
+
+    The reference's nested REST loops become two name-equality joins; the
+    per-record all-pairs fan-out is exactly the join product. Records
+    with no matching nodes on either side drop out (inner joins), like
+    the Perl's empty get_nodes_by_label arrays. Multi-edges across
+    records are preserved (relate_to creates one per call) — pipe
+    through simplify() for the deduped view."""
+    recs = records.select(
+        F.col("record_id").cast("string"),
+        sanitize_name("organism").alias("_org"),
+        sanitize_name("host").alias("_host"),
+    )
+    phage = gene_nodes.filter(F.col("label") == "Phage").select(
+        F.col("id").alias("src"), F.col("name").alias("_org")
+    )
+    bact = gene_nodes.filter(F.col("label") == "Bacteria").select(
+        F.col("id").alias("dst"), F.col("name").alias("_host")
+    )
+    return (
+        recs.join(phage, "_org")
+        .join(bact, "_host")
+        .select(
+            "src",
+            "dst",
+            F.lit("LinkedGenes").alias("type"),
+            F.lit("TRUE").alias("literature"),
+            "record_id",
+        )
+    )

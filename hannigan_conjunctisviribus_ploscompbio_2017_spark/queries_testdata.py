@@ -1768,6 +1768,98 @@ def dd_kmer_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("est_jaccard") >= 0.25)
 
 
+_SAN = "regexp_replace(regexp_replace({c}, '[^A-Za-z0-9]+', '_', 'g'), '_+$', '')"
+
+
+@query(
+    "gb_gene_network",
+    oracle=f"""
+    WITH phage AS (
+      SELECT 'PG' || CAST(p_partkey AS VARCHAR) AS id,
+             {_SAN.format(c="p_brand")} AS name
+      FROM part
+    ), bact AS (
+      SELECT 'BG' || CAST(s_suppkey AS VARCHAR) AS id,
+             {_SAN.format(c="n_name")} AS name
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    ), recs AS (
+      SELECT CAST(l_orderkey AS VARCHAR) AS record_id,
+             {_SAN.format(c="p_brand")} AS org,
+             {_SAN.format(c="n_name")} AS host
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE l_quantity = 50 AND l_linenumber = 1
+    )
+    SELECT record_id,
+           COUNT(*) AS n_edges,
+           COUNT(DISTINCT p.id) AS n_phage,
+           COUNT(DISTINCT b.id) AS n_bact
+    FROM recs r
+    JOIN phage p ON p.name = r.org
+    JOIN bact b ON b.name = r.host
+    GROUP BY record_id
+    """,
+)
+def gb_gene_network(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gene/protein-network build (bin/ProteinNetworkCreation.pl:59-131):
+    ReferenceGenes node tables (parts standing in for phage gene
+    clusters, suppliers for bacterial genes) + per-record LinkedGenes
+    all-pairs fan-out from flat-file (organism, host) records (lineitem
+    rows standing in for EMBL stanzas). Returns the per-record edge
+    fan-out summary; the oracle re-derives the same joins in SQL,
+    sanitization included."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.graph_build import (
+        build_gene_nodes,
+        linked_gene_edges,
+    )
+
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    li = _t(spark, sf_dir, "lineitem")
+    phage_genes = part.select(
+        F.concat(F.lit("PG"), F.col("p_partkey")).alias("unique_id"),
+        F.col("p_brand").alias("cluster_id"),
+        F.col("p_type").alias("accession"),
+        F.col("p_brand").alias("name"),
+    )
+    bacteria_genes = (
+        supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .select(
+            F.concat(F.lit("BG"), F.col("s_suppkey")).alias("unique_id"),
+            F.col("s_nationkey").alias("cluster_id"),
+            F.col("s_name").alias("accession"),
+            F.col("n_name").alias("name"),
+        )
+    )
+    nodes = build_gene_nodes(phage_genes, bacteria_genes)
+    records = (
+        li.filter((F.col("l_quantity") == 50) & (F.col("l_linenumber") == 1))
+        .join(F.broadcast(part.select("p_partkey", "p_brand")), li.l_partkey == part.p_partkey)
+        .join(
+            F.broadcast(
+                supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey).select(
+                    "s_suppkey", "n_name"
+                )
+            ),
+            li.l_suppkey == supp.s_suppkey,
+        )
+        .select(
+            F.col("l_orderkey").alias("record_id"),
+            F.col("p_brand").alias("organism"),
+            F.col("n_name").alias("host"),
+        )
+    )
+    edges = linked_gene_edges(nodes, records)
+    return edges.groupBy("record_id").agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.countDistinct("src").alias("n_phage"),
+        F.countDistinct("dst").alias("n_bact"),
+    )
+
+
 @query(
     "mm_blob_stats",
     oracle="""

@@ -163,3 +163,73 @@ def test_simplify(spark):
     )
     out = GB.simplify(e).collect()
     assert len(out) == 2  # (a,b,T) deduped, loop dropped, (a,b,U) kept
+
+
+# --- gene/protein network (bin/ProteinNetworkCreation.pl) -------------------
+
+
+def _gene_tables(spark):
+    phage = spark.createDataFrame(
+        [
+            ("pg1", "c1", "acc1", "Phi X-174!"),
+            ("pg2", "c1", "acc2", "Phi X-174!"),
+            ("pg3", "c2", "acc3", "Lambda phage"),
+        ],
+        "unique_id string, cluster_id string, accession string, name string",
+    )
+    bact = spark.createDataFrame(
+        [
+            ("bg1", "c9", "accb1", "E. coli K-12"),
+            ("bg2", "c9", "accb2", "E. coli K-12"),
+            ("bg3", "c8", "accb3", "B. subtilis"),
+        ],
+        "unique_id string, cluster_id string, accession string, name string",
+    )
+    return phage, bact
+
+
+def test_build_gene_nodes_typed_schema(spark):
+    phage, bact = _gene_tables(spark)
+    nodes = GB.build_gene_nodes(phage, bact)
+    assert nodes.columns == GB.GENE_NODE_COLS
+    rows = {r.id: r for r in nodes.collect()}
+    assert len(rows) == 6
+    assert rows["pg1"].label == "Phage" and rows["bg1"].label == "Bacteria"
+    assert rows["pg1"].data_type == "ReferenceGenes"
+    # sanitized names: runs of non-alnum -> '_', trailing '_' stripped
+    assert rows["pg1"].name == "Phi_X_174"
+    assert rows["bg3"].name == "B_subtilis"
+
+
+def test_build_gene_nodes_duplicate_id_raises(spark):
+    phage, bact = _gene_tables(spark)
+    dup = bact.union(
+        spark.createDataFrame(
+            [("pg1", "cX", "accX", "Imposter")], bact.schema
+        )
+    )
+    with pytest.raises(ValueError, match="duplicate gene node ids"):
+        GB.build_gene_nodes(phage, dup)
+
+
+def test_linked_gene_edges_all_pairs(spark):
+    phage, bact = _gene_tables(spark)
+    nodes = GB.build_gene_nodes(phage, bact)
+    records = spark.createDataFrame(
+        [
+            ("r1", "Phi X-174", "E. coli (K-12)"),  # 2 phage x 2 bact = 4 edges
+            ("r2", "Lambda phage", "B. subtilis"),  # 1 x 1
+            ("r3", "Unknown virus", "B. subtilis"),  # no phage match -> 0
+            ("r4", "Lambda phage", None),  # no host -> 0
+        ],
+        "record_id string, organism string, host string",
+    )
+    edges = GB.linked_gene_edges(nodes, records)
+    rows = edges.collect()
+    assert len(rows) == 5
+    assert all(r.type == "LinkedGenes" and r.literature == "TRUE" for r in rows)
+    per_rec = {r.record_id: r["count"] for r in edges.groupBy("record_id").count().collect()}
+    assert per_rec == {"r1": 4, "r2": 1}
+    # all-pairs content for r1
+    pairs = {(r.src, r.dst) for r in rows if r.record_id == "r1"}
+    assert pairs == {("pg1", "bg1"), ("pg1", "bg2"), ("pg2", "bg1"), ("pg2", "bg2")}
