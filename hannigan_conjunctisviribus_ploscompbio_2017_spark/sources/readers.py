@@ -136,6 +136,199 @@ def paired_reads(r1_ids: DataFrame, r2_ids: DataFrame) -> DataFrame:
     return r1_ids.join(r2_ids, "read_id", "inner").select("read_id").distinct()
 
 
+# --- chunk-aligned splitters: parallelism WITHIN one huge file ---------------
+#
+# read_fasta/read_fastq_ids parallelize per file (the norm for per-sample
+# sequencing data).  For the one-multi-TB-file case these splitters plan
+# fixed-size byte chunks on the driver (a filesystem listing, no data
+# read) and align each chunk to the next record boundary executor-side —
+# the Hadoop FASTQ-input-format design.  Contract: a record belongs to
+# the chunk containing its header's first byte, so chunks parse
+# disjointly and exhaustively with no cross-task coordination.  Requires
+# a filesystem every executor can open (local/NFS/fuse mount).
+
+
+def _chunk_plan(spark: SparkSession, path: str, chunk_bytes: int) -> DataFrame:
+    import glob as _glob
+    import os as _os
+
+    paths = sorted(_glob.glob(path)) if any(ch in path for ch in "*?[") else [path]
+    files = []
+    for p in paths:
+        if _os.path.isdir(p):
+            files += sorted(
+                _os.path.join(p, f)
+                for f in _os.listdir(p)
+                if _os.path.isfile(_os.path.join(p, f))
+            )
+        else:
+            files.append(p)
+    chunks = []
+    for f in files:
+        size = _os.path.getsize(f)
+        for start in range(0, max(size, 1), chunk_bytes):
+            chunks.append((f, start, min(start + chunk_bytes, size)))
+    return spark.createDataFrame(chunks, "file string, start long, end long").repartition(
+        max(len(chunks), 1)
+    )
+
+
+def _fastq_align(buf: bytes, line_starts: list[int]) -> int | None:
+    """Index into line_starts of the first true FASTQ record header.
+
+    A quality line may start with '@', so '@' alone is ambiguous; the
+    standard disambiguation (Hadoop-BAM's FastqInputFormat): candidate
+    line i is a header iff it starts with '@' and line i+2 starts with
+    '+'. Both can't hold for a quality line and its +2 (a sequence
+    line never starts with '+')."""
+    for i in range(len(line_starts) - 2):
+        if buf[line_starts[i] : line_starts[i] + 1] == b"@" and (
+            buf[line_starts[i + 2] : line_starts[i + 2] + 1] == b"+"
+        ):
+            return i
+    return None
+
+
+def _open_at(fh, start: int) -> bool:
+    """Seek to `start`; True iff file-offset `start` begins a line (start
+    of file, or the previous byte is a newline — the exact-boundary case
+    a find('\\n') scan inside the chunk cannot see)."""
+    if start == 0:
+        fh.seek(0)
+        return True
+    fh.seek(start - 1)
+    at_line = fh.read(1) == b"\n"
+    return at_line
+
+
+def read_fastq_parallel(
+    spark: SparkSession, path: str, chunk_mb: int = 64, chunk_bytes: int | None = None
+) -> DataFrame:
+    """S4a at single-file scale: (read_id, seq, qual) with one task per
+    chunk_mb byte range — no coalesce(1) ceiling. Ownership contract: a
+    record belongs to the chunk containing its header's first byte; the
+    owning task reads past its end to complete the record, so chunks
+    parse disjointly and exhaustively."""
+    chunk_bytes = chunk_bytes or chunk_mb * 1024 * 1024
+
+    def parse(it):
+        import pandas as pd
+
+        for pdf in it:
+            out_id, out_seq, out_qual = [], [], []
+            for f, start, end in zip(pdf["file"], pdf["start"], pdf["end"]):
+                with open(f, "rb") as fh:
+                    boundary_is_line_start = _open_at(fh, int(start))
+                    need = int(end) - int(start)
+                    slack = 1 << 20
+                    buf = fh.read(need + slack)
+                    # a record owned just before `end` needs ≤5 newlines
+                    # past `end` to complete (partial line + 4 record lines)
+                    while buf[need:].count(b"\n") < 5:
+                        tail = fh.read(slack)
+                        if not tail:
+                            break
+                        buf += tail
+                    line_starts = [0] if boundary_is_line_start else []
+                    pos = buf.find(b"\n")
+                    while pos != -1:
+                        if pos + 1 < len(buf):
+                            line_starts.append(pos + 1)
+                        pos = buf.find(b"\n", pos + 1)
+                    first = _fastq_align(buf, line_starts)
+                    if first is None:
+                        continue
+                    i = first
+                    while i < len(line_starts):
+                        hdr_off = line_starts[i]
+                        if int(start) + hdr_off >= int(end):
+                            break  # next chunk owns it
+                        if i + 3 >= len(line_starts):
+                            break  # truncated trailing record (EOF): drop
+                        rec = [
+                            buf[line_starts[i + j] : line_starts[i + j + 1] - 1]
+                            if i + j + 1 < len(line_starts)
+                            else buf[line_starts[i + j] :].rstrip(b"\n")
+                            for j in range(4)
+                        ]
+                        out_id.append(rec[0].decode().split()[0].lstrip("@"))
+                        out_seq.append(rec[1].decode())
+                        out_qual.append(rec[3].decode())
+                        i += 4
+            yield pd.DataFrame({"read_id": out_id, "seq": out_seq, "qual": out_qual})
+
+    plan = _chunk_plan(spark, path, chunk_bytes)
+    return plan.mapInPandas(parse, schema="read_id string, seq string, qual string")
+
+
+def read_fasta_parallel(
+    spark: SparkSession, path: str, chunk_mb: int = 64, chunk_bytes: int | None = None
+) -> DataFrame:
+    """S3 at single-file scale: (id, seq) with one task per chunk_mb byte
+    range. FASTA alignment is unambiguous: '>' only ever starts a header
+    line. Same ownership contract as read_fastq_parallel: a record
+    belongs to the chunk containing its '>' byte; the owning task reads
+    forward past its end until the next header or EOF."""
+    chunk_bytes = chunk_bytes or chunk_mb * 1024 * 1024
+
+    def parse(it):
+        import pandas as pd
+
+        for pdf in it:
+            out_id, out_seq = [], []
+            for f, start, end in zip(pdf["file"], pdf["start"], pdf["end"]):
+                with open(f, "rb") as fh:
+                    boundary_is_line_start = _open_at(fh, int(start))
+                    need = int(end) - int(start)
+                    buf = fh.read(need)
+                    # first OWNED header offset in buf
+                    if boundary_is_line_start and buf[:1] == b">":
+                        first = 0
+                    else:
+                        p = buf.find(b"\n>")
+                        first = p + 1 if p != -1 else None
+                    if first is None or int(start) + first >= int(end):
+                        continue
+                    # owned headers = those whose '>' byte is < end
+                    owned = [first]
+                    p = buf.find(b"\n>", first)
+                    while p != -1 and int(start) + p + 1 < int(end):
+                        owned.append(p + 1)
+                        p = buf.find(b"\n>", p + 1)
+                    if p != -1:
+                        stop = p + 1  # first non-owned header: truncate there
+                        buf = buf[:stop]
+                    else:
+                        # last owned record continues past `end`: extend
+                        # until the next header or EOF ('\n>' may straddle
+                        # a read boundary → rescan from len(buf)-1)
+                        while True:
+                            scan_from = max(len(buf) - 1, 0)
+                            tail = fh.read(chunk_bytes)
+                            if not tail:
+                                break
+                            buf += tail
+                            q = buf.find(b"\n>", scan_from)
+                            if q != -1:
+                                buf = buf[: q + 1]
+                                break
+                    segments = [
+                        buf[h : owned[k + 1] - 1] if k + 1 < len(owned) else buf[h:]
+                        for k, h in enumerate(owned)
+                    ]
+                    for seg in segments:
+                        lines = seg.split(b"\n")
+                        hdr = lines[0][1:].decode()
+                        out_id.append(hdr.split()[0] if hdr.split() else "")
+                        out_seq.append(
+                            "".join(ln.decode().strip() for ln in lines[1:] if not ln.startswith(b">"))
+                        )
+            yield pd.DataFrame({"id": out_id, "seq": out_seq})
+
+    plan = _chunk_plan(spark, path, chunk_bytes)
+    return plan.mapInPandas(parse, schema=FASTA_SCHEMA)
+
+
 # --- S6: GenBank (phage organism, host) --------------------------------------
 
 

@@ -358,3 +358,116 @@ def test_incremental_edge_upsert_folds_all_batches(spark, tmp_path):
     out = {(r.src, r.dst): r.abundance
            for r in SE.read_incremental_edges(spark, str(tmp_path / "store")).collect()}
     assert out == {("a", "x"): 11, ("b", "y"): 2, ("c", "z"): 5}
+
+
+# --- chunk-aligned splitters -------------------------------------------------
+
+
+def _write_fastq(path, n=40, seed=7):
+    import random
+
+    rng = random.Random(seed)
+    recs = []
+    with open(path, "w") as fh:
+        for i in range(n):
+            rid = f"read{i}/1"
+            seq = "".join(rng.choice("ACGT") for _ in range(rng.randint(5, 30)))
+            # quality deliberately often starts with '@' or '+': the
+            # ambiguity the aligner must survive
+            qual = rng.choice("@+ABCDEF") + "".join(
+                chr(33 + rng.randint(0, 40)) for _ in range(len(seq) - 1)
+            )
+            fh.write(f"@{rid} extra meta\n{seq}\n+\n{qual}\n")
+            recs.append((rid, seq, qual))
+    return recs
+
+
+def _write_fasta(path, n=25, seed=11):
+    import random
+
+    rng = random.Random(seed)
+    recs = []
+    with open(path, "w") as fh:
+        for i in range(n):
+            rid = f"contig{i}"
+            seq = "".join(rng.choice("ACGT") for _ in range(rng.randint(10, 200)))
+            fh.write(f">{rid} desc\n")
+            # multi-line records: wrap at 37
+            for j in range(0, len(seq), 37):
+                fh.write(seq[j : j + 37] + "\n")
+            recs.append((rid, seq))
+    return recs
+
+
+def test_fastq_parallel_chunk_invariant(spark, tmp_path):
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.sources import readers as R
+
+    p = tmp_path / "big.fastq"
+    recs = _write_fastq(str(p))
+    expect = {(r[0], r[1], r[2]) for r in recs}
+    # sweep chunk sizes incl. sizes that land boundaries mid-record and
+    # exactly on record starts; results must be identical regardless
+    for cb in (37, 64, 128, 101, 4096, 10**9):
+        got = {
+            (r.read_id, r.seq, r.qual)
+            for r in R.read_fastq_parallel(spark, str(p), chunk_bytes=cb).collect()
+        }
+        assert got == expect, f"chunk_bytes={cb}"
+
+
+def test_fastq_parallel_boundary_exact_on_header(spark, tmp_path):
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.sources import readers as R
+
+    # craft records with FIXED byte length so a chunk boundary falls
+    # exactly on a header's first byte (the ownership corner case)
+    p = tmp_path / "exact.fastq"
+    with open(p, "w") as fh:
+        for i in range(20):
+            fh.write(f"@r{i:03d}\nACGTACGT\n+\n!!!!!!!!\n")  # 26 bytes each
+    for cb in (26, 52, 13):
+        got = sorted(
+            r.read_id for r in R.read_fastq_parallel(spark, str(p), chunk_bytes=cb).collect()
+        )
+        assert got == [f"r{i:03d}" for i in range(20)], f"chunk_bytes={cb}"
+
+
+def test_fasta_parallel_matches_per_file_reader(spark, tmp_path):
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.sources import readers as R
+
+    p = tmp_path / "big.fasta"
+    recs = _write_fasta(str(p))
+    expect = set(recs)
+    baseline = {
+        (r.id, r.seq) for r in R.read_fasta(spark, str(p)).collect()
+    }
+    assert baseline == expect
+    for cb in (53, 128, 997, 10**9):
+        got = {
+            (r.id, r.seq)
+            for r in R.read_fasta_parallel(spark, str(p), chunk_bytes=cb).collect()
+        }
+        assert got == expect, f"chunk_bytes={cb}"
+
+
+def test_fasta_parallel_boundary_exact_on_header(spark, tmp_path):
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.sources import readers as R
+
+    p = tmp_path / "exact.fasta"
+    with open(p, "w") as fh:
+        for i in range(12):
+            fh.write(f">c{i:02d}\nAAAATTTT\n")  # 14 bytes each
+    for cb in (14, 28, 7):
+        got = sorted(r.id for r in R.read_fasta_parallel(spark, str(p), chunk_bytes=cb).collect())
+        assert got == [f"c{i:02d}" for i in range(12)], f"chunk_bytes={cb}"
+
+
+def test_parallel_readers_multi_file_dir(spark, tmp_path):
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.sources import readers as R
+
+    d = tmp_path / "fq"
+    d.mkdir()
+    all_recs = []
+    for k in range(3):
+        all_recs += _write_fastq(str(d / f"s{k}.fastq"), n=10, seed=k)
+    got = {r.read_id for r in R.read_fastq_parallel(spark, str(d), chunk_bytes=64).collect()}
+    assert got == {r[0] for r in all_recs}
