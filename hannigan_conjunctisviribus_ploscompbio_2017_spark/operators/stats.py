@@ -113,6 +113,17 @@ def rarefy_hash(
 
     `depth` may be an int or a 1-row/1-column DataFrame, broadcast into
     the plan (single Catalyst DAG — no driver-side collect).
+
+    Execution is two-phase so the rank never sorts the full exploded
+    community: keys are uniform in [0, 2^60), so the depth-th smallest
+    key per sample concentrates near 2^60·d/T. A map-side filter at
+    τ = 2^60·m/T with margin m = d + 10·√d + 64 keeps ~m candidates per
+    sample (P[fewer than d survive] < e⁻⁴⁰ by Chernoff), and the window
+    ranks only those. Exactness is unconditional, not probabilistic: a
+    per-sample candidate count guards the margin, and any under-filled
+    sample (or one where τ overflows to "keep all") routes through the
+    full-sort fallback branch — empty at runtime in the normal case, so
+    AQE collapses it to an empty relation.
     """
     from pyspark.sql import Window as W
 
@@ -128,14 +139,21 @@ def rarefy_hash(
         )
     else:
         typed = typed.withColumn("_depth", F.lit(int(depth)))
-    ok = (
+    stats = (
         typed.groupBy(sample_col)
         .agg(F.sum(count_col).alias("_t"), F.first("_depth").alias("_d"))
         .filter(F.col("_t") >= F.col("_d"))
-        .select(sample_col)
     )
-    ind = typed.join(ok, sample_col).withColumn(
-        "_i", F.explode(F.sequence(F.lit(1), F.col(count_col)))
+    # candidate threshold: double-precision ratio + 512 absolute slack
+    # covers the ~2⁷ ulp error of 2⁶⁰-scale doubles; min() guards the
+    # m ≥ T case (τ beyond the key range ⇒ every individual passes)
+    margin = F.col("_d") + F.ceil(F.lit(10.0) * F.sqrt(F.col("_d"))).cast("long") + 64
+    # clamp the ratio at 1.0 BEFORE scaling: m ≥ T means keep-all, and an
+    # unclamped 2⁶⁰·m/T overflows the long cast
+    ratio = F.least(margin.cast("double") / F.col("_t"), F.lit(1.0))
+    tau = (F.pow(F.lit(2.0), 60) * ratio).cast("long") + 512
+    base = typed.drop("_depth").join(
+        stats.select(sample_col, "_d", tau.alias("_tau")), sample_col
     )
     key = F.conv(
         F.substring(
@@ -154,12 +172,42 @@ def rarefy_hash(
         16,
         10,
     ).cast("long")
-    w = W.partitionBy(sample_col).orderBy("_k", item_col, "_i")
-    kept = (
-        ind.withColumn("_k", key)
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= F.col("_depth"))
+
+    def _individuals(b: DataFrame) -> DataFrame:
+        return b.withColumn(
+            "_i", F.explode(F.sequence(F.lit(1), F.col(count_col)))
+        ).withColumn("_k", key)
+
+    # lazy checkpoint: the candidate set feeds BOTH the margin-guard
+    # count and the rank — without it the explode+md5 subtree runs twice
+    cand = (
+        _individuals(base)
+        .filter(F.col("_k") <= F.col("_tau"))
+        .localCheckpoint(eager=False)
     )
+    # margin guard: samples whose candidate pool came up short of depth
+    # (or where τ saturated) re-rank over their FULL community below
+    short = (
+        cand.groupBy(sample_col)
+        .agg(F.count(F.lit(1)).alias("_cc"), F.first("_d").alias("_d2"))
+        .filter(F.col("_cc") < F.col("_d2"))
+        .select(sample_col)
+    )
+    w = W.partitionBy(sample_col).orderBy("_k", item_col, "_i")
+    sel_main = (
+        cand.join(F.broadcast(short), sample_col, "left_anti")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= F.col("_d"))
+    )
+    # fallback joins BEFORE the explode: its probe side is the small
+    # pre-explode table, so the ~always-empty branch never re-hashes the
+    # community even when its stage races AQE's empty-relation pruning
+    sel_fallback = (
+        _individuals(base.join(F.broadcast(short), sample_col))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= F.col("_d"))
+    )
+    kept = sel_main.unionByName(sel_fallback)
     return kept.groupBy(sample_col, item_col).agg(
         F.count(F.lit(1)).alias(count_col)
     )

@@ -2696,19 +2696,26 @@ def gq4_study_network(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("P"), F.col("l_partkey")).alias("phage"),
         F.concat(F.lit("S"), F.col("l_suppkey")).alias("host"),
     ).distinct()
-    # the raw (s1, phage, host, s2) expansion is quadratically explosive
+    # The raw (s1, phage, host, s2) expansion is quadratically explosive
     # (the reference caps its variant with LIMIT 50000,
-    # bin/TriadicClosures.R:89); aggregate to per-edge co-sampling counts
+    # bin/TriadicClosures.R:89).  The per-(phage, host) aggregates factor
+    # over the cross product — n_sample_pairs = n_s1(phage)·n_s2(host),
+    # total_phage_abundance = Σ_s1 ab(phage)·n_s2(host) — so aggregate
+    # each side FIRST and join per-node dims: the quadratic intermediate
+    # never materializes (an algebraic rewrite Catalyst can't derive).
+    pa = sampled_phage.groupBy("phage").agg(
+        F.count(F.lit(1)).alias("_n_p"),
+        F.sum("phage_abundance").cast("long").alias("_sum_ab"),
+    )
+    ha = sampled_host.groupBy("host").agg(F.count(F.lit(1)).alias("_n_h"))
     return (
-        sampled_phage.join(infects, "phage")
-        .join(
-            sampled_host.select(F.col("sample").alias("sample2"), "host"),
+        infects.join(pa, "phage")
+        .join(ha, "host")
+        .select(
+            "phage",
             "host",
-        )
-        .groupBy("phage", "host")
-        .agg(
-            F.count(F.lit(1)).alias("n_sample_pairs"),
-            F.sum("phage_abundance").cast("long").alias("total_phage_abundance"),
+            (F.col("_n_p") * F.col("_n_h")).alias("n_sample_pairs"),
+            (F.col("_sum_ab") * F.col("_n_h")).alias("total_phage_abundance"),
         )
     )
 
