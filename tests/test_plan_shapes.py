@@ -88,3 +88,41 @@ def test_column_subsample_prunes_scan(spark):
     assert read_schemas
     for rs in read_schemas:
         assert "l_extendedprice" not in rs and "l_quantity" not in rs
+
+
+def test_gq4_factored_no_quadratic_expansion(spark):
+    # the study-network aggregates must be computed by pre-aggregating
+    # each side and joining per-node dims — the (s1, phage, host, s2)
+    # cross expansion must NOT appear as a join below the final project.
+    # Signature of the factored plan: the products n_p*n_h / sum_ab*n_h
+    # exist as Project expressions, and no HashAggregate sits ABOVE the
+    # phage-host joins (aggregation happens before the join, not after).
+    plan = plan_of(QUERIES["gq4_study_network"](spark, SF0001))
+    assert "n_sample_pairs" in plan and "total_phage_abundance" in plan
+    # formatted explain prints the operator tree top-down before the
+    # per-operator details: everything ABOVE the first Join must be
+    # projection/exchange only — the old quadratic plan had the final
+    # HashAggregate up there, consuming the (s1, phage, host, s2) blowup
+    tree = plan.split("\n\n")[0].splitlines()
+    above_first_join = []
+    for line in tree:
+        if "Join" in line:
+            break
+        above_first_join.append(line)
+    assert not any("HashAggregate" in l for l in above_first_join), above_first_join
+
+
+def test_rarefy_hash_two_phase_filters_before_rank(spark):
+    # the rank window must consume the tau-FILTERED candidate set, not
+    # the full exploded community: a Filter on _tau sits below the Sort
+    # feeding the Window, and the full-community fallback joins before
+    # its explode (Generate above the join in that branch).
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.stats import rarefy_hash
+
+    ab = load_table(spark, SF0001, "lineitem").groupBy(
+        F.col("l_orderkey").cast("string").alias("s"),
+        F.col("l_partkey").cast("string").alias("i"),
+    ).agg(F.sum("l_quantity").cast("long").alias("c"))
+    plan = plan_of(rarefy_hash(ab, "s", "i", "c", depth=5))
+    assert "_tau" in plan  # threshold filter present in-plan
+    assert "Window" in plan and "Generate" in plan
