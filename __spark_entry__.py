@@ -35,6 +35,7 @@ _PRIORITY = [
     "dd_kmer_minhash",
     "mm_blob_stats",
     "gb_gene_network",
+    "dd_dup_clusters",
     "gq2_predicted_links",
     "gq4_study_network",
     "graph_build_e2e",

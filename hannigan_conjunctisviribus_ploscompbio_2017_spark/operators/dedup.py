@@ -247,6 +247,47 @@ def minhash_lsh_pairs(
     return _lsh_pairs_from_sig(sig, num_hashes, bands, bucket_by_hash)
 
 
+def dup_clusters(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-dup clustering — the final step of the corpus dedup
+    pipeline: connected components over the candidate-pair graph
+    (transitive closure: A≈B≈C collapses to one cluster even when A,C
+    never paired), keeper = lexicographic min id per component, docs in
+    no pair keep themselves. Returns (id, keeper_id, is_dup) for every
+    input doc.
+
+    Scale: the pair graph is ∝ near-dups (tiny vs the corpus); the
+    min-label propagation runs O(cluster-diameter) supersteps on it, and
+    the corpus only participates in one left join against the component
+    map — broadcastable whenever dups are a small fraction."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.kernels import (
+        connected_components,
+    )
+
+    comp = connected_components(
+        pairs.select(
+            F.col("id_a").cast("string").alias("src"),
+            F.col("id_b").cast("string").alias("dst"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).cast("string").alias("id"))
+        .join(
+            comp.select(F.col("node").alias("id"), F.col("component").alias("_keeper")),
+            "id",
+            "left",
+        )
+        .select(
+            "id",
+            F.coalesce(F.col("_keeper"), F.col("id")).alias("keeper_id"),
+            (F.coalesce(F.col("_keeper"), F.col("id")) != F.col("id"))
+            .cast("int")
+            .alias("is_dup"),
+        )
+    )
+
+
 def simhash(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -1688,9 +1688,7 @@ def _lsh_oracle_tail(
     """
 
 
-def _minhash_lsh_oracle(num_hashes: int = 32, bands: int = 8) -> str:
-    """Token-shingle LSH oracle: 3-token shingles of normalized text."""
-    shingle_ctes = f"""toks AS (
+_TOKEN_SHINGLE_CTES = f"""toks AS (
       SELECT doc_id AS id,
              string_split({_NORM_SQL}, ' ') AS t
       FROM documents
@@ -1703,7 +1701,11 @@ def _minhash_lsh_oracle(num_hashes: int = 32, bands: int = 8) -> str:
       SELECT DISTINCT id, array_to_string(list_slice(t, i, i + 2), ' ') AS shingle
       FROM pos
     )"""
-    return _lsh_oracle_tail(shingle_ctes, num_hashes, bands, 0.25)
+
+
+def _minhash_lsh_oracle(num_hashes: int = 32, bands: int = 8) -> str:
+    """Token-shingle LSH oracle: 3-token shingles of normalized text."""
+    return _lsh_oracle_tail(_TOKEN_SHINGLE_CTES, num_hashes, bands, 0.25)
 
 
 def _kmer_minhash_oracle(k: int = 8, num_hashes: int = 32, bands: int = 8) -> str:
@@ -1741,6 +1743,51 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash_fn=portable_token_hash,
         bucket_by_hash=False,
     ).filter(F.col("est_jaccard") >= 0.25)
+
+
+def _dup_clusters_oracle() -> str:
+    """Recursive-closure twin of dup_clusters over the portable-LSH pair
+    graph (threshold 0.5): transitive closure via recursive CTE, MIN
+    string label per component, singletons keep themselves."""
+    lsh = _lsh_oracle_tail(_TOKEN_SHINGLE_CTES, 32, 8, 0.5)
+    return f"""
+    WITH RECURSIVE pairs AS ( {lsh} ), und AS (
+      SELECT CAST(id_a AS VARCHAR) AS src, CAST(id_b AS VARCHAR) AS dst FROM pairs
+      UNION SELECT CAST(id_b AS VARCHAR), CAST(id_a AS VARCHAR) FROM pairs
+    ), reach(node, root) AS (
+      SELECT src AS node, src AS root FROM und
+      UNION
+      SELECT e.dst AS node, r.root FROM reach r JOIN und e ON e.src = r.node
+    ), comp AS (
+      SELECT node, MIN(root) AS keeper FROM reach GROUP BY node
+    )
+    SELECT CAST(d.doc_id AS VARCHAR) AS id,
+           COALESCE(c.keeper, CAST(d.doc_id AS VARCHAR)) AS keeper_id,
+           CAST(CASE WHEN c.keeper IS NOT NULL
+                      AND c.keeper <> CAST(d.doc_id AS VARCHAR)
+                     THEN 1 ELSE 0 END AS INTEGER) AS is_dup
+    FROM documents d LEFT JOIN comp c ON c.node = CAST(d.doc_id AS VARCHAR)
+    """
+
+
+@query("dd_dup_clusters", oracle=_dup_clusters_oracle())
+def dd_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus dedup: portable MinHash-LSH near-dup pairs
+    (est_jaccard ≥ 0.5) → connected components (transitive closure over
+    the pair graph) → per-doc keeper decision (lexicographic min id per
+    cluster; singletons keep themselves). The oracle replays the whole
+    chain — shingles to closure — via recursive CTE."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.dedup import (
+        dup_clusters,
+        minhash_lsh_pairs,
+        portable_token_hash,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, hash_fn=portable_token_hash, bucket_by_hash=False
+    ).filter(F.col("est_jaccard") >= 0.5)
+    return dup_clusters(docs, pairs)
 
 
 @query("dd_kmer_minhash", oracle=_kmer_minhash_oracle())

@@ -234,3 +234,17 @@ def test_char_shingles(spark):
     km = {r.shingle for r in dedup.char_shingles(df, k=4).collect()}
     assert "ACGT" in km and "CGTA" in km
     assert len(km) == 4  # 5 positions, 'ACGT' repeats → 4 distinct
+
+
+def test_dup_clusters_transitive_and_singletons(spark):
+    docs = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "x"), (9, "solo")], "doc_id long, text string"
+    )
+    # pair graph: 1-2, 2-3 (transitive: 3 joins 1's cluster without a 1-3 pair)
+    pairs = spark.createDataFrame(
+        [("1", "2", 1.0), ("2", "3", 1.0)], "id_a string, id_b string, est_jaccard double"
+    )
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.dedup import dup_clusters
+
+    rows = {r.id: (r.keeper_id, r.is_dup) for r in dup_clusters(docs, pairs).collect()}
+    assert rows == {"1": ("1", 0), "2": ("1", 1), "3": ("1", 1), "9": ("9", 0)}
