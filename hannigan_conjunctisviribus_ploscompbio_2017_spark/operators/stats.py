@@ -132,17 +132,20 @@ def rarefy_hash(
         F.col(item_col).cast("string").alias(item_col),
         F.col(count_col).cast("long").alias(count_col),
     )
+    # attach the depth to the per-SAMPLE aggregate, not the base table:
+    # a crossJoin on the pre-aggregation rows re-derives the (possibly
+    # expensive) upstream plan once more per consumer — measured ~40% of
+    # this operator's wall-clock at sf0.1
+    per_sample = typed.groupBy(sample_col).agg(F.sum(count_col).alias("_t"))
     if isinstance(depth, DataFrame):
         dcol = depth.columns[0]
-        typed = typed.crossJoin(
+        per_sample = per_sample.crossJoin(
             F.broadcast(depth.select(F.col(dcol).cast("long").alias("_depth")))
         )
     else:
-        typed = typed.withColumn("_depth", F.lit(int(depth)))
-    stats = (
-        typed.groupBy(sample_col)
-        .agg(F.sum(count_col).alias("_t"), F.first("_depth").alias("_d"))
-        .filter(F.col("_t") >= F.col("_d"))
+        per_sample = per_sample.withColumn("_depth", F.lit(int(depth)))
+    stats = per_sample.filter(F.col("_t") >= F.col("_depth")).withColumnRenamed(
+        "_depth", "_d"
     )
     # candidate threshold: double-precision ratio + 512 absolute slack
     # covers the ~2⁷ ulp error of 2⁶⁰-scale doubles; min() guards the
