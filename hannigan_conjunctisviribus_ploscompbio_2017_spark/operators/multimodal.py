@@ -256,10 +256,11 @@ def blob_stats(df: DataFrame, id_col: str = "media_id", content_col: str = "cont
     as sniff_codec, expressed in Catalyst so a 100 TB metadata sweep
     never leaves whole-stage codegen — and so DuckDB can replay it."""
     c = F.col(content_col)
-    # magic detection over hex(content): position-exact for arbitrary
-    # bytes (casting binary→string collapses multi-byte UTF-8 sequences
-    # and would shift offsets)
-    hx = F.hex(c)
+    # magic detection over hex() of the FIRST 12 bytes only: position-
+    # exact for arbitrary bytes (casting binary→string collapses
+    # multi-byte UTF-8 sequences and would shift offsets), and the slice
+    # keeps the hex string O(1) instead of 2x the blob
+    hx = F.hex(F.substring(c, 1, 12))
 
     def _hex_at(pos_chars: int, ascii_magic: bytes):
         return F.substring(hx, pos_chars, 2 * len(ascii_magic)) == ascii_magic.hex().upper()
