@@ -67,6 +67,21 @@ def test_connected_components(spark):
     assert comp["a"] != comp["x"]
 
 
+def test_connected_components_local_matches_superstep(spark):
+    for fixture in (TWO_COMP, P5, K5, S10):
+        local = as_map(
+            K.connected_components(edges_df(spark, fixture)).collect(),
+            "node",
+            "component",
+        )
+        superstep = as_map(
+            K.connected_components(edges_df(spark, fixture), local_cutoff=0).collect(),
+            "node",
+            "component",
+        )
+        assert local == superstep, fixture
+
+
 def test_approx_betweenness_exact_when_all_pivots(spark):
     # pivots=None → every node is a source → exactly Brandes
     for fixture in (P5, S10):
