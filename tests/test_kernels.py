@@ -67,6 +67,19 @@ def test_connected_components(spark):
     assert comp["a"] != comp["x"]
 
 
+def test_connected_components_grouped_local(spark):
+    # same edge pairs under two group keys must resolve independently
+    e = spark.createDataFrame(
+        [("g1", "a", "b"), ("g1", "x", "y"), ("g2", "b", "x")],
+        "grp string, src string, dst string",
+    )
+    rows = K.connected_components(e, ["grp"]).collect()
+    comp = {(r.grp, r.node): r.component for r in rows}
+    assert comp[("g1", "a")] == comp[("g1", "b")] == "a"
+    assert comp[("g1", "x")] == comp[("g1", "y")] == "x"
+    assert comp[("g2", "b")] == comp[("g2", "x")] == "b"
+
+
 def test_connected_components_local_matches_superstep(spark):
     for fixture in (TWO_COMP, P5, K5, S10):
         local = as_map(
