@@ -194,6 +194,135 @@ def streaming_first_seen(
     )
 
 
+def minhash_sig_cols(text_col, k: int = 3, num_hashes: int = 16, seed: int = 42):
+    """Per-ROW MinHash signature as pure scalar expressions (shingle
+    array → array_min of affine hashes) — no explode/groupBy, so the
+    signature composes with streaming plans where a pre-aggregation
+    before a stateful operator is disallowed. Same hash family as
+    operators.dedup.minhash_signatures (xxhash64 + seeded affine
+    permutations mod the Mersenne prime)."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.dedup import (
+        _MERSENNE,
+        _hash_coeffs,
+        normalized,
+    )
+
+    toks = F.split(normalized(text_col), "\\s+")
+    idx = F.when(
+        F.size(toks) >= k, F.sequence(F.lit(1), F.size(toks) - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    sh = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
+    cols = []
+    for j, (a, b) in enumerate(_hash_coeffs(num_hashes, seed)):
+        hj = F.transform(
+            sh,
+            lambda s: F.pmod(
+                F.pmod(F.xxhash64(s), F.lit(_MERSENNE)) * F.lit(a) + F.lit(b),
+                F.lit(_MERSENNE),
+            ),
+        )
+        cols.append(F.array_min(hj).alias(f"h{j}"))
+    return cols
+
+
+def streaming_near_dup_candidates(
+    events: DataFrame,
+    text_col: str = "props",
+    watermark: str = "2 hours",
+    k_shingle: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_ids_per_bucket: int = 16,
+    retention_ms: int = 24 * 3600 * 1000,
+) -> DataFrame:
+    """Streaming MinHash-LSH near-dup candidate detection — the
+    streaming twin of operators.dedup.minhash_lsh_pairs: per-row scalar
+    signatures → band buckets → a stateful operator keyed by
+    (band, bucket) that emits a candidate pair whenever a new document
+    lands in a bucket some earlier document (same OR any earlier
+    micro-batch) already claimed.
+
+    State per bucket is a bounded id list (max_ids_per_bucket — hot
+    buckets degrade to sampling the earliest ids, never unbounded state)
+    with event-time eviction. Output: (doc_id, candidate_id, band,
+    bucket, ts) — pairs may repeat across bands; downstream dedup /
+    exact Jaccard verification is a batch join, as in the batch
+    pipeline."""
+    import pandas as pd
+
+    rows_per_band = num_hashes // bands
+    sig = events.select(
+        "event_id",
+        "ts",
+        *minhash_sig_cols(text_col, k_shingle, num_hashes),
+    ).filter(F.col("h0").isNotNull())  # docs shorter than k tokens: no signature
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.xxhash64(
+                    F.array(*[F.col(f"h{i * rows_per_band + j}") for j in range(rows_per_band)])
+                ).alias("bucket"),
+            )
+            for i in range(bands)
+        ]
+    )
+    banded = sig.select(
+        "event_id", "ts", F.explode(band_structs).alias("bb")
+    ).select(
+        "event_id", "ts", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("candidate_id", T.LongType()),
+            T.StructField("band", T.IntegerType()),
+            T.StructField("bucket", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("ids", T.ArrayType(T.LongType()))])
+
+    def probe(key, pdfs, state):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        ids = list(state.get[0]) if state.exists else []
+        out = []
+        max_ts = None
+        for pdf in pdfs:
+            for _, r in pdf.sort_values(["ts", "event_id"]).iterrows():
+                doc = int(r["event_id"])
+                max_ts = r["ts"] if max_ts is None else max(max_ts, r["ts"])
+                for prior in ids:
+                    if prior != doc:
+                        out.append(
+                            {
+                                "doc_id": doc,
+                                "candidate_id": prior,
+                                "band": int(key[0]),
+                                "bucket": int(key[1]),
+                                "ts": r["ts"],
+                            }
+                        )
+                if len(ids) < max_ids_per_bucket and doc not in ids:
+                    ids.append(doc)
+        state.update((ids,))
+        if max_ts is not None:
+            state.setTimeoutTimestamp(int(max_ts.timestamp() * 1000) + retention_ms)
+        if out:
+            yield pd.DataFrame(out)
+
+    return (
+        banded.withWatermark("ts", watermark)
+        .groupBy("band", "bucket")
+        .applyInPandasWithState(
+            probe, out_schema, state_schema, "append", "EventTimeTimeout"
+        )
+    )
+
+
 def read_incremental_edges(spark: SparkSession, target_path: str) -> DataFrame:
     """Compact the epoch append-log into current edge abundances
     (dedup epoch retries, then sum deltas)."""

@@ -163,6 +163,26 @@ def test_ivf_topk_recall_and_determinism(spark):
     assert a == b
 
 
+def test_ivf_trained_centroids_recall(spark):
+    emb = _embeddings(spark, n=200)
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {r.query_id: r.neighbor_id
+             for r in similarity.brute_force_topk(emb, q, k=1).collect()}
+    cents = similarity.ivf_train_centroids(emb, n_cells=8, seed=42)
+    assert len(cents) == 8 and all(len(c) == 8 for c in cents)
+    approx = similarity.ivf_topk(emb, q, dim=8, k=1, n_probe=4, centroids=cents)
+    top = {r.query_id: r.neighbor_id for r in approx.collect()}
+    hits = sum(1 for qq, nn in exact.items() if top.get(qq) == nn)
+    assert hits >= 6  # kmeans cells at least match the md5-sample recall bar
+    assert top[0] == 1  # the near-copy pair still shares a cell
+    # seeded: retraining reproduces the same centroids
+    again = similarity.ivf_train_centroids(emb, n_cells=8, seed=42)
+    assert cents == again
+    # hash-bounded training subset also yields valid centroids
+    sub = similarity.ivf_train_centroids(emb, n_cells=4, seed=42, sample_frac=0.5)
+    assert len(sub) == 4
+
+
 def test_embedding_near_dup_pairs(spark):
     emb = _embeddings(spark)  # vec 1 = near-copy of vec 0
     exact = {

@@ -471,3 +471,61 @@ def test_parallel_readers_multi_file_dir(spark, tmp_path):
         all_recs += _write_fastq(str(d / f"s{k}.fastq"), n=10, seed=k)
     got = {r.read_id for r in R.read_fastq_parallel(spark, str(d), chunk_bytes=64).collect()}
     assert got == {r[0] for r in all_recs}
+
+
+def test_minhash_sig_cols_match_batch_signatures(spark):
+    # the per-row scalar signature must equal the explode+groupBy batch
+    # signature hash-for-hash (same family, same coefficients)
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.dedup import minhash_signatures
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "pack my box with five dozen liquor jugs"),
+            (3, "the quick brown fox jumps over the lazy cat"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = {
+        r.id: list(r.sig)
+        for r in minhash_signatures(docs, num_hashes=16, seed=42).collect()
+    }
+    scalar = {
+        r.doc_id: [r[f"h{j}"] for j in range(16)]
+        for r in docs.select(
+            "doc_id", *SE.minhash_sig_cols("text", k=3, num_hashes=16, seed=42)
+        ).collect()
+    }
+    assert batch == {str(k): v for k, v in scalar.items()} or batch == scalar
+
+
+def test_streaming_near_dup_candidates_across_batches(spark, tmp_path):
+    """Streaming LSH: a near-duplicate arriving in a LATER micro-batch
+    must pair with the earlier document via bucket state; unrelated
+    documents must not pair."""
+    import time as _time
+    from datetime import datetime
+
+    src = tmp_path / "neardup_stream"
+    text_a = "the quick brown fox jumps over the lazy dog again and again"
+    text_b = "completely different content about sparkling distributed engines"
+
+    def ev(eid, minute, text):
+        return (eid, datetime(2025, 1, 1, 12, minute), 10 + eid, "doc", 1.0, text)
+
+    batch1 = spark.createDataFrame([ev(1, 0, text_a), ev(2, 1, text_b)], SE.EVENTS_SCHEMA)
+    batch2 = spark.createDataFrame([ev(3, 10, text_a)], SE.EVENTS_SCHEMA)
+    batch1.coalesce(1).write.mode("append").parquet(str(src))
+    _time.sleep(1.2)
+    batch2.coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = SE.read_event_stream(spark, str(src), max_files_per_trigger=1)
+    out = SE.streaming_near_dup_candidates(stream, text_col="props")
+    q = SE.run_to_memory(out, "neardup_out")
+    try:
+        rows = spark.sql("SELECT * FROM neardup_out").collect()
+        pairs = {(r.doc_id, r.candidate_id) for r in rows}
+        assert (3, 1) in pairs  # cross-batch near-dup found via state
+        assert all(p in {(3, 1)} for p in pairs), pairs  # no false pairs
+    finally:
+        q.stop()
