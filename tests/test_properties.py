@@ -169,3 +169,34 @@ def test_sample_edges_subset_and_nesting(spark, n, frac, seed):
         assert lo == set(rows)
     if frac == 0.0:
         assert lo == set()
+
+
+@SLOW
+@given(
+    seed=st.integers(0, 10_000),
+    n=st.integers(1, 30),
+    chunk=st.integers(7, 400),
+)
+def test_fastq_chunk_split_invariant(spark, seed, n, chunk):
+    """Any chunk size must reproduce the whole-file FASTQ parse exactly
+    (record ownership = header byte; ambiguous '@' quality lines)."""
+    import random as _random
+    import tempfile
+
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.sources import readers as R
+
+    rng = _random.Random(seed)
+    recs = []
+    with tempfile.NamedTemporaryFile("w", suffix=".fastq", delete=False) as fh:
+        for i in range(n):
+            rid = f"r{i}"
+            seq = "".join(rng.choice("ACGT") for _ in range(rng.randint(1, 40)))
+            qual = "".join(rng.choice("@+!IJ#") for _ in range(len(seq)))
+            fh.write(f"@{rid}\n{seq}\n+\n{qual}\n")
+            recs.append((rid, seq, qual))
+        path = fh.name
+    got = {
+        (r.read_id, r.seq, r.qual)
+        for r in R.read_fastq_parallel(spark, path, chunk_bytes=chunk).collect()
+    }
+    assert got == set(recs)
