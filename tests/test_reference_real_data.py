@@ -1,0 +1,158 @@
+"""End-to-end on the reference's OWN shipped data files.
+
+The strongest parity check available: /root/reference ships the complete
+validation-network inputs (data/ValidationSet/Interactions.tsv + the
+BacteriaID/PhageID mapping tables, data/BenchmarkingSet score tables the
+Makefile's `validationnetwork` target loads, Makefile:140-150), and the
+published model numbers they produced (rtables/genmodelper.tsv: inner-CV
+ROC 0.846 ± 0.093; data/avgaucnested.tsv: nested median AUC 0.788).
+
+This module runs the ENGINE's migration path on those real files:
+typed TSV reads → key sanitization → ID mapping join → score merge
+(full-outer cascade, bin/BenchmarkDatabaseCreation.pl's property-merge
+semantics) → graph build → Q1 scan shape → M7-M12 model — and checks
+the resulting AUC lands inside the published band. MLlib RF ≠ caret rf
+numerically, so the assertion is banded, not exact; the measured values
+(seeded, deterministic here) are cv_auc ≈ 0.805, test auc ≈ 0.74.
+
+Row-count assertions are exact: the input files are static.
+Skipped wholesale when /root/reference is not present.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hannigan_conjunctisviribus_ploscompbio_2017_spark.functions.scalar import sanitize_key
+from hannigan_conjunctisviribus_ploscompbio_2017_spark.ml import model as M
+from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators import graph_build as GB
+from hannigan_conjunctisviribus_ploscompbio_2017_spark.sources import readers as R
+
+REF = "/root/reference"
+V = f"{REF}/data/ValidationSet"
+B = f"{REF}/data/BenchmarkingSet"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(V) or not os.path.isdir(B),
+    reason="reference data not available",
+)
+
+S3 = T.StructType(
+    [
+        T.StructField("a", T.StringType()),
+        T.StructField("b", T.StringType()),
+        T.StructField("score", T.StringType()),
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def feature_table(spark):
+    """(src=phage, dst=bacteria, crispr, blast, blastx, pfam, label) from
+    the real files: interactions mapped to specific genome ids via the
+    shipped BacteriaID table (one strain name → its representative
+    genomes), score tables merged per pair (max per pair — the loader's
+    last-write-wins collapsed deterministically)."""
+    inter = R.read_tsv(spark, f"{V}/Interactions.tsv", S3).select(
+        sanitize_key("a").alias("phage"),
+        sanitize_key("b").alias("bname"),
+        F.col("score").cast("int").alias("interaction"),
+    )
+    bid = spark.read.csv(f"{V}/BacteriaID.tsv", sep="\t", header=True).select(
+        sanitize_key("PhageHit").alias("bname"),
+        sanitize_key("SpecificBacterialID").alias("bacteria"),
+    )
+    # one strain name expands to several representative genomes, and a
+    # pair can arrive with both labels via different strain rows —
+    # resolve deterministically: validated-interaction wins
+    mapped = (
+        inter.join(bid, "bname")
+        .groupBy("phage", "bacteria")
+        .agg(F.max("interaction").alias("interaction"))
+    )
+
+    def score(path, bacteria_col, phage_col, out):
+        cols = {0: "a", 1: "b"}
+        return (
+            R.read_tsv(spark, path, S3)
+            .select(
+                sanitize_key(cols[bacteria_col]).alias("bacteria"),
+                sanitize_key(cols[phage_col]).alias("phage"),
+                F.col("score").cast("double").alias("score"),
+            )
+            .groupBy("bacteria", "phage")
+            .agg(F.max("score").alias(out))
+        )
+
+    # column orientation per file (the reference's *Flip naming):
+    # crispr/pfam/blastx ship (bacteria, phage); prophage-blast ships
+    # (phage, bacteria)
+    sc = (
+        score(f"{B}/BenchmarkCrisprsFormat.tsv", 0, 1, "crispr")
+        .join(score(f"{B}/BenchmarkProphagesFormat.tsv", 1, 0, "blast"), ["bacteria", "phage"], "full_outer")
+        .join(score(f"{B}/PfamInteractionsFormatScoredFlip.tsv", 0, 1, "pfam"), ["bacteria", "phage"], "full_outer")
+        .join(score(f"{B}/MatchesByBlastxFormatOrder.tsv", 0, 1, "blastx"), ["bacteria", "phage"], "full_outer")
+    )
+    full = (
+        sc.join(mapped, ["bacteria", "phage"], "full_outer")
+        .fillna(0.0, ["crispr", "blast", "pfam", "blastx"])
+        .fillna(0, ["interaction"])
+    )
+    return full.select(
+        F.col("phage").alias("src"),
+        F.col("bacteria").alias("dst"),
+        "crispr",
+        "blast",
+        "blastx",
+        "pfam",
+        F.col("interaction").cast("double").alias("label"),
+    )
+
+
+def test_real_mapping_and_merge_counts(spark, feature_table):
+    # static input files → exact structural counts
+    n_all = feature_table.count()
+    n_pos = feature_table.filter("label = 1").count()
+    assert n_pos == 101  # positive strain rows expanded via BacteriaID, label-conflicts resolved positive-wins
+    n_scored = feature_table.filter(
+        "crispr > 0 or blast > 0 or pfam > 0 or blastx > 0"
+    ).count()
+    assert n_scored == 1363
+    assert n_all >= n_scored
+    # positives with evidence — the reference's included set
+    # (createexclusiondataframe, CalculatePredModel.R:59-67)
+    n_pos_scored = feature_table.filter(
+        "label = 1 and (crispr > 0 or blast > 0 or pfam > 0 or blastx > 0)"
+    ).count()
+    assert n_pos_scored == 50
+
+
+def test_real_graph_build_and_q1_shape(spark, feature_table):
+    edges = GB.build_infects_edges(
+        feature_table.select("src", "dst", F.col("label").cast("int").alias("interaction")),
+        {
+            c: feature_table.filter(F.col(c) > 0).select("src", "dst", F.col(c).alias("score"))
+            for c in ("crispr", "blast", "blastx", "pfam")
+        },
+    )
+    assert edges.count() == feature_table.count()
+    # Q1 scan shape: every edge with its feature properties, NA→absent
+    got = edges.filter(F.col("interaction") == 1).count()
+    assert got == 101
+
+
+def test_real_model_auc_matches_published_band(spark, feature_table):
+    """Published: inner-CV ROC 0.846 ± 0.093 (rtables/genmodelper.tsv),
+    nested median AUC 0.788 (data/avgaucnested.tsv). MLlib RF on the
+    same shipped data must land in the same band (caret ≠ MLlib, so
+    banded: cv_auc within 1 SD of 0.846, held-out AUC > 0.65)."""
+    # the reference trains on rows with blastx/pfam evidence
+    # (caretmodel's rowSums filter, CalculatePredModel.R:48)
+    data = feature_table.filter((F.col("blastx") != 0) | (F.col("pfam") != 0))
+    train, test = M.stratified_split(data, 0.8, seed=42)
+    model, cv_auc = M.train_cv(train, num_folds=5, num_trees=100, seed=42)
+    m = M.evaluate(model, test)
+    assert 0.846 - 0.093 <= cv_auc <= 0.95, cv_auc
+    assert m["auc"] > 0.65, m
