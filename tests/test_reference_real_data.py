@@ -143,6 +143,84 @@ def test_real_graph_build_and_q1_shape(spark, feature_table):
     assert got == 101
 
 
+def test_real_contig_fragment_robustness_curve(spark, feature_table):
+    """Reproduce the published robustness analysis on the shipped
+    per-fraction score tables (bin/iteratePredictedRelationships.R over
+    data/SecondaryBenchmarkingSet_{1..0.5}; manuscript: 'minimal loss of
+    identified interactions down to 50% genome length'): train on the
+    validation set, predict each fraction's merged features, count known
+    phage-host species pairs detected. Measured curve (seeded):
+    77 phages at fraction 1 → 49 at fraction 0.5."""
+    ref = f"{REF}/data"
+    data = feature_table.filter((F.col("blastx") != 0) | (F.col("pfam") != 0))
+    model = M.build_pipeline(num_trees=100, seed=42).fit(data)
+    known = (
+        spark.read.csv(f"{ref}/genbankPhageHost/viral_host_species.tsv", sep="\t")
+        .toDF("phage", "species")
+        .select(sanitize_key("phage").alias("phage"), sanitize_key("species").alias("species"))
+    )
+
+    def score(path, out, header=False, collapse=F.max):
+        df = spark.read.csv(path, sep="\t", header=header, schema=None if header else S3)
+        if header:
+            df = df.toDF("a", "b", "score")
+        return (
+            df.select(
+                sanitize_key("a").alias("bacteria"),
+                sanitize_key("b").alias("phage"),
+                F.col("score").cast("double").alias("score"),
+            )
+            .groupBy("bacteria", "phage")
+            .agg(collapse("score").alias(out))
+        )
+
+    hits = {}
+    for frac in ("1", "0.7", "0.5"):
+        d = f"{ref}/SecondaryBenchmarkingSet_{frac}"
+        merged = (
+            score(f"{d}/BenchmarkCrisprsFormat_{frac}.tsv", "crispr")
+            # the reference collapses prophage bitscores by MIN 'to match
+            # original build' (iteratePredictedRelationships.R:30-34) —
+            # an artifact of its loader's last-write-wins over sorted
+            # input; here training collapsed by MAX, so prediction must
+            # collapse the same way or the blast feature distribution
+            # shifts under the model
+            .join(
+                score(f"{d}/BenchmarkProphagesFormatFlip_{frac}.tsv", "blast"),
+                ["bacteria", "phage"],
+                "full_outer",
+            )
+            .join(
+                score(f"{d}/MatchesByBlastxFormatOrder_{frac}.tsv", "blastx", header=True),
+                ["bacteria", "phage"],
+                "full_outer",
+            )
+            .join(
+                score(f"{d}/PfamInteractionsFormatScoredFlip_{frac}.tsv", "pfam", header=True),
+                ["bacteria", "phage"],
+                "full_outer",
+            )
+            .fillna(0.0)
+        )
+        feats = merged.select(
+            F.col("phage").alias("src"), F.col("bacteria").alias("dst"),
+            "crispr", "blast", "blastx", "pfam",
+        ).withColumn("label", F.lit(0.0))
+        pos = model.transform(feats).filter(F.col("prediction") == 1.0).select(
+            "src",
+            F.regexp_extract("dst", r"^([A-Za-z]+_[A-Za-z]+).*", 1).alias("species"),
+        )
+        j = known.join(
+            pos, (known.phage == pos.src) & (known.species == pos.species), "inner"
+        )
+        hits[frac] = j.select("phage").distinct().count()
+
+    assert hits["1"] >= 70, hits
+    assert hits["1"] >= hits["0.7"] >= hits["0.5"], hits
+    # the published claim: interactions remain identifiable at half-length
+    assert hits["0.5"] >= 0.5 * hits["1"], hits
+
+
 def test_real_model_auc_matches_published_band(spark, feature_table):
     """Published: inner-CV ROC 0.846 ± 0.093 (rtables/genmodelper.tsv),
     nested median AUC 0.788 (data/avgaucnested.tsv). MLlib RF on the
