@@ -292,9 +292,10 @@ def ivf_topk(
 
     Centroids are the `n_cells` md5-first item vectors — a deterministic
     sample, so cell assignment is a pure function of the data
-    (partition-invariant, replayable by the DuckDB oracle). Swap in
-    KMeans centroids for tighter cells at the same plan shape: assignment
-    and probing are centroid-agnostic.
+    (partition-invariant, replayable by the DuckDB oracle). Pass
+    `centroids=ivf_train_centroids(items, ...)` for seeded cosine-KMeans
+    cells (tighter at the same plan shape): assignment and probing are
+    centroid-agnostic.
 
     The 100 TB shape: centroid selection is an EAGER pass over the items
     table at operator-construction time — Catalyst turns orderBy+limit
