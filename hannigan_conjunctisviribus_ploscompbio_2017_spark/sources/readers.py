@@ -403,6 +403,50 @@ def pilercr_spacers(spark: SparkSession, path: str) -> DataFrame:
     return files.flatMap(parse).toDF("array_id string, position int, spacer string")
 
 
+# --- cd-hit .clstr -----------------------------------------------------------
+
+
+def cdhit_clusters(spark: SparkSession, path: str) -> DataFrame:
+    """cd-hit/cd-hit-est .clstr cluster report → one row per member:
+    (cluster, member_idx, length, member, percent_id, is_rep)
+    (bin/ParseClusters.pl:44-63 consumes this format to build the
+    ReferenceGenes tables via bin/PrepareProtClusters.sh:77; the '*'
+    marker is the cluster representative, 'at NN.NN%' the member
+    identity). Cluster state never crosses files → per-file parallel
+    parse, like the other stanza formats."""
+    import re
+
+    files = spark.sparkContext.wholeTextFiles(path)
+    mem = re.compile(
+        r"^(\d+)\s+(\d+)(?:aa|nt),\s+>(.*?)\.\.\.\s+(.*)$"
+    )
+
+    def parse(kv):
+        _, content = kv
+        cluster = None
+        for line in content.splitlines():
+            if line.startswith(">"):
+                cluster = "_".join(line[1:].split())
+                continue
+            m = mem.match(line.strip())
+            if m is None or cluster is None:
+                continue
+            idx, length, name, tail = m.groups()
+            tail = tail.strip()
+            if tail.startswith("*"):
+                pct, is_rep = None, True
+            else:
+                pm = re.search(r"at\s+[+-]?/?([\d.]+)%", tail)
+                pct = float(pm.group(1)) if pm else None
+                is_rep = False
+            yield (cluster, int(idx), int(length), name, pct, is_rep)
+
+    return files.flatMap(parse).toDF(
+        "cluster string, member_idx int, length int, member string, "
+        "percent_id double, is_rep boolean"
+    )
+
+
 # --- S8: EMBL .dat ------------------------------------------------------------
 
 

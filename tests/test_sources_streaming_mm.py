@@ -529,3 +529,23 @@ def test_streaming_near_dup_candidates_across_batches(spark, tmp_path):
         assert all(p in {(3, 1)} for p in pairs), pairs  # no false pairs
     finally:
         q.stop()
+
+
+def test_cdhit_clusters(spark, tmp_path):
+    clstr = tmp_path / "x.clstr"
+    clstr.write_text(
+        ">Cluster 0\n"
+        "0\t2799aa, >1|sp|P1;_Escherichia_|_prot1... *\n"
+        "1\t2799aa, >2|sp|P2;_Shigella_|_prot2... at 99.96%\n"
+        ">Cluster 1\n"
+        "0\t188nt, >contig_77... *\n"
+        "1\t180nt, >contig_78... at +/95.00%\n"
+    )
+    rows = {(r.cluster, r.member_idx): r for r in R.cdhit_clusters(spark, str(clstr)).collect()}
+    assert len(rows) == 4
+    rep = rows[("Cluster_0", 0)]
+    assert rep.is_rep and rep.percent_id is None and rep.length == 2799
+    m = rows[("Cluster_0", 1)]
+    assert not m.is_rep and m.percent_id == 99.96 and m.member.startswith("2|sp|P2")
+    est = rows[("Cluster_1", 1)]
+    assert est.length == 180 and est.percent_id == 95.0
