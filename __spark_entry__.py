@@ -32,6 +32,10 @@ SF0001 = "/root/testdata/sf0.001"
 # not displace hash-verifiable entries from a capped run.  All entries
 # pass the identical local replica of the gate (tools/check_oracle.py).
 _UNMEASURED_ORACLE = [
+    "dd_chunk_dedup",
+    "dd_contamination",
+    "tx_top_ngrams",
+    "tx_split_assign",
     "dd_minhash_lsh",
     "dd_kmer_minhash",
     "mm_blob_stats",

@@ -1,0 +1,98 @@
+"""Corpus-level statistics & partitioning for training-data pipelines.
+
+Companions to operators/dedup.py and functions/text.py: global n-gram
+frequency (LM corpus statistics), and the deterministic hash-based
+train/val/test split every data pipeline needs before training.  All
+pure DataFrame — no UDFs, no driver-side state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.dedup import normalized
+
+
+def ngram_counts(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+) -> DataFrame:
+    """(ngram, n_occurrences, n_docs) over the whole corpus — raw
+    occurrence counts (every repeat counts, unlike dedup shingles which
+    are per-doc sets) plus document frequency.
+
+    Scale: tokenize once per row, explode, one shuffle on the ngram;
+    partial (map-side) aggregation absorbs the explode before the
+    exchange, so shuffle rows ∝ distinct ngrams per partition."""
+    toked = df.select(
+        F.col(id_col).alias("id"),
+        F.split(normalized(text_col), "\\s+").alias("_toks"),
+    )
+    idx = F.when(
+        F.size("_toks") >= n, F.sequence(F.lit(1), F.size("_toks") - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice("_toks", i, n), " "))
+    return (
+        toked.select("id", F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("id").alias("n_docs"),
+        )
+    )
+
+
+def top_ngrams(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    limit: int = 50,
+) -> DataFrame:
+    """Global top-`limit` n-grams by occurrence count, ties broken by
+    ngram text so the result is deterministic.
+
+    The order-by + limit compiles to TakeOrderedAndProject (bounded
+    per-partition heaps merged on the driver), never a global sort."""
+    return (
+        ngram_counts(df, id_col, text_col, n)
+        .orderBy(F.desc("n_occurrences"), F.asc("ngram"))
+        .limit(limit)
+    )
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: tuple[float, float, float] = (0.8, 0.1, 0.1),
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: bucket = md5-60 of
+    (id|seed) mod 1e6, thresholded by the cumulative weights. A pure
+    row function of the id — stable across runs, partitionings, and
+    engines (the md5 family makes it oracle-replayable), unlike
+    randomSplit whose assignment depends on partition layout.
+
+    Adds a `split` column ('train'|'val'|'test') to df."""
+    total = sum(weights)
+    cut1 = int(1_000_000 * weights[0] / total)
+    cut2 = int(1_000_000 * (weights[0] + weights[1]) / total)
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.col(id_col).cast("string"), F.lit(str(seed)))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1_000_000
+    )
+    return df.withColumn(
+        "split",
+        F.when(bucket < cut1, "train").when(bucket < cut2, "val").otherwise("test"),
+    )

@@ -424,3 +424,115 @@ def kmer_minhash_pairs(
     sh = char_shingles(df, id_col, seq_col, k)
     sig = _sig_from_shingles(sh, num_hashes, seed, hash_fn)
     return _lsh_pairs_from_sig(sig, num_hashes, bands, bucket_by_hash)
+
+
+def doc_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 16,
+) -> DataFrame:
+    """(id, chunk_idx, fingerprint) rows: each normalized doc split into
+    consecutive non-overlapping `chunk_tokens`-token chunks, each chunk
+    fingerprinted with md5. Pure Catalyst (one tokenize per row, then a
+    per-index transform) — no UDF, stays in whole-stage codegen."""
+    toked = df.select(
+        F.col(id_col).alias("id"),
+        F.split(normalized(text_col), "\\s+").alias("_toks"),
+    )
+    n_chunks = F.ceil(F.size("_toks") / F.lit(chunk_tokens)).cast("int")
+    idx = F.when(
+        F.size("_toks") >= 1, F.sequence(F.lit(1), n_chunks)
+    ).otherwise(F.array().cast("array<int>"))
+    chunk = lambda i: F.array_join(  # noqa: E731
+        F.slice("_toks", (i - 1) * chunk_tokens + 1, chunk_tokens), " "
+    )
+    return toked.select(
+        "id",
+        F.explode(
+            F.transform(idx, lambda i: F.struct(i.alias("chunk_idx"), F.md5(chunk(i)).alias("fingerprint")))
+        ).alias("_c"),
+    ).select("id", "_c.chunk_idx", "_c.fingerprint")
+
+
+def chunk_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 16,
+) -> DataFrame:
+    """Passage-level exact dedup (the substring-dedup shape of
+    Lee et al. 2022 "Deduplicating Training Data Makes Language Models
+    Better", over fixed token windows): fingerprint every
+    `chunk_tokens`-token chunk of every doc and mark each repeat of a
+    chunk already seen at a lower (doc, position) as a duplicate.
+
+    Returns (id, chunk_idx, fingerprint, keeper_id, keeper_idx, is_dup).
+    A downstream writer drops is_dup=1 chunks to emit the deduped corpus.
+
+    Scale: one shuffle on the chunk fingerprint (same shape as
+    exact_dedup — hash-uniform groups, no text comparison, no windows);
+    keeper choice is a min(struct) aggregate, not a global sort."""
+    ch = doc_chunks(df, id_col, text_col, chunk_tokens)
+    keepers = ch.groupBy("fingerprint").agg(
+        F.min(F.struct("id", "chunk_idx")).alias("_k")
+    )
+    return (
+        ch.join(keepers, "fingerprint")
+        .select(
+            "id",
+            "chunk_idx",
+            "fingerprint",
+            F.col("_k.id").alias("keeper_id"),
+            F.col("_k.chunk_idx").alias("keeper_idx"),
+            (
+                (F.col("id") != F.col("_k.id"))
+                | (F.col("chunk_idx") != F.col("_k.chunk_idx"))
+            ).cast("int").alias("is_dup"),
+        )
+    )
+
+
+def contamination_pairs(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.2,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Train/test contamination screen: for every test doc, the train
+    docs sharing ≥ threshold of its k-token shingles (containment
+    |T∩R| / |T|, the benchmark-decontamination overlap measure — the
+    asymmetric cousin of jaccard_pairs).
+
+    Returns (test_id, train_id, shared, containment), containment
+    rounded to 6 places.
+
+    `max_df` drops train shingles occurring in more than max_df train
+    docs before the join: boilerplate n-grams carry no contamination
+    evidence, and pruning them bounds the per-shingle join fan-out — the
+    skew guard that keeps the explode-join linear at corpus scale.
+
+    Scale: shuffle on shingle (explode-join), group on (test, train)
+    pair; candidates ∝ genuinely-shared rare shingles, never
+    |train|×|test|."""
+    sh_tr = shingles(train, id_col, text_col, k).withColumnRenamed("id", "train_id")
+    if max_df is not None:
+        df_counts = sh_tr.groupBy("shingle").agg(
+            F.count(F.lit(1)).alias("_df")
+        ).filter(F.col("_df") <= max_df)
+        sh_tr = sh_tr.join(df_counts.select("shingle"), "shingle")
+    sh_te = shingles(test, id_col, text_col, k).withColumnRenamed("id", "test_id")
+    sh_te = sh_te.localCheckpoint(eager=False)  # feeds sizes AND the join
+    sizes = sh_te.groupBy("test_id").agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        sh_te.join(sh_tr, "shingle")
+        .groupBy("test_id", "train_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .join(sizes, "test_id")
+        .withColumn("containment", F.round(F.col("shared") / F.col("_n"), 6))
+        .filter(F.col("containment") >= threshold)
+        .select("test_id", "train_id", "shared", "containment")
+    )

@@ -3358,3 +3358,164 @@ def tx_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", TX.quality_score("text").alias("quality"))
+
+
+# =========================================================================
+# Corpus pipeline round 2: passage dedup, contamination, n-gram stats,
+# deterministic splits (training-data pipeline first-class ops)
+# =========================================================================
+
+_CHUNK_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id AS id, string_split({_NORM_SQL}, ' ') AS t FROM documents
+    ), ch AS (
+      SELECT id, t,
+             unnest(generate_series(1, CAST(ceil(len(t) / 16.0) AS BIGINT))) AS chunk_idx
+      FROM toks
+    ), fp AS (
+      SELECT id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+             md5(array_to_string(list_slice(t, (chunk_idx - 1) * 16 + 1, chunk_idx * 16), ' ')) AS fingerprint
+      FROM ch
+    ), k AS (
+      SELECT fingerprint, id AS keeper_id, chunk_idx AS keeper_idx
+      FROM (SELECT fingerprint, id, chunk_idx,
+                   ROW_NUMBER() OVER (PARTITION BY fingerprint
+                                      ORDER BY id, chunk_idx) AS rn
+            FROM fp)
+      WHERE rn = 1
+    )
+    SELECT f.id, f.chunk_idx, f.fingerprint, k.keeper_id, k.keeper_idx,
+           CAST(CASE WHEN f.id <> k.keeper_id OR f.chunk_idx <> k.keeper_idx
+                THEN 1 ELSE 0 END AS INTEGER) AS is_dup
+    FROM fp f JOIN k USING (fingerprint)
+    """
+
+
+@query("dd_chunk_dedup", oracle=_CHUNK_SQL)
+def dd_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level exact dedup (Lee et al. 2022 substring-dedup shape
+    over fixed 16-token windows): every chunk fingerprinted, repeats of
+    an already-seen chunk flagged with their keeper (doc, position).
+    The oracle replays tokenize → chunk → md5 → min-struct keeper
+    exactly. One fingerprint shuffle — the exact_dedup scale shape."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.dedup import chunk_dedup
+
+    return chunk_dedup(_t(spark, sf_dir, "documents"), chunk_tokens=16)
+
+
+_CONTAM_SQL = f"""
+    WITH base AS (
+      SELECT doc_id, {_NORM_SQL} AS norm,
+             CAST(regexp_extract(source, 'src(\\d+)', 1) AS INTEGER) AS srcnum
+      FROM documents
+    ), toks AS (
+      SELECT doc_id AS id, srcnum, string_split(norm, ' ') AS t FROM base
+    ), pos AS (
+      SELECT id, srcnum, t,
+             unnest(CASE WHEN len(t) >= 3 THEN generate_series(1, len(t) - 2)
+                         ELSE CAST([] AS BIGINT[]) END) AS i
+      FROM toks
+    ), sh AS (
+      SELECT DISTINCT id, srcnum, array_to_string(list_slice(t, i, i + 2), ' ') AS shingle
+      FROM pos
+    ), tr AS (
+      SELECT id AS train_id, shingle FROM sh WHERE srcnum < 10
+    ), tr_kept AS (
+      SELECT train_id, shingle FROM tr
+      WHERE shingle IN (
+        SELECT shingle FROM tr GROUP BY shingle HAVING COUNT(*) <= 20
+      )
+    ), te AS (
+      SELECT id AS test_id, shingle FROM sh WHERE srcnum >= 10
+    ), sizes AS (
+      SELECT test_id, COUNT(*) AS n FROM te GROUP BY test_id
+    ), inter AS (
+      SELECT te.test_id, tr_kept.train_id, COUNT(*) AS shared
+      FROM te JOIN tr_kept USING (shingle)
+      GROUP BY te.test_id, tr_kept.train_id
+    )
+    SELECT i.test_id, i.train_id, i.shared,
+           ROUND(i.shared / CAST(s.n AS DOUBLE), 6) AS containment
+    FROM inter i JOIN sizes s USING (test_id)
+    WHERE ROUND(i.shared / CAST(s.n AS DOUBLE), 6) >= 0.1
+    """
+
+
+@query("dd_contamination", oracle=_CONTAM_SQL)
+def dd_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination screen: sources src0-9 as the training
+    corpus, src10-19 as the eval corpus; flags eval docs whose 3-token
+    shingles are ≥10% contained in some training doc, after dropping
+    boilerplate shingles seen in >20 training docs (the skew guard).
+    Oracle replays shingling, the doc-frequency prune, and the
+    containment join end-to-end."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.dedup import (
+        contamination_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    srcnum = F.regexp_extract("source", r"src(\d+)", 1).cast("int")
+    train = docs.filter(srcnum < 10)
+    test = docs.filter(srcnum >= 10)
+    return contamination_pairs(train, test, k=3, threshold=0.1, max_df=20)
+
+
+_TOP_NGRAMS_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id AS id, string_split({_NORM_SQL}, ' ') AS t FROM documents
+    ), pos AS (
+      SELECT id, t,
+             unnest(CASE WHEN len(t) >= 2 THEN generate_series(1, len(t) - 1)
+                         ELSE CAST([] AS BIGINT[]) END) AS i
+      FROM toks
+    ), grams AS (
+      SELECT id, array_to_string(list_slice(t, i, i + 1), ' ') AS ngram FROM pos
+    )
+    SELECT ngram, COUNT(*) AS n_occurrences,
+           COUNT(DISTINCT id) AS n_docs
+    FROM grams GROUP BY ngram
+    ORDER BY n_occurrences DESC, ngram ASC
+    LIMIT 50
+    """
+
+
+@query("tx_top_ngrams", oracle=_TOP_NGRAMS_SQL)
+def tx_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus LM statistics: global top-50 bigrams by raw occurrence
+    count (ties broken by text, so the top-k SET is deterministic and
+    the order-insensitive value hash matches). Compiles to
+    TakeOrderedAndProject — bounded heaps, no global sort."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.corpus import top_ngrams
+
+    return top_ngrams(_t(spark, sf_dir, "documents"), n=2, limit=50)
+
+
+_SPLIT_SQL = f"""
+    WITH b AS (
+      SELECT source,
+             {_MD5_60.format(c="CAST(doc_id AS VARCHAR) || '|42'")} % 1000000 AS bucket
+      FROM documents
+    )
+    SELECT source,
+           CASE WHEN bucket < 800000 THEN 'train'
+                WHEN bucket < 900000 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs
+    FROM b GROUP BY 1, 2
+    """
+
+
+@query("tx_split_assign", oracle=_SPLIT_SQL)
+def tx_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test split (80/10/10):
+    assignment is a pure md5 row function of the doc id — stable across
+    runs, partitionings, and engines, unlike randomSplit. Returns
+    per-(source, split) doc counts; the oracle replays the bucketing."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.corpus import split_assign
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        split_assign(docs, id_col="doc_id", weights=(0.8, 0.1, 0.1), seed=42)
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

@@ -268,3 +268,88 @@ def test_dup_clusters_transitive_and_singletons(spark):
 
     rows = {r.id: (r.keeper_id, r.is_dup) for r in dup_clusters(docs, pairs).collect()}
     assert rows == {"1": ("1", 0), "2": ("1", 1), "3": ("1", 1), "9": ("9", 0)}
+
+
+def test_chunk_dedup_flags_repeated_passages(spark):
+    # 4-token chunks: doc 10 = [A B], doc 11 repeats chunk A at position
+    # 2 and introduces C; doc 12 is all-fresh.
+    rows = [
+        (10, "a b c d e f g h"),            # chunks: "a b c d", "e f g h"
+        (11, "x y z w a b c d"),            # chunk 2 repeats doc 10 chunk 1
+        (12, "p q r s"),                    # fresh single chunk
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r.id, r.chunk_idx): r for r in dedup.chunk_dedup(df, chunk_tokens=4).collect()}
+    assert len(out) == 5
+    assert out[(11, 2)].is_dup == 1
+    assert out[(11, 2)].keeper_id == 10 and out[(11, 2)].keeper_idx == 1
+    assert out[(10, 1)].is_dup == 0 and out[(10, 2)].is_dup == 0
+    assert out[(11, 1)].is_dup == 0 and out[(12, 1)].is_dup == 0
+
+
+def test_chunk_dedup_short_and_ragged_docs(spark):
+    # docs shorter than one chunk still produce exactly one chunk; the
+    # ragged tail chunk (len < chunk_tokens) is fingerprinted as-is
+    rows = [(1, "only three words"), (2, "only three words"), (3, "a b c d e")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.chunk_dedup(df, chunk_tokens=4).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.id, []).append(r)
+    assert len(by_doc[1]) == 1 and len(by_doc[2]) == 1
+    assert len(by_doc[3]) == 2  # "a b c d" + tail "e"
+    assert by_doc[2][0].is_dup == 1 and by_doc[2][0].keeper_id == 1
+
+
+def test_contamination_containment_and_max_df(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "zeta eta theta iota kappa"),
+            (3, "common one two common one two common one two"),
+        ],
+        "doc_id long, text string",
+    )
+    test = spark.createDataFrame(
+        # doc 9: 3 shingles, 2 of which ("alpha beta gamma", "beta gamma
+        # delta") appear in train doc 1 → containment 2/3
+        [(9, "alpha beta gamma delta unseen")],
+        "doc_id long, text string",
+    )
+    out = dedup.contamination_pairs(train, test, k=3, threshold=0.5).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.test_id, r.train_id, r.shared) == (9, 1, 2)
+    assert abs(r.containment - round(2 / 3, 6)) < 1e-9
+    # max_df=0 prunes every train shingle → no pairs survive
+    assert (
+        dedup.contamination_pairs(train, test, k=3, threshold=0.0, max_df=0).count()
+        == 0
+    )
+
+
+def test_corpus_top_ngrams_and_counts(spark):
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators import corpus
+
+    df = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b x")], "doc_id long, text string"
+    )
+    # bigrams: doc1 → "a b","b a","a b","b c"; doc2 → "a b","b x"
+    counts = {r.ngram: r for r in corpus.ngram_counts(df, n=2).collect()}
+    assert counts["a b"].n_occurrences == 3 and counts["a b"].n_docs == 2
+    assert counts["b a"].n_occurrences == 1 and counts["b a"].n_docs == 1
+    top = corpus.top_ngrams(df, n=2, limit=2).collect()
+    assert [r.ngram for r in top] == ["a b", "b a"]  # ties broken by text
+
+
+def test_split_assign_deterministic_and_complete(spark):
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators import corpus
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = corpus.split_assign(df).groupBy("split").count().collect()
+    b = corpus.split_assign(df.repartition(7)).groupBy("split").count().collect()
+    assert {r.split: r["count"] for r in a} == {r.split: r["count"] for r in b}
+    frac = {r.split: r["count"] / 2000 for r in a}
+    assert set(frac) == {"train", "val", "test"}
+    assert abs(frac["train"] - 0.8) < 0.05
+    assert abs(frac["val"] - 0.1) < 0.03 and abs(frac["test"] - 0.1) < 0.03

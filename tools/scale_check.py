@@ -31,7 +31,7 @@ SHIFTS = {
     "part": ["p_partkey"],
     "events": ["event_id", "user_id"],
 }
-COPY = ["region", "nation", "documents", "embeddings"]
+COPY = ["region", "nation"]
 
 
 def build(dst: str, k: int) -> None:
@@ -49,6 +49,29 @@ def build(dst: str, k: int) -> None:
                 d = d.withColumn(c, F.col(c) + i * BIG)
             out = d if out is None else out.unionByName(d)
         out.write.mode("overwrite").parquet(f"{dst}/{t}.parquet")
+    # documents: K replicas with a replica token woven between every pair
+    # of words. Every 3-token shingle then contains the replica tag, so
+    # replicas share no shingles: within-replica near-dup structure is
+    # preserved (the LSH pair count scales ~K), while a verbatim copy
+    # would make every doc a cross-replica near-dup of K-1 others and
+    # blow the TRUE pair count up K²-fold — a data artifact that would
+    # mask or fake a scale bug in the banded join.
+    docs = spark.read.parquet(f"{SRC}/documents.parquet")
+    out = None
+    for i in range(k):
+        d = docs.withColumn("doc_id", F.col("doc_id") + i * BIG).withColumn(
+            "text", F.regexp_replace(F.col("text"), " ", f" xrep{i}q ")
+        )
+        out = d if out is None else out.unionByName(d)
+    out.write.mode("overwrite").parquet(f"{dst}/documents.parquet")
+    # embeddings: id shift only — ANN cost is queries × candidate rows,
+    # so duplicate vectors still exercise the K-fold probe fan-out.
+    emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    out = None
+    for i in range(k):
+        d = emb.withColumn("vec_id", F.col("vec_id") + i * BIG)
+        out = d if out is None else out.unionByName(d)
+    out.write.mode("overwrite").parquet(f"{dst}/embeddings.parquet")
     for t in COPY:
         spark.read.parquet(f"{SRC}/{t}.parquet").write.mode("overwrite").parquet(
             f"{dst}/{t}.parquet"
