@@ -41,6 +41,11 @@ HEADLINE = [
     # explode-rank rarefaction — the two heaviest newly-verified plans
     ("q11", "gq4_study_network"),
     ("q12", "m1_rarefaction_portable"),
+    # r02 additions: the passage-dedup corpus scan (explode + fingerprint
+    # shuffle) and the contamination containment join (explode-join with
+    # the doc-frequency skew guard)
+    ("q13", "dd_chunk_dedup"),
+    ("q14", "dd_contamination"),
 ]
 
 

@@ -431,12 +431,16 @@ def doc_chunks(
     id_col: str = "doc_id",
     text_col: str = "text",
     chunk_tokens: int = 16,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id, chunk_idx, fingerprint) rows: each normalized doc split into
     consecutive non-overlapping `chunk_tokens`-token chunks, each chunk
     fingerprinted with md5. Pure Catalyst (one tokenize per row, then a
-    per-index transform) — no UDF, stays in whole-stage codegen."""
+    per-index transform) — no UDF, stays in whole-stage codegen.
+    `keep_cols` carries extra columns through (e.g. the event-time column
+    a streaming consumer needs for its watermark)."""
     toked = df.select(
+        *[F.col(c) for c in keep_cols],
         F.col(id_col).alias("id"),
         F.split(normalized(text_col), "\\s+").alias("_toks"),
     )
@@ -448,11 +452,12 @@ def doc_chunks(
         F.slice("_toks", (i - 1) * chunk_tokens + 1, chunk_tokens), " "
     )
     return toked.select(
+        *keep_cols,
         "id",
         F.explode(
             F.transform(idx, lambda i: F.struct(i.alias("chunk_idx"), F.md5(chunk(i)).alias("fingerprint")))
         ).alias("_c"),
-    ).select("id", "_c.chunk_idx", "_c.fingerprint")
+    ).select(*keep_cols, "id", "_c.chunk_idx", "_c.fingerprint")
 
 
 def chunk_dedup(

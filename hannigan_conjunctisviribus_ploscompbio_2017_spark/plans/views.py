@@ -68,3 +68,36 @@ def sql_q3(spark: SparkSession):
 def sql_q6(spark: SparkSession, label: str):
     assert label.isidentifier() or label.replace("_", "").isalnum(), "label must be a plain name"
     return spark.sql(SQL_TEMPLATES["q6_label_scan"].format(label=label))
+
+
+def register_corpus_views(spark: SparkSession, sf_dir: str) -> None:
+    """Training-data-pipeline views over the documents/embeddings tables:
+
+    - `doc_stats`       — per-doc token counts + quality + lang-ID
+    - `doc_chunks`      — 16-token passage fingerprints (chunk_dedup input)
+    - `doc_dups`        — exact-dedup keep decisions
+    - `corpus_ngrams`   — global bigram occurrence/doc-frequency counts
+    - `doc_splits`      — deterministic 80/10/10 train/val/test assignment
+
+    All are lazy views over the same Catalyst plans as the operator API:
+    `spark.sql("SELECT * FROM doc_dups WHERE is_dup = 1")` prunes and
+    pushes down exactly like the DataFrame call."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.functions import text as TX
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators import corpus, dedup
+
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs.select(
+        "doc_id",
+        "source",
+        TX.token_count("text").alias("n_tokens"),
+        TX.quality_score("text").alias("quality"),
+        TX.lang_id("text").alias("lang_pred"),
+    ).createOrReplaceTempView("doc_stats")
+    dedup.doc_chunks(docs).createOrReplaceTempView("doc_chunks")
+    dedup.exact_dedup(docs).createOrReplaceTempView("doc_dups")
+    corpus.ngram_counts(docs, n=2).createOrReplaceTempView("corpus_ngrams")
+    corpus.split_assign(docs).select("doc_id", "source", "split").createOrReplaceTempView(
+        "doc_splits"
+    )

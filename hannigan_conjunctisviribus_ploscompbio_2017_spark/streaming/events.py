@@ -332,3 +332,77 @@ def read_incremental_edges(spark: SparkSession, target_path: str) -> DataFrame:
         .groupBy("src", "dst")
         .agg(F.sum("abundance").alias("abundance"))
     )
+
+
+def streaming_chunk_first_seen(
+    docs: DataFrame,
+    ts_col: str = "ts",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 16,
+    watermark: str = "2 hours",
+    retention_ms: int = 24 * 3600 * 1000,
+) -> DataFrame:
+    """Streaming passage-level dedup — the streaming twin of
+    operators.dedup.chunk_dedup: each incoming doc is split into
+    16-token chunks (stateless Catalyst explode, same expression tree as
+    the batch operator), then a per-fingerprint applyInPandasWithState
+    admits only the FIRST occurrence of each passage across all
+    micro-batches. Ingest pipelines drop every later repeat before it
+    reaches the corpus store.
+
+    State per fingerprint is one boolean with an event-time timeout
+    `retention_ms` past the group's max event time — bounded state, same
+    discipline as streaming_first_seen. Output: (fingerprint,
+    first_doc_id, first_chunk_idx, first_ts, n_dups)."""
+    import pandas as pd
+
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.dedup import doc_chunks
+
+    ch = doc_chunks(
+        docs, id_col=id_col, text_col=text_col, chunk_tokens=chunk_tokens,
+        keep_cols=(ts_col,),
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("fingerprint", T.StringType()),
+            T.StructField("first_doc_id", T.LongType()),
+            T.StructField("first_chunk_idx", T.IntegerType()),
+            T.StructField("first_ts", T.TimestampType()),
+            T.StructField("n_dups", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("seen", T.BooleanType())])
+
+    def dedup(key, pdfs, state):
+        if state.hasTimedOut:
+            state.remove()
+        elif state.exists:
+            for _ in pdfs:  # drain: all rows are duplicate passages
+                pass
+        else:
+            rows = pd.concat(list(pdfs), ignore_index=True)
+            first = rows.sort_values([ts_col, "id", "chunk_idx"]).iloc[0]
+            state.update((True,))
+            state.setTimeoutTimestamp(
+                int(rows[ts_col].max().timestamp() * 1000) + retention_ms
+            )
+            yield pd.DataFrame(
+                [
+                    {
+                        "fingerprint": key[0],
+                        "first_doc_id": int(first["id"]),
+                        "first_chunk_idx": int(first["chunk_idx"]),
+                        "first_ts": first[ts_col],
+                        "n_dups": int(len(rows) - 1),
+                    }
+                ]
+            )
+
+    return (
+        ch.withWatermark(ts_col, watermark)
+        .groupBy("fingerprint")
+        .applyInPandasWithState(
+            dedup, out_schema, state_schema, "append", "EventTimeTimeout"
+        )
+    )

@@ -126,3 +126,31 @@ def test_rarefy_hash_two_phase_filters_before_rank(spark):
     plan = plan_of(rarefy_hash(ab, "s", "i", "c", depth=5))
     assert "_tau" in plan  # threshold filter present in-plan
     assert "Window" in plan and "Generate" in plan
+
+
+def test_top_ngrams_bounded_heap_not_global_sort(spark):
+    # the corpus top-k must compile to TakeOrderedAndProject (bounded
+    # per-partition heaps) — a global Sort over every distinct ngram
+    # would shuffle the whole vocabulary at corpus scale
+    plan = plan_of(QUERIES["tx_top_ngrams"](spark, SF0001))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_chunk_dedup_no_window_no_cross(spark):
+    # keeper selection is a min(struct) hash aggregate on the
+    # fingerprint, never a Window (per-fingerprint sort) or any
+    # nested-loop join — the exact_dedup scale shape
+    plan = plan_of(QUERIES["dd_chunk_dedup"](spark, SF0001))
+    assert "Window" not in plan
+    assert "NestedLoop" not in plan
+    # min(struct) keeper: SortAggregate (struct keys aren't hashable by
+    # the vectorized hash agg) — any Aggregate is fine, Window is not
+    assert "Aggregate" in plan
+
+
+def test_contamination_joins_on_shingle_not_cross(spark):
+    # the containment join must shuffle on the shingle key; a cartesian
+    # train x test expansion must never appear
+    plan = plan_of(QUERIES["dd_contamination"](spark, SF0001))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -549,3 +549,52 @@ def test_cdhit_clusters(spark, tmp_path):
     assert not m.is_rep and m.percent_id == 99.96 and m.member.startswith("2|sp|P2")
     est = rows[("Cluster_1", 1)]
     assert est.length == 180 and est.percent_id == 95.0
+
+
+def test_streaming_chunk_first_seen_across_batches(spark, tmp_path):
+    """Streaming passage dedup: a 4-token chunk first seen in batch 1
+    must suppress the same chunk arriving inside a DIFFERENT doc in a
+    later micro-batch; fresh chunks in batch 2 still emit."""
+    import time as _time
+    from datetime import datetime
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    src = tmp_path / "doc_stream"
+    b1 = spark.createDataFrame(
+        [(datetime(2025, 1, 1, 12, 0), 1, "a b c d e f g h")], schema
+    )
+    # doc 2 repeats doc 1's first chunk ("a b c d") and adds a fresh one
+    b2 = spark.createDataFrame(
+        [(datetime(2025, 1, 1, 12, 10), 2, "a b c d x y z w")], schema
+    )
+    b1.coalesce(1).write.mode("append").parquet(str(src))
+    _time.sleep(1.2)
+    b2.coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = SE.streaming_chunk_first_seen(stream, chunk_tokens=4)
+    q = SE.run_to_memory(out, "chunk_first_seen_out")
+    try:
+        rows = {
+            (r.first_doc_id, r.first_chunk_idx): r
+            for r in spark.sql("SELECT * FROM chunk_first_seen_out").collect()
+        }
+        # batch-1 chunks: (1,1)="a b c d", (1,2)="e f g h"; batch-2
+        # fresh chunk: (2,2)="x y z w". The repeat of "a b c d" in doc 2
+        # must NOT appear as a new fingerprint owner.
+        assert set(rows) == {(1, 1), (1, 2), (2, 2)}
+        assert all(r.n_dups == 0 for r in rows.values())
+    finally:
+        q.stop()

@@ -34,3 +34,37 @@ def test_sql_q3_and_q6(spark):
     assert V.sql_q3(spark).count() > 0
     names = {r.name for r in V.sql_q6(spark, "StudyID").collect()}
     assert len(names) == 5
+
+
+def test_corpus_views_sql_surface(spark):
+    V.register_corpus_views(spark, SF0001)
+    # keep-side of the exact dedup via plain SQL == the operator call
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators import dedup
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.schemas import load_table
+
+    sql_kept = spark.sql("SELECT COUNT(*) AS n FROM doc_dups WHERE is_dup = 0").collect()[0].n
+    api_kept = (
+        dedup.exact_dedup(load_table(spark, SF0001, "documents"))
+        .filter("is_dup = 0")
+        .count()
+    )
+    assert sql_kept == api_kept
+    # the split view is complete and keyed by doc_id
+    n_docs = spark.sql("SELECT COUNT(*) AS n FROM doc_splits").collect()[0].n
+    assert n_docs == load_table(spark, SF0001, "documents").count()
+    assert spark.sql(
+        "SELECT COUNT(DISTINCT split) AS k FROM doc_splits"
+    ).collect()[0].k <= 3
+    # joins across pipeline views work as plain SQL
+    joined = spark.sql(
+        """
+        SELECT s.split, COUNT(*) AS n, ROUND(AVG(st.quality), 4) AS avg_q
+        FROM doc_splits s JOIN doc_stats st USING (doc_id)
+        GROUP BY s.split
+        """
+    ).collect()
+    assert sum(r.n for r in joined) == n_docs
+    # chunk view exposes fingerprints queryable for dup passages
+    assert spark.sql(
+        "SELECT COUNT(*) AS n FROM (SELECT fingerprint FROM doc_chunks GROUP BY fingerprint HAVING COUNT(*) > 1)"
+    ).collect()[0].n >= 0
