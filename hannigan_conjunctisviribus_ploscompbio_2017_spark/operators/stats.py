@@ -93,7 +93,7 @@ def rarefy_hash(
     sample_col: str,
     item_col: str,
     count_col: str,
-    depth: int | DataFrame,
+    depth: int | str | DataFrame,
     seed: int = 42,
 ) -> DataFrame:
     """Hash-rank rarefaction — the oracle-checkable twin of rarefy().
@@ -111,8 +111,16 @@ def rarefy_hash(
     heavy-tailed counts use rarefy() (pandas hypergeometric, no
     expansion). Samples with total < depth are dropped, as in rarefy().
 
-    `depth` may be an int or a 1-row/1-column DataFrame, broadcast into
-    the plan (single Catalyst DAG — no driver-side collect).
+    `depth` may be an int, a 1-row/1-column DataFrame broadcast into
+    the plan (single Catalyst DAG — no driver-side collect), or a SQL
+    aggregate expression over the per-sample total column `_t` (e.g.
+    "min(_t)", "percentile(_t, 0.05)"). The expression form is the
+    cheapest: it is evaluated as a global window over the per-sample
+    aggregate THIS operator already computes, so the depth costs one
+    exchange of an n_samples-row frame — a caller-built depth DataFrame,
+    by contrast, re-derives the whole upstream plan a second time
+    (Catalyst does not reuse the identical subtree across the broadcast
+    boundary; measured one extra full scan+join per depth consumer).
 
     Execution is two-phase so the rank never sorts the full exploded
     community: keys are uniform in [0, 2^60), so the depth-th smallest
@@ -137,7 +145,13 @@ def rarefy_hash(
     # expensive) upstream plan once more per consumer — measured ~40% of
     # this operator's wall-clock at sf0.1
     per_sample = typed.groupBy(sample_col).agg(F.sum(count_col).alias("_t"))
-    if isinstance(depth, DataFrame):
+    if isinstance(depth, str):
+        # global window over the tiny per-sample aggregate: single
+        # partition is deliberate — n_samples rows, not the base table
+        per_sample = per_sample.withColumn(
+            "_depth", F.expr(depth).over(W.partitionBy()).cast("long")
+        )
+    elif isinstance(depth, DataFrame):
         dcol = depth.columns[0]
         per_sample = per_sample.crossJoin(
             F.broadcast(depth.select(F.col(dcol).cast("long").alias("_depth")))

@@ -2468,8 +2468,10 @@ def m1_rarefaction_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum("l_quantity").cast("long").alias("count"))
     )
-    depth_df = ab.groupBy("sample").agg(F.sum("count").alias("t")).agg(F.min("t").alias("d"))
-    r = rarefy_hash(ab, "sample", "item", "count", depth=depth_df, seed=42)
+    # in-plan depth: the min is a window over the per-sample totals
+    # rarefy_hash already aggregates — one less derivation of ab than a
+    # caller-built depth DataFrame (Catalyst doesn't dedupe the subtree)
+    r = rarefy_hash(ab, "sample", "item", "count", depth="min(_t)", seed=42)
     return r.groupBy("sample").agg(
         F.count(F.lit(1)).alias("richness"),
         F.sum("count").alias("total"),

@@ -200,3 +200,66 @@ def test_fastq_chunk_split_invariant(spark, seed, n, chunk):
         for r in R.read_fastq_parallel(spark, path, chunk_bytes=chunk).collect()
     }
     assert got == set(recs)
+
+
+words = st.sampled_from(["ab", "cd", "ef", "gh", "ij"])
+
+
+@SLOW
+@given(
+    texts=st.lists(
+        st.lists(words, min_size=1, max_size=12).map(" ".join),
+        min_size=1,
+        max_size=6,
+    ),
+    ct=st.integers(min_value=1, max_value=5),
+)
+def test_chunk_dedup_invariants(spark, texts, ct):
+    """For any corpus and chunk size: chunk count per doc is
+    ceil(tokens/ct); every fingerprint group has exactly one keeper
+    (is_dup=0) and it is the lexicographically minimal (id, idx)."""
+    import math
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.chunk_dedup(df, chunk_tokens=ct).collect()
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r.id, 0)
+        per_doc[r.id] += 1
+    for i, t in rows:
+        assert per_doc[i] == math.ceil(len(t.split()) / ct)
+    by_fp = {}
+    for r in out:
+        by_fp.setdefault(r.fingerprint, []).append(r)
+    for grp in by_fp.values():
+        keepers = [r for r in grp if r.is_dup == 0]
+        assert len(keepers) == 1
+        lo = min((r.id, r.chunk_idx) for r in grp)
+        assert (keepers[0].id, keepers[0].chunk_idx) == lo
+        assert all((r.keeper_id, r.keeper_idx) == lo for r in grp)
+
+
+@SLOW
+@given(
+    n=st.integers(min_value=1, max_value=400),
+    w=st.tuples(
+        st.integers(min_value=1, max_value=8),
+        st.integers(min_value=1, max_value=8),
+        st.integers(min_value=1, max_value=8),
+    ),
+    seed=st.integers(min_value=0, max_value=99),
+)
+def test_split_assign_total_and_determinism(spark, n, w, seed):
+    """Every row gets exactly one split; assignment is a pure function
+    of (id, seed) — invariant under repartitioning and re-evaluation."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.corpus import split_assign
+
+    df = spark.range(0, n).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id: r.split for r in split_assign(df, weights=w, seed=seed).collect()}
+    b = {
+        r.doc_id: r.split
+        for r in split_assign(df.repartition(5), weights=w, seed=seed).collect()
+    }
+    assert a == b and len(a) == n
+    assert set(a.values()) <= {"train", "val", "test"}

@@ -162,3 +162,14 @@ def test_permutation_pvalue_all_tied_values(spark):
     res = stats.permutation_pvalue(df, "grp", "val", n_perm=99).collect()[0]
     assert res.observed_diff == 0.0
     assert res.p_value == pytest.approx(1.0, abs=0.01)
+
+
+def test_rarefy_hash_expression_depth_matches_explicit(spark):
+    # depth="min(_t)" (global window over the internal per-sample totals)
+    # must draw exactly what an explicit int depth equal to that min draws
+    df = _abundance(spark)
+    totals = df.groupBy("sample").agg(F.sum("count").alias("t")).collect()
+    dmin = min(r.t for r in totals)
+    a = sorted(map(tuple, stats.rarefy_hash(df, "sample", "item", "count", depth="min(_t)").collect()))
+    b = sorted(map(tuple, stats.rarefy_hash(df, "sample", "item", "count", depth=int(dmin)).collect()))
+    assert a == b and len(a) > 0
