@@ -525,10 +525,15 @@ def contamination_pairs(
     |train|×|test|."""
     sh_tr = shingles(train, id_col, text_col, k).withColumnRenamed("id", "train_id")
     if max_df is not None:
-        df_counts = sh_tr.groupBy("shingle").agg(
-            F.count(F.lit(1)).alias("_df")
-        ).filter(F.col("_df") <= max_df)
-        sh_tr = sh_tr.join(df_counts.select("shingle"), "shingle")
+        # doc-frequency prune as a count-over-window, not agg+self-join:
+        # one derivation of the train shingles, and the window's
+        # hash-partitioning on shingle is exactly what the containment
+        # join needs — the train side never shuffles twice
+        from pyspark.sql import Window as W
+
+        sh_tr = sh_tr.withColumn(
+            "_df", F.count(F.lit(1)).over(W.partitionBy("shingle"))
+        ).filter(F.col("_df") <= max_df).drop("_df")
     sh_te = shingles(test, id_col, text_col, k).withColumnRenamed("id", "test_id")
     sh_te = sh_te.localCheckpoint(eager=False)  # feeds sizes AND the join
     sizes = sh_te.groupBy("test_id").agg(F.count(F.lit(1)).alias("_n"))
