@@ -34,6 +34,7 @@ SF0001 = "/root/testdata/sf0.001"
 _UNMEASURED_ORACLE = [
     "dd_chunk_dedup",
     "dd_contamination",
+    "tx_quality_filter",
     "tx_top_ngrams",
     "tx_split_assign",
     "dd_minhash_lsh",

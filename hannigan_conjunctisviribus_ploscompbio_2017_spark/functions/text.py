@@ -119,3 +119,35 @@ def fingerprint(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     norm = F.trim(F.regexp_replace(F.lower(c), r"[^a-z0-9]+", " "))
     return F.md5(norm)
+
+
+def reject_reasons(
+    text_col: Column | str,
+    lang_col: Column | str,
+    min_tokens: int = 10,
+    max_tokens: int = 10_000,
+    min_quality: float = 0.3,
+    allowed_langs: list[str] | None = None,
+) -> Column:
+    """Comma-joined rejection reasons for the corpus quality filter
+    (C4/Gopher-style rule routing): empty string = keep. One Catalyst
+    expression — the whole filter step is a single codegen'd scan, and
+    the reasons column routes rejects to a quarantine sink (P10 label
+    routing at corpus scale) instead of silently dropping them."""
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    lang = F.col(lang_col) if isinstance(lang_col, str) else lang_col
+    n_tok = token_count(t)
+    q = quality_score(t)
+    checks = [
+        (t.isNull() | (F.length(F.trim(t)) == 0), "empty"),
+        (n_tok < min_tokens, "too_short"),
+        (n_tok > max_tokens, "too_long"),
+        (q < min_quality, "low_quality"),
+    ]
+    if allowed_langs is not None:
+        arr = F.array(*[F.lit(code) for code in sorted(allowed_langs)])
+        checks.append((~F.array_contains(arr, lang), "lang"))
+    reasons = F.array_compact(
+        F.array(*[F.when(cond, F.lit(label)) for cond, label in checks])
+    )
+    return F.concat_ws(",", reasons)

@@ -3521,3 +3521,64 @@ def tx_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "split")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+_QFILTER_SQL = """
+    WITH t AS (
+      SELECT doc_id, lang, text,
+             regexp_split_to_array(trim(text), '\\s+') AS toks,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS ltoks,
+             CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^\\w\\s]', '', 'g'))
+                  AS DOUBLE) / LENGTH(text) AS punct
+      FROM documents
+    ), q AS (
+      SELECT doc_id, lang, text, len(toks) AS n_tok,
+             ROUND((
+               LEAST(CAST(len(toks) AS DOUBLE) / 50.0, 1.0)
+               + (1.0 - LEAST(punct * 4.0, 1.0))
+               + LEAST(CAST(len(list_filter(ltoks, x -> x IN (
+                   'the','and','of','to','a','in','is','it','that','for',
+                   'on','with','as','was','at','by','an','be','this','are'
+                 ))) AS DOUBLE) / len(toks) * 5.0, 1.0)
+             ) / 3.0, 6) AS quality
+      FROM t
+    ), r AS (
+      SELECT doc_id,
+             COALESCE(array_to_string(list_filter([
+               CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 'empty' END,
+               CASE WHEN n_tok < 30 THEN 'too_short' END,
+               CASE WHEN n_tok > 80 THEN 'too_long' END,
+               CASE WHEN quality < 0.5 THEN 'low_quality' END,
+               CASE WHEN NOT lang IN ('de','en','fr') THEN 'lang' END
+             ], x -> x IS NOT NULL), ','), '') AS reject_reasons
+      FROM q
+    )
+    SELECT doc_id, reject_reasons,
+           CAST(CASE WHEN reject_reasons = '' THEN 1 ELSE 0 END AS INTEGER) AS kept
+    FROM r
+    """
+
+
+@query("tx_quality_filter", oracle=_QFILTER_SQL)
+def tx_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus quality-filter routing (C4/Gopher rule set): every doc gets
+    its comma-joined rejection reasons (empty string = keep) so rejects
+    route to a quarantine sink instead of vanishing — P10 label routing
+    at corpus scale, one codegen'd scan, no UDF. The oracle replays the
+    length/quality/lang rules and the reason-string assembly."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.functions import text as TX
+
+    docs = _t(spark, sf_dir, "documents")
+    r = TX.reject_reasons(
+        "text",
+        "lang",
+        min_tokens=30,
+        max_tokens=80,
+        min_quality=0.5,
+        allowed_langs=["en", "de", "fr"],
+    )
+    return docs.select(
+        "doc_id",
+        r.alias("reject_reasons"),
+        (r == F.lit("")).cast("int").alias("kept"),
+    )

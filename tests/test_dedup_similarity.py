@@ -353,3 +353,25 @@ def test_split_assign_deterministic_and_complete(spark):
     assert set(frac) == {"train", "val", "test"}
     assert abs(frac["train"] - 0.8) < 0.05
     assert abs(frac["val"] - 0.1) < 0.03 and abs(frac["test"] - 0.1) < 0.03
+
+
+def test_reject_reasons_rules_and_routing(spark):
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.functions import text as TX
+
+    rows = [
+        (1, "the cat sat on the mat with a hat and a bat for fun", "en"),   # keep
+        (2, "tiny", "en"),                                                   # too_short (+low_quality)
+        (3, " ".join(["w"] * 30), "zh"),                                     # lang (+no stopwords)
+        (4, "", "en"),                                                       # empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    r = TX.reject_reasons(
+        "text", "lang", min_tokens=5, max_tokens=100, min_quality=0.2,
+        allowed_langs=["en"],
+    )
+    out = {x.doc_id: x.reject_reasons for x in
+           df.select("doc_id", r.alias("reject_reasons")).collect()}
+    assert out[1] == ""
+    assert "too_short" in out[2]
+    assert "lang" in out[3] and "too_short" not in out[3]
+    assert "empty" in out[4]
