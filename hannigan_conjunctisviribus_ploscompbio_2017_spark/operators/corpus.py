@@ -96,3 +96,32 @@ def split_assign(
         "split",
         F.when(bucket < cut1, "train").when(bucket < cut2, "val").otherwise("test"),
     )
+
+
+def write_corpus(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    partition_by: list[str] | None = None,
+    files_per_partition: int = 1,
+    max_records_per_file: int | None = None,
+) -> None:
+    """Size-disciplined corpus sink: zstd parquet, rows range-partitioned
+    and sorted by id so readers get splittable, locality-friendly files
+    instead of one file per upstream shuffle task.
+
+    `files_per_partition` sets the repartitionByRange width (per
+    partition_by value when partitioning); `max_records_per_file` caps
+    row count per file on top of that (Spark splits oversized writers
+    transparently). At 100 TB the knobs that matter are exactly these
+    two: file count ∝ range width, file size capped by the record limit —
+    no driver-side size probing, no post-hoc compaction job."""
+    out = df.repartitionByRange(files_per_partition, F.col(id_col)).sortWithinPartitions(
+        id_col
+    )
+    w = out.write.mode("overwrite").option("compression", "zstd")
+    if max_records_per_file is not None:
+        w = w.option("maxRecordsPerFile", int(max_records_per_file))
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)

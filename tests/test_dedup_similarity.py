@@ -375,3 +375,20 @@ def test_reject_reasons_rules_and_routing(spark):
     assert "too_short" in out[2]
     assert "lang" in out[3] and "too_short" not in out[3]
     assert "empty" in out[4]
+
+
+def test_write_corpus_file_discipline(spark, tmp_path):
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators import corpus
+    import glob
+
+    df = spark.range(0, 1000).withColumnRenamed("id", "doc_id").withColumn(
+        "text", F.concat(F.lit("doc "), F.col("doc_id"))
+    )
+    p = str(tmp_path / "corpus")
+    corpus.write_corpus(df, p, files_per_partition=4, max_records_per_file=100)
+    files = glob.glob(f"{p}/*.parquet")
+    # 4 range partitions x (250 rows / 100-record cap -> 3 files) = 12
+    assert len(files) == 12
+    back = spark.read.parquet(p)
+    assert back.count() == 1000
+    assert back.select(F.countDistinct("doc_id")).collect()[0][0] == 1000
