@@ -406,3 +406,40 @@ def streaming_chunk_first_seen(
             dedup, out_schema, state_schema, "append", "EventTimeTimeout"
         )
     )
+
+
+def streaming_quality_router(
+    docs: DataFrame,
+    keep_path: str,
+    quarantine_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    **filter_kwargs,
+):
+    """Streaming corpus ingest with quality routing: each micro-batch is
+    scored with functions.text.reject_reasons (same Catalyst expression
+    as the batch tx_quality_filter) and split — clean docs append to the
+    corpus store, rejects append to a quarantine store WITH their
+    reasons, so nothing is silently dropped and the reject stream is
+    auditable. One foreachBatch, two appends; the expression evaluates
+    once per row (the batch is tiny relative to state so no cache
+    needed — Spark reuses the scan within the batch plan)."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.functions.text import reject_reasons
+
+    r = reject_reasons(text_col, lang_col, **filter_kwargs)
+
+    def _route(batch: DataFrame, epoch_id: int) -> None:
+        scored = batch.withColumn("reject_reasons", r).localCheckpoint(eager=True)
+        scored.filter(F.col("reject_reasons") == "").drop("reject_reasons").write.mode(
+            "append"
+        ).parquet(keep_path)
+        scored.filter(F.col("reject_reasons") != "").write.mode("append").parquet(
+            quarantine_path
+        )
+
+    return (
+        docs.writeStream.foreachBatch(_route)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

@@ -598,3 +598,52 @@ def test_streaming_chunk_first_seen_across_batches(spark, tmp_path):
         assert all(r.n_dups == 0 for r in rows.values())
     finally:
         q.stop()
+
+
+def test_streaming_quality_router_splits_keep_and_quarantine(spark, tmp_path):
+    """foreachBatch quality routing: clean docs land in the corpus store,
+    rejects land in quarantine with their reasons — across micro-batches,
+    nothing lost."""
+    import time as _time
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    src = tmp_path / "router_src"
+    b1 = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat with a hat and a bat for fun", "en"),
+            (2, "tiny", "en"),
+        ],
+        schema,
+    )
+    b2 = spark.createDataFrame(
+        [(3, " ".join(["w"] * 30), "zh")], schema
+    )
+    b1.coalesce(1).write.mode("append").parquet(str(src))
+    _time.sleep(1.2)
+    b2.coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(str(src))
+    )
+    keep, quar, ckpt = (str(tmp_path / d) for d in ("keep", "quarantine", "ckpt"))
+    q = SE.streaming_quality_router(
+        stream, keep, quar, ckpt,
+        min_tokens=5, max_tokens=100, min_quality=0.2, allowed_langs=["en"],
+    )
+    try:
+        q.processAllAvailable()
+        kept = {r.doc_id for r in spark.read.parquet(keep).collect()}
+        rej = {r.doc_id: r.reject_reasons for r in spark.read.parquet(quar).collect()}
+        assert kept == {1}
+        assert set(rej) == {2, 3}
+        assert "too_short" in rej[2] and "lang" in rej[3]
+    finally:
+        q.stop()
