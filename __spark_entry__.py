@@ -35,6 +35,7 @@ _UNMEASURED_ORACLE = [
     "dd_chunk_dedup",
     "dd_contamination",
     "tx_quality_filter",
+    "tx_repetition_stats",
     "tx_top_ngrams",
     "tx_split_assign",
     "dd_minhash_lsh",

@@ -125,3 +125,46 @@ def write_corpus(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+) -> DataFrame:
+    """Per-doc repetition signals (the Gopher repetition filter family):
+
+    - `ngram_entropy`  — Shannon entropy (nats) of the doc's n-gram
+      distribution, single-pass identity H = ln T − (Σ c·ln c)/T (no
+      per-doc totals join, same trick as the graph entropy kernel)
+    - `top_ngram_share` — max n-gram count / total n-grams (Gopher's
+      top-2-gram fraction rule)
+    - `dup_ngram_ratio` — 1 − distinct/total (repeated-n-gram mass)
+
+    Highly repetitive docs (boilerplate, keyword stuffing, generation
+    loops) score low entropy / high share / high ratio. One explode and
+    one (id, ngram) shuffle; the per-doc reduce is a second aggregate of
+    the counts — rows ∝ distinct n-grams per doc, already partial-
+    aggregated map-side."""
+    toked = df.select(
+        F.col(id_col).alias("id"),
+        F.split(normalized(text_col), "\\s+").alias("_toks"),
+    )
+    idx = F.when(
+        F.size("_toks") >= n, F.sequence(F.lit(1), F.size("_toks") - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice("_toks", i, n), " "))
+    counts = (
+        toked.select("id", F.explode(grams).alias("ngram"))
+        .groupBy("id", "ngram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    t = F.sum("c")
+    return counts.groupBy("id").agg(
+        F.round(
+            F.log(t) - F.sum(F.col("c") * F.log("c")) / t, 6
+        ).alias("ngram_entropy"),
+        F.round(F.max("c") / t, 6).alias("top_ngram_share"),
+        F.round(F.lit(1.0) - F.count(F.lit(1)) / t, 6).alias("dup_ngram_ratio"),
+    )

@@ -3582,3 +3582,35 @@ def tx_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         r.alias("reject_reasons"),
         (r == F.lit("")).cast("int").alias("kept"),
     )
+
+
+_REPETITION_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id AS id, string_split({_NORM_SQL}, ' ') AS t FROM documents
+    ), pos AS (
+      SELECT id, t,
+             unnest(CASE WHEN len(t) >= 2 THEN generate_series(1, len(t) - 1)
+                         ELSE CAST([] AS BIGINT[]) END) AS i
+      FROM toks
+    ), counts AS (
+      SELECT id, array_to_string(list_slice(t, i, i + 1), ' ') AS ngram,
+             COUNT(*) AS c
+      FROM pos GROUP BY id, ngram
+    )
+    SELECT id,
+           ROUND(ln(SUM(c)) - SUM(c * ln(c)) / SUM(c), 6) AS ngram_entropy,
+           ROUND(MAX(c) / CAST(SUM(c) AS DOUBLE), 6) AS top_ngram_share,
+           ROUND(1.0 - COUNT(*) / CAST(SUM(c) AS DOUBLE), 6) AS dup_ngram_ratio
+    FROM counts GROUP BY id
+    """
+
+
+@query("tx_repetition_stats", oracle=_REPETITION_SQL)
+def tx_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter signals per doc: bigram Shannon
+    entropy (single-pass identity, no totals join), top-bigram share,
+    and duplicate-bigram mass. The oracle replays the shingling and all
+    three identities; round-6 on both sides keeps the float hash exact."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.corpus import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"), n=2)

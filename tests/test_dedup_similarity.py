@@ -392,3 +392,22 @@ def test_write_corpus_file_discipline(spark, tmp_path):
     back = spark.read.parquet(p)
     assert back.count() == 1000
     assert back.select(F.countDistinct("doc_id")).collect()[0][0] == 1000
+
+
+def test_repetition_stats_detects_boilerplate(spark):
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators import corpus
+    import math
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),          # one bigram repeated 5x
+            (2, "a b c d e f"),                            # all 5 bigrams distinct
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.id: r for r in corpus.repetition_stats(df, n=2).collect()}
+    assert out[1].ngram_entropy == 0.0
+    assert out[1].top_ngram_share == 1.0
+    assert out[1].dup_ngram_ratio == 0.8  # 1 distinct / 5 total
+    assert abs(out[2].ngram_entropy - round(math.log(5), 6)) < 1e-9
+    assert out[2].top_ngram_share == 0.2 and out[2].dup_ngram_ratio == 0.0
