@@ -36,6 +36,7 @@ _UNMEASURED_ORACLE = [
     "dd_contamination",
     "tx_quality_filter",
     "tx_repetition_stats",
+    "pipeline_corpus_curation",
     "tx_top_ngrams",
     "tx_split_assign",
     "dd_minhash_lsh",

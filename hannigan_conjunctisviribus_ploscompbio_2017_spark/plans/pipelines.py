@@ -376,3 +376,62 @@ def compare_twins(
         F.count(F.lit(1)).alias("n_nodes"),
     )
     return {"importance": merged, "summary": summary}
+
+
+def corpus_curation(
+    docs: DataFrame,
+    min_tokens: int = 30,
+    max_tokens: int = 80,
+    min_quality: float = 0.5,
+    allowed_langs: list[str] | None = None,
+    split_weights: tuple[float, float, float] = (0.8, 0.1, 0.1),
+    seed: int = 42,
+) -> dict[str, DataFrame]:
+    """End-to-end training-corpus curation as ONE lazy plan — the
+    LLM-pipeline analog of the reference-style analysis pipelines above:
+
+      1. quality-filter routing (tx rules → rejection reasons)
+      2. exact dedup of the survivors (md5 fingerprint, min-id keeper)
+      3. deterministic train/val/test assignment (md5 bucketing)
+      4. per-(source, split) summary: docs kept, mean quality
+
+    Returns lazy frames: `routed` (every doc with its reasons/dup/split
+    disposition — the audit trail) and `summary`. Every stage is a
+    Catalyst expression or one hash shuffle; nothing touches the driver.
+    """
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.functions.text import quality_score, reject_reasons
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.corpus import split_assign
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.dedup import exact_dedup
+
+    scored = docs.withColumn(
+        "reject_reasons",
+        reject_reasons(
+            "text",
+            "lang",
+            min_tokens=min_tokens,
+            max_tokens=max_tokens,
+            min_quality=min_quality,
+            allowed_langs=allowed_langs,
+        ),
+    ).withColumn("quality", quality_score("text"))
+    kept = scored.filter(F.col("reject_reasons") == "")
+    dups = exact_dedup(kept, id_col="doc_id", text_col="text").select(
+        F.col("id").alias("doc_id"), "is_dup"
+    )
+    routed = split_assign(
+        scored.join(dups, "doc_id", "left"), weights=split_weights, seed=seed
+    ).withColumn(
+        "disposition",
+        F.when(F.col("reject_reasons") != "", F.lit("rejected"))
+        .when(F.col("is_dup") == 1, F.lit("duplicate"))
+        .otherwise(F.col("split")),
+    )
+    summary = (
+        routed.filter(F.col("disposition").isin("train", "val", "test"))
+        .groupBy("source", "disposition")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("quality"), 6).alias("mean_quality"),
+        )
+    )
+    return {"routed": routed, "summary": summary}

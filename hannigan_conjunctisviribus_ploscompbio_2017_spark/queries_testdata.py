@@ -3614,3 +3614,66 @@ def tx_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.corpus import repetition_stats
 
     return repetition_stats(_t(spark, sf_dir, "documents"), n=2)
+
+
+_CURATION_SQL = f"""
+    WITH t AS (
+      SELECT doc_id, source, lang, text,
+             regexp_split_to_array(trim(text), '\\s+') AS toks,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS ltoks,
+             CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^\\w\\s]', '', 'g'))
+                  AS DOUBLE) / LENGTH(text) AS punct
+      FROM documents
+    ), q AS (
+      SELECT doc_id, source, lang, text, len(toks) AS n_tok,
+             ROUND((
+               LEAST(CAST(len(toks) AS DOUBLE) / 50.0, 1.0)
+               + (1.0 - LEAST(punct * 4.0, 1.0))
+               + LEAST(CAST(len(list_filter(ltoks, x -> x IN (
+                   'the','and','of','to','a','in','is','it','that','for',
+                   'on','with','as','was','at','by','an','be','this','are'
+                 ))) AS DOUBLE) / len(toks) * 5.0, 1.0)
+             ) / 3.0, 6) AS quality
+      FROM t
+    ), kept AS (
+      SELECT doc_id, source, quality, md5({_NORM_SQL}) AS fp
+      FROM q
+      WHERE NOT (text IS NULL OR length(trim(text)) = 0)
+        AND n_tok >= 30 AND n_tok <= 80
+        AND quality >= 0.5
+        AND lang IN ('de','en','fr')
+    ), k AS (
+      SELECT fp, MIN(doc_id) AS keeper FROM kept GROUP BY fp
+    ), s AS (
+      SELECT kept.source, kept.quality,
+             {_MD5_60.format(c="CAST(kept.doc_id AS VARCHAR) || '|42'")} % 1000000 AS bucket
+      FROM kept JOIN k USING (fp)
+      WHERE kept.doc_id = k.keeper
+    )
+    SELECT source,
+           CASE WHEN bucket < 800000 THEN 'train'
+                WHEN bucket < 900000 THEN 'val'
+                ELSE 'test' END AS disposition,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(quality), 6) AS mean_quality
+    FROM s GROUP BY 1, 2
+    """
+
+
+@query("pipeline_corpus_curation", oracle=_CURATION_SQL)
+def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation (quality routing → exact dedup →
+    deterministic split → per-(source, split) summary) as one lazy plan.
+    Every stage is individually oracle-verified elsewhere; this entry
+    verifies the COMPOSITION — the oracle replays filter rules,
+    fingerprint dedup, and split bucketing end-to-end."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.plans.pipelines import corpus_curation
+
+    out = corpus_curation(
+        _t(spark, sf_dir, "documents"),
+        min_tokens=30,
+        max_tokens=80,
+        min_quality=0.5,
+        allowed_langs=["en", "de", "fr"],
+    )
+    return out["summary"]

@@ -106,3 +106,25 @@ def test_compare_twins_importance_measures(spark):
         & F.col("alpha_centrality").isNotNull()
     ).count()
     assert n_full == imp.count()
+
+
+def test_corpus_curation_dispositions_partition_docs(spark):
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.plans.pipelines import corpus_curation
+
+    rows = [
+        (1, "the cat sat on the mat with a hat and a bat for fun today", "en", "s0"),
+        (2, "the cat sat on the mat with a hat and a bat for fun today", "en", "s0"),  # exact dup of 1
+        (3, "tiny", "en", "s1"),                                                       # rejected: too_short
+        (4, "the dog ran in the park with a ball and a stick for play", "zh", "s1"),   # rejected: lang
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    out = corpus_curation(
+        df, min_tokens=5, max_tokens=100, min_quality=0.2, allowed_langs=["en"]
+    )
+    routed = {r.doc_id: r.disposition for r in out["routed"].collect()}
+    assert routed[2] == "duplicate"
+    assert routed[3] == "rejected" and routed[4] == "rejected"
+    assert routed[1] in {"train", "val", "test"}
+    # summary covers exactly the surviving docs
+    total = sum(r.n_docs for r in out["summary"].collect())
+    assert total == 1
