@@ -361,3 +361,68 @@ def make_fake_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
             dur = rng.randint(1000, 60000)
         rows.append((i, kind, content, mime, width, height, dur))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def resize_image(img: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Nearest-neighbor resize of an (H, W, C) uint8 array — pure numpy
+    index mapping, no interpolation libraries. Deterministic: pixel
+    (i, j) samples source (floor(i·H/h), floor(j·W/w))."""
+    sh, sw = img.shape[0], img.shape[1]
+    rows = (np.arange(h) * sh // h).astype(np.int64)
+    cols = (np.arange(w) * sw // w).astype(np.int64)
+    return img[rows][:, cols]
+
+
+def resize_images(
+    df: DataFrame,
+    h: int,
+    w: int,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Resize every decodable image blob to (h, w) and re-encode as PPM
+    — the standard pre-training normalization step, via mapInPandas so
+    one Arrow batch of blobs is in memory per task. Non-image or
+    undecodable blobs pass through with resized=0 and their original
+    bytes (route them to quarantine downstream, don't lose them).
+
+    Output: (media_id, codec, resized int, width, height, content).
+    Scale: stateless per-row transform — partitions process
+    independently, no shuffle at all; writer-side `maxRecordsPerFile`
+    handles output sizing."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("codec", T.StringType()),
+            T.StructField("resized", T.IntegerType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, c in zip(pdf[id_col], pdf[content_col]):
+                raw = bytes(c) if c is not None else b""
+                codec = sniff_codec(raw)
+                try:
+                    if codec in ("ppm", "pgm"):
+                        img = decode_ppm(raw)
+                    elif codec == "bmp":
+                        img = decode_bmp(raw)
+                    else:
+                        raise ValueError(codec)
+                    if img.ndim == 2:
+                        img = np.stack([img] * 3, axis=-1)
+                    small = resize_image(img, h, w)
+                    rows.append((int(mid), codec, 1, w, h, encode_ppm(small)))
+                except Exception:
+                    rows.append((int(mid), codec, 0, 0, 0, raw))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "codec", "resized", "width", "height", "content"],
+            )
+
+    return df.mapInPandas(_batches, schema=out_schema)

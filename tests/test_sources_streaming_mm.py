@@ -647,3 +647,26 @@ def test_streaming_quality_router_splits_keep_and_quarantine(spark, tmp_path):
         assert "too_short" in rej[2] and "lang" in rej[3]
     finally:
         q.stop()
+
+
+def test_resize_images_roundtrip_and_passthrough(spark):
+    """resize_images: real PPM blobs come back as (8, 8) PPMs that the
+    real decoder reproduces via the same nearest-neighbor index map;
+    undecodable blobs (mp4 stub) pass through untouched with resized=0."""
+    import numpy as np
+
+    media = MM.make_fake_media(spark, n=12)
+    out = MM.resize_images(media, 8, 8).collect()
+    src = {r.media_id: bytes(r.content) for r in media.collect()}
+    n_img = n_other = 0
+    for r in out:
+        if r.resized == 1:
+            n_img += 1
+            img = MM.decode_ppm(bytes(r.content))
+            assert img.shape == (8, 8, 3)
+            expected = MM.resize_image(MM.decode_ppm(src[r.media_id]), 8, 8)
+            assert np.array_equal(img, expected)
+        else:
+            n_other += 1
+            assert bytes(r.content) == src[r.media_id]  # nothing lost
+    assert n_img == 4 and n_other == 8  # 12 rows: 4 images, 4 wav, 4 mp4
