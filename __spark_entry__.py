@@ -37,6 +37,7 @@ _UNMEASURED_ORACLE = [
     "tx_quality_filter",
     "tx_repetition_stats",
     "pipeline_corpus_curation",
+    "tx_stratified_sample",
     "tx_top_ngrams",
     "tx_split_assign",
     "dd_minhash_lsh",

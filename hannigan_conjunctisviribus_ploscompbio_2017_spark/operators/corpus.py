@@ -168,3 +168,35 @@ def repetition_stats(
         F.round(F.max("c") / t, 6).alias("top_ngram_share"),
         F.round(F.lit(1.0) - F.count(F.lit(1)) / t, 6).alias("dup_ngram_ratio"),
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic stratified downsampling (corpus rebalancing by
+    language/source): keep a row iff md5-60(id|seed) mod 1e6 falls under
+    its stratum's fraction. Unlike DataFrame.sampleBy (rand() per row —
+    stable only for a fixed partition layout), the decision is a pure
+    function of (id, seed): identical across runs, partitionings, and
+    engines. Strata missing from `fractions` are dropped (fraction 0)."""
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.col(id_col).cast("string"), F.lit(str(seed)))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1_000_000
+    )
+    # per-stratum threshold as a chained when(); unknown strata -> 0
+    thr = F.lit(0)
+    for stratum, frac in sorted(fractions.items(), reverse=True):
+        thr = F.when(F.col(strata_col) == stratum, F.lit(int(frac * 1_000_000))).otherwise(thr)
+    return df.filter(bucket < thr)

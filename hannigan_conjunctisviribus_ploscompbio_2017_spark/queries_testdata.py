@@ -3677,3 +3677,34 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         allowed_langs=["en", "de", "fr"],
     )
     return out["summary"]
+
+
+_STRATIFIED_SQL = f"""
+    WITH b AS (
+      SELECT doc_id, lang,
+             {_MD5_60.format(c="CAST(doc_id AS VARCHAR) || '|42'")} % 1000000 AS bucket
+      FROM documents
+    )
+    SELECT doc_id, lang FROM b
+    WHERE bucket < CASE lang
+                     WHEN 'en' THEN 250000
+                     WHEN 'de' THEN 1000000
+                     WHEN 'fr' THEN 1000000
+                     WHEN 'es' THEN 500000
+                     ELSE 0 END
+    """
+
+
+@query("tx_stratified_sample", oracle=_STRATIFIED_SQL)
+def tx_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus rebalancing: downsample the over-represented
+    language (en -> 25%), keep the rare ones whole (de/fr -> 100%,
+    es -> 50%), drop the rest (zh absent from fractions). A pure md5 row
+    function — the oracle replays every keep decision exactly, which
+    DataFrame.sampleBy (partition-order rand) could never do."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.corpus import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, "lang", {"en": 0.25, "de": 1.0, "fr": 1.0, "es": 0.5}, seed=42
+    ).select("doc_id", "lang")

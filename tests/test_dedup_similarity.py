@@ -411,3 +411,19 @@ def test_repetition_stats_detects_boilerplate(spark):
     assert out[1].dup_ngram_ratio == 0.8  # 1 distinct / 5 total
     assert abs(out[2].ngram_entropy - round(math.log(5), 6)) < 1e-9
     assert out[2].top_ngram_share == 0.2 and out[2].dup_ngram_ratio == 0.0
+
+
+def test_stratified_sample_deterministic_fractions(spark):
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators import corpus
+
+    df = spark.range(0, 3000).withColumnRenamed("id", "doc_id").withColumn(
+        "lang", F.when(F.col("doc_id") % 3 == 0, "en").when(F.col("doc_id") % 3 == 1, "de").otherwise("zh")
+    )
+    out = corpus.stratified_sample(df, "lang", {"en": 0.3, "de": 1.0})
+    a = {r.doc_id for r in out.collect()}
+    b = {r.doc_id for r in corpus.stratified_sample(df.repartition(7), "lang", {"en": 0.3, "de": 1.0}).collect()}
+    assert a == b  # pure row function, partition-invariant
+    by_lang = {r.lang: r.n for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert by_lang.get("de") == 1000          # fraction 1.0 keeps all
+    assert "zh" not in by_lang                # absent stratum dropped
+    assert abs(by_lang["en"] / 1000 - 0.3) < 0.05

@@ -263,3 +263,31 @@ def test_split_assign_total_and_determinism(spark, n, w, seed):
     }
     assert a == b and len(a) == n
     assert set(a.values()) <= {"train", "val", "test"}
+
+
+@SLOW
+@given(
+    texts=st.lists(
+        st.lists(words, min_size=2, max_size=14).map(" ".join),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_repetition_stats_bounds(spark, texts):
+    """For any doc: 0 ≤ entropy ≤ ln(distinct n-grams); 1/total ≤
+    top_share ≤ 1; 0 ≤ dup_ratio < 1; and entropy = 0 iff one distinct
+    n-gram carries all the mass (top_share = 1)."""
+    import math
+
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.corpus import repetition_stats
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    for r in repetition_stats(df, n=2).collect():
+        toks = texts[r.id].split()
+        grams = [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
+        total, distinct = len(grams), len(set(grams))
+        # all three stats are rounded to 6 places → 5e-7 quantization
+        assert -1e-6 <= r.ngram_entropy <= math.log(distinct) + 1e-6
+        assert 1 / total - 1e-6 <= r.top_ngram_share <= 1 + 1e-6
+        assert -1e-6 <= r.dup_ngram_ratio < 1
+        assert (r.ngram_entropy == 0.0) == (r.top_ngram_share == 1.0)
