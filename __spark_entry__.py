@@ -38,6 +38,7 @@ _UNMEASURED_ORACLE = [
     "tx_repetition_stats",
     "pipeline_corpus_curation",
     "tx_stratified_sample",
+    "ss_embedding_health",
     "tx_top_ngrams",
     "tx_split_assign",
     "dd_minhash_lsh",

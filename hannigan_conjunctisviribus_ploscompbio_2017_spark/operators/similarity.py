@@ -365,3 +365,47 @@ def ivf_topk(
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def embedding_health(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    group_col: str | None = None,
+    expected_dim: int | None = None,
+) -> DataFrame:
+    """Embedding-table hygiene report — run BEFORE building ANN indexes:
+    per group (or globally), vector count, mean/min/max L2 norm, and the
+    counts of degenerate rows that silently poison cosine search — null
+    vectors, zero vectors (cosine undefined), and wrong-dimension rows
+    (zip_with would pad with nulls).
+
+    Pure Catalyst array expressions in one aggregation pass — a 100 TB
+    embedding table is scanned once, no UDF, no shuffle beyond the final
+    per-group reduce."""
+    norm = _norm(F.col(vec_col))
+    is_null = F.col(vec_col).isNull()
+    is_zero = (~is_null) & (norm == 0.0)
+    bad_dim = (
+        F.lit(False)
+        if expected_dim is None
+        else (~is_null) & (F.size(vec_col) != expected_dim)
+    )
+    keys = [group_col] if group_col else []
+    base = df.select(
+        *keys,
+        is_null.cast("int").alias("_null"),
+        is_zero.cast("int").alias("_zero"),
+        bad_dim.cast("int").alias("_bad_dim"),
+        F.when(~is_null, norm).alias("_norm"),
+    )
+    agg = base.groupBy(*keys) if keys else base.groupBy()
+    return agg.agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("_null").alias("n_null"),
+        F.sum("_zero").alias("n_zero"),
+        F.sum("_bad_dim").alias("n_bad_dim"),
+        F.round(F.avg("_norm"), 6).alias("mean_norm"),
+        F.round(F.min("_norm"), 6).alias("min_norm"),
+        F.round(F.max("_norm"), 6).alias("max_norm"),
+    )

@@ -3708,3 +3708,42 @@ def tx_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(
         docs, "lang", {"en": 0.25, "de": 1.0, "fr": 1.0, "es": 0.5}, seed=42
     ).select("doc_id", "lang")
+
+
+_EMB_HEALTH_SQL = """
+    WITH n AS (
+      SELECT label,
+             embedding IS NULL AS is_null,
+             CASE WHEN embedding IS NULL THEN NULL
+                  ELSE sqrt(list_sum(list_transform(embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) END AS nrm,
+             CASE WHEN embedding IS NULL THEN 0
+                  WHEN len(embedding) <> 64 THEN 1 ELSE 0 END AS bad_dim
+      FROM embeddings
+    )
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           CAST(SUM(CASE WHEN is_null THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           CAST(SUM(CASE WHEN NOT is_null AND nrm = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+           CAST(SUM(bad_dim) AS BIGINT) AS n_bad_dim,
+           ROUND(AVG(nrm), 6) AS mean_norm,
+           ROUND(MIN(nrm), 6) AS min_norm,
+           ROUND(MAX(nrm), 6) AS max_norm
+    FROM n GROUP BY label
+    """
+
+
+@query("ss_embedding_health", oracle=_EMB_HEALTH_SQL)
+def ss_embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding hygiene sweep per label: vector counts, L2-norm
+    spread, and degenerate-row counts (null / zero / wrong-dim) — the
+    validation pass that runs before any ANN index build. One scan, one
+    aggregate; the oracle replays the norms element-for-element (array
+    order is deterministic on both sides)."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.similarity import embedding_health
+
+    return embedding_health(
+        _t(spark, sf_dir, "embeddings"),
+        group_col="label",
+        expected_dim=64,
+    )

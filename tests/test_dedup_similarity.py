@@ -427,3 +427,16 @@ def test_stratified_sample_deterministic_fractions(spark):
     assert by_lang.get("de") == 1000          # fraction 1.0 keeps all
     assert "zh" not in by_lang                # absent stratum dropped
     assert abs(by_lang["en"] / 1000 - 0.3) < 0.05
+
+
+def test_embedding_health_flags_degenerates(spark):
+    rows = [
+        (1, [3.0, 4.0], 0),       # norm 5
+        (2, [0.0, 0.0], 0),       # zero vector
+        (3, None, 0),             # null
+        (4, [1.0, 0.0, 0.0], 0),  # wrong dim
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    r = similarity.embedding_health(df, expected_dim=2).collect()[0]
+    assert (r.n_vecs, r.n_null, r.n_zero, r.n_bad_dim) == (4, 1, 1, 1)
+    assert r.max_norm == 5.0 and r.min_norm == 0.0
