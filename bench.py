@@ -87,6 +87,21 @@ def main() -> None:
         total += dt
         print(f"# {label} {name}: {rows} rows in {dt}s", file=sys.stderr)
 
+    # Extras (not in the headline total): the two betweenness regimes at
+    # a FIXED sf0.01, documenting the r01-verdict watch item — the exact
+    # Brandes path vs the pivot-sampled distributed path with the
+    # small-graph fast-path default (was 189s before the fast path).
+    extras: dict[str, float] = {}
+    for name in ("gk_betweenness", "gk_betweenness_distributed"):
+        fn = QUERIES[name]
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            fn(spark, "/root/testdata/sf0.01").count()
+            best = min(best, time.time() - t0)
+        extras[name] = round(best, 3)
+        print(f"# extra {name}: {extras[name]}s at sf0.01", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -94,6 +109,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "extras_sf001": extras,
                 "sf": sf,
             }
         )
