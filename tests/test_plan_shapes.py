@@ -154,3 +154,26 @@ def test_contamination_joins_on_shingle_not_cross(spark):
     plan = plan_of(QUERIES["dd_contamination"](spark, SF0001))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_stratified_sample_and_split_no_shuffle(spark):
+    # deterministic sampling/splitting are pure row functions: the plan
+    # must contain no Exchange at all — a scan plus filter/project only
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.corpus import (
+        split_assign,
+        stratified_sample,
+    )
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.schemas import load_table
+
+    docs = load_table(spark, SF0001, "documents")
+    p1 = plan_of(stratified_sample(docs, "lang", {"en": 0.5}))
+    p2 = plan_of(split_assign(docs))
+    assert "Exchange" not in p1 and "Exchange" not in p2
+
+
+def test_exact_and_chunk_dedup_single_fingerprint_shuffle(spark):
+    # both dedup shapes reduce to aggregate + join keyed on the
+    # fingerprint: no Window, no nested-loop, no extra exchanges beyond
+    # the fingerprint groupBy and the (broadcastable) keeper join
+    plan = plan_of(QUERIES["dd_exact_dedup"](spark, SF0001))
+    assert "Window" not in plan and "NestedLoop" not in plan
