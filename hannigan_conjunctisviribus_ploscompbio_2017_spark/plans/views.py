@@ -78,6 +78,7 @@ def register_corpus_views(spark: SparkSession, sf_dir: str) -> None:
     - `doc_dups`        — exact-dedup keep decisions
     - `corpus_ngrams`   — global bigram occurrence/doc-frequency counts
     - `doc_splits`      — deterministic 80/10/10 train/val/test assignment
+    - `doc_repetition`  — Gopher repetition signals (entropy/top-share/dup mass)
 
     All are lazy views over the same Catalyst plans as the operator API:
     `spark.sql("SELECT * FROM doc_dups WHERE is_dup = 1")` prunes and
@@ -101,3 +102,4 @@ def register_corpus_views(spark: SparkSession, sf_dir: str) -> None:
     corpus.split_assign(docs).select("doc_id", "source", "split").createOrReplaceTempView(
         "doc_splits"
     )
+    corpus.repetition_stats(docs, n=2).createOrReplaceTempView("doc_repetition")
