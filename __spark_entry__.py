@@ -32,6 +32,10 @@ SF0001 = "/root/testdata/sf0.001"
 # not displace hash-verifiable entries from a capped run.  All entries
 # pass the identical local replica of the gate (tools/check_oracle.py).
 _UNMEASURED_ORACLE = [
+    "tx_pii_scrub",
+    "tx_line_filter",
+    "tx_sequence_pack",
+    "dd_semantic_dedup",
     "dd_chunk_dedup",
     "dd_contamination",
     "tx_quality_filter",

@@ -8,10 +8,13 @@ pure DataFrame — no UDFs, no driver-side state.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.dedup import normalized
+from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.dedup import (
+    normalized,
+    portable_token_hash,
+)
 
 
 def ngram_counts(
@@ -167,6 +170,132 @@ def repetition_stats(
         ).alias("ngram_entropy"),
         F.round(F.max("c") / t, 6).alias("top_ngram_share"),
         F.round(F.lit(1.0) - F.count(F.lit(1)) / t, 6).alias("dup_ngram_ratio"),
+    )
+
+
+# PII patterns shared by pii_scrub and its oracle twin. Written in the
+# common subset of Java regex (Spark) and RE2 (DuckDB): character
+# classes, bounded quantifiers, and \b word boundaries only — no
+# lookaround, no backreferences.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+?\d{3}[- ]\d{3}[- ]\d{4}",
+}
+
+
+def pii_scrub(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    patterns: dict[str, str] | None = None,
+) -> DataFrame:
+    """PII redaction (the C4/Dolma scrub step): each pattern family is
+    replaced by its `<NAME>` sentinel, applied sequentially in the
+    declared order (email -> ipv4 -> phone by default, so an IP-looking
+    substring inside an already-redacted email is not double-counted in
+    the output text). Per-family occurrence counts are measured on the
+    RAW text independently — they are audit counters for the scrub
+    report, not a parse of the redacted string.
+
+    Returns (id, clean_text, n_<family>...). Pure Catalyst regexes in
+    one codegen'd projection: a 100 TB corpus is scanned once with no
+    shuffle at all — the scrub is embarrassingly parallel and pushes
+    column pruning down to the parquet scan."""
+    pats = patterns or PII_PATTERNS
+    scrubbed = F.col(text_col)
+    counts = []
+    for name, pat in pats.items():
+        counts.append(
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0)))
+            .cast("long")
+            .alias(f"n_{name}")
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{name.upper()}>")
+    return df.select(F.col(id_col).alias("id"), scrubbed.alias("clean_text"), *counts)
+
+
+def line_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 3,
+    require_terminal: bool = True,
+) -> DataFrame:
+    """C4-style line-level filtering: split each doc on newlines, keep
+    lines with >= `min_words` whitespace tokens that end in terminal
+    punctuation ([.!?]), and re-join the survivors. Returns
+    (id, clean_text, n_lines, n_kept).
+
+    All higher-order array functions (F.filter / F.array_join) — the
+    per-line predicate runs inside whole-stage codegen, no explode, no
+    shuffle: line filtering at 100 TB is a single scan-and-project, and
+    dropped-line accounting (n_lines - n_kept) rides along for free."""
+
+    def _keep(line):
+        t = F.trim(line)
+        cond = F.size(F.split(t, r"\s+")) >= min_words
+        if require_terminal:
+            cond = cond & t.rlike(r"[.!?]$")
+        return cond
+
+    lines = F.split(F.col(text_col), "\n")
+    kept = F.filter(lines, _keep)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.array_join(kept, "\n").alias("clean_text"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+    )
+
+
+def sequence_pack(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 128,
+    n_buckets: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing (the GPT-style pretraining
+    batcher): documents are concatenated in a deterministic order and
+    cut every `budget` tokens; each doc is assigned the pack (training
+    sequence) where its first token lands.
+
+    Distribution shape: docs hash into `n_buckets` independent streams
+    (pack ids are (bucket, pack_in_bucket) pairs), so packing is one
+    shuffle on the bucket and the running-sum window parallelizes across
+    buckets — at 100 TB set n_buckets ~ cluster cores and no single
+    window partition exceeds corpus_tokens/n_buckets. Within a stream
+    the order is an md5 shuffle of the doc id: stable across runs,
+    partitionings, and engines (unlike zipWithIndex/monotonically_
+    increasing_id, which depend on physical layout). The window is a
+    running SUM over an unbounded-preceding frame — Spark streams it
+    without buffering the partition.
+
+    Returns (id, bucket, n_tok, pack_id, pack_offset) where
+    `pack_offset` is the doc's first-token position inside its pack."""
+    h = portable_token_hash(F.concat_ws("|", F.col(id_col).cast("string"), F.lit(str(seed))))
+    ntok = F.size(F.split(normalized(text_col), r"\s+")).cast("long")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        (h % n_buckets).alias("bucket"),
+        h.alias("ord"),
+        ntok.alias("n_tok"),
+    )
+    w = (
+        W.partitionBy("bucket")
+        .orderBy("ord", "id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = F.sum("n_tok").over(w)
+    start = cum - F.col("n_tok")
+    return base.select(
+        "id",
+        "bucket",
+        "n_tok",
+        F.floor(start / budget).alias("pack_id"),
+        (start % budget).alias("pack_offset"),
     )
 
 

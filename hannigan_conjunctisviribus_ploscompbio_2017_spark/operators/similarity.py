@@ -237,6 +237,115 @@ def srp_lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _resolve_centroids(
+    items: DataFrame,
+    n_cells: int,
+    id_col: str,
+    vec_col: str,
+    centroid_frac: float | None,
+    centroids: list[list[float]] | None,
+) -> list[tuple[int, list[float]]]:
+    """Shared coarse-centroid resolution for the cell-based operators
+    (ivf_topk, semantic_dedup): explicit centroid list if given, else
+    the deterministic md5-first sample (optionally pre-filtered by the
+    hash-threshold scan — see ivf_topk's docstring for the proof that
+    the filtered and unfiltered passes select identical rows)."""
+    if centroids is not None:
+        return [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
+    sel = items.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+    cent_rows: list = []
+    if centroid_frac is not None and 0.0 < centroid_frac < 1.0:
+        h = F.conv(
+            F.substring(F.md5(F.col("cid").cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        cent_rows = (
+            sel.filter(h < F.lit(int(centroid_frac * (1 << 60))))
+            .orderBy(F.md5(F.col("cid").cast("string")))
+            .limit(n_cells)
+            .collect()
+        )
+    if len(cent_rows) < n_cells:
+        cent_rows = (
+            sel.orderBy(F.md5(F.col("cid").cast("string")))
+            .limit(n_cells)
+            .collect()
+        )
+    return [(i, [float(x) for x in r["cvec"]]) for i, r in enumerate(cent_rows)]
+
+
+def _ranked_cells_expr(cents: list[tuple[int, list[float]]], round_to: int):
+    """Column-expression factory: cells sorted by (rounded cosine
+    distance, index) against literal centroid arrays — a pure projection,
+    no shuffle, no Python."""
+
+    def ranked_cells(v):
+        entries = []
+        for i, cv in cents:
+            carr = F.array(*[F.lit(x) for x in cv])
+            d = F.round(F.lit(1.0) - cosine(v, carr), round_to)
+            entries.append(F.struct(d.alias("d"), F.lit(i).alias("i")))
+        return F.array_sort(F.array(*entries))
+
+    return ranked_cells
+
+
+def semantic_dedup(
+    items: DataFrame,
+    tau: float = 0.7,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+    centroid_frac: float | None = None,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): coarse-
+    cluster embeddings into `n_cells` cells, then within each cell flag
+    every item whose cosine similarity to a LOWER-ID cell member is
+    >= tau. Keepers are exactly the items with no tau-neighbor of
+    smaller id in their cell — one survivor per tight semantic clump,
+    deterministic regardless of partitioning.
+
+    Returns (id, cell, is_dup, dup_of) with dup_of = the smallest
+    same-cell tau-neighbor id below this one (which may itself be a
+    dup — follow the chain for the clump root), or -1 for keepers.
+
+    The 100 TB shape is SemDeDup's own: candidate pairs come only from
+    within-cell self-joins, so the pair count is sum(|cell|^2) — bounded
+    by growing n_cells with the corpus (the paper uses ~100k cells at
+    100M docs; pass `centroids=ivf_train_centroids(...)` for trained
+    cells). Cell assignment is a literal-array projection (no shuffle);
+    the self-join shuffles once on the cell id. Default md5-sampled
+    centroids keep the whole operator a pure function of the data —
+    replayable by the DuckDB oracle."""
+    cents = _resolve_centroids(items, n_cells, id_col, vec_col, centroid_frac, centroids)
+    ranked_cells = _ranked_cells_expr(cents, round_to)
+    cells = items.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("_v"),
+        ranked_cells(F.col(vec_col))[0]["i"].cast("long").alias("cell"),
+    )
+    a = cells.select(F.col("id").alias("id_a"), F.col("_v").alias("_va"), "cell")
+    b = cells.select(F.col("id").alias("id_b"), F.col("_v").alias("_vb"), "cell")
+    dups = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.round(cosine(F.col("_va"), F.col("_vb")), round_to) >= tau)
+        .groupBy("id_b")
+        .agg(F.min("id_a").alias("_dup_of"))
+    )
+    return (
+        cells.select("id", "cell")
+        .join(dups, cells.id == dups.id_b, "left")
+        .select(
+            "id",
+            "cell",
+            F.col("_dup_of").isNotNull().cast("int").alias("is_dup"),
+            F.coalesce(F.col("_dup_of"), F.lit(-1)).cast("long").alias("dup_of"),
+        )
+    )
+
+
 def ivf_train_centroids(
     items: DataFrame,
     n_cells: int = 16,
@@ -311,37 +420,8 @@ def ivf_topk(
     persists bucketed by cell; each query scans n_probe/n_cells of the
     corpus instead of all of it.
     """
-    if centroids is not None:
-        cents = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
-        n_cells = len(cents)
-    else:
-        sel = items.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
-        cent_rows: list = []
-        if centroid_frac is not None and 0.0 < centroid_frac < 1.0:
-            h = F.conv(
-                F.substring(F.md5(F.col("cid").cast("string")), 1, 15), 16, 10
-            ).cast("long")
-            cent_rows = (
-                sel.filter(h < F.lit(int(centroid_frac * (1 << 60))))
-                .orderBy(F.md5(F.col("cid").cast("string")))
-                .limit(n_cells)
-                .collect()
-            )
-        if len(cent_rows) < n_cells:
-            cent_rows = (
-                sel.orderBy(F.md5(F.col("cid").cast("string")))
-                .limit(n_cells)
-                .collect()
-            )
-        cents = [(i, [float(x) for x in r["cvec"]]) for i, r in enumerate(cent_rows)]
-
-    def ranked_cells(v):
-        entries = []
-        for i, cv in cents:
-            carr = F.array(*[F.lit(x) for x in cv])
-            d = F.round(F.lit(1.0) - cosine(v, carr), round_to)
-            entries.append(F.struct(d.alias("d"), F.lit(i).alias("i")))
-        return F.array_sort(F.array(*entries))
+    cents = _resolve_centroids(items, n_cells, id_col, vec_col, centroid_frac, centroids)
+    ranked_cells = _ranked_cells_expr(cents, round_to)
 
     n = items.select(
         F.col(id_col).alias("n_id"),

@@ -3747,3 +3747,199 @@ def ss_embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
         group_col="label",
         expected_dim=64,
     )
+
+
+# PII regexes live in operators/corpus.py (PII_PATTERNS) — written in the
+# Java-regex/RE2 common subset so Spark and DuckDB match identically.
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_IPV4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+_PII_PHONE = "\\+?\\d{3}[- ]\\d{3}[- ]\\d{4}"
+
+# The synthetic corpus has no PII, so both sides append a deterministic
+# doc_id-derived email + IP (+ phone on even ids) before scrubbing — the
+# operator semantics (sequential redaction, raw-text audit counts) are
+# exercised on text that actually contains each pattern family.
+_PII_SQL = f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' user' || doc_id || '@example.com 10.0.'
+                  || (doc_id % 256) || '.' || ((doc_id * 7) % 256)
+                  || CASE WHEN doc_id % 2 = 0
+                          THEN ' 555-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                          ELSE '' END AS text
+      FROM documents
+    )
+    SELECT doc_id AS id,
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '{_PII_EMAIL}', '<EMAIL>', 'g'),
+             '{_PII_IPV4}', '<IPV4>', 'g'),
+             '{_PII_PHONE}', '<PHONE>', 'g') AS clean_text,
+           CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(text, '{_PII_IPV4}')) AS BIGINT) AS n_ipv4,
+           CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS BIGINT) AS n_phone
+    FROM aug
+    """
+
+
+@query("tx_pii_scrub", oracle=_PII_SQL)
+def tx_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (C4/Dolma scrub): emails, IPv4s, and phone numbers
+    replaced by typed sentinels in declared order, with per-family raw-
+    text audit counts. One codegen'd projection, zero shuffles; the
+    oracle replays the same regex chain (Java-regex/RE2 common subset)
+    on the same augmented text."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.corpus import pii_scrub
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" user"), d.cast("string"), F.lit("@example.com 10.0."),
+            (d % 256).cast("string"), F.lit("."), ((d * 7) % 256).cast("string"),
+            F.when(
+                d % 2 == 0,
+                F.concat(F.lit(" 555-555-"), F.lpad((d % 10000).cast("string"), 4, "0")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return pii_scrub(aug)
+
+
+_LINE_FILTER_SQL = """
+    WITH aug AS (
+      SELECT doc_id,
+             regexp_replace(text, ' (table|query|value) ', '.' || chr(10), 'g') AS text
+      FROM documents
+    ), s AS (
+      SELECT doc_id, string_split(text, chr(10)) AS ls FROM aug
+    ), f AS (
+      SELECT doc_id, ls,
+             list_filter(ls, x ->
+               len(regexp_split_to_array(trim(x), '\\s+')) >= 3
+               AND regexp_matches(trim(x), '[.!?]$')) AS ks
+      FROM s
+    )
+    SELECT doc_id AS id,
+           COALESCE(array_to_string(ks, chr(10)), '') AS clean_text,
+           CAST(len(ls) AS BIGINT) AS n_lines,
+           CAST(len(ks) AS BIGINT) AS n_kept
+    FROM f
+    """
+
+
+@query("tx_line_filter", oracle=_LINE_FILTER_SQL)
+def tx_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level filtering: drop lines with < 3 words or no
+    terminal punctuation, re-join survivors, count kept/total. The
+    synthetic corpus is single-line, so both sides first inject line
+    breaks at deterministic word positions. Higher-order array functions
+    only — no explode, no shuffle, whole-stage codegen throughout."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.corpus import line_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.regexp_replace("text", " (table|query|value) ", ".\n").alias("text"),
+    )
+    return line_filter(aug, min_words=3, require_terminal=True)
+
+
+_SEQPACK_SQL = f"""
+    WITH b AS (
+      SELECT doc_id AS id,
+             {_MD5_60.format(c="CAST(doc_id AS VARCHAR) || '|42'")} AS h,
+             CAST(len(string_split({_NORM_SQL}, ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    ), w AS (
+      SELECT id, CAST(h % 8 AS BIGINT) AS bucket, h AS ord, n_tok FROM b
+    ), c AS (
+      SELECT id, bucket, n_tok,
+             SUM(n_tok) OVER (PARTITION BY bucket ORDER BY ord, id
+                              ROWS UNBOUNDED PRECEDING) - n_tok AS start
+      FROM w
+    )
+    SELECT id, bucket, n_tok,
+           CAST(FLOOR(start / 128.0) AS BIGINT) AS pack_id,
+           CAST(start % 128 AS BIGINT) AS pack_offset
+    FROM c
+    """
+
+
+@query("tx_sequence_pack", oracle=_SEQPACK_SQL)
+def tx_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (the GPT pretraining batcher):
+    docs hash into 8 independent streams, an md5 shuffle orders each
+    stream, and a running token sum assigns every doc its (bucket,
+    pack_id, pack_offset). One shuffle on the bucket; the oracle replays
+    the hash order and the running-sum window exactly."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.corpus import sequence_pack
+
+    return sequence_pack(
+        _t(spark, sf_dir, "documents"), budget=128, n_buckets=8, seed=42
+    )
+
+
+def _semantic_dedup_oracle(dim: int = 64, n_cells: int = 16, tau: float = 0.8) -> str:
+    """DuckDB twin of semantic_dedup: same md5-first centroids and
+    argmin cell assignment as the IVF oracle, then the within-cell
+    lower-id tau-neighbor flagging."""
+    cos = """SUM(CAST(t.v[j] AS DOUBLE) * CAST(c.cv[j] AS DOUBLE))
+               / (SQRT(SUM(CAST(t.v[j] AS DOUBLE) * CAST(t.v[j] AS DOUBLE)))
+                  * SQRT(SUM(CAST(c.cv[j] AS DOUBLE) * CAST(c.cv[j] AS DOUBLE))))"""
+    return f"""
+    WITH vecs AS MATERIALIZED (
+      SELECT vec_id AS id, embedding AS v FROM embeddings
+    ), cents AS MATERIALIZED (
+      SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(id AS VARCHAR))) - 1 AS ci,
+             v AS cv
+      FROM (SELECT id, v FROM vecs ORDER BY md5(CAST(id AS VARCHAR)) LIMIT {n_cells})
+    ), idx AS (SELECT unnest(generate_series(1, {dim})) AS j
+    ), dists AS MATERIALIZED (
+      SELECT t.id, c.ci, ROUND(1.0 - {cos}, 6) AS d
+      FROM vecs t CROSS JOIN cents c CROSS JOIN idx
+      GROUP BY t.id, c.ci
+    ), cells AS MATERIALIZED (
+      SELECT id, CAST(ci AS BIGINT) AS cell FROM (
+        SELECT id, ci, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, ci) AS rn
+        FROM dists
+      ) WHERE rn = 1
+    ), pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM cells a JOIN cells b ON a.cell = b.cell AND a.id < b.id
+    ), scored AS (
+      SELECT p.id_a, p.id_b,
+             ROUND(
+               SUM(CAST(av.v[j] AS DOUBLE) * CAST(bv.v[j] AS DOUBLE))
+               / (SQRT(SUM(CAST(av.v[j] AS DOUBLE) * CAST(av.v[j] AS DOUBLE)))
+                  * SQRT(SUM(CAST(bv.v[j] AS DOUBLE) * CAST(bv.v[j] AS DOUBLE)))),
+               6) AS sim
+      FROM pairs p
+      JOIN vecs av ON av.id = p.id_a
+      JOIN vecs bv ON bv.id = p.id_b
+      CROSS JOIN idx
+      GROUP BY p.id_a, p.id_b
+    ), dups AS (
+      SELECT id_b, MIN(id_a) AS dup_of FROM scored WHERE sim >= {tau} GROUP BY id_b
+    )
+    SELECT c.id, c.cell,
+           CAST(CASE WHEN d.dup_of IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS is_dup,
+           CAST(COALESCE(d.dup_of, -1) AS BIGINT) AS dup_of
+    FROM cells c LEFT JOIN dups d ON d.id_b = c.id
+    """
+
+
+@query("dd_semantic_dedup", oracle=_semantic_dedup_oracle())
+def dd_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup over the embedding table: coarse
+    md5-sampled cells, within-cell cosine >= tau to a lower-id member
+    flags a duplicate. The oracle replays centroid selection, argmin
+    assignment, and the pair flagging end-to-end. The within-cell
+    self-join is the SemDeDup scale shape — pair count bounded by cell
+    granularity, never all-pairs."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    return semantic_dedup(_t(spark, sf_dir, "embeddings"), tau=0.8, n_cells=16)

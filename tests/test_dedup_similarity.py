@@ -440,3 +440,80 @@ def test_embedding_health_flags_degenerates(spark):
     r = similarity.embedding_health(df, expected_dim=2).collect()[0]
     assert (r.n_vecs, r.n_null, r.n_zero, r.n_bad_dim) == (4, 1, 1, 1)
     assert r.max_norm == 5.0 and r.min_norm == 0.0
+
+
+def test_pii_scrub_redaction_and_counts(spark):
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators import corpus
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jo.doe+x@my-site.org or 10.0.0.1 thanks"),
+            (2, "call 555-123 4567 and also 555-555-0000"),
+            (3, "clean text with no pii at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.id: r for r in corpus.pii_scrub(df).collect()}
+    assert out[1].clean_text == "mail me at <EMAIL> or <IPV4> thanks"
+    assert (out[1].n_email, out[1].n_ipv4, out[1].n_phone) == (1, 1, 0)
+    assert out[2].n_phone == 2 and "<PHONE>" in out[2].clean_text
+    assert out[3].clean_text == "clean text with no pii at all"
+    assert (out[3].n_email, out[3].n_ipv4, out[3].n_phone) == (0, 0, 0)
+
+
+def test_line_filter_c4_rules(spark):
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators import corpus
+
+    text = "A good long sentence here.\nshort.\nno terminal punctuation line\nAnother keeper stays!\n"
+    df = spark.createDataFrame([(1, text), (2, "")], "doc_id long, text string")
+    out = {r.id: r for r in corpus.line_filter(df, min_words=3).collect()}
+    assert out[1].clean_text == "A good long sentence here.\nAnother keeper stays!"
+    assert (out[1].n_lines, out[1].n_kept) == (5, 2)  # trailing \n -> empty 5th line
+    assert out[2].clean_text == "" and out[2].n_kept == 0
+
+
+def test_sequence_pack_invariants(spark):
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators import corpus
+
+    df = spark.createDataFrame(
+        [(i, "tok " * (5 + i % 7)) for i in range(200)], "doc_id long, text string"
+    )
+    out = corpus.sequence_pack(df, budget=32, n_buckets=4).collect()
+    # partition-invariant: identical assignment after a repartition
+    out2 = corpus.sequence_pack(df.repartition(13), budget=32, n_buckets=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+    # every doc assigned; offsets inside the budget; pack ids contiguous-ish
+    assert len(out) == 200
+    for r in out:
+        assert 0 <= r.pack_offset < 32
+        assert r.pack_id == (r.pack_offset is not None and r.pack_id)  # non-null
+    # within a bucket, cumulative packing is consistent: first-token
+    # positions reconstruct the running sum exactly
+    by_bucket = {}
+    for r in sorted(out, key=lambda r: (r.bucket, r.pack_id * 32 + r.pack_offset)):
+        start = by_bucket.get(r.bucket, 0)
+        assert r.pack_id * 32 + r.pack_offset == start
+        by_bucket[r.bucket] = start + r.n_tok
+
+
+def test_semantic_dedup_flags_clumps(spark):
+    import math
+
+    # two tight clumps + one isolated point; centroids are md5-sampled
+    # from the data so the clumps land in whatever cell contains them —
+    # the invariant is: within a clump, only the smallest id survives.
+    def vec(angle, eps=0.0):
+        return [math.cos(angle) + eps, math.sin(angle) + eps]
+
+    rows = [
+        (10, vec(0.00)), (11, vec(0.001)), (12, vec(0.002)),   # clump A
+        (20, vec(1.5)), (21, vec(1.501)),                      # clump B
+        (30, vec(3.0)),                                        # isolated
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.id: r for r in similarity.semantic_dedup(df, tau=0.999, n_cells=3).collect()}
+    assert out[10].is_dup == 0 and out[10].dup_of == -1
+    assert out[11].is_dup == 1 and out[11].dup_of == 10
+    assert out[12].is_dup == 1 and out[12].dup_of in (10, 11)
+    assert out[20].is_dup == 0 and out[21].is_dup == 1 and out[21].dup_of == 20
+    assert out[30].is_dup == 0
