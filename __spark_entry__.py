@@ -33,6 +33,8 @@ SF0001 = "/root/testdata/sf0.001"
 # pass the identical local replica of the gate (tools/check_oracle.py).
 _UNMEASURED_ORACLE = [
     "tx_pii_scrub",
+    "tx_unigram_logprob",
+    "tx_mixture_weights",
     "tx_line_filter",
     "tx_sequence_pack",
     "dd_semantic_dedup",

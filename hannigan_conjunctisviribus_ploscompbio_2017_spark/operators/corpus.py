@@ -299,6 +299,92 @@ def sequence_pack(
     )
 
 
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k_smooth: float = 1.0,
+    round_to: int = 6,
+) -> DataFrame:
+    """CCNet-style language-model quality score without an external LM:
+    train an add-k-smoothed unigram model on the corpus itself, then
+    score each doc by its mean token negative log-probability (nats).
+    Low scores = stereotypical corpus text; high scores = rare-token
+    soup (OCR noise, gibberish, wrong-language remnants) — the same
+    ranking CCNet gets from its KenLM filter, self-contained.
+
+    p(tok) = (c + k) / (N + k·V) with c = corpus count, N = total
+    tokens, V = vocabulary size.
+
+    Returns (id, n_tok, avg_neg_logprob). Two aggregations: token counts
+    (one shuffle on token, partial map-side), then the per-doc mean
+    (shuffle on id). The global N/V scalars stay IN-PLAN as a 1-row
+    crossJoin — no driver collect. At 100 TB the token-count table is
+    Zipf-bounded (vocab << corpus) and broadcastable after a min-count
+    floor; the token join is the only wide stage."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(normalized(text_col), r"\s+")).alias("tok"),
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.agg(
+        F.sum("c").alias("_n"), F.count(F.lit(1)).alias("_v")
+    )  # 1 row; crossJoin keeps the scalars in the same Catalyst DAG
+    scored = (
+        toks.join(counts, "tok")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "id",
+            (-(F.log(F.col("c") + F.lit(float(k_smooth)))
+               - F.log(F.col("_n") + F.lit(float(k_smooth)) * F.col("_v")))).alias("_nlp"),
+        )
+    )
+    return scored.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        F.round(F.avg("_nlp"), round_to).alias("avg_neg_logprob"),
+    )
+
+
+def mixture_weights(
+    df: DataFrame,
+    domain_col: str = "source",
+    target: dict[str, float] | None = None,
+) -> DataFrame:
+    """Domain-mixture reweighting (the data-mixing step before
+    training): per domain, the observed corpus share and the sampling
+    weight that reshapes it to a `target` distribution —
+    weight = target_share / observed_share. With no target, uniform
+    over the observed domains. Domains absent from an explicit target
+    get weight 0 (dropped from the mix).
+
+    Returns (domain, n_docs, observed_share, target_share, weight).
+    One aggregation; the domain table is dimension-sized, so the
+    shares/weights stay in-plan via a broadcast 1-row total."""
+    counts = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    total = counts.agg(
+        F.sum("n_docs").alias("_t"), F.count(F.lit(1)).alias("_d")
+    )
+    if target is None:
+        tgt = F.lit(1.0) / F.col("_d")
+    else:
+        tgt = F.lit(0.0)
+        for dom, share in sorted(target.items(), reverse=True):
+            tgt = F.when(F.col("domain") == dom, F.lit(float(share))).otherwise(tgt)
+    obs = F.col("n_docs") / F.col("_t")
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "domain",
+            "n_docs",
+            F.round(obs, 6).alias("observed_share"),
+            F.round(tgt, 6).alias("target_share"),
+            F.round(tgt / obs, 6).alias("weight"),
+        )
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

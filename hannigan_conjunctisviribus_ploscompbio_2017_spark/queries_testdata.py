@@ -3943,3 +3943,69 @@ def dd_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return semantic_dedup(_t(spark, sf_dir, "embeddings"), tau=0.8, n_cells=16)
+
+
+_UNIGRAM_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id AS id, unnest(string_split({_NORM_SQL}, ' ')) AS tok
+      FROM documents
+    ), counts AS (
+      SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+    ), totals AS (
+      SELECT SUM(c) AS n, COUNT(*) AS v FROM counts
+    )
+    SELECT t.id,
+           CAST(COUNT(*) AS BIGINT) AS n_tok,
+           ROUND(AVG(-(ln(c + 1.0) - ln(n + 1.0 * v))), 6) AS avg_neg_logprob
+    FROM toks t JOIN counts USING (tok) CROSS JOIN totals
+    GROUP BY t.id
+    """
+
+
+@query("tx_unigram_logprob", oracle=_UNIGRAM_SQL)
+def tx_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style self-trained unigram LM quality score: per-doc mean
+    token negative log-probability under the corpus's own add-1
+    unigram model. Two aggregations + one token join; N/V scalars stay
+    in-plan (1-row broadcast crossJoin, no collect). The oracle replays
+    counts, smoothing, and the mean identically."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.corpus import unigram_logprob
+
+    return unigram_logprob(_t(spark, sf_dir, "documents"), k_smooth=1.0)
+
+
+_MIXTURE_SQL = """
+    WITH counts AS (
+      SELECT source AS domain, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source
+    ), totals AS (
+      SELECT SUM(n_docs) AS t FROM counts
+    )
+    SELECT domain, n_docs,
+           ROUND(n_docs / CAST(t AS DOUBLE), 6) AS observed_share,
+           ROUND(CASE WHEN domain = 'src0' THEN 0.5
+                      WHEN domain = 'src1' THEN 0.25
+                      WHEN domain = 'src2' THEN 0.25
+                      ELSE 0.0 END, 6) AS target_share,
+           ROUND(CASE WHEN domain = 'src0' THEN 0.5
+                      WHEN domain = 'src1' THEN 0.25
+                      WHEN domain = 'src2' THEN 0.25
+                      ELSE 0.0 END / (n_docs / CAST(t AS DOUBLE)), 6) AS weight
+    FROM counts CROSS JOIN totals
+    """
+
+
+@query("tx_mixture_weights", oracle=_MIXTURE_SQL)
+def tx_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture reweighting: observed per-source corpus shares vs
+    an explicit target mix (50/25/25 over three sources, rest dropped),
+    and the resampling weight reshaping one into the other. One
+    aggregation, scalars in-plan; the oracle replays shares and
+    weights."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.corpus import mixture_weights
+
+    return mixture_weights(
+        _t(spark, sf_dir, "documents"),
+        domain_col="source",
+        target={"src0": 0.5, "src1": 0.25, "src2": 0.25},
+    )

@@ -517,3 +517,38 @@ def test_semantic_dedup_flags_clumps(spark):
     assert out[12].is_dup == 1 and out[12].dup_of in (10, 11)
     assert out[20].is_dup == 0 and out[21].is_dup == 1 and out[21].dup_of == 20
     assert out[30].is_dup == 0
+
+
+def test_unigram_logprob_ranks_rare_token_docs(spark):
+    import math
+
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators import corpus
+
+    # "common common" doc vs a doc of hapax tokens: the rare-token doc
+    # must score strictly higher (more surprising under the corpus LM)
+    df = spark.createDataFrame(
+        [(1, "common common common common"), (2, "common zyx qwv plk")],
+        "doc_id long, text string",
+    )
+    out = {r.id: r for r in corpus.unigram_logprob(df, k_smooth=1.0).collect()}
+    assert out[1].n_tok == 4 and out[2].n_tok == 4
+    assert out[2].avg_neg_logprob > out[1].avg_neg_logprob
+    # closed form: N=8 tokens, V=4 vocab, denom=N+kV=12; common c=5
+    exp1 = -math.log(6.0 / 12.0)
+    assert abs(out[1].avg_neg_logprob - round(exp1, 6)) < 1e-9
+
+
+def test_mixture_weights_reshape_and_uniform(spark):
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators import corpus
+
+    df = spark.createDataFrame(
+        [(i, "a" if i < 60 else ("b" if i < 90 else "c")) for i in range(100)],
+        "doc_id long, source string",
+    )
+    out = {r.domain: r for r in corpus.mixture_weights(df, target={"a": 0.5, "b": 0.5}).collect()}
+    assert out["a"].observed_share == 0.6 and out["a"].weight == round(0.5 / 0.6, 6)
+    assert out["b"].weight == round(0.5 / 0.3, 6)
+    assert out["c"].target_share == 0.0 and out["c"].weight == 0.0
+    # no target -> uniform over observed domains
+    uni = {r.domain: r for r in corpus.mixture_weights(df).collect()}
+    assert all(abs(r.target_share - round(1 / 3, 6)) < 1e-9 for r in uni.values())
