@@ -140,6 +140,14 @@ def rarefy_hash(
         F.col(item_col).cast("string").alias(item_col),
         F.col(count_col).cast("long").alias(count_col),
     )
+    # typed feeds BOTH the per-sample depth aggregate and the explode
+    # base, and Catalyst does not share the subtree — without this the
+    # caller's (possibly expensive) upstream plan runs twice (measured
+    # ~35% of m1_rarefaction_portable's wall-clock at sf0.1). The
+    # checkpointed frame is the aggregated abundance table (samples ×
+    # items) — orders of magnitude smaller than the raw data at any
+    # scale, so materializing it once is the right call at 100 TB too.
+    typed = typed.localCheckpoint(eager=False)
     # attach the depth to the per-SAMPLE aggregate, not the base table:
     # a crossJoin on the pre-aggregation rows re-derives the (possibly
     # expensive) upstream plan once more per consumer — measured ~40% of
