@@ -177,3 +177,49 @@ def test_exact_and_chunk_dedup_single_fingerprint_shuffle(spark):
     # the fingerprint groupBy and the (broadcastable) keeper join
     plan = plan_of(QUERIES["dd_exact_dedup"](spark, SF0001))
     assert "Window" not in plan and "NestedLoop" not in plan
+
+
+def test_pii_scrub_and_line_filter_no_shuffle(spark):
+    # both are pure row functions (regex chains / higher-order array
+    # funcs): the plan must be scan + project only — no Exchange, no
+    # Generate (explode), no Window, no Python UDF
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.corpus import (
+        line_filter,
+        pii_scrub,
+    )
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.schemas import load_table
+
+    docs = load_table(spark, SF0001, "documents")
+    for p in (plan_of(pii_scrub(docs)), plan_of(line_filter(docs))):
+        assert "Exchange" not in p
+        assert "Generate" not in p
+        assert "Window" not in p
+        assert "Python" not in p
+
+
+def test_sequence_pack_single_bucket_exchange(spark):
+    # packing = one hash exchange on the bucket feeding a running-sum
+    # window; no global (single-partition) window, no extra shuffles
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.corpus import sequence_pack
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.schemas import load_table
+
+    p = plan_of(sequence_pack(load_table(spark, SF0001, "documents")))
+    assert p.count("+- Exchange") == 1
+    assert "hashpartitioning" in p
+    assert "SinglePartition" not in p
+    assert "Window" in p
+
+
+def test_semantic_dedup_cell_join_not_cross(spark):
+    # the candidate stage must join on the cell id — never a cartesian
+    # nested-loop over the full item table
+    plan = plan_of(QUERIES["dd_semantic_dedup"](spark, SF0001))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_unigram_logprob_totals_stay_in_plan(spark):
+    # the N/V scalars ride a broadcast nested-loop of a 1-row aggregate —
+    # no driver collect; the token join is the only hash join
+    plan = plan_of(QUERIES["tx_unigram_logprob"](spark, SF0001))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
