@@ -46,6 +46,15 @@ HEADLINE = [
     # the doc-frequency skew guard)
     ("q13", "dd_chunk_dedup"),
     ("q14", "dd_contamination"),
+    # r02 additions: the corpus-LM scoring join (explode + token join +
+    # in-plan totals) and the running-sum packing window — both linear
+    # shapes worth watching under the scale check. semantic dedup is
+    # deliberately NOT here: with n_cells fixed its within-cell pair
+    # count grows quadratically by design (cells must scale with the
+    # corpus), so a fixed-cell scale factor would flag an expected
+    # property, not a bug.
+    ("q15", "tx_unigram_logprob"),
+    ("q16", "tx_sequence_pack"),
 ]
 
 

@@ -513,3 +513,127 @@ def nmds(
     x, stress, conv = best
     x = x - x.mean(axis=0)  # center for a canonical-ish output
     return {"points": x, "stress": stress, "converged": conv}
+
+
+# --------------------------------------------------------------------------
+# M6: kernel-density CDF mass + Tukey HSD post-hoc
+# --------------------------------------------------------------------------
+
+
+def kde_cdf_below(x, threshold: float = 0.0, bw: float | None = None) -> float:
+    """The reference's density() → approxfun → integrate(-Inf, t)
+    pattern (bin/interpersonaldiversity.R:141-145): the probability mass
+    below `threshold` under a Gaussian kernel density estimate of x.
+
+    For a Gaussian kernel the CDF has the closed form
+    mean(Phi((t - x_i)/h)), so this evaluates the integral exactly —
+    no grid/approxfun discretization error. Bandwidth defaults to R's
+    bw.nrd0 (0.9 · min(sd, IQR/1.34) · n^(-1/5))."""
+    x = np.asarray(x, dtype=float)
+    n = x.size
+    if n == 0:
+        raise ValueError("kde_cdf_below requires at least one observation")
+    if bw is None:
+        sd = x.std(ddof=1) if n > 1 else 0.0
+        q75, q25 = np.percentile(x, [75, 25])
+        sig = min(sd, (q75 - q25) / 1.34) if (q75 > q25 and sd > 0) else sd
+        if sig <= 0:
+            sig = abs(x[0]) or 1.0
+        bw = 0.9 * sig * n ** (-0.2)
+    return float(
+        np.mean([1.0 - normal_sf((threshold - xi) / bw) for xi in x])
+    )
+
+
+def ptukey(q: float, k: int, df: int) -> float:
+    """Studentized range CDF P(Q <= q) for k group means and df error
+    degrees of freedom, by direct quadrature of
+
+        P = ∫ f_s(s) · k ∫ φ(z) [Φ(z) − Φ(z − q·s)]^(k−1) dz ds
+
+    with s = χ_df/√df (the scaled error-SD factor). The z-grid is
+    0.01-spaced over ±8 and the s-grid tracks the chi concentration
+    1 ± 10/√(2·df); absolute accuracy ~1e-4 — the same quadrature
+    family R's ptukey uses. Backs TukeyHSD (bin/CompareSkin.R:349,375,
+    402, bin/compareTwins.R:261)."""
+    if q <= 0:
+        return 0.0
+    if k < 2:
+        raise ValueError("ptukey requires k >= 2")
+    zs = np.linspace(-8.0, 8.0, 1601)
+    phi = np.exp(-(zs ** 2) / 2.0) / math.sqrt(2.0 * math.pi)
+    big_phi = np.array([1.0 - normal_sf(z) for z in zs])
+
+    def inner(u: float) -> float:
+        shifted = np.interp(zs - u, zs, big_phi, left=0.0, right=1.0)
+        integrand = phi * np.clip(big_phi - shifted, 0.0, 1.0) ** (k - 1)
+        return float(k * np.trapz(integrand, zs))
+
+    if df > 5000:  # s collapses to 1: the infinite-df range distribution
+        return min(1.0, inner(q))
+    lo = max(1e-4, 1.0 - 10.0 / math.sqrt(2.0 * df))
+    hi = 1.0 + 12.0 / math.sqrt(2.0 * df)
+    ss = np.linspace(lo, hi, 400)
+    log_fs = (
+        (df / 2.0) * math.log(df)
+        - (df / 2.0 - 1.0) * math.log(2.0)
+        - math.lgamma(df / 2.0)
+        + (df - 1.0) * np.log(ss)
+        - df * ss ** 2 / 2.0
+    )
+    fs = np.exp(log_fs)
+    vals = np.array([inner(q * s) for s in ss])
+    return float(min(1.0, np.trapz(fs * vals, ss)))
+
+
+def qtukey(p: float, k: int, df: int, tol: float = 1e-4) -> float:
+    """Studentized range quantile (inverse of ptukey) by bisection."""
+    lo, hi = 0.0, 2.0
+    while ptukey(hi, k, df) < p:
+        hi *= 2.0
+        if hi > 1e3:
+            raise ValueError("qtukey failed to bracket")
+    while hi - lo > tol:
+        mid = (lo + hi) / 2.0
+        if ptukey(mid, k, df) < p:
+            lo = mid
+        else:
+            hi = mid
+    return (lo + hi) / 2.0
+
+
+def tukey_hsd(values, groups, conf: float = 0.95) -> list[dict]:
+    """TukeyHSD(aov(values ~ groups)) (bin/CompareSkin.R:349,375,402,
+    bin/compareTwins.R:261 run it on the betadisper model): all pairwise
+    group-mean differences with studentized-range-adjusted p-values and
+    simultaneous confidence intervals (Tukey-Kramer unequal-n form).
+
+    Returns one dict per pair (R's "lev2-lev1" order):
+    {pair, diff, lwr, upr, p_adj}."""
+    v = np.asarray(values, dtype=float)
+    g = np.asarray(groups)
+    levels = sorted(set(g.tolist()))
+    k, n = len(levels), v.size
+    if k < 2 or n <= k:
+        raise ValueError("tukey_hsd needs >= 2 groups and residual df > 0")
+    df = n - k
+    mse = sum(((v[g == lev] - v[g == lev].mean()) ** 2).sum() for lev in levels) / df
+    qcrit = qtukey(conf, k, df)
+    out = []
+    for i in range(k):
+        for j in range(i + 1, k):
+            a, b = levels[i], levels[j]
+            na, nb = int((g == a).sum()), int((g == b).sum())
+            diff = float(v[g == b].mean() - v[g == a].mean())
+            se = math.sqrt(mse / 2.0 * (1.0 / na + 1.0 / nb))
+            q_obs = abs(diff) / se if se > 0 else float("inf")
+            out.append(
+                {
+                    "pair": f"{b}-{a}",
+                    "diff": diff,
+                    "lwr": diff - qcrit * se,
+                    "upr": diff + qcrit * se,
+                    "p_adj": max(0.0, 1.0 - ptukey(q_obs, k, df)),
+                }
+            )
+    return out

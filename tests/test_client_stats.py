@@ -178,3 +178,48 @@ def test_collect_distance_matrix_bridge(spark):
     # and the full reference chain: NMDS + ANOSIM on the collected matrix
     res = C.nmds(m, k=2, seed=1, n_starts=2)
     assert res["points"].shape == (3, 2)
+
+
+def test_ptukey_matches_published_critical_values():
+    """alpha=0.05 studentized-range table: q(k=2,df=inf)=2.772,
+    q(k=3,df=12)=3.773, q(k=4,df=20)=3.958 — CDF must be 0.95 there."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.client import stats as S
+
+    assert abs(S.ptukey(2.772, 2, 100000) - 0.95) < 2e-3
+    assert abs(S.ptukey(3.773, 3, 12) - 0.95) < 2e-3
+    assert abs(S.ptukey(3.958, 4, 20) - 0.95) < 2e-3
+    assert abs(S.qtukey(0.95, 3, 12) - 3.773) < 5e-3
+    # CDF sanity: monotone, bounded
+    assert S.ptukey(0.5, 3, 12) < S.ptukey(2.0, 3, 12) < S.ptukey(6.0, 3, 12) <= 1.0
+
+
+def test_tukey_hsd_separated_vs_identical_groups():
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.client import stats as S
+
+    v = [1.0, 2.0, 1.5, 1.2, 1.8, 2.2, 5.0, 5.5, 6.0]
+    g = ["a"] * 6 + ["b"] * 3
+    (row,) = S.tukey_hsd(v, g)
+    assert row["pair"] == "b-a"
+    assert row["p_adj"] < 0.001          # clearly separated means
+    assert row["lwr"] < row["diff"] < row["upr"]
+    assert row["lwr"] > 0                # CI excludes zero
+    # same data relabeled into indistinguishable groups -> p near 1
+    g2 = ["a", "b"] * 4 + ["a"]
+    v2 = [1.0, 1.1, 0.9, 1.0, 1.05, 0.95, 1.0, 1.02, 0.98]
+    (row2,) = S.tukey_hsd(v2, g2)
+    assert row2["p_adj"] > 0.3           # clearly non-significant
+    assert row2["lwr"] < 0 < row2["upr"]  # CI spans zero
+
+
+def test_kde_cdf_below_closed_forms():
+    import numpy as np
+
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.client import stats as S
+
+    # single point with unit bandwidth: CDF at t is Phi(t - x)
+    assert abs(S.kde_cdf_below([0.0], 1.0, bw=1.0) - 0.8413) < 1e-3
+    # symmetric sample: mass below 0 ~ 1/2
+    rng = np.random.default_rng(0)
+    assert abs(S.kde_cdf_below(rng.normal(size=2000), 0.0) - 0.5) < 0.05
+    # all observations far above threshold -> ~0 mass
+    assert S.kde_cdf_below([10.0, 11.0, 12.0], 0.0) < 1e-6
