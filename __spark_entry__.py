@@ -35,6 +35,7 @@ _UNMEASURED_ORACLE = [
     "tx_pii_scrub",
     "tx_unigram_logprob",
     "tx_mixture_weights",
+    "pipeline_pretrain_pack",
     "tx_line_filter",
     "tx_sequence_pack",
     "dd_semantic_dedup",

@@ -435,3 +435,76 @@ def corpus_curation(
         )
     )
     return {"routed": routed, "summary": summary}
+
+
+def pretrain_pack(
+    docs: DataFrame,
+    budget: int = 128,
+    n_buckets: int = 8,
+    split_weights: tuple[float, float, float] = (0.8, 0.1, 0.1),
+    split_seed: int = 42,
+    pack_seed: int = 7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The pretraining data path as ONE lazy plan: PII scrub → line-level
+    filtering → exact dedup of the cleaned text → deterministic split →
+    sequence packing of the train split.
+
+    Returns one audit row per input doc:
+    (id, disposition, bucket, pack_id, pack_offset, n_tok) where
+    disposition ∈ {empty, duplicate, train, val, test}; pack fields are
+    -1 for anything that didn't reach the packer (only train docs pack).
+    `pack_seed` is distinct from `split_seed` so pack order is not
+    correlated with split assignment.
+
+    Scale shape: scrub + line filter are shuffle-free row functions;
+    dedup is one fingerprint shuffle; packing is one bucket shuffle with
+    a streaming running-sum window — four narrow stages and two
+    exchanges end-to-end, no driver collects."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.corpus import (
+        line_filter,
+        pii_scrub,
+        sequence_pack,
+        split_assign,
+    )
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.dedup import exact_dedup
+
+    cleaned = line_filter(
+        pii_scrub(docs, id_col=id_col, text_col=text_col).select(
+            F.col("id").alias(id_col), F.col("clean_text").alias(text_col)
+        ),
+        id_col=id_col,
+        text_col=text_col,
+    ).select(F.col("id").alias(id_col), F.col("clean_text").alias(text_col), "n_kept")
+    dups = exact_dedup(cleaned, id_col=id_col, text_col=text_col).select(
+        F.col("id").alias(id_col), "is_dup"
+    )
+    routed = split_assign(
+        cleaned.join(dups, id_col), id_col=id_col, weights=split_weights, seed=split_seed
+    ).withColumn(
+        "disposition",
+        F.when(F.col("n_kept") == 0, F.lit("empty"))
+        .when(F.col("is_dup") == 1, F.lit("duplicate"))
+        .otherwise(F.col("split")),
+    )
+    packed = sequence_pack(
+        routed.filter(F.col("disposition") == "train").select(id_col, text_col),
+        id_col=id_col,
+        text_col=text_col,
+        budget=budget,
+        n_buckets=n_buckets,
+        seed=pack_seed,
+    )
+    return (
+        routed.select(F.col(id_col).alias("id"), "disposition")
+        .join(packed, "id", "left")
+        .select(
+            "id",
+            "disposition",
+            F.coalesce("bucket", F.lit(-1)).alias("bucket"),
+            F.coalesce("n_tok", F.lit(-1)).alias("n_tok"),
+            F.coalesce("pack_id", F.lit(-1)).alias("pack_id"),
+            F.coalesce("pack_offset", F.lit(-1)).alias("pack_offset"),
+        )
+    )

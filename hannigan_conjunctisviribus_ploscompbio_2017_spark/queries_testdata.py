@@ -4009,3 +4009,95 @@ def tx_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         domain_col="source",
         target={"src0": 0.5, "src1": 0.25, "src2": 0.25},
     )
+
+
+# Composed pretraining path: same deterministic line-break + PII
+# injections as tx_line_filter / tx_pii_scrub, then scrub → line filter
+# → exact dedup → split → train-split sequence packing, replayed
+# end-to-end by the oracle.
+_PRETRAIN_SQL = f"""
+    WITH aug AS (
+      SELECT doc_id,
+             regexp_replace(text, ' (table|query|value) ', '.' || chr(10), 'g')
+             || ' user' || doc_id || '@example.com 10.0.'
+             || (doc_id % 256) || '.' || ((doc_id * 7) % 256)
+             || CASE WHEN doc_id % 2 = 0
+                     THEN ' 555-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                     ELSE '' END AS text
+      FROM documents
+    ), scrub AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(regexp_replace(text,
+               '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_IPV4}', '<IPV4>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g') AS t1
+      FROM aug
+    ), lf AS (
+      SELECT doc_id,
+             COALESCE(array_to_string(ks, chr(10)), '') AS t2,
+             CAST(len(ks) AS BIGINT) AS n_kept
+      FROM (
+        SELECT doc_id,
+               list_filter(string_split(t1, chr(10)), x ->
+                 len(regexp_split_to_array(trim(x), '\\s+')) >= 3
+                 AND regexp_matches(trim(x), '[.!?]$')) AS ks
+        FROM scrub
+      )
+    ), fp AS (
+      SELECT doc_id, t2, n_kept,
+             md5(trim(regexp_replace(lower(t2), '[^a-z0-9]+', ' ', 'g'))) AS f
+      FROM lf
+    ), keep AS (
+      SELECT f, MIN(doc_id) AS kid FROM fp GROUP BY f
+    ), disp AS (
+      SELECT fp.doc_id, fp.t2,
+             CASE WHEN fp.n_kept = 0 THEN 'empty'
+                  WHEN fp.doc_id <> k.kid THEN 'duplicate'
+                  WHEN {_MD5_60.format(c="CAST(fp.doc_id AS VARCHAR) || '|42'")} % 1000000 < 800000 THEN 'train'
+                  WHEN {_MD5_60.format(c="CAST(fp.doc_id AS VARCHAR) || '|42'")} % 1000000 < 900000 THEN 'val'
+                  ELSE 'test' END AS disposition
+      FROM fp JOIN keep k USING (f)
+    ), tr AS (
+      SELECT doc_id,
+             {_MD5_60.format(c="CAST(doc_id AS VARCHAR) || '|7'")} AS h,
+             CAST(len(string_split(trim(regexp_replace(lower(t2), '[^a-z0-9]+', ' ', 'g')), ' ')) AS BIGINT) AS n_tok
+      FROM disp WHERE disposition = 'train'
+    ), pk AS (
+      SELECT doc_id, CAST(h % 8 AS BIGINT) AS bucket, n_tok,
+             SUM(n_tok) OVER (PARTITION BY h % 8 ORDER BY h, doc_id
+                              ROWS UNBOUNDED PRECEDING) - n_tok AS start
+      FROM tr
+    )
+    SELECT d.doc_id AS id, d.disposition,
+           CAST(COALESCE(p.bucket, -1) AS BIGINT) AS bucket,
+           CAST(COALESCE(p.n_tok, -1) AS BIGINT) AS n_tok,
+           CAST(COALESCE(CAST(FLOOR(p.start / 128.0) AS BIGINT), -1) AS BIGINT) AS pack_id,
+           CAST(COALESCE(p.start % 128, -1) AS BIGINT) AS pack_offset
+    FROM disp d LEFT JOIN pk p USING (doc_id)
+    """
+
+
+@query("pipeline_pretrain_pack", oracle=_PRETRAIN_SQL)
+def pipeline_pretrain_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed pretraining data path as one lazy plan: PII scrub →
+    C4 line filter → exact dedup → deterministic split → train-split
+    sequence packing, with a per-doc audit disposition. Two exchanges
+    end-to-end (fingerprint, pack bucket); the oracle replays every
+    stage including the running-sum packing window."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.plans.pipelines import pretrain_pack
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.regexp_replace("text", " (table|query|value) ", ".\n"),
+            F.lit(" user"), d.cast("string"), F.lit("@example.com 10.0."),
+            (d % 256).cast("string"), F.lit("."), ((d * 7) % 256).cast("string"),
+            F.when(
+                d % 2 == 0,
+                F.concat(F.lit(" 555-555-"), F.lpad((d % 10000).cast("string"), 4, "0")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return pretrain_pack(aug, budget=128, n_buckets=8, split_seed=42, pack_seed=7)

@@ -128,3 +128,34 @@ def test_corpus_curation_dispositions_partition_docs(spark):
     # summary covers exactly the surviving docs
     total = sum(r.n_docs for r in out["summary"].collect())
     assert total == 1
+
+
+def test_pretrain_pack_dispositions_and_packing(spark):
+    from pyspark.sql import functions as F
+
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.plans.pipelines import pretrain_pack
+
+    rows = [
+        # two identical docs after cleaning -> second is a duplicate
+        (1, "Alpha beta gamma delta keeps this line.\ncall 555-555-1234 ok"),
+        (2, "Alpha beta gamma delta keeps this line.\ncall 555-555-9999 ok"),
+        # no terminal punctuation anywhere -> empty after line filter
+        (3, "no terminal punctuation here at all"),
+        # distinct keeper
+        (4, "A different surviving sentence stays right here.\nshort."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.id: r for r in pretrain_pack(df, budget=16, n_buckets=2).collect()}
+    assert len(out) == 4
+    # docs 1/2 differ only in their phone number, which the scrub
+    # redacts -> identical cleaned text -> min-id keeper wins
+    assert out[2].disposition == "duplicate"
+    assert out[1].disposition in ("train", "val", "test")
+    assert out[3].disposition == "empty"
+    assert out[3].pack_id == -1 and out[3].n_tok == -1
+    # every train doc got a non-negative pack slot within budget
+    for r in out.values():
+        if r.disposition == "train":
+            assert r.pack_id >= 0 and 0 <= r.pack_offset < 16
+        else:
+            assert r.pack_id == -1
