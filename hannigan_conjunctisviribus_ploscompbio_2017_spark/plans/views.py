@@ -79,6 +79,10 @@ def register_corpus_views(spark: SparkSession, sf_dir: str) -> None:
     - `corpus_ngrams`   — global bigram occurrence/doc-frequency counts
     - `doc_splits`      — deterministic 80/10/10 train/val/test assignment
     - `doc_repetition`  — Gopher repetition signals (entropy/top-share/dup mass)
+    - `doc_scrubbed`    — PII-redacted text + per-family audit counts
+    - `doc_lm_score`    — self-trained unigram LM negative log-prob per doc
+    - `doc_packing`     — sequence-packing assignment (bucket/pack/offset)
+    - `corpus_mixture`  — per-source observed share + uniform-target weight
 
     All are lazy views over the same Catalyst plans as the operator API:
     `spark.sql("SELECT * FROM doc_dups WHERE is_dup = 1")` prunes and
@@ -103,3 +107,7 @@ def register_corpus_views(spark: SparkSession, sf_dir: str) -> None:
         "doc_splits"
     )
     corpus.repetition_stats(docs, n=2).createOrReplaceTempView("doc_repetition")
+    corpus.pii_scrub(docs).createOrReplaceTempView("doc_scrubbed")
+    corpus.unigram_logprob(docs).createOrReplaceTempView("doc_lm_score")
+    corpus.sequence_pack(docs).createOrReplaceTempView("doc_packing")
+    corpus.mixture_weights(docs).createOrReplaceTempView("corpus_mixture")

@@ -68,3 +68,26 @@ def test_corpus_views_sql_surface(spark):
     assert spark.sql(
         "SELECT COUNT(*) AS n FROM (SELECT fingerprint FROM doc_chunks GROUP BY fingerprint HAVING COUNT(*) > 1)"
     ).collect()[0].n >= 0
+
+
+def test_round2_corpus_views_sql_surface(spark):
+    V.register_corpus_views(spark, SF0001)
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.schemas import load_table
+
+    n_docs = load_table(spark, SF0001, "documents").count()
+    # scrub view: one audit row per doc, counts never negative
+    r = spark.sql(
+        "SELECT COUNT(*) AS n, MIN(n_email) AS me, MIN(n_ipv4) AS mi FROM doc_scrubbed"
+    ).collect()[0]
+    assert r.n == n_docs and r.me >= 0 and r.mi >= 0
+    # LM-score view joins to packing view by id; packed offsets stay in budget
+    j = spark.sql(
+        """
+        SELECT COUNT(*) AS n, MAX(p.pack_offset) AS mo
+        FROM doc_lm_score l JOIN doc_packing p USING (id)
+        """
+    ).collect()[0]
+    assert j.n == n_docs and 0 <= j.mo < 128
+    # mixture view shares sum to 1
+    s = spark.sql("SELECT ROUND(SUM(observed_share), 2) AS s FROM corpus_mixture").collect()[0].s
+    assert abs(s - 1.0) < 0.02
