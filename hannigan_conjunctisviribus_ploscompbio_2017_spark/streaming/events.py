@@ -443,3 +443,80 @@ def streaming_quality_router(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def streaming_sequence_pack(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 128,
+    n_buckets: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Streaming twin of operators.corpus.sequence_pack: concat-and-chunk
+    packing over an unbounded document stream. Docs hash into the same
+    `n_buckets` independent streams as the batch packer; per bucket, one
+    long of state (the cumulative token count) carries the running total
+    across micro-batches, so packs keep filling seamlessly batch after
+    batch.
+
+    Ordering semantics: within a micro-batch rows are ordered by the
+    SAME md5 shuffle as the batch operator, so a single-batch bounded
+    run reproduces batch sequence_pack bit-for-bit; across micro-batches
+    the order is arrival order (a stream cannot re-order history — the
+    documented semantic difference from the batch md5 global order).
+
+    State is exactly n_buckets longs — no timeout needed, the smallest
+    possible stateful footprint. Output: (id, bucket, n_tok, pack_id,
+    pack_offset)."""
+    import pandas as pd
+
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.dedup import (
+        normalized,
+        portable_token_hash,
+    )
+
+    h = portable_token_hash(
+        F.concat_ws("|", F.col(id_col).cast("string"), F.lit(str(seed)))
+    )
+    base = docs.select(
+        F.col(id_col).cast("long").alias("id"),
+        (h % n_buckets).cast("long").alias("bucket"),
+        h.alias("ord"),
+        F.size(F.split(normalized(text_col), r"\s+")).cast("long").alias("n_tok"),
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("bucket", T.LongType()),
+            T.StructField("n_tok", T.LongType()),
+            T.StructField("pack_id", T.LongType()),
+            T.StructField("pack_offset", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("cum", T.LongType())])
+
+    def pack(key, pdfs, state):
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if rows.empty:
+            return
+        rows = rows.sort_values(["ord", "id"])
+        cum = int(state.get[0]) if state.exists else 0
+        recs = []
+        for _, r in rows.iterrows():
+            recs.append(
+                {
+                    "id": int(r["id"]),
+                    "bucket": int(key[0]),
+                    "n_tok": int(r["n_tok"]),
+                    "pack_id": cum // budget,
+                    "pack_offset": cum % budget,
+                }
+            )
+            cum += int(r["n_tok"])
+        state.update((cum,))
+        yield pd.DataFrame(recs)
+
+    return base.groupBy("bucket").applyInPandasWithState(
+        pack, out_schema, state_schema, "append", "NoTimeout"
+    )

@@ -670,3 +670,72 @@ def test_resize_images_roundtrip_and_passthrough(spark):
             n_other += 1
             assert bytes(r.content) == src[r.media_id]  # nothing lost
     assert n_img == 4 and n_other == 8  # 12 rows: 4 images, 4 wav, 4 mp4
+
+
+def test_streaming_sequence_pack_parity_and_continuation(spark, tmp_path):
+    """Single-batch bounded run must reproduce batch sequence_pack
+    bit-for-bit (same md5 order, same budget math); a second micro-batch
+    must CONTINUE each bucket's running token total, not restart it."""
+    import time as _time
+
+    from pyspark.sql import types as T
+
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.corpus import sequence_pack
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    rows1 = [(i, "tok " * (3 + i % 5)) for i in range(40)]
+    rows2 = [(i, "tok " * (3 + i % 5)) for i in range(40, 60)]
+    src = tmp_path / "pack_stream"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = SE.streaming_sequence_pack(stream, budget=32, n_buckets=4)
+    q = SE.run_to_memory(out, "seq_pack_out")
+    try:
+        got1 = {
+            r.id: (r.bucket, r.n_tok, r.pack_id, r.pack_offset)
+            for r in spark.sql("SELECT * FROM seq_pack_out").collect()
+        }
+        batch1 = {
+            r.id: (r.bucket, r.n_tok, r.pack_id, r.pack_offset)
+            for r in sequence_pack(
+                spark.createDataFrame(rows1, schema), budget=32, n_buckets=4
+            ).collect()
+        }
+        assert got1 == batch1  # single-batch == batch operator, exactly
+
+        # second micro-batch: totals continue, never reset
+        spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(
+            str(src)
+        )
+        q.processAllAvailable()
+        got2 = {
+            r.id: (r.bucket, r.n_tok, r.pack_id, r.pack_offset)
+            for r in spark.sql("SELECT * FROM seq_pack_out").collect()
+        }
+        assert len(got2) == 60
+        # per bucket: batch-2 start offsets resume from batch-1 totals
+        bucket_tot = {}
+        for i in range(40):
+            b, n_tok, _, _ = got1[i]
+            bucket_tot[b] = bucket_tot.get(b, 0) + n_tok
+        new_per_bucket = {}
+        for i in range(40, 60):
+            b, n_tok, pid, off = got2[i]
+            new_per_bucket.setdefault(b, []).append((pid * 32 + off, n_tok))
+        for b, entries in new_per_bucket.items():
+            start = bucket_tot.get(b, 0)
+            for pos, n_tok in sorted(entries):
+                assert pos == start  # continues the cross-batch cumsum
+                start += n_tok
+    finally:
+        q.stop()
