@@ -291,3 +291,71 @@ def test_repetition_stats_bounds(spark, texts):
         assert 1 / total - 1e-6 <= r.top_ngram_share <= 1 + 1e-6
         assert -1e-6 <= r.dup_ngram_ratio < 1
         assert (r.ngram_entropy == 0.0) == (r.top_ngram_share == 1.0)
+
+
+@SLOW
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(
+                whitelist_categories=("Ll", "Lu", "Nd", "Po", "Zs"),
+                whitelist_characters="@.\n+-",
+            ),
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_pii_scrub_idempotent_and_line_filter_stable(spark, texts):
+    """Scrubbing is idempotent (sentinels never re-match any pattern),
+    and line_filter is a projection: every kept line already satisfies
+    the rules, so filtering its own output is a fixed point."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators import corpus
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    once = corpus.pii_scrub(df).select(
+        F.col("id").alias("doc_id"), F.col("clean_text").alias("text")
+    )
+    twice = corpus.pii_scrub(once)
+    a = {r.id: r.clean_text for r in once.withColumnRenamed("text", "clean_text")
+         .withColumnRenamed("doc_id", "id").collect()}
+    b = {r.id: r.clean_text for r in twice.collect()}
+    assert a == b
+    # second scrub found nothing left to count
+    for r in twice.collect():
+        assert (r.n_email, r.n_ipv4, r.n_phone) == (0, 0, 0)
+
+    lf1 = corpus.line_filter(df).select(
+        F.col("id").alias("doc_id"), F.col("clean_text").alias("text")
+    )
+    lf2 = corpus.line_filter(lf1)
+    kept1 = {r.id: r.clean_text for r in corpus.line_filter(df).collect()}
+    kept2 = {r.id: r.clean_text for r in lf2.collect()}
+    assert kept1 == kept2
+
+
+@SLOW
+@given(
+    n=st.integers(min_value=1, max_value=60),
+    budget=st.integers(min_value=4, max_value=64),
+    nb=st.integers(min_value=1, max_value=6),
+)
+def test_sequence_pack_conservation(spark, n, budget, nb):
+    """Packing conserves every token exactly once per bucket: sorting a
+    bucket's docs by (pack_id, pack_offset) reconstructs a gapless
+    running sum from zero — no token lost, none double-assigned."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators import corpus
+
+    df = spark.createDataFrame(
+        [(i, "w " * (1 + (i * 7) % 9)) for i in range(n)], "doc_id long, text string"
+    )
+    out = corpus.sequence_pack(df, budget=budget, n_buckets=nb).collect()
+    assert len(out) == n
+    per_bucket = {}
+    for r in sorted(out, key=lambda r: (r.bucket, r.pack_id * budget + r.pack_offset)):
+        pos = per_bucket.get(r.bucket, 0)
+        assert r.pack_id * budget + r.pack_offset == pos
+        per_bucket[r.bucket] = pos + r.n_tok
