@@ -36,6 +36,7 @@ _UNMEASURED_ORACLE = [
     "tx_unigram_logprob",
     "tx_mixture_weights",
     "pipeline_pretrain_pack",
+    "tx_exact_k_sample",
     "tx_line_filter",
     "tx_sequence_pack",
     "dd_semantic_dedup",

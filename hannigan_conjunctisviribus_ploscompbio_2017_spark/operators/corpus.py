@@ -299,6 +299,45 @@ def sequence_pack(
     )
 
 
+def exact_k_sample(
+    df: DataFrame,
+    strata_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic EXACT-k per-stratum sample: within each stratum,
+    rank rows by md5_60(id|seed) and keep the k smallest — "take exactly
+    10k docs per language", the quota-sampling sibling of
+    stratified_sample (which keeps a deterministic FRACTION). The md5
+    rank is a uniform random permutation and a pure row function:
+    identical across runs, partitionings, and engines, and the chosen
+    set is NESTED in k (the k=100 sample contains the k=50 sample).
+
+    One shuffle on the stratum; the per-stratum window is a bounded-heap
+    rank. For corpus-scale strata, pre-filter with stratified_sample at
+    ~(k/|stratum|)·safety first so the window ranks a candidate pool
+    instead of the full stratum — the same two-phase trick rarefy_hash
+    uses."""
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.col(id_col).cast("string"), F.lit(str(seed)))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+    )
+    w = W.partitionBy(strata_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def unigram_logprob(
     df: DataFrame,
     id_col: str = "doc_id",

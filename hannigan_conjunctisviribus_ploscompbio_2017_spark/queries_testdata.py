@@ -4011,6 +4011,32 @@ def tx_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EXACT_K_SQL = f"""
+    WITH r AS (
+      SELECT doc_id, lang, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY {_MD5_60.format(c="CAST(doc_id AS VARCHAR) || '|42'")} ASC,
+                        doc_id ASC
+             ) AS rn
+      FROM documents
+    )
+    SELECT doc_id, lang, source FROM r WHERE rn <= 20
+    """
+
+
+@query("tx_exact_k_sample", oracle=_EXACT_K_SQL)
+def tx_exact_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k quota sampling per language: md5-ranked top-20 rows per
+    stratum — deterministic, partition-invariant, and nested in k. One
+    stratum shuffle + bounded-heap rank; the oracle replays the hash
+    ranking."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.corpus import exact_k_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return exact_k_sample(docs, strata_col="lang", k=20)
+
+
 # Composed pretraining path: same deterministic line-break + PII
 # injections as tx_line_filter / tx_pii_scrub, then scrub → line filter
 # → exact dedup → split → train-split sequence packing, replayed

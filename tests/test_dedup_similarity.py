@@ -552,3 +552,20 @@ def test_mixture_weights_reshape_and_uniform(spark):
     # no target -> uniform over observed domains
     uni = {r.domain: r for r in corpus.mixture_weights(df).collect()}
     assert all(abs(r.target_share - round(1 / 3, 6)) < 1e-9 for r in uni.values())
+
+
+def test_exact_k_sample_nested_and_partition_invariant(spark):
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators import corpus
+
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id").withColumn(
+        "lang", (F.col("doc_id") % 3).cast("string")
+    )
+    k10 = {r.doc_id for r in corpus.exact_k_sample(df, "lang", 10).collect()}
+    k25 = {r.doc_id for r in corpus.exact_k_sample(df, "lang", 25).collect()}
+    assert len(k10) == 30 and len(k25) == 75  # exactly k per stratum
+    assert k10 <= k25                          # nested in k
+    again = {r.doc_id for r in corpus.exact_k_sample(df.repartition(7), "lang", 10).collect()}
+    assert again == k10                        # partition-invariant
+    # stratum smaller than k: keeps everything, no padding
+    tiny = df.filter(F.col("doc_id") < 4)
+    assert corpus.exact_k_sample(tiny, "lang", 10).count() == 4
