@@ -37,6 +37,7 @@ _UNMEASURED_ORACLE = [
     "tx_mixture_weights",
     "pipeline_pretrain_pack",
     "tx_exact_k_sample",
+    "tx_vocab_growth",
     "tx_line_filter",
     "tx_sequence_pack",
     "dd_semantic_dedup",

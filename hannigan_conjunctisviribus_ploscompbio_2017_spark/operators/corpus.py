@@ -384,6 +384,68 @@ def unigram_logprob(
     )
 
 
+def vocab_growth(
+    df: DataFrame,
+    fractions: tuple[float, ...] = (0.25, 0.5, 0.75, 1.0),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 42,
+) -> DataFrame:
+    """Vocabulary-growth (Heaps' law) curve: distinct-token and total-
+    token counts at nested corpus prefixes. Prefixes are md5-hash-
+    thresholded doc subsets, so each smaller fraction is CONTAINED in
+    every larger one (a genuine growth curve, not independent samples)
+    and the curve is a pure function of the data.
+
+    Single pass: tokenize + explode once, then ONE aggregation computes
+    every fraction via conditional distinct/sum columns — no per-
+    fraction rescan, no driver loop. Returns one row per fraction:
+    (fraction, n_docs, n_tokens, vocab_size).
+
+    At 100 TB the count-distincts expand to one Expand + two-stage
+    aggregate; swap F.countDistinct for F.approx_count_distinct when a
+    1-2% HLL estimate is acceptable and the expand is not."""
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.col(id_col).cast("string"), F.lit(str(seed)))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+    )
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        h.alias("_h"),
+        F.explode(F.split(normalized(text_col), r"\s+")).alias("tok"),
+    )
+    aggs = []
+    for frac in fractions:
+        t = int(frac * (1 << 60))
+        cond = F.col("_h") < F.lit(t)
+        tag = str(frac).replace(".", "_")
+        aggs += [
+            F.countDistinct(F.when(cond, F.col("id"))).alias(f"_d_{tag}"),
+            F.count(F.when(cond, F.lit(1))).alias(f"_n_{tag}"),
+            F.countDistinct(F.when(cond, F.col("tok"))).alias(f"_v_{tag}"),
+        ]
+    wide = toks.agg(*aggs)
+    rows = []
+    for frac in fractions:
+        tag = str(frac).replace(".", "_")
+        rows.append(
+            F.struct(
+                F.lit(float(frac)).alias("fraction"),
+                F.col(f"_d_{tag}").alias("n_docs"),
+                F.col(f"_n_{tag}").alias("n_tokens"),
+                F.col(f"_v_{tag}").alias("vocab_size"),
+            )
+        )
+    return wide.select(F.explode(F.array(*rows)).alias("s")).select("s.*")
+
+
 def mixture_weights(
     df: DataFrame,
     domain_col: str = "source",

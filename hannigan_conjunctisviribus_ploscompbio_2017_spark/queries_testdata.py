@@ -4011,6 +4011,49 @@ def tx_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_VOCAB_GROWTH_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             {_MD5_60.format(c="CAST(doc_id AS VARCHAR) || '|42'")} AS h,
+             unnest(string_split({_NORM_SQL}, ' ')) AS tok
+      FROM documents
+    ), wide AS (
+      SELECT
+        COUNT(DISTINCT CASE WHEN h < {int(0.25 * (1 << 60))} THEN id END) AS d1,
+        COUNT(CASE WHEN h < {int(0.25 * (1 << 60))} THEN 1 END) AS n1,
+        COUNT(DISTINCT CASE WHEN h < {int(0.25 * (1 << 60))} THEN tok END) AS v1,
+        COUNT(DISTINCT CASE WHEN h < {int(0.5 * (1 << 60))} THEN id END) AS d2,
+        COUNT(CASE WHEN h < {int(0.5 * (1 << 60))} THEN 1 END) AS n2,
+        COUNT(DISTINCT CASE WHEN h < {int(0.5 * (1 << 60))} THEN tok END) AS v2,
+        COUNT(DISTINCT CASE WHEN h < {int(0.75 * (1 << 60))} THEN id END) AS d3,
+        COUNT(CASE WHEN h < {int(0.75 * (1 << 60))} THEN 1 END) AS n3,
+        COUNT(DISTINCT CASE WHEN h < {int(1.0 * (1 << 60))} THEN tok END) AS v3b,
+        COUNT(DISTINCT CASE WHEN h < {int(0.75 * (1 << 60))} THEN tok END) AS v3,
+        COUNT(DISTINCT CASE WHEN h < {int(1.0 * (1 << 60))} THEN id END) AS d4,
+        COUNT(CASE WHEN h < {int(1.0 * (1 << 60))} THEN 1 END) AS n4
+      FROM toks
+    )
+    SELECT 0.25 AS fraction, d1 AS n_docs, n1 AS n_tokens, v1 AS vocab_size FROM wide
+    UNION ALL
+    SELECT 0.5, d2, n2, v2 FROM wide
+    UNION ALL
+    SELECT 0.75, d3, n3, v3 FROM wide
+    UNION ALL
+    SELECT 1.0, d4, n4, v3b FROM wide
+    """
+
+
+@query("tx_vocab_growth", oracle=_VOCAB_GROWTH_SQL)
+def tx_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth at nested md5-prefix corpus
+    fractions (25/50/75/100%): one tokenize pass, one aggregation with
+    conditional distincts — no per-fraction rescan. The oracle replays
+    the hash thresholds and every count."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.corpus import vocab_growth
+
+    return vocab_growth(_t(spark, sf_dir, "documents"))
+
+
 _EXACT_K_SQL = f"""
     WITH r AS (
       SELECT doc_id, lang, source,

@@ -569,3 +569,24 @@ def test_exact_k_sample_nested_and_partition_invariant(spark):
     # stratum smaller than k: keeps everything, no padding
     tiny = df.filter(F.col("doc_id") < 4)
     assert corpus.exact_k_sample(tiny, "lang", 10).count() == 4
+
+
+def test_vocab_growth_monotone_and_exact(spark):
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators import corpus
+
+    df = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(i % 7 + 1))) for i in range(100)],
+        "doc_id long, text string",
+    )
+    rows = {r.fraction: r for r in corpus.vocab_growth(df).collect()}
+    assert set(rows) == {0.25, 0.5, 0.75, 1.0}
+    # nested prefixes: all three measures monotone non-decreasing
+    fs = sorted(rows)
+    for a, b in zip(fs, fs[1:]):
+        assert rows[a].n_docs <= rows[b].n_docs
+        assert rows[a].n_tokens <= rows[b].n_tokens
+        assert rows[a].vocab_size <= rows[b].vocab_size
+    # full fraction covers everything exactly
+    assert rows[1.0].n_docs == 100
+    assert rows[1.0].vocab_size == 7  # w0..w6
+    assert rows[1.0].n_tokens == sum(i % 7 + 1 for i in range(100))
