@@ -739,3 +739,41 @@ def test_streaming_sequence_pack_parity_and_continuation(spark, tmp_path):
                 start += n_tok
     finally:
         q.stop()
+
+
+def test_mp4_metadata_real_box_parsing(spark):
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators import multimodal as M
+
+    # roundtrip: encoder → parser, v0 mvhd, multiple tracks
+    b = M.encode_minimal_mp4(duration_ms=12345, timescale=600, handlers=("vide", "soun"))
+    assert M.sniff_codec(b) == "mp4"
+    m = M.mp4_metadata(b)
+    assert m["brand"] == "isom" and m["duration_ms"] == 12345
+    assert m["n_tracks"] == 2 and m["handlers"] == ["vide", "soun"]
+    # truncated/garbage blobs parse to empty metadata, never raise
+    assert M.mp4_metadata(b[:10])["duration_ms"] is None
+    assert M.mp4_metadata(b"nonsense")["n_tracks"] == 0
+
+    # DataFrame path: content-derived duration feeds frame sampling
+    rows = [
+        (1, bytearray(M.encode_minimal_mp4(duration_ms=3000))),
+        (2, bytearray(M.encode_minimal_mp4(duration_ms=500))),
+        (3, bytearray(b"not a video at all")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    meta = {r.media_id: r for r in M.video_metadata(df).collect()}
+    assert meta[1].duration_ms == 3000 and meta[1].handlers == "vide"
+    assert meta[2].duration_ms == 500
+    assert meta[3].duration_ms is None and meta[3].brand is None
+
+    # plumb into frame_sample_plan: 3000ms @1000ms → 3 frames
+    from pyspark.sql import functions as F
+
+    plan = M.frame_sample_plan(
+        M.video_metadata(df)
+        .filter(F.col("duration_ms").isNotNull())
+        .withColumn("kind", F.lit("video")),
+        every_ms=1000,
+    )
+    got = sorted((r.media_id, r.frame_ts_ms) for r in plan.collect())
+    assert got == [(1, 0), (1, 1000), (1, 2000), (2, 0)]
