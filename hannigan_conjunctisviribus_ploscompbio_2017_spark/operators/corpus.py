@@ -314,11 +314,11 @@ def exact_k_sample(
     identical across runs, partitionings, and engines, and the chosen
     set is NESTED in k (the k=100 sample contains the k=50 sample).
 
-    One shuffle on the stratum; the per-stratum window is a bounded-heap
-    rank. For corpus-scale strata, pre-filter with stratified_sample at
-    ~(k/|stratum|)·safety first so the window ranks a candidate pool
-    instead of the full stratum — the same two-phase trick rarefy_hash
-    uses."""
+    One shuffle on the stratum; the window then SORTS each stratum
+    (row_number has no heap shortcut). For corpus-scale strata,
+    pre-filter with stratified_sample at ~(k/|stratum|)·safety first so
+    the window ranks a small candidate pool instead of the full stratum
+    — the same two-phase trick rarefy_hash uses."""
     h = (
         F.conv(
             F.substring(
