@@ -459,9 +459,13 @@ def pretrain_pack(
     correlated with split assignment.
 
     Scale shape: scrub + line filter are shuffle-free row functions;
-    dedup is one fingerprint shuffle; packing is one bucket shuffle with
-    a streaming running-sum window — four narrow stages and two
-    exchanges end-to-end, no driver collects."""
+    dedup costs one fingerprint exchange (keeper join broadcasts),
+    packing one bucket exchange + streaming running-sum window, and the
+    final audit join sort-merges on the id. The routed frame is
+    lazily checkpointed before branching — it feeds BOTH the audit side
+    and the packer, and Catalyst does not share the subtree, so without
+    the checkpoint the whole clean+dedup prefix would execute twice.
+    No driver collects anywhere."""
     from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.corpus import (
         line_filter,
         pii_scrub,
@@ -487,7 +491,7 @@ def pretrain_pack(
         F.when(F.col("n_kept") == 0, F.lit("empty"))
         .when(F.col("is_dup") == 1, F.lit("duplicate"))
         .otherwise(F.col("split")),
-    )
+    ).localCheckpoint(eager=False)
     packed = sequence_pack(
         routed.filter(F.col("disposition") == "train").select(id_col, text_col),
         id_col=id_col,
