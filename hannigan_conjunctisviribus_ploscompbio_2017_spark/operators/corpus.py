@@ -17,6 +17,17 @@ from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.dedup import (
 )
 
 
+def seeded_id_hash(id_col: str, seed: int):
+    """60-bit md5 hash of (id|seed) — THE deterministic randomness
+    primitive for every sampling/splitting/packing operator here: a
+    pure row function (partition-invariant, engine-replayable). One
+    definition so the hash family can never silently diverge between
+    operators."""
+    return portable_token_hash(
+        F.concat_ws("|", F.col(id_col).cast("string"), F.lit(str(seed)))
+    )
+
+
 def ngram_counts(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -84,15 +95,7 @@ def split_assign(
     cut1 = int(1_000_000 * weights[0] / total)
     cut2 = int(1_000_000 * (weights[0] + weights[1]) / total)
     bucket = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat_ws("|", F.col(id_col).cast("string"), F.lit(str(seed)))),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("long")
+        seeded_id_hash(id_col, seed)
         % 1_000_000
     )
     return df.withColumn(
@@ -230,7 +233,12 @@ def line_filter(
     All higher-order array functions (F.filter / F.array_join) — the
     per-line predicate runs inside whole-stage codegen, no explode, no
     shuffle: line filtering at 100 TB is a single scan-and-project, and
-    dropped-line accounting (n_lines - n_kept) rides along for free."""
+    dropped-line accounting (n_lines - n_kept) rides along for free.
+
+    Splits on \\r?\\n, so CRLF text normalizes to LF and no stray \\r
+    reaches the terminal-punctuation anchor (Java's `$` matches before
+    a final line terminator, RE2's does not — splitting the \\r away
+    keeps the rule identical across engines and the output clean)."""
 
     def _keep(line):
         t = F.trim(line)
@@ -239,7 +247,7 @@ def line_filter(
             cond = cond & t.rlike(r"[.!?]$")
         return cond
 
-    lines = F.split(F.col(text_col), "\n")
+    lines = F.split(F.col(text_col), r"\r?\n")
     kept = F.filter(lines, _keep)
     return df.select(
         F.col(id_col).alias("id"),
@@ -320,15 +328,7 @@ def exact_k_sample(
     the window ranks a small candidate pool instead of the full stratum
     — the same two-phase trick rarefy_hash uses."""
     h = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat_ws("|", F.col(id_col).cast("string"), F.lit(str(seed)))),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("long")
+        seeded_id_hash(id_col, seed)
     )
     w = W.partitionBy(strata_col).orderBy(h.asc(), F.col(id_col).asc())
     return (
@@ -406,15 +406,7 @@ def vocab_growth(
     aggregate; swap F.countDistinct for F.approx_count_distinct when a
     1-2% HLL estimate is acceptable and the expand is not."""
     h = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat_ws("|", F.col(id_col).cast("string"), F.lit(str(seed)))),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("long")
+        seeded_id_hash(id_col, seed)
     )
     toks = df.select(
         F.col(id_col).alias("id"),
@@ -456,7 +448,10 @@ def mixture_weights(
     weight that reshapes it to a `target` distribution —
     weight = target_share / observed_share. With no target, uniform
     over the observed domains. Domains absent from an explicit target
-    get weight 0 (dropped from the mix).
+    get weight 0 (dropped from the mix); domains REQUESTED by the
+    target but absent from the corpus are emitted too, with n_docs = 0
+    and weight NULL — the requested mixture mass is unrealizable and
+    the caller must see that, not silently lose it.
 
     Returns (domain, n_docs, observed_share, target_share, weight).
     One aggregation; the domain table is dimension-sized, so the
@@ -464,6 +459,14 @@ def mixture_weights(
     counts = df.groupBy(F.col(domain_col).alias("domain")).agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+    if target:
+        requested = df.sparkSession.createDataFrame(
+            [(d,) for d in sorted(target)], "domain string"
+        )
+        counts = (
+            counts.join(requested, "domain", "full_outer")
+            .fillna(0, subset=["n_docs"])
+        )
     total = counts.agg(
         F.sum("n_docs").alias("_t"), F.count(F.lit(1)).alias("_d")
     )
@@ -481,7 +484,9 @@ def mixture_weights(
             "n_docs",
             F.round(obs, 6).alias("observed_share"),
             F.round(tgt, 6).alias("target_share"),
-            F.round(tgt / obs, 6).alias("weight"),
+            # absent-but-requested domains: weight NULL, never a
+            # divide-by-zero (ANSI mode errors on x/0)
+            F.when(F.col("n_docs") > 0, F.round(tgt / obs, 6)).alias("weight"),
         )
     )
 
@@ -500,15 +505,7 @@ def stratified_sample(
     function of (id, seed): identical across runs, partitionings, and
     engines. Strata missing from `fractions` are dropped (fraction 0)."""
     bucket = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat_ws("|", F.col(id_col).cast("string"), F.lit(str(seed)))),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("long")
+        seeded_id_hash(id_col, seed)
         % 1_000_000
     )
     # per-stratum threshold as a chained when(); unknown strata -> 0

@@ -461,6 +461,11 @@ def mp4_metadata(content: bytes) -> dict:
     types ('vide'/'soun'/...). Frame DECODE stays honestly stubbed
     (needs a codec); the container walk is exact per ISO 14496-12.
 
+    Malformed boxes (truncated mvhd, payload shorter than its layout)
+    leave the affected field None instead of raising — a corpus scan
+    must survive corrupt blobs (video_metadata promises nulls, and one
+    bad blob must not kill an executor task).
+
     Returns {brand, duration_ms, timescale, n_tracks, handlers}."""
     out = {
         "brand": None,
@@ -470,19 +475,26 @@ def mp4_metadata(content: bytes) -> dict:
         "handlers": [],
     }
     for typ, s, e in _bmff_boxes(content, 0, len(content)):
-        if typ == b"ftyp":
+        if typ == b"ftyp" and s + 4 <= e:
             out["brand"] = content[s : s + 4].decode("latin1")
         elif typ == b"moov":
             for t2, s2, e2 in _bmff_boxes(content, s, e):
                 if t2 == b"mvhd":
+                    # bounds-check against the BOX end, not just the
+                    # buffer: a short payload must not read into
+                    # sibling boxes or off the end of the blob
+                    if s2 >= e2:
+                        continue
                     ver = content[s2]
-                    if ver == 1:
+                    if ver == 1 and s2 + 28 <= e2:
                         timescale = struct.unpack_from(">I", content, s2 + 4 + 16)[0]
                         duration = struct.unpack_from(">Q", content, s2 + 4 + 20)[0]
-                    else:
+                    elif ver == 0 and s2 + 16 <= e2:
                         timescale, duration = struct.unpack_from(
                             ">II", content, s2 + 4 + 8
                         )
+                    else:
+                        continue
                     out["timescale"] = int(timescale)
                     if timescale:
                         out["duration_ms"] = int(duration * 1000 // timescale)
@@ -490,8 +502,8 @@ def mp4_metadata(content: bytes) -> dict:
                     out["n_tracks"] += 1
                     for t3, s3, e3 in _bmff_boxes(content, s2, e2):
                         if t3 == b"mdia":
-                            for t4, s4, _ in _bmff_boxes(content, s3, e3):
-                                if t4 == b"hdlr":
+                            for t4, s4, e4 in _bmff_boxes(content, s3, e3):
+                                if t4 == b"hdlr" and s4 + 12 <= e4:
                                     out["handlers"].append(
                                         content[s4 + 8 : s4 + 12].decode("latin1")
                                     )

@@ -16,6 +16,8 @@ import random
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.dedup import portable_token_hash
+
 
 def _dot(a, b):
     return F.aggregate(
@@ -255,9 +257,7 @@ def _resolve_centroids(
     sel = items.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
     cent_rows: list = []
     if centroid_frac is not None and 0.0 < centroid_frac < 1.0:
-        h = F.conv(
-            F.substring(F.md5(F.col("cid").cast("string")), 1, 15), 16, 10
-        ).cast("long")
+        h = portable_token_hash(F.col("cid").cast("string"))
         cent_rows = (
             sel.filter(h < F.lit(int(centroid_frac * (1 << 60))))
             .orderBy(F.md5(F.col("cid").cast("string")))
@@ -369,9 +369,7 @@ def ivf_train_centroids(
 
     d = items
     if sample_frac is not None and 0.0 < sample_frac < 1.0:
-        h = F.conv(
-            F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
-        ).cast("long")
+        h = portable_token_hash(F.col(id_col).cast("string"))
         d = d.filter(h < F.lit(int(sample_frac * (1 << 60))))
     feats = d.select(
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")

@@ -452,7 +452,7 @@ def pretrain_pack(
     sequence packing of the train split.
 
     Returns one audit row per input doc:
-    (id, disposition, bucket, pack_id, pack_offset, n_tok) where
+    (id, disposition, bucket, n_tok, pack_id, pack_offset) where
     disposition ∈ {empty, duplicate, train, val, test}; pack fields are
     -1 for anything that didn't reach the packer (only train docs pack).
     `pack_seed` is distinct from `split_seed` so pack order is not

@@ -3813,7 +3813,7 @@ _LINE_FILTER_SQL = """
              regexp_replace(text, ' (table|query|value) ', '.' || chr(10), 'g') AS text
       FROM documents
     ), s AS (
-      SELECT doc_id, string_split(text, chr(10)) AS ls FROM aug
+      SELECT doc_id, regexp_split_to_array(text, '\\r?\\n') AS ls FROM aug
     ), f AS (
       SELECT doc_id, ls,
              list_filter(ls, x ->
@@ -4072,8 +4072,9 @@ _EXACT_K_SQL = f"""
 def tx_exact_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-k quota sampling per language: md5-ranked top-20 rows per
     stratum — deterministic, partition-invariant, and nested in k. One
-    stratum shuffle + bounded-heap rank; the oracle replays the hash
-    ranking."""
+    stratum shuffle + per-stratum sort-rank (see exact_k_sample's
+    two-phase note for corpus-scale strata); the oracle replays the
+    hash ranking."""
     from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.corpus import exact_k_sample
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
@@ -4107,7 +4108,7 @@ _PRETRAIN_SQL = f"""
              CAST(len(ks) AS BIGINT) AS n_kept
       FROM (
         SELECT doc_id,
-               list_filter(string_split(t1, chr(10)), x ->
+               list_filter(regexp_split_to_array(t1, '\\r?\\n'), x ->
                  len(regexp_split_to_array(trim(x), '\\s+')) >= 3
                  AND regexp_matches(trim(x), '[.!?]$')) AS ks
         FROM scrub

@@ -465,6 +465,8 @@ def streaming_sequence_pack(
     run reproduces batch sequence_pack bit-for-bit; across micro-batches
     the order is arrival order (a stream cannot re-order history — the
     documented semantic difference from the batch md5 global order).
+    The fixed state/output schema carries ids as long, so `id_col` must
+    be integral — rejected up front rather than silently cast to NULL.
 
     State is exactly n_buckets longs — no timeout needed, the smallest
     possible stateful footprint. Output: (id, bucket, n_tok, pack_id,
@@ -476,6 +478,12 @@ def streaming_sequence_pack(
         portable_token_hash,
     )
 
+    id_type = dict(docs.dtypes).get(id_col)
+    if id_type not in ("bigint", "int", "smallint", "tinyint"):
+        raise TypeError(
+            f"streaming_sequence_pack needs an integral {id_col!r} "
+            f"(got {id_type}); the fixed output schema carries ids as long"
+        )
     h = portable_token_hash(
         F.concat_ws("|", F.col(id_col).cast("string"), F.lit(str(seed)))
     )

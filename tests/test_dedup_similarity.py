@@ -470,6 +470,17 @@ def test_line_filter_c4_rules(spark):
     assert out[1].clean_text == "A good long sentence here.\nAnother keeper stays!"
     assert (out[1].n_lines, out[1].n_kept) == (5, 2)  # trailing \n -> empty 5th line
     assert out[2].clean_text == "" and out[2].n_kept == 0
+    # CRLF text: the \r is split away with the line terminator, so the
+    # terminal-punctuation rule behaves identically to LF text and no
+    # stray \r pollutes the kept output (Java `$` matches before a final
+    # \r; the oracle's RE2 does not — normalizing keeps engines aligned)
+    crlf = spark.createDataFrame(
+        [(9, "Alpha beta gamma delta keeps.\r\nshort.\r\nAnother line stays here!\r\n")],
+        "doc_id long, text string",
+    )
+    r = corpus.line_filter(crlf, min_words=3).collect()[0]
+    assert r.clean_text == "Alpha beta gamma delta keeps.\nAnother line stays here!"
+    assert "\r" not in r.clean_text and (r.n_lines, r.n_kept) == (4, 2)
 
 
 def test_sequence_pack_invariants(spark):
@@ -486,7 +497,7 @@ def test_sequence_pack_invariants(spark):
     assert len(out) == 200
     for r in out:
         assert 0 <= r.pack_offset < 32
-        assert r.pack_id == (r.pack_offset is not None and r.pack_id)  # non-null
+        assert r.pack_id is not None and r.pack_id >= 0
     # within a bucket, cumulative packing is consistent: first-token
     # positions reconstruct the running sum exactly
     by_bucket = {}
@@ -549,6 +560,12 @@ def test_mixture_weights_reshape_and_uniform(spark):
     assert out["a"].observed_share == 0.6 and out["a"].weight == round(0.5 / 0.6, 6)
     assert out["b"].weight == round(0.5 / 0.3, 6)
     assert out["c"].target_share == 0.0 and out["c"].weight == 0.0
+    # a domain the target requests but the corpus lacks must surface
+    # with zero docs and a NULL weight, not silently vanish
+    gap = {r.domain: r for r in corpus.mixture_weights(
+        df, target={"a": 0.5, "zz": 0.5}).collect()}
+    assert gap["zz"].n_docs == 0 and gap["zz"].target_share == 0.5
+    assert gap["zz"].weight is None and gap["zz"].observed_share == 0.0
     # no target -> uniform over observed domains
     uni = {r.domain: r for r in corpus.mixture_weights(df).collect()}
     assert all(abs(r.target_share - round(1 / 3, 6)) < 1e-9 for r in uni.values())

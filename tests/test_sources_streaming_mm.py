@@ -753,6 +753,24 @@ def test_mp4_metadata_real_box_parsing(spark):
     # truncated/garbage blobs parse to empty metadata, never raise
     assert M.mp4_metadata(b[:10])["duration_ms"] is None
     assert M.mp4_metadata(b"nonsense")["n_tracks"] == 0
+    # malformed-but-sniffable boxes: empty mvhd payload, short mvhd
+    # payload, short hdlr — all yield None/empty fields, never an
+    # IndexError/struct.error (one corrupt blob must not kill a task)
+    import struct as _s
+
+    def _box(t, p):
+        return _s.pack(">I", 8 + len(p)) + t + p
+
+    ftyp = _box(b"ftyp", b"isom" + _s.pack(">I", 512))
+    for bad_payload in (b"", b"\x00\x00\x00", b"\x00" * 10, b"\x01" + b"\x00" * 6):
+        blob = ftyp + _box(b"moov", _box(b"mvhd", bad_payload))
+        m = M.mp4_metadata(blob)
+        assert m["duration_ms"] is None and m["timescale"] is None
+    short_hdlr = ftyp + _box(
+        b"moov", _box(b"trak", _box(b"mdia", _box(b"hdlr", b"\x00" * 9)))
+    )
+    m = M.mp4_metadata(short_hdlr)
+    assert m["n_tracks"] == 1 and m["handlers"] == []
 
     # DataFrame path: content-derived duration feeds frame sampling
     rows = [
