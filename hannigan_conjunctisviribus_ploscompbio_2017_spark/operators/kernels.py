@@ -98,8 +98,11 @@ def degrees(edges: DataFrame, group_cols: list[str] | None = None) -> DataFrame:
     bin/CompareNetworkGroups.R:116-126). One shuffle for all groups."""
     g = _gcols(group_cols)
     und = symmetrize(edges, g)
+    # a self-loop appears ONCE in the symmetrized view but contributes 2
+    # to its node's degree (igraph semantics)
+    loop = F.when(F.col("src") == F.col("dst"), 1).otherwise(0)
     return und.groupBy(*g, F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).alias("degree")
+        (F.count(F.lit(1)) + F.sum(loop)).alias("degree")
     )
 
 
@@ -113,7 +116,13 @@ def graph_size(edges: DataFrame, group_cols: list[str] | None = None) -> DataFra
         .groupBy(*g)
         .agg(F.count(F.lit(1)).alias("n_nodes"))
     )
-    e = und.groupBy(*g).agg((F.count(F.lit(1)) / 2).cast("long").alias("n_edges"))
+    # self-loops appear once in the symmetrized view, non-loops twice:
+    # n_edges = (rows + loops) / 2 counts each exactly once (igraph
+    # gsize parity — plain rows/2 truncates when loops make rows odd)
+    loop = F.when(F.col("src") == F.col("dst"), 1).otherwise(0)
+    e = und.groupBy(*g).agg(
+        ((F.count(F.lit(1)) + F.sum(loop)) / 2).cast("long").alias("n_edges")
+    )
     return nodes.join(e, g) if g else nodes.crossJoin(e)
 
 
@@ -236,9 +245,16 @@ def centralization(
     )
     return agg.select(
         *g,
-        F.round(
-            (F.col("_n") * F.col("_mx") - F.col("_sum")) / (F.col("_n") - 1), 6
-        ).alias("centralization"),
+        # single-node group: 0/0 would yield NULL (or error under ANSI);
+        # a one-node graph has zero centralization by definition
+        F.when(
+            F.col("_n") > 1,
+            F.round(
+                (F.col("_n") * F.col("_mx") - F.col("_sum")) / (F.col("_n") - 1), 6
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("centralization"),
     )
 
 
@@ -364,7 +380,11 @@ def _cc_local(und: DataFrame, g: list[str]) -> DataFrame:
         g_eff = ["_g"]
     else:
         g_eff = g
-    schema = ", ".join(f"{c} string" for c in g_eff) + ", node string, component string"
+    # group columns keep their NATIVE types (schema copied from the
+    # input), matching the superstep path exactly; node/component are
+    # string on both paths (connected_components casts before choosing)
+    gtypes = {f.name: f.dataType.simpleString() for f in und.schema.fields}
+    schema = ", ".join(f"{c} {gtypes[c]}" for c in g_eff) + ", node string, component string"
 
     def _solve(pdf: pd.DataFrame) -> pd.DataFrame:
         parent: dict[str, str] = {}
@@ -384,7 +404,7 @@ def _cc_local(und: DataFrame, g: list[str]) -> DataFrame:
                 lo, hi = (rs, rd) if rs < rd else (rd, rs)
                 parent[hi] = lo  # min root survives → min-label semantics
         nodes = list(parent)
-        rows = {c: [str(pdf[c].iloc[0])] * len(nodes) for c in g_eff}
+        rows = {c: [pdf[c].iloc[0]] * len(nodes) for c in g_eff}
         rows["node"] = nodes
         rows["component"] = [find(v) for v in nodes]
         return pd.DataFrame(rows)
@@ -401,15 +421,23 @@ def connected_components(
 ) -> DataFrame:
     """Weak connectivity (igraph components,
     bin/GeneralNetworkProperties.R:68-84): iterative min-label
-    propagation to convergence, all groups jointly. O(diameter)
-    supersteps; converges in ≤ log² n with the symmetrized adjacency.
+    propagation to convergence, all groups jointly — O(diameter)
+    supersteps (labels advance one hop per round; no pointer-doubling).
+    Exhausting max_iter without converging RAISES rather than returning
+    a silently over-split partition.
+
+    Node ids (and component labels) are strings on BOTH paths, so the
+    local fast path and the superstep path return identical labels and
+    schemas — min-label always means lexicographic min.
 
     Edge lists at or below local_cutoff rows short-circuit to a
     semantically identical single-task union-find (_cc_local) — at small
     scale the fixed per-superstep cost dominates; set local_cutoff=0 to
     force the superstep path."""
     g = _gcols(group_cols)
-    und = symmetrize(edges, g)
+    und = symmetrize(edges, g).withColumns(
+        {"src": F.col("src").cast("string"), "dst": F.col("dst").cast("string")}
+    )
     if local_cutoff and und.count() <= local_cutoff:
         return _cc_local(und, g)
     labels = (
@@ -439,6 +467,12 @@ def connected_components(
             labels = new_labels
             if changed == 0:
                 break
+        else:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} "
+                "supersteps (graph diameter exceeds max_iter); raise "
+                "max_iter — returning would silently over-split components"
+            )
     return labels
 
 
@@ -509,6 +543,7 @@ def bfs_distances(
     sources: DataFrame | None = None,
     max_depth: int = 20,
     directed: bool = False,
+    allow_truncated: bool = False,
 ) -> DataFrame:
     """Multi-source BFS: distances (group, root, node, dist) for every
     root in `sources` (default: ALL nodes → exact all-pairs, right for
@@ -517,6 +552,13 @@ def bfs_distances(
 
     `directed=True` walks edges src→dst only (strong-connectivity /
     directed-reachability checks); default symmetrizes first.
+
+    `max_depth` is a SAFETY cap, not a silent truncation: if the
+    frontier is still expanding when the cap is hit, the function
+    RAISES — a capped sweep would report wrong distances, a capped
+    diameter, or a false "not connected" verdict downstream. Pass
+    allow_truncated=True only where bounded exploration is the
+    semantics (truncated/landmark variants).
 
     Frontier expansion keyed by (group, root) — one shuffle per depth
     level for every root simultaneously, never a per-root job.
@@ -554,6 +596,28 @@ def bfs_distances(
                 break
             visited = _checkpoint(visited.unionByName(new))
             frontier = new
+        else:
+            # cap reached with a live frontier: probe one more level —
+            # any unvisited neighbor means the sweep is incomplete
+            more = (
+                frontier.join(und.withColumnRenamed("src", "node"), [*g, "node"])
+                .select(*g, "root", F.col("dst").alias("node"))
+                .join(
+                    visited.select(*g, "root", "node"),
+                    [*g, "root", "node"],
+                    "left_anti",
+                )
+                .limit(1)
+                .count()
+            )
+            if more > 0 and not allow_truncated:
+                raise RuntimeError(
+                    f"bfs_distances frontier still expanding at max_depth="
+                    f"{max_depth}; raise max_depth (or pass "
+                    "allow_truncated=True for bounded-exploration "
+                    "semantics) — truncated distances would silently "
+                    "corrupt diameter/eccentricity/connectivity results"
+                )
     return visited
 
 
@@ -850,8 +914,10 @@ def betweenness_centrality(
         from collections import deque
 
         adj: dict[str, list[str]] = {}
+        # str() the node values: the declared schema says node string,
+        # and Arrow rejects an int64 column against it
         for s, d in zip(pdf["src"], pdf["dst"]):
-            adj.setdefault(s, []).append(d)
+            adj.setdefault(str(s), []).append(str(d))
         nodes = list(adj.keys())
         bc = dict.fromkeys(nodes, 0.0)
         for s in nodes:
@@ -1111,13 +1177,15 @@ def alpha_centrality(
     )
 
     def _solve(pdf: pd.DataFrame) -> pd.DataFrame:
-        nodes = sorted(set(pdf["src"]) | set(pdf["dst"]))
+        # str() node ids up front: the declared schema says node string,
+        # and Arrow rejects an int64 column against it
+        nodes = sorted({str(v) for v in pdf["src"]} | {str(v) for v in pdf["dst"]})
         idx = {n: i for i, n in enumerate(nodes)}
         n = len(nodes)
         A = np.zeros((n, n))
         w = pdf[weight_col] if has_w else [1.0] * len(pdf)
         for s, d, wv in zip(pdf["src"], pdf["dst"], w):
-            A[idx[d], idx[s]] = float(wv)  # transpose: incoming influence
+            A[idx[str(d)], idx[str(s)]] = float(wv)  # transpose: incoming influence
         a_eff = alpha
         if cap_alpha:
             row_sum = np.abs(A).sum(axis=1).max()

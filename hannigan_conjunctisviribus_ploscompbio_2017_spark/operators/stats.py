@@ -139,7 +139,11 @@ def rarefy_hash(
         F.col(sample_col).cast("string").alias(sample_col),
         F.col(item_col).cast("string").alias(item_col),
         F.col(count_col).cast("long").alias(count_col),
-    )
+    ).filter(F.col(count_col) > 0)
+    # the zero/negative filter is load-bearing, not hygiene: Spark's
+    # sequence(1, 0) yields a DESCENDING [1, 0] — an unfiltered
+    # zero-count row would explode into two phantom individuals that
+    # compete in the rarefaction draw
     # typed feeds BOTH the per-sample depth aggregate and the explode
     # base, and Catalyst does not share the subtree — without this the
     # caller's (possibly expensive) upstream plan runs twice (measured
@@ -212,10 +216,15 @@ def rarefy_hash(
     )
     # margin guard: samples whose candidate pool came up short of depth
     # (or where τ saturated) re-rank over their FULL community below
+    # the guard must start from STATS (every eligible sample), not from
+    # cand: a sample whose candidate pool is EMPTY has no cand rows at
+    # all and a cand-derived guard would silently drop it instead of
+    # routing it to the full-sort fallback
+    cand_counts = cand.groupBy(sample_col).agg(F.count(F.lit(1)).alias("_cc"))
     short = (
-        cand.groupBy(sample_col)
-        .agg(F.count(F.lit(1)).alias("_cc"), F.first("_d").alias("_d2"))
-        .filter(F.col("_cc") < F.col("_d2"))
+        stats.select(sample_col, "_d")
+        .join(cand_counts, sample_col, "left")
+        .filter(F.coalesce(F.col("_cc"), F.lit(0)) < F.col("_d"))
         .select(sample_col)
     )
     w = W.partitionBy(sample_col).orderBy("_k", item_col, "_i")
@@ -297,6 +306,8 @@ def rarefaction_curve(
 ) -> DataFrame:
     """M13 — species richness after rarefying to each depth: one unioned
     lazy plan, not a loop of actions. Output (sample, depth, richness)."""
+    if not depths:
+        raise ValueError("depths must be a non-empty list")
     out = None
     for d in depths:
         r = (
@@ -390,6 +401,8 @@ def rarefaction_curve_hash(
     the per-individual ranking is depth-independent, all depths share
     one draw — and the DuckDB oracle replays the whole curve from a
     single ranked CTE."""
+    if not depths:
+        raise ValueError("depths must be a non-empty list")
     out = None
     for d in depths:
         r = (

@@ -297,6 +297,7 @@ def altered_diet(
             group_cols=["diet"],
             sources=roots,
             max_depth=max_depth,
+            allow_truncated=True,
         )
         dr = diameter_radius(dists, ["diet"])
         cz = centralization(

@@ -1090,7 +1090,11 @@ def gk_diameter_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.md5(F.col("root")))
         .limit(64)
     )
-    return diameter_radius(bfs_distances(e, sources=landmarks, max_depth=8))
+    # allow_truncated: the depth-8 cap IS the semantics here — the
+    # oracle replays an identically capped recursive CTE
+    return diameter_radius(
+        bfs_distances(e, sources=landmarks, max_depth=8, allow_truncated=True)
+    )
 
 
 @query(
@@ -1141,7 +1145,7 @@ def gk_eccentricity_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.md5(F.col("root")))
         .limit(64)
     )
-    d = bfs_distances(e, sources=landmarks, max_depth=8)
+    d = bfs_distances(e, sources=landmarks, max_depth=8, allow_truncated=True)
     return eccentricity(d).join(closeness_centrality(d), "node")
 
 

@@ -401,3 +401,64 @@ def test_katz_centrality_matches_truncated_series_and_exact(spark):
     exact = np.linalg.solve(np.eye(5) - alpha * A, np.ones(5))
     for n in nodes:
         assert got[n] == pytest.approx(exact[idx[n]], abs=1e-3)
+
+
+def test_self_loop_degree_and_gsize(spark):
+    """igraph parity on self-loops: a loop adds 2 to its node's degree
+    and counts as ONE edge (rows/2 used to truncate on odd counts)."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators import kernels as K
+
+    e = spark.createDataFrame(
+        [("a", "a"), ("a", "b"), ("b", "c")], "src string, dst string"
+    )
+    deg = {r.node: r.degree for r in K.degrees(e).collect()}
+    # a: loop (counts 2) + edge to b (counts 1) = 3, igraph::degree parity
+    assert deg == {"a": 3, "b": 2, "c": 1}
+    gs = K.graph_size(e).collect()[0]
+    assert gs.n_nodes == 3 and gs.n_edges == 3  # loop = one edge, no truncation
+    only_loop = spark.createDataFrame([("x", "x")], "src string, dst string")
+    gs2 = K.graph_size(only_loop).collect()[0]
+    assert gs2.n_nodes == 1 and gs2.n_edges == 1  # was 0 via (1/2).cast(long)
+
+
+def test_connected_components_paths_agree_on_int_ids(spark):
+    """Local union-find and superstep min-label must return the SAME
+    labels and schema for integer node ids (both stringify)."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators import kernels as K
+
+    e = spark.createDataFrame([(2, 10), (10, 7), (3, 5)], "src long, dst long")
+    local = {r.node: r.component for r in K.connected_components(e).collect()}
+    superstep = {
+        r.node: r.component
+        for r in K.connected_components(e, local_cutoff=0).collect()
+    }
+    assert local == superstep
+    # lexicographic min on stringified ids: "10" < "2" < "7"
+    assert local["2"] == "10" and local["7"] == "10" and local["5"] == "3"
+
+
+def test_centralization_single_node_is_zero(spark):
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators import kernels as K
+
+    one = spark.createDataFrame([("a", 1.0)], "node string, centrality double")
+    row = K.centralization(one).collect()[0]
+    assert row.centralization == 0.0  # was NULL via 0/0
+
+
+def test_bfs_raises_on_silent_truncation(spark):
+    """A capped sweep that would corrupt diameter/connectivity must
+    raise; allow_truncated=True restores bounded-exploration use."""
+    import pytest as _pytest
+
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators import kernels as K
+
+    path = spark.createDataFrame(
+        [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(8)], "src string, dst string"
+    )
+    with _pytest.raises(RuntimeError, match="frontier still expanding"):
+        K.bfs_distances(path, max_depth=3).count()
+    capped = K.bfs_distances(path, max_depth=3, allow_truncated=True)
+    assert capped.agg({"dist": "max"}).collect()[0][0] == 3
+    # a sweep that completes under the cap is unaffected
+    full = K.bfs_distances(path, max_depth=20)
+    assert full.agg({"dist": "max"}).collect()[0][0] == 8

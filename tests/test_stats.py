@@ -173,3 +173,39 @@ def test_rarefy_hash_expression_depth_matches_explicit(spark):
     a = sorted(map(tuple, stats.rarefy_hash(df, "sample", "item", "count", depth="min(_t)").collect()))
     b = sorted(map(tuple, stats.rarefy_hash(df, "sample", "item", "count", depth=int(dmin)).collect()))
     assert a == b and len(a) > 0
+
+
+def test_rarefy_hash_ignores_zero_count_rows(spark):
+    """Spark's sequence(1, 0) is DESCENDING [1, 0]: unfiltered
+    zero-count rows would explode into two phantom individuals."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.stats import rarefy_hash
+
+    with_zeros = spark.createDataFrame(
+        [("s1", "a", 5), ("s1", "b", 0), ("s1", "c", 5), ("s2", "a", 10), ("s2", "z", 0)],
+        "sample string, item string, count long",
+    )
+    out = rarefy_hash(with_zeros, "sample", "item", "count", depth=6).collect()
+    items = {(r.sample, r.item) for r in out}
+    assert ("s1", "b") not in items and ("s2", "z") not in items
+    per_sample = {}
+    for r in out:
+        per_sample[r.sample] = per_sample.get(r.sample, 0) + r["count"]
+    assert per_sample == {"s1": 6, "s2": 6}
+    # identical draw with the zero rows pre-dropped
+    no_zeros = with_zeros.filter("count > 0")
+    same = rarefy_hash(no_zeros, "sample", "item", "count", depth=6).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, same))
+
+
+def test_rarefaction_curve_rejects_empty_depths(spark):
+    import pytest as _pytest
+
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.stats import (
+        rarefaction_curve,
+        rarefaction_curve_hash,
+    )
+
+    df = spark.createDataFrame([("s", "i", 5)], "sample string, item string, count long")
+    for fn in (rarefaction_curve, rarefaction_curve_hash):
+        with _pytest.raises(ValueError, match="non-empty"):
+            fn(df, "sample", "item", "count", depths=[])
