@@ -52,10 +52,21 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     """Exact dedup on the md5 of normalized text: returns
     (id, fingerprint, keeper_id, is_dup) — keeper = min id per group.
 
+    normalized() is [a-z0-9]-centric, so any non-Latin document (CJK,
+    Cyrillic, symbols) normalizes to '' — hashing that directly would
+    collapse EVERY such doc into one duplicate group and silently
+    delete entire languages. Docs whose normalized text is empty
+    therefore fingerprint on their RAW text instead (prefixed so the
+    two domains can never collide).
+
     One shuffle on the fingerprint; at 100 TB partition by fingerprint
     prefix and the group sizes stay tiny (hash uniformity).
     """
-    fp = df.select(F.col(id_col).alias("id"), F.md5(normalized(text_col)).alias("fingerprint"))
+    norm = normalized(text_col)
+    fp_val = F.when(norm != "", norm).otherwise(
+        F.concat(F.lit("\x00raw\x00"), F.coalesce(F.col(text_col).cast("string"), F.lit("")))
+    )
+    fp = df.select(F.col(id_col).alias("id"), F.md5(fp_val).alias("fingerprint"))
     keepers = fp.groupBy("fingerprint").agg(F.min("id").alias("keeper_id"))
     return (
         fp.join(keepers, "fingerprint")
@@ -159,6 +170,13 @@ def _lsh_pairs_from_sig(
     equality join is the scale path (candidates ∝ near-dups, never n²).
     bucket_by_hash=False keys the join on the band's raw value array —
     wider shuffle key, but collision-free and oracle-replayable."""
+    if bands < 1 or bands > num_hashes or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands={bands} must divide num_hashes={num_hashes} evenly: "
+            "bands > num_hashes gives every row an empty band slice "
+            "(the join degenerates to all-pairs), a non-dividing bands "
+            "silently drops trailing hashes from banding"
+        )
     rows_per_band = num_hashes // bands
 
     def _bucket(i: int):
@@ -343,6 +361,12 @@ def simhash_pairs(
         raise ValueError(
             f"bands={bands} only guarantees recall for hamming ≤ {bands - 1}; "
             f"raise bands to ≥ {max_hamming + 1} for max_hamming={max_hamming}"
+        )
+    if bands < 1 or bands > 64 or 64 % bands != 0:
+        raise ValueError(
+            f"bands={bands} must divide the 64-bit fingerprint evenly "
+            "(bands > 64 gives a 0-bit chunk: every row matches every "
+            "row and the join degenerates to all-pairs)"
         )
     bits_per_band = 64 // bands
     fp = simhash(df, id_col, text_col)

@@ -38,7 +38,46 @@ def _norm(a):
 
 
 def cosine(a, b):
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """Cosine similarity; NULL for zero-norm vectors (cosine is
+    undefined there, and Spark 4's default ANSI mode turns the naive
+    division into a job-killing DIVIDE_BY_ZERO on the first degenerate
+    row — the exact rows embedding_health exists to count). NULLs rank
+    last under desc() ordering and fail threshold filters, so
+    degenerate vectors drop out of top-k/near-dup results naturally."""
+    den = _norm(a) * _norm(b)
+    return F.when(den != 0, _dot(a, b) / den)
+
+
+def _validate_banding(total_bits: int, bands: int, what: str) -> int:
+    """Shared banding precondition: bands must divide the signature
+    evenly. bands > bits would give every row an empty/zero bucket —
+    silently degenerating the LSH join into an all-pairs cartesian —
+    and a non-dividing bands silently drops trailing bits from every
+    band (unreported recall loss). Returns bits per band."""
+    if bands < 1 or bands > total_bits or total_bits % bands != 0:
+        raise ValueError(
+            f"{what}: bands={bands} must divide {total_bits} evenly "
+            f"(1 <= bands <= {total_bits}); other values silently "
+            "degenerate the banded join or drop signature bits"
+        )
+    return total_bits // bands
+
+
+def _band_cols(num_planes: int, bands: int):
+    """(band, bucket) struct array from a packed `sig` column — the one
+    definition of SRP banding used by every consumer."""
+    bits_per_band = _validate_banding(num_planes, bands, "SRP banding")
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftright(F.col("sig"), i * bits_per_band)
+                .bitwiseAND(F.lit((1 << bits_per_band) - 1))
+                .alias("bucket"),
+            )
+            for i in range(bands)
+        ]
+    )
 
 
 def brute_force_topk(
@@ -84,7 +123,7 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exact: bool = False,
-    dim: int = 64,
+    dim: int | None = None,
     num_planes: int = 16,
     bands: int = 4,
     seed: int = 42,
@@ -99,7 +138,12 @@ def embedding_near_dup_pairs(
     self-join generates candidates (∝ true near-dups, since a pair at
     cosine ≥ 0.95 collides in ≥1 of the 4-bit bands with high
     probability), exact cosine reranks candidates only. Same banding as
-    srp_lsh_topk; signature table persistable + bucketed at 100 TB."""
+    srp_lsh_topk; signature table persistable + bucketed at 100 TB.
+
+    `dim` MUST match the embedding dimension for the banded path: a
+    wrong dim nulls every SRP dot product (zip_with pads with nulls),
+    every row falls to bucket 0, and the join silently degenerates to
+    all-pairs — so it is required rather than defaulted."""
     a = items.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     b = items.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
     if exact:
@@ -107,19 +151,14 @@ def embedding_near_dup_pairs(
         # frame is one nested-loop pass, not |a|x|b| cartesian partitions
         cand = a.crossJoin(F.broadcast(b)).filter(F.col("id_a") < F.col("id_b"))
     else:
+        if dim is None:
+            raise ValueError(
+                "embedding_near_dup_pairs: pass dim= matching the "
+                "embedding dimension for the banded path (a mismatched "
+                "dim silently degrades banding to a single bucket)"
+            )
         sig = srp_signature(items, dim, num_planes, id_col, vec_col, seed)
-        bits_per_band = num_planes // bands
-        bandcols = F.array(
-            *[
-                F.struct(
-                    F.lit(i).alias("band"),
-                    F.shiftright(F.col("sig"), i * bits_per_band)
-                    .bitwiseAND(F.lit((1 << bits_per_band) - 1))
-                    .alias("bucket"),
-                )
-                for i in range(bands)
-            ]
-        )
+        bandcols = _band_cols(num_planes, bands)
         banded = sig.select("id", "vec", F.explode(bandcols).alias("bb")).select(
             "id", "vec", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
         )
@@ -201,21 +240,10 @@ def srp_lsh_topk(
     bucketed by (band, bucket)); each query probes its own buckets — the
     item side never cross-joins.
     """
-    bits_per_band = num_planes // bands
+    bandcols = _band_cols(num_planes, bands)
 
     def banded(df: DataFrame, label: str) -> DataFrame:
         sig = srp_signature(df, dim, num_planes, id_col, vec_col, seed)
-        bandcols = F.array(
-            *[
-                F.struct(
-                    F.lit(i).alias("band"),
-                    F.shiftright(F.col("sig"), i * bits_per_band)
-                    .bitwiseAND(F.lit((1 << bits_per_band) - 1))
-                    .alias("bucket"),
-                )
-                for i in range(bands)
-            ]
-        )
         return sig.select(
             F.col("id").alias(f"{label}_id"),
             F.col("vec").alias(f"{label}_vec"),
@@ -254,7 +282,14 @@ def _resolve_centroids(
     the filtered and unfiltered passes select identical rows)."""
     if centroids is not None:
         return [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
-    sel = items.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+    # degenerate rows (null vector / null element) must not become
+    # centroids: collect() would hand the driver a None to iterate
+    sel = items.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+    ).filter(
+        F.col(vec_col).isNotNull()
+        & ~F.array_contains(F.transform(F.col(vec_col), lambda x: x.isNull()), True)
+    )
     cent_rows: list = []
     if centroid_frac is not None and 0.0 < centroid_frac < 1.0:
         h = portable_token_hash(F.col("cid").cast("string"))

@@ -1492,7 +1492,7 @@ def gk_greedy_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH fp AS (
       SELECT doc_id AS id,
-             MD5(TRIM(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
+             MD5(CASE WHEN TRIM(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]+', ' ', 'g')) <> '' THEN TRIM(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]+', ' ', 'g')) ELSE chr(0) || 'raw' || chr(0) || COALESCE(text, '') END) AS fingerprint
       FROM documents
     ), keep AS (
       SELECT fingerprint, MIN(id) AS keeper_id FROM fp GROUP BY fingerprint
@@ -3640,7 +3640,7 @@ _CURATION_SQL = f"""
              ) / 3.0, 6) AS quality
       FROM t
     ), kept AS (
-      SELECT doc_id, source, quality, md5({_NORM_SQL}) AS fp
+      SELECT doc_id, source, quality, md5(CASE WHEN {_NORM_SQL} <> '' THEN {_NORM_SQL} ELSE chr(0) || 'raw' || chr(0) || COALESCE(text, '') END) AS fp
       FROM q
       WHERE NOT (text IS NULL OR length(trim(text)) = 0)
         AND n_tok >= 30 AND n_tok <= 80
@@ -4119,7 +4119,7 @@ _PRETRAIN_SQL = f"""
       )
     ), fp AS (
       SELECT doc_id, t2, n_kept,
-             md5(trim(regexp_replace(lower(t2), '[^a-z0-9]+', ' ', 'g'))) AS f
+             md5(CASE WHEN trim(regexp_replace(lower(t2), '[^a-z0-9]+', ' ', 'g')) <> '' THEN trim(regexp_replace(lower(t2), '[^a-z0-9]+', ' ', 'g')) ELSE chr(0) || 'raw' || chr(0) || COALESCE(t2, '') END) AS f
       FROM lf
     ), keep AS (
       SELECT f, MIN(doc_id) AS kid FROM fp GROUP BY f

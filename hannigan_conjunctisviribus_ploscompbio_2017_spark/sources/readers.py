@@ -91,7 +91,11 @@ def read_fasta(spark: SparkSession, path: str) -> DataFrame:
             if line.startswith(">"):
                 if name is not None:
                     yield (name, "".join(chunks))
-                name = line[1:].split()[0]
+                # bare '>' (nameless header) -> empty id, matching
+                # read_fasta_parallel; [0]-indexing the empty split
+                # would crash the task instead
+                fields = line[1:].split()
+                name = fields[0] if fields else ""
                 chunks = []
             elif name is not None:
                 chunks.append(line.strip())
@@ -246,12 +250,26 @@ def read_fastq_parallel(
                         if i + 3 >= len(line_starts):
                             break  # truncated trailing record (EOF): drop
                         rec = [
-                            buf[line_starts[i + j] : line_starts[i + j + 1] - 1]
-                            if i + j + 1 < len(line_starts)
-                            else buf[line_starts[i + j] :].rstrip(b"\n")
+                            (
+                                buf[line_starts[i + j] : line_starts[i + j + 1] - 1]
+                                if i + j + 1 < len(line_starts)
+                                else buf[line_starts[i + j] :].rstrip(b"\n")
+                            ).rstrip(b"\r")  # CRLF files: \n is sliced off, strip the \r too
                             for j in range(4)
                         ]
-                        out_id.append(rec[0].decode().split()[0].lstrip("@"))
+                        # re-validate the frame instead of trusting i+=4
+                        # blindly: a blank or stray line mid-file would
+                        # shift every later record into garbage (or an
+                        # IndexError on ''.split()[0]) — resync by
+                        # advancing to the next plausible header
+                        if not rec[0].startswith(b"@") or len(rec[2]) == 0 or rec[2][:1] != b"+":
+                            i += 1
+                            continue
+                        hdr_fields = rec[0].decode().split()
+                        if not hdr_fields:
+                            i += 1
+                            continue
+                        out_id.append(hdr_fields[0].lstrip("@"))
                         out_seq.append(rec[1].decode())
                         out_qual.append(rec[3].decode())
                         i += 4

@@ -607,3 +607,52 @@ def test_vocab_growth_monotone_and_exact(spark):
     assert rows[1.0].n_docs == 100
     assert rows[1.0].vocab_size == 7  # w0..w6
     assert rows[1.0].n_tokens == sum(i % 7 + 1 for i in range(100))
+
+
+def test_cosine_zero_vector_is_null_not_crash(spark):
+    """ANSI mode turns naive x/0 into a job-killing exception; cosine
+    must yield NULL for zero-norm vectors so degenerate rows drop out
+    of rankings instead of failing the job."""
+    rows = [(0, [1.0, 0.0]), (1, [0.0, 0.0]), (2, [0.9, 0.1])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter("vec_id = 0")
+    out = similarity.brute_force_topk(df, q, k=2).collect()
+    ids = [r.neighbor_id for r in out]
+    assert ids[0] == 2                # real neighbor ranks first
+    assert ids[-1] == 1               # zero vector ranks last (NULL sim)
+    assert out[-1].cosine_sim is None
+
+
+def test_banding_validation_rejects_degenerate_configs(spark):
+    """bands that exceed or fail to divide the signature would silently
+    degenerate the LSH join to all-pairs — must raise instead."""
+    df = docs_df(spark)
+    emb = _embeddings(spark, n=10, dim=8)
+    with pytest.raises(ValueError, match="divide"):
+        dedup.minhash_lsh_pairs(df, num_hashes=32, bands=64).collect()
+    with pytest.raises(ValueError, match="divide"):
+        dedup.minhash_lsh_pairs(df, num_hashes=32, bands=6).collect()
+    with pytest.raises(ValueError, match="divide"):
+        dedup.simhash_pairs(df, max_hamming=3, bands=66)
+    with pytest.raises(ValueError, match="banding"):
+        similarity.srp_lsh_topk(emb, emb, dim=8, num_planes=16, bands=32)
+    with pytest.raises(ValueError, match="dim="):
+        similarity.embedding_near_dup_pairs(emb, exact=False)
+
+
+def test_exact_dedup_does_not_collapse_non_latin_docs(spark):
+    """normalized() maps non-Latin text to '': those docs must
+    fingerprint on their raw text, not collapse into one dup group."""
+    rows = [
+        (1, "латинский текст один"),
+        (2, "другой текст совсем"),
+        (3, "第三个文档"),
+        (4, "第三个文档"),          # true duplicate of 3
+        (5, "plain latin text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.id: r for r in dedup.exact_dedup(df).collect()}
+    assert out[1].is_dup == 0 and out[2].is_dup == 0  # distinct docs survive
+    assert out[3].is_dup == 0 and out[4].is_dup == 1  # real dups still caught
+    assert out[4].keeper_id == 3
+    assert out[5].is_dup == 0
