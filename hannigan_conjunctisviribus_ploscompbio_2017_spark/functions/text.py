@@ -37,8 +37,11 @@ def tokens(col: Column | str) -> Column:
 
 
 def token_count(col: Column | str) -> Column:
-    """Whitespace token count (BIGINT)."""
-    return F.size(tokens(col)).cast("long")
+    """Whitespace token count (BIGINT); NULL text → NULL, never the
+    -1 that size(NULL) yields in non-ANSI mode (a -1 silently corrupts
+    summed token totals)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(c.isNotNull(), F.size(tokens(c)).cast("long"))
 
 
 def bpe_ish_token_count(col: Column | str) -> Column:
@@ -49,14 +52,20 @@ def bpe_ish_token_count(col: Column | str) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     pieces = F.regexp_extract_all(c, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)
-    return F.size(pieces).cast("long")
+    return F.when(c.isNotNull(), F.size(pieces).cast("long"))
 
 
 def punct_ratio(col: Column | str) -> Column:
-    """#punctuation chars / #chars (0.0 for empty)."""
+    """#punctuation chars / #chars (0.0 for empty).
+
+    Unicode-aware: letters/digits in ANY script count as word chars
+    (\\p{L}\\p{N}, supported identically by Java regex and RE2) —
+    ASCII-only \\w would count every 'é'/'ö'/CJK character as
+    punctuation and systematically mark clean non-English text as
+    punctuation soup."""
     c = F.col(col) if isinstance(col, str) else col
     n = F.length(c)
-    punct = n - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    punct = n - F.length(F.regexp_replace(c, r"[^\p{L}\p{N}\s]", ""))
     return F.when(n == 0, F.lit(0.0)).otherwise(punct.cast("double") / n.cast("double"))
 
 
@@ -115,10 +124,19 @@ def fingerprint(col: Column | str) -> Column:
     Normalization = lowercase, collapse whitespace/punct runs to single
     space, trim — so trivial formatting edits map to the same fingerprint
     (cheap near-dup canary; exact-dup key).
+
+    The [a-z0-9] normalizer maps non-Latin text to '': those docs
+    fingerprint on their RAW text instead (same guard, same sentinel
+    prefix as operators.dedup.exact_dedup), so two unrelated CJK or
+    Cyrillic documents never share a fingerprint.
     """
     c = F.col(col) if isinstance(col, str) else col
     norm = F.trim(F.regexp_replace(F.lower(c), r"[^a-z0-9]+", " "))
-    return F.md5(norm)
+    return F.md5(
+        F.when(norm != "", norm).otherwise(
+            F.concat(F.lit("\x00raw\x00"), F.coalesce(c.cast("string"), F.lit("")))
+        )
+    )
 
 
 def reject_reasons(
@@ -146,7 +164,10 @@ def reject_reasons(
     ]
     if allowed_langs is not None:
         arr = F.array(*[F.lit(code) for code in sorted(allowed_langs)])
-        checks.append((~F.array_contains(arr, lang), "lang"))
+        # NULL lang must REJECT: ~array_contains(arr, NULL) is NULL,
+        # which when() treats as false — an unverified language would
+        # slip through the gate
+        checks.append((lang.isNull() | ~F.array_contains(arr, lang), "lang"))
     reasons = F.array_compact(
         F.array(*[F.when(cond, F.lit(label)) for cond, label in checks])
     )

@@ -27,11 +27,21 @@ FEATURES = ["crispr", "blast", "blastx", "pfam"]
 
 
 def prepare_training(edges: DataFrame, label_col: str = "interaction") -> DataFrame:
-    """Q1 output → ML input: fillna(0) on features, binary label."""
+    """Q1 output → ML input: fillna(0) on features, binary label.
+
+    The label is BINARIZED (> 0 → 1.0), matching the reference's recode
+    (bin/CalculatePredModel.R:41-44 treats any positive Interaction as
+    the positive class) — and guaranteeing the {0.0, 1.0} strata that
+    stratified_split samples by: an un-binarized label value like 2
+    would silently fall outside both strata and never reach training."""
     df = edges.select(
-        "src", "dst", *FEATURES, F.col(label_col).cast("double").alias("label")
+        "src", "dst", *FEATURES, F.col(label_col).cast("double").alias("_raw_label")
     ).fillna(0.0, subset=FEATURES)
-    return df.dropna(subset=["label"])
+    return (
+        df.dropna(subset=["_raw_label"])
+        .withColumn("label", F.when(F.col("_raw_label") > 0, 1.0).otherwise(0.0))
+        .drop("_raw_label")
+    )
 
 
 def stratified_split(

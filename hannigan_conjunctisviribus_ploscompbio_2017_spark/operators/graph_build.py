@@ -112,8 +112,21 @@ def build_infects_edges(
     property, merged via full-outer join (update-or-create). Inputs carry
     (src, dst, score) — already collapsed to one row per pair (A2 mean
     upstream, bin/CollapseGeneScores.R:38).
+
+    Score keys accept any casing (the reference's own property names are
+    CRISPR/BLAST/BLASTX/PFAM) but MUST name a known score column —
+    unknown keys used to be silently case-folded into all-null columns
+    by the schema conformer, building an edge table with no scores and
+    no error.
     """
-    merged = feature_merge(score_tables, keys=["src", "dst"], value_col="score", fill=None)
+    known = {"crispr", "blast", "blastx", "pfam"}
+    folded = {k.lower(): v for k, v in score_tables.items()}
+    if len(folded) != len(score_tables) or not set(folded) <= known:
+        raise ValueError(
+            f"score_tables keys {sorted(score_tables)} must map 1:1 onto "
+            f"the Infects score columns {sorted(known)} (case-insensitive)"
+        )
+    merged = feature_merge(folded, keys=["src", "dst"], value_col="score", fill=None)
     if interactions is not None:
         inter = interactions.select("src", "dst", F.col("interaction").cast("int"))
         merged = merged.join(inter, ["src", "dst"], "full_outer")
@@ -154,8 +167,22 @@ def update_node_lengths(nodes: DataFrame, lengths: DataFrame) -> DataFrame:
 
 def simplify(edges: DataFrame) -> DataFrame:
     """G12 — drop self-loops and multi-edges (igraph::simplify,
-    bin/TriadicClosures.R:45)."""
-    return edges.filter(F.col("src") != F.col("dst")).dropDuplicates(["src", "dst", "type"])
+    bin/TriadicClosures.R:45).
+
+    The survivor among multi-edges is DETERMINISTIC: min over the
+    remaining columns (struct ordering) per (src, dst, type) —
+    dropDuplicates keeps whichever row a shuffle ordered first, so
+    repeated builds could keep different abundance/property values.
+    Edges with a NULL endpoint are dropped (src != dst is NULL-false);
+    that is intentional — a property-graph edge without both endpoints
+    is malformed — and now documented rather than accidental."""
+    keys = ["src", "dst", "type"]
+    others = [c for c in edges.columns if c not in keys]
+    clean = edges.filter(F.col("src") != F.col("dst"))
+    if not others:
+        return clean.dropDuplicates(keys)
+    agg = clean.groupBy(*keys).agg(F.min(F.struct(*others)).alias("_rest"))
+    return agg.select(*keys, *[F.col(f"_rest.{c}").alias(c) for c in others])
 
 
 # --------------------------------------------------------------------------

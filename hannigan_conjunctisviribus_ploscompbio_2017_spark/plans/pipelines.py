@@ -56,17 +56,27 @@ def interpersonal_diversity(
       stats      — per class-pair mean/stddev distance
     """
     e = sample_edges
-    # 2. length-normalize phage abundance (F6)
+    # 2. length-normalize BOTH abundances (F6 —
+    # interpersonaldiversity.R:41-42 corrects PhageAbundance AND
+    # BacteriaAbundance; one-sided normalization would skew every edge
+    # weight against the paper)
     if node_lengths is not None:
-        ln = node_lengths.select(F.col("id").alias("phage"), "length")
+        ln_p = node_lengths.select(F.col("id").alias("phage"), F.col("length").alias("_pl"))
+        ln_h = node_lengths.select(F.col("id").alias("host"), F.col("length").alias("_hl"))
         e = (
-            e.join(F.broadcast(ln), "phage", "left")
+            e.join(F.broadcast(ln_p), "phage", "left")
+            .join(F.broadcast(ln_h), "host", "left")
             .withColumn(
                 "phage_abundance",
-                length_normalize("phage_abundance", F.coalesce("length", F.lit(1000)))
+                length_normalize("phage_abundance", F.coalesce("_pl", F.lit(1000)))
                 .cast("long"),
             )
-            .drop("length")
+            .withColumn(
+                "host_abundance",
+                length_normalize("host_abundance", F.coalesce("_hl", F.lit(1000)))
+                .cast("long"),
+            )
+            .drop("_pl", "_hl")
         )
     # 3. anti-filter (P8)
     if removal_list is not None:

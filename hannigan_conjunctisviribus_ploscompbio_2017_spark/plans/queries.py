@@ -73,13 +73,16 @@ def q3_triadic_closure(
     """
     e = edges.filter(F.col("type") == edge_type).select("src", "dst")
     a, b = e.alias("a"), e.alias("b")
+    # n != k (not <): the Cypher's symmetric MATCH emits BOTH (n,k) and
+    # (k,n) — reference row counts and per-'from' degree tallies depend
+    # on both orientations being present
     pairs = (
         a.join(b, F.col("a.dst") == F.col("b.dst"))
-        .filter(F.col("a.src") < F.col("b.src"))
+        .filter(F.col("a.src") != F.col("b.src"))
         .select(F.col("a.src").alias("n"), F.col("b.src").alias("k"))
         .distinct()
     )
-    if limit:
+    if limit is not None:  # not `if limit`: limit=0 means zero rows
         pairs = pairs.orderBy("n", "k").limit(limit)
     return pairs
 
@@ -155,13 +158,37 @@ def q5_sample_network(
             "left",
         )
         .drop("id")
+        .join(
+            F.broadcast(lengths.select(F.col("id"), F.col("length").alias("host_length"))),
+            F.col("host") == F.col("id"),
+            "left",
+        )
+        .drop("id")
         .distinct()
     )
     if normalize:
-        out = out.withColumn(
-            "phage_norm",
-            length_normalize("phage_abundance", F.coalesce("phage_length", F.lit(1000))),
-        ).withColumn("weight", F.round(edge_weight("phage_abundance", "host_abundance"), 6))
+        # BOTH sides length-normalize (interpersonaldiversity.R:41-42
+        # corrects PhageAbundance AND BacteriaAbundance), and the F7
+        # edge weight is log10 of the NORMALIZED product (:78) — raw
+        # abundances would put every downstream network statistic on a
+        # different scale than the paper. (The reference computes the
+        # weight after rarefaction; pipelines recompute it there — this
+        # is the pre-rarefaction edge weight.)
+        out = (
+            out.withColumn(
+                "phage_norm",
+                length_normalize(
+                    "phage_abundance", F.coalesce("phage_length", F.lit(1000))
+                ),
+            )
+            .withColumn(
+                "host_norm",
+                length_normalize(
+                    "host_abundance", F.coalesce("host_length", F.lit(1000))
+                ),
+            )
+            .withColumn("weight", F.round(edge_weight("phage_norm", "host_norm"), 6))
+        )
     return out
 
 

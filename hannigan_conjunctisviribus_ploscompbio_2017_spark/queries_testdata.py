@@ -2178,7 +2178,7 @@ def ss_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id,
            CAST(len(string_split(TRIM(text), ' ')) AS BIGINT) AS n_tokens,
-           ROUND((LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^\\w\\s]', '', 'g'))) * 1.0
+           ROUND((LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^\\p{L}\\p{N}\\s]', '', 'g'))) * 1.0
                  / LENGTH(text), 6) AS punct_ratio
     FROM documents
     """,
@@ -2200,7 +2200,7 @@ def tx_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tx_fingerprint",
     oracle="""
     SELECT doc_id,
-           MD5(TRIM(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
+           MD5(CASE WHEN TRIM(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]+', ' ', 'g')) <> '' THEN TRIM(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]+', ' ', 'g')) ELSE chr(0) || 'raw' || chr(0) || COALESCE(text, '') END) AS fingerprint
     FROM documents
     """,
 )
@@ -2241,7 +2241,7 @@ def tx_corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, text,
              regexp_split_to_array(trim(text), '\\s+') AS toks,
              regexp_split_to_array(lower(trim(text)), '\\s+') AS ltoks,
-             CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^\\w\\s]', '', 'g'))
+             CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^\\p{L}\\p{N}\\s]', '', 'g'))
                   AS DOUBLE) / LENGTH(text) AS punct
       FROM documents
     ), hits AS (
@@ -3340,7 +3340,7 @@ def pipeline_compare_twins(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              regexp_split_to_array(trim(text), '\\s+') AS toks,
              regexp_split_to_array(lower(trim(text)), '\\s+') AS ltoks,
-             CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^\\w\\s]', '', 'g'))
+             CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^\\p{L}\\p{N}\\s]', '', 'g'))
                   AS DOUBLE) / LENGTH(text) AS punct
       FROM documents
     )
@@ -3532,7 +3532,7 @@ _QFILTER_SQL = """
       SELECT doc_id, lang, text,
              regexp_split_to_array(trim(text), '\\s+') AS toks,
              regexp_split_to_array(lower(trim(text)), '\\s+') AS ltoks,
-             CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^\\w\\s]', '', 'g'))
+             CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^\\p{L}\\p{N}\\s]', '', 'g'))
                   AS DOUBLE) / LENGTH(text) AS punct
       FROM documents
     ), q AS (
@@ -3553,7 +3553,7 @@ _QFILTER_SQL = """
                CASE WHEN n_tok < 30 THEN 'too_short' END,
                CASE WHEN n_tok > 80 THEN 'too_long' END,
                CASE WHEN quality < 0.5 THEN 'low_quality' END,
-               CASE WHEN NOT lang IN ('de','en','fr') THEN 'lang' END
+               CASE WHEN lang IS NULL OR NOT lang IN ('de','en','fr') THEN 'lang' END
              ], x -> x IS NOT NULL), ','), '') AS reject_reasons
       FROM q
     )
@@ -3625,7 +3625,7 @@ _CURATION_SQL = f"""
       SELECT doc_id, source, lang, text,
              regexp_split_to_array(trim(text), '\\s+') AS toks,
              regexp_split_to_array(lower(trim(text)), '\\s+') AS ltoks,
-             CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^\\w\\s]', '', 'g'))
+             CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^\\p{{L}}\\p{{N}}\\s]', '', 'g'))
                   AS DOUBLE) / LENGTH(text) AS punct
       FROM documents
     ), q AS (

@@ -656,3 +656,33 @@ def test_exact_dedup_does_not_collapse_non_latin_docs(spark):
     assert out[3].is_dup == 0 and out[4].is_dup == 1  # real dups still caught
     assert out[4].keeper_id == 3
     assert out[5].is_dup == 0
+
+
+def test_text_functions_null_and_unicode_edges(spark):
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.functions import text as TX
+
+    df = spark.createDataFrame(
+        [
+            (1, "héllo wörld élan très", "fr"),
+            (2, None, "en"),
+            (3, "plain english text here", None),
+            (4, "статья на русском языке", "ru"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    rows = {r.doc_id: r for r in df.select(
+        "doc_id",
+        TX.token_count("text").alias("n_tok"),
+        F.round(TX.punct_ratio("text"), 6).alias("punct"),
+        TX.fingerprint("text").alias("fp"),
+        TX.reject_reasons("text", "lang", min_tokens=2, allowed_langs=["en", "fr"]).alias("rej"),
+    ).collect()}
+    # NULL text: token count NULL (size(null) would be -1 and corrupt sums)
+    assert rows[2].n_tok is None
+    # accented letters are NOT punctuation (unicode \p{L}, not ascii \w)
+    assert rows[1].punct == 0.0
+    # non-latin docs fingerprint on raw text -> distinct from other docs
+    assert rows[4].fp != rows[1].fp and rows[4].fp is not None
+    # NULL lang fails the language gate instead of slipping through
+    assert "lang" in rows[3].rej.split(",")
+    assert "lang" not in rows[1].rej.split(",")

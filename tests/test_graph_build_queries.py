@@ -121,8 +121,11 @@ def test_q2_predicted_links(spark, graph):
 def test_q3_triadic(graph):
     _, edges = graph
     rows = Q.q3_triadic_closure(edges, limit=None).collect()
-    # p1->h1 and p2->h1 share target h1 → one pair
-    assert [(r.n, r.k) for r in rows] == [("p1", "p2")]
+    # p1->h1 and p2->h1 share target h1; the symmetric Cypher emits
+    # BOTH orientations (Neo4j matches (n)-->(m)<--(k) both ways)
+    assert sorted((r.n, r.k) for r in rows) == [("p1", "p2"), ("p2", "p1")]
+    # limit=0 means zero rows, not "no limit"
+    assert Q.q3_triadic_closure(edges, limit=0).count() == 0
 
 
 def test_q4_study_network(graph):
@@ -141,7 +144,10 @@ def test_q5_sample_network(graph):
     assert r.phage_abundance == 100 and r.host_abundance == 200
     assert r.phage_length == 1000
     assert r.phage_norm == pytest.approx(1e7 * 100 / 1000)
-    assert r.weight == pytest.approx(4.30103, abs=1e-5)  # log10(100*200)
+    # host has no length -> 1000 default; weight = log10 of the
+    # NORMALIZED product (interpersonaldiversity.R:41-42,78)
+    assert r.host_norm == pytest.approx(1e7 * 200 / 1000)
+    assert r.weight == pytest.approx(12.30103, abs=1e-5)  # log10(1e6 * 2e6)
 
 
 def test_q6_label_scan(graph):
@@ -233,3 +239,28 @@ def test_linked_gene_edges_all_pairs(spark):
     # all-pairs content for r1
     pairs = {(r.src, r.dst) for r in rows if r.record_id == "r1"}
     assert pairs == {("pg1", "bg1"), ("pg1", "bg2"), ("pg2", "bg1"), ("pg2", "bg2")}
+
+
+def test_build_infects_edges_rejects_unknown_score_keys(spark):
+    inter = spark.createDataFrame([("p1", "h1", 1)], "src string, dst string, interaction int")
+    crispr = spark.createDataFrame([("p1", "h1", 90.0)], "src string, dst string, score double")
+    # the reference's own casing works...
+    out = GB.build_infects_edges(inter, {"CRISPR": crispr})
+    assert out.filter(F.col("crispr").isNotNull()).count() == 1
+    # ...but a key that is not a score column must raise, not silently
+    # build an all-null edge table
+    with pytest.raises(ValueError, match="score_tables"):
+        GB.build_infects_edges(inter, {"bitscore": crispr})
+
+
+def test_simplify_deterministic_survivor_per_multi_edge(spark):
+    e = spark.createDataFrame(
+        [("a", "b", "T", 250), ("a", "b", "T", 100), ("a", "a", "T", 5), ("a", "b", "U", 7)],
+        "src string, dst string, type string, abundance int",
+    )
+    rows = {(r.src, r.dst, r.type): r.abundance for r in GB.simplify(e).collect()}
+    # min-struct survivor: always the abundance-100 row, run after run
+    assert rows == {("a", "b", "T"): 100, ("a", "b", "U"): 7}
+    again = {(r.src, r.dst, r.type): r.abundance
+             for r in GB.simplify(e.repartition(7)).collect()}
+    assert rows == again

@@ -116,3 +116,23 @@ def test_roc_points_separable_auc_one(labeled):
     assert auc > 0.95
     assert pts[0] == (0.0, 0.0)
     assert pts[-1] == (1.0, 1.0)
+
+
+def test_prepare_training_binarizes_nonbinary_labels(spark):
+    from pyspark.sql import functions as F
+
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.ml.model import prepare_training, stratified_split
+
+    rows = [("p1", "h1", 1.0, 2.0, 0.0, 0.0, 2),   # evidence-count label
+            ("p2", "h2", 0.0, 1.0, 0.0, 0.0, 1),
+            ("p3", "h3", 0.0, 0.0, 1.0, 0.0, 0),
+            ("p4", "h4", 0.0, 0.0, 0.0, 1.0, None)]
+    df = spark.createDataFrame(
+        rows, "src string, dst string, crispr double, blast double, blastx double, pfam double, interaction int"
+    )
+    out = prepare_training(df)
+    labels = {r.src: r.label for r in out.collect()}
+    assert labels == {"p1": 1.0, "p2": 1.0, "p3": 0.0}  # 2 -> 1.0; NULL dropped
+    # every surviving row lands in exactly one split (no stratum gap)
+    train, test = stratified_split(out, train_frac=0.5, seed=1)
+    assert train.count() + test.count() == out.count()
