@@ -37,6 +37,10 @@ import math
 
 import numpy as np
 
+
+# numpy renamed trapz -> trapezoid in 2.0 (trapz removed); support both
+_trapezoid = getattr(np, "trapezoid", None) or np.trapz
+
 # --------------------------------------------------------------------------
 # special functions (no scipy in the runtime)
 # --------------------------------------------------------------------------
@@ -170,7 +174,7 @@ def wilcoxon_signed_rank(x, y) -> dict:
         var -= float((ties ** 3 - ties).sum()) / 48.0
     if var <= 0:
         return {"statistic": w_pos, "p_value": 1.0, "n": n}
-    z = (w_pos - mean - math.copysign(0.5, w_pos - mean)) / math.sqrt(var)
+    z = (w_pos - mean - 0.5 * float(np.sign(w_pos - mean))) / math.sqrt(var)
     return {"statistic": w_pos, "p_value": min(1.0, 2 * normal_sf(abs(z))), "n": n}
 
 
@@ -195,7 +199,7 @@ def mann_whitney_u(x, y) -> dict:
         var -= n1 * n2 * float((ties ** 3 - ties).sum()) / (12.0 * nt * (nt - 1))
     if var <= 0:
         return {"statistic": u1, "p_value": 1.0, "n1": n1, "n2": n2}
-    z = (u1 - mean - math.copysign(0.5, u1 - mean)) / math.sqrt(var)
+    z = (u1 - mean - 0.5 * float(np.sign(u1 - mean))) / math.sqrt(var)
     return {
         "statistic": u1,
         "p_value": min(1.0, 2 * normal_sf(abs(z))),
@@ -567,7 +571,7 @@ def ptukey(q: float, k: int, df: int) -> float:
     def inner(u: float) -> float:
         shifted = np.interp(zs - u, zs, big_phi, left=0.0, right=1.0)
         integrand = phi * np.clip(big_phi - shifted, 0.0, 1.0) ** (k - 1)
-        return float(k * np.trapz(integrand, zs))
+        return float(k * _trapezoid(integrand, zs))
 
     if df > 5000:  # s collapses to 1: the infinite-df range distribution
         return min(1.0, inner(q))
@@ -583,7 +587,7 @@ def ptukey(q: float, k: int, df: int) -> float:
     )
     fs = np.exp(log_fs)
     vals = np.array([inner(q * s) for s in ss])
-    return float(min(1.0, np.trapz(fs * vals, ss)))
+    return float(min(1.0, _trapezoid(fs * vals, ss)))
 
 
 def qtukey(p: float, k: int, df: int, tol: float = 1e-4) -> float:

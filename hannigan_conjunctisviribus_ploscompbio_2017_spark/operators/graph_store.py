@@ -40,24 +40,37 @@ def write_graph(
     dynamic_partitions: bool = True,
 ) -> None:
     """Persist the property graph partitioned by label/type, row-group
-    sorted by the join keys."""
+    sorted by the join keys.
+
+    The partitionOverwriteMode conf is saved and RESTORED around the
+    write: leaking 'dynamic' into the shared session would silently
+    change unrelated overwrite-partitioned writes from replace-table to
+    replace-matching-partitions semantics."""
     spark = nodes.sparkSession
-    if dynamic_partitions:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    (
-        nodes.repartition("label")
-        .sortWithinPartitions("id")
-        .write.mode(mode)
-        .partitionBy("label")
-        .parquet(f"{root}/nodes")
-    )
-    (
-        edges.repartition("type")
-        .sortWithinPartitions("src", "dst")
-        .write.mode(mode)
-        .partitionBy("type")
-        .parquet(f"{root}/edges")
-    )
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(conf_key, None)
+    try:
+        if dynamic_partitions:
+            spark.conf.set(conf_key, "dynamic")
+        (
+            nodes.repartition("label")
+            .sortWithinPartitions("id")
+            .write.mode(mode)
+            .partitionBy("label")
+            .parquet(f"{root}/nodes")
+        )
+        (
+            edges.repartition("type")
+            .sortWithinPartitions("src", "dst")
+            .write.mode(mode)
+            .partitionBy("type")
+            .parquet(f"{root}/edges")
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
 
 
 def read_graph(spark: SparkSession, root: str) -> tuple[DataFrame, DataFrame]:

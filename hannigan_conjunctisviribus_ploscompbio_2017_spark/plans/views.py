@@ -42,12 +42,13 @@ SQL_TEMPLATES = {
         FROM infects_edges e
         {where}
     """,
-    # Q3 — triadic closure (bin/TriadicClosures.R:88-89)
+    # Q3 — triadic closure (bin/TriadicClosures.R:88-89): n != k with
+    # DISTINCT, BOTH orientations — same semantics as
+    # plans/queries.q3_triadic_closure and the symmetric Cypher
     "q3_triadic": """
-        SELECT a.src AS n, b.src AS k, COUNT(*) AS shared
+        SELECT DISTINCT a.src AS n, b.src AS k
         FROM infects_edges a JOIN infects_edges b
-          ON a.dst = b.dst AND a.src < b.src
-        GROUP BY a.src, b.src
+          ON a.dst = b.dst AND a.src <> b.src
     """,
     # Q6 — label scan (bin/VisGraphByGroup.R:45-47)
     "q6_label_scan": """
@@ -66,7 +67,10 @@ def sql_q3(spark: SparkSession):
 
 
 def sql_q6(spark: SparkSession, label: str):
-    assert label.isidentifier() or label.replace("_", "").isalnum(), "label must be a plain name"
+    # a real raise, not assert: asserts vanish under python -O, which
+    # would let an arbitrary string flow into the SQL literal
+    if not (label.isidentifier() or label.replace("_", "").isalnum()):
+        raise ValueError(f"label must be a plain name, got {label!r}")
     return spark.sql(SQL_TEMPLATES["q6_label_scan"].format(label=label))
 
 

@@ -164,8 +164,19 @@ def streaming_first_seen(
         if state.hasTimedOut:
             state.remove()
         elif state.exists:
-            for _ in pdfs:  # drain: all rows are duplicates
-                pass
+            # Spark RESETS a GroupState timeout on every invocation: a
+            # duplicate arriving for a known key would otherwise clear
+            # the eviction timer and pin the state forever. Re-arm from
+            # the batch's max event time (duplicates EXTEND retention).
+            max_ts = None
+            for pdf in pdfs:  # drain: all rows are duplicates
+                if len(pdf):
+                    t = pdf["ts"].max()
+                    max_ts = t if max_ts is None else max(max_ts, t)
+            if max_ts is not None:
+                state.setTimeoutTimestamp(
+                    int(max_ts.timestamp() * 1000) + retention_ms
+                )
         else:
             rows = pd.concat(list(pdfs), ignore_index=True)
             first = rows.sort_values(["ts", "event_id"]).iloc[0]
@@ -250,6 +261,13 @@ def streaming_near_dup_candidates(
     pipeline."""
     import pandas as pd
 
+    if bands < 1 or bands > num_hashes or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands={bands} must divide num_hashes={num_hashes} evenly "
+            "(same precondition as the batch twin): other values either "
+            "hash an empty slice into one global bucket or silently "
+            "drop trailing hashes from banding"
+        )
     rows_per_band = num_hashes // bands
     sig = events.select(
         "event_id",
@@ -378,8 +396,17 @@ def streaming_chunk_first_seen(
         if state.hasTimedOut:
             state.remove()
         elif state.exists:
-            for _ in pdfs:  # drain: all rows are duplicate passages
-                pass
+            # re-arm the eviction timer (Spark resets it per invocation
+            # — see streaming_first_seen); duplicates extend retention
+            max_ts = None
+            for pdf in pdfs:  # drain: all rows are duplicate passages
+                if len(pdf):
+                    t = pdf[ts_col].max()
+                    max_ts = t if max_ts is None else max(max_ts, t)
+            if max_ts is not None:
+                state.setTimeoutTimestamp(
+                    int(max_ts.timestamp() * 1000) + retention_ms
+                )
         else:
             rows = pd.concat(list(pdfs), ignore_index=True)
             first = rows.sort_values([ts_col, "id", "chunk_idx"]).iloc[0]

@@ -54,11 +54,20 @@ def test_dynamic_partition_overwrite_preserves_other_types(spark, tmp_path):
     nodes, edges = _graph(spark)
     root = str(tmp_path / "graph")
     GS.write_graph(nodes, edges, root)
-    # overwrite ONLY the Sampled partition with a 1-row table
+    # overwrite ONLY the Sampled partition with a 1-row table — the
+    # incremental updater must opt into dynamic overwrite itself
+    # (write_graph restores the session conf; it no longer leaks
+    # 'dynamic' for later writes to silently inherit)
     one = edges.filter(F.col("type") == "Sampled").limit(1)
-    one.repartition("type").write.mode("overwrite").partitionBy("type").parquet(
-        f"{root}/edges"
-    )
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "dynamic")
+    try:
+        one.repartition("type").write.mode("overwrite").partitionBy("type").parquet(
+            f"{root}/edges"
+        )
+    finally:
+        spark.conf.unset(key) if prev is None else spark.conf.set(key, prev)
     _, e2 = GS.read_graph(spark, root)
     counts = {r.type: r.n for r in e2.groupBy("type").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert counts["Sampled"] == 1            # replaced
