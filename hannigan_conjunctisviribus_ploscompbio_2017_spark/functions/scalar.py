@@ -36,8 +36,13 @@ def composite_key(*cols: Column | str, sep: str = "__") -> Column:
 
 # F5 — composite key split. Reference: bin/CompareSkin.R:144-148.
 def split_composite_key(col: Column | str, names: list[str], sep: str = "__") -> list[Column]:
+    import re as _re
+
     c = F.col(col) if isinstance(col, str) else col
-    parts = F.split(c, sep)
+    # F.split treats sep as a REGEX while composite_key's concat_ws is
+    # literal — escape so sep='.'/'|'/'+' round-trips instead of
+    # matching every character
+    parts = F.split(c, _re.escape(sep))
     return [parts.getItem(i).alias(n) for i, n in enumerate(names)]
 
 

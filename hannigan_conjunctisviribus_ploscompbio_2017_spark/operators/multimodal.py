@@ -228,21 +228,32 @@ def extract_features(df: DataFrame, dim: int = 16, fake: bool = False) -> DataFr
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            codecs, feats = [], []
+            codecs, feats, lens, digests = [], [], [], []
+            # one pass per blob: decode + length + digest together (the
+            # blob is bytes()-materialized once, hashed once)
             for c in pdf["content"]:
-                codec, vec = decode_feature(bytes(c) if c is not None else b"", dim, fake)
+                raw = bytes(c) if c is not None else b""
+                lens.append(len(raw))
+                digests.append(hashlib.sha256(raw).hexdigest())
+                try:
+                    codec, vec = decode_feature(raw, dim, fake)
+                    feats.append(vec.tolist())
+                except NotImplementedError:
+                    raise  # contract: compressed codec without fake=True
+                except Exception:
+                    # corrupt-but-sniffable blob (truncated WAV/PPM/BMP):
+                    # quarantine the ROW (codec tagged, feature NULL)
+                    # instead of failing the corpus-wide job on one blob
+                    codec = "corrupt:" + sniff_codec(raw)
+                    feats.append(None)
                 codecs.append(codec)
-                feats.append(vec.tolist())
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
                     "codec": codecs,
-                    "n_bytes": [len(c) if c is not None else 0 for c in pdf["content"]],
-                    "content_sha256": [
-                        hashlib.sha256(bytes(c) if c is not None else b"").hexdigest()
-                        for c in pdf["content"]
-                    ],
+                    "n_bytes": lens,
+                    "content_sha256": digests,
                     "feature": feats,
                 }
             )
@@ -270,6 +281,10 @@ def blob_stats(df: DataFrame, id_col: str = "media_id", content_col: str = "cont
         .when(_hex_at(1, b"P5"), "pgm")
         .when(_hex_at(1, b"BM"), "bmp")
         .when(_hex_at(1, b"RIFF") & _hex_at(17, b"WAVE"), "wav")
+        # full sniff_codec parity — compressed formats classify too
+        .when(F.substring(hx, 1, 16) == b"\x89PNG\r\n\x1a\n".hex().upper(), "png")
+        .when(F.substring(hx, 1, 6) == b"\xff\xd8\xff".hex().upper(), "jpeg")
+        .when(_hex_at(9, b"ftyp"), "mp4")
         .otherwise("unknown")
     )
     return df.select(
@@ -298,7 +313,10 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     extractor (mapInPandas over content) would consume."""
     n_frames = (F.col("duration_ms") / every_ms).cast("int")
     return (
-        df.filter(F.col("kind") == "video")
+        # NULL/zero durations contribute ZERO frames: greatest() skips
+        # nulls, so an unfiltered NULL duration would emit a phantom
+        # frame at ts=0 for a video of unknown length
+        df.filter((F.col("kind") == "video") & (F.col("duration_ms") > 0))
         .select(
             "media_id",
             F.explode(
@@ -416,6 +434,12 @@ def resize_images(
                         raise ValueError(codec)
                     if img.ndim == 2:
                         img = np.stack([img] * 3, axis=-1)
+                    elif img.shape[2] == 1:
+                        # PGM decodes to (h, w, 1): promote to 3
+                        # channels or encode_ppm writes a P6 header
+                        # over 1/3 of the promised bytes — a corrupt
+                        # blob flagged resized=1
+                        img = np.repeat(img, 3, axis=2)
                     small = resize_image(img, h, w)
                     rows.append((int(mid), codec, 1, w, h, encode_ppm(small)))
                 except Exception:
@@ -486,10 +510,13 @@ def mp4_metadata(content: bytes) -> dict:
                     if s2 >= e2:
                         continue
                     ver = content[s2]
-                    if ver == 1 and s2 + 28 <= e2:
+                    # bounds cover the LAST byte read, not the first:
+                    # v1 reads through s2+32 (4 ver/flags + 16 times +
+                    # 4 timescale + 8 duration), v0 through s2+20
+                    if ver == 1 and s2 + 32 <= e2:
                         timescale = struct.unpack_from(">I", content, s2 + 4 + 16)[0]
                         duration = struct.unpack_from(">Q", content, s2 + 4 + 20)[0]
-                    elif ver == 0 and s2 + 16 <= e2:
+                    elif ver == 0 and s2 + 20 <= e2:
                         timescale, duration = struct.unpack_from(
                             ">II", content, s2 + 4 + 8
                         )

@@ -61,15 +61,25 @@ def sampled_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     fact = li.join(orders, li.l_orderkey == orders.o_orderkey)
-    to_part = fact.groupBy(
+    # explode each fact row to BOTH dst keys before one groupBy: a
+    # union of two independent groupBys would scan and join the fact
+    # table twice (Catalyst does not share the subtree) — one pass,
+    # one shuffle, identical per-key sums
+    both = fact.select(
         F.concat(F.lit("C"), F.col("o_custkey")).alias("src"),
-        F.concat(F.lit("P"), F.col("l_partkey")).alias("dst"),
-    ).agg(F.sum("l_quantity").cast("long").alias("abundance"))
-    to_supp = fact.groupBy(
-        F.concat(F.lit("C"), F.col("o_custkey")).alias("src"),
-        F.concat(F.lit("S"), F.col("l_suppkey")).alias("dst"),
-    ).agg(F.sum("l_quantity").cast("long").alias("abundance"))
-    return to_part.unionByName(to_supp).withColumn("type", F.lit("Sampled"))
+        F.explode(
+            F.array(
+                F.concat(F.lit("P"), F.col("l_partkey")),
+                F.concat(F.lit("S"), F.col("l_suppkey")),
+            )
+        ).alias("dst"),
+        "l_quantity",
+    )
+    return (
+        both.groupBy("src", "dst")
+        .agg(F.sum("l_quantity").cast("long").alias("abundance"))
+        .withColumn("type", F.lit("Sampled"))
+    )
 
 
 def nodes(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -60,7 +60,13 @@ def get_spark(app_name: str = "hannigan-cvb-spark", cpus: str | None = None) -> 
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
     )
-    if "spark.master" not in os.environ.get("SPARK_CONF", ""):
+    # respect an externally supplied master: spark-submit --master
+    # lands in PYSPARK_SUBMIT_ARGS (there is no SPARK_CONF env var in
+    # standard Spark), and SPARK_GRAFT_MASTER is the explicit override.
+    # Only default to local[...] when neither is present — otherwise a
+    # cluster submission would silently run local.
+    submitted = "--master" in os.environ.get("PYSPARK_SUBMIT_ARGS", "")
+    if not submitted:
         master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
         builder = builder.master(master)
         if master.startswith("local"):

@@ -275,7 +275,8 @@ def test_blob_stats_jvm_side(spark):
         s = stats[row.media_id]
         assert s.n_bytes == len(row.content)
         assert s.content_sha256 == hashlib.sha256(bytes(row.content)).hexdigest()
-        expect = {"image": "ppm", "audio": "wav", "video": "unknown"}[row.kind]
+        # blob_stats has full sniff_codec parity: mp4 magic detected
+        expect = {"image": "ppm", "audio": "wav", "video": "mp4"}[row.kind]
         assert s.codec == expect
 
 
@@ -795,3 +796,46 @@ def test_mp4_metadata_real_box_parsing(spark):
     )
     got = sorted((r.media_id, r.frame_ts_ms) for r in plan.collect())
     assert got == [(1, 0), (1, 1000), (1, 2000), (2, 0)]
+
+
+def test_multimodal_corrupt_blob_robustness(spark):
+    import struct as _s
+
+    import numpy as np
+
+    # 1. truncated mvhd payloads in the 16-19 / 28-31 byte windows that
+    # pass a first-byte check but not the full field width
+    def _box(t, p):
+        return _s.pack(">I", 8 + len(p)) + t + p
+
+    ftyp = _box(b"ftyp", b"isom" + _s.pack(">I", 512))
+    for payload in (b"\x00" * 16, b"\x00" * 19, b"\x01" + b"\x00" * 27, b"\x01" + b"\x00" * 30):
+        m = MM.mp4_metadata(ftyp + _box(b"moov", _box(b"mvhd", payload)))
+        assert m["duration_ms"] is None  # short payload: no field, no crash
+
+    # 2. grayscale PGM resize must re-encode a VALID P6 (h*w*3 bytes)
+    img = (np.arange(24, dtype=np.uint8)).reshape(6, 4, 1)
+    pgm = b"P5\n4 6\n255\n" + img.tobytes()
+    df = spark.createDataFrame([(1, bytearray(pgm))], "media_id long, content binary")
+    out = MM.resize_images(df, 3, 3).collect()[0]
+    assert out.resized == 1
+    rt = MM.decode_ppm(bytes(out.content))
+    assert rt.shape == (3, 3, 3)  # decodes cleanly as RGB
+
+    # 3. a corrupt-but-sniffable blob quarantines the ROW, not the job
+    bad_wav = b"RIFF1234WAVEfm"  # truncated past the sniff point
+    media = spark.createDataFrame(
+        [(1, "audio", bytearray(bad_wav)), (2, "image", bytearray(MM.encode_ppm(np.zeros((2, 2, 3), np.uint8))))],
+        "media_id long, kind string, content binary",
+    )
+    rows = {r.media_id: r for r in MM.extract_features(media, dim=4).collect()}
+    assert rows[1].codec == "corrupt:wav" and rows[1].feature is None
+    assert rows[2].codec == "ppm" and rows[2].feature is not None
+
+    # 4. NULL/zero durations emit zero frames, not a phantom ts=0 frame
+    vids = spark.createDataFrame(
+        [(1, "video", 2000), (2, "video", None), (3, "video", 0)],
+        "media_id long, kind string, duration_ms long",
+    )
+    plan = sorted((r.media_id, r.frame_ts_ms) for r in MM.frame_sample_plan(vids).collect())
+    assert plan == [(1, 0), (1, 1000)]
