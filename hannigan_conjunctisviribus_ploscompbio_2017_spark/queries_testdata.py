@@ -4058,6 +4058,31 @@ def tx_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_growth(_t(spark, sf_dir, "documents"))
 
 
+@query("ml_quality_classifier")
+def ml_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained corpus-quality filter (the GPT-3/LLaMA curated-vs-raw
+    classifier): weak labels = sources src0-4 as 'curated', train a
+    seeded logistic regression over the engine's text signals, score
+    every doc, return per-source mean predicted quality. MLlib model →
+    rows-only check (behavioral separation pinned by pytest)."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.ml.quality import (
+        score_quality,
+        train_quality_classifier,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    srcnum = F.regexp_extract("source", r"src(\d+)", 1).cast("int")
+    labeled = docs.withColumn("curated", (srcnum < 5).cast("int"))
+    model = train_quality_classifier(labeled, label_col="curated")
+    scored = score_quality(model, docs).join(
+        docs.select(F.col("doc_id").alias("id"), "source"), "id"
+    )
+    return scored.groupBy("source").agg(
+        F.round(F.avg("quality_prob"), 4).alias("mean_quality_prob"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
 _EXACT_K_SQL = f"""
     WITH r AS (
       SELECT doc_id, lang, source,

@@ -136,3 +136,29 @@ def test_prepare_training_binarizes_nonbinary_labels(spark):
     # every surviving row lands in exactly one split (no stratum gap)
     train, test = stratified_split(out, train_frac=0.5, seed=1)
     assert train.count() + test.count() == out.count()
+
+
+def test_quality_classifier_separates_clean_from_soup(spark):
+    from pyspark.sql import functions as F
+
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.ml.quality import (
+        score_quality,
+        train_quality_classifier,
+    )
+
+    clean = [
+        (i, "the quick brown fox and the lazy dog walked to town with a friend", 1)
+        for i in range(40)
+    ]
+    soup = [
+        (100 + i, "@@!! 9932 $$%% ??? ## 111 &&& ~~ ^^ 00", 0) for i in range(40)
+    ]
+    df = spark.createDataFrame(clean + soup, "doc_id long, text string, curated int")
+    model = train_quality_classifier(df, label_col="curated")
+    probs = {r.id: r.quality_prob for r in score_quality(model, df).collect()}
+    assert min(probs[i] for i, _, _ in clean) > 0.8
+    assert max(probs[i] for i, _, _ in soup) < 0.2
+    # null text scores as a (low-quality) empty doc, never crashes
+    nulls = spark.createDataFrame([(999, None)], "doc_id long, text string")
+    out = score_quality(model, nulls).collect()[0]
+    assert 0.0 <= out.quality_prob <= 1.0
