@@ -38,6 +38,7 @@ _UNMEASURED_ORACLE = [
     "pipeline_pretrain_pack",
     "tx_exact_k_sample",
     "tx_vocab_growth",
+    "tx_bigram_backoff",
     "tx_line_filter",
     "tx_sequence_pack",
     "dd_semantic_dedup",

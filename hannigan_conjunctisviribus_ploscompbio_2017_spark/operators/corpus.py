@@ -438,6 +438,109 @@ def vocab_growth(
     return wide.select(F.explode(F.array(*rows)).alias("s")).select("s.*")
 
 
+def stupid_backoff_logscore(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.4,
+    round_to: int = 6,
+    lm: dict[str, DataFrame] | None = None,
+) -> DataFrame:
+    """Bigram LM scoring with Stupid Backoff (Brants et al. 2007 — the
+    web-scale scheme that skips normalization): per doc, the mean over
+    token positions i >= 2 of -ln s(w_i | w_{i-1}) where
+
+        s(w|v) = c(vw)/c(v)        if the bigram was seen,
+                 alpha * c(w)/N    otherwise.
+
+    The richer sibling of unigram_logprob: repeated local patterns
+    score well even when their unigrams are rare, so boilerplate and
+    fluent text separate more sharply. Deterministic counts — the
+    DuckDB oracle replays every score.
+
+    Docs with fewer than 2 tokens have no bigram positions and are
+    absent from the output. Shapes: one bigram-count shuffle + one
+    unigram-count shuffle over Zipf-bounded tables, then two joins back
+    onto the exploded positions; N stays in-plan via a 1-row broadcast.
+
+    Pass `lm=bigram_lm(train_corpus)` to score HELD-OUT text against
+    stored counts — that is where the backoff branch actually fires
+    (self-scoring never backs off: every bigram is in its own counts).
+    OOV continuation words take an add-one count floor."""
+    lm = lm if lm is not None else bigram_lm(df, id_col, text_col)
+    pairs = _doc_bigrams(df, id_col, text_col)
+    unis = lm["unigrams"]
+    scored = (
+        pairs.join(lm["bigrams"], ["v", "w"], "left")
+        .join(unis.select(F.col("tok").alias("v"), F.col("c").alias("c_v")), "v", "left")
+        .join(unis.select(F.col("tok").alias("w"), F.col("c").alias("c_w")), "w", "left")
+        .crossJoin(F.broadcast(lm["totals"]))
+        .select(
+            "id",
+            (
+                -F.when(
+                    F.col("c_vw").isNotNull(),
+                    F.log(F.col("c_vw") / F.col("c_v")),
+                ).otherwise(
+                    F.log(
+                        F.lit(float(alpha))
+                        * F.coalesce(F.col("c_w"), F.lit(1))  # OOV floor
+                        / F.col("_n")
+                    )
+                )
+            ).alias("_nls"),
+        )
+    )
+    return scored.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("_nls"), round_to).alias("avg_neg_logscore"),
+    )
+
+
+def _doc_bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    toked = df.select(
+        F.col(id_col).alias("id"),
+        F.split(normalized(text_col), r"\s+").alias("_t"),
+    )
+    idx = F.when(
+        F.size("_t") >= 2, F.sequence(F.lit(1), F.size("_t") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    return toked.select(
+        "id",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.element_at("_t", i).alias("v"),
+                    F.element_at("_t", i + 1).alias("w"),
+                ),
+            )
+        ).alias("p"),
+    ).select("id", F.col("p.v").alias("v"), F.col("p.w").alias("w"))
+
+
+def bigram_lm(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> dict[str, DataFrame]:
+    """Count tables for stupid_backoff_logscore: {bigrams(v, w, c_vw),
+    unigrams(tok, c), totals(_n)} — persist these (Zipf-bounded, far
+    smaller than the corpus) and score any stream of new text against
+    them."""
+    toked = df.select(
+        F.col(id_col).alias("id"),
+        F.split(normalized(text_col), r"\s+").alias("_t"),
+    )
+    big = _doc_bigrams(df, id_col, text_col).groupBy("v", "w").agg(
+        F.count(F.lit(1)).alias("c_vw")
+    )
+    unis = (
+        toked.select(F.explode("_t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return {"bigrams": big, "unigrams": unis, "totals": unis.agg(F.sum("c").alias("_n"))}
+
+
 def mixture_weights(
     df: DataFrame,
     domain_col: str = "source",

@@ -4058,6 +4058,52 @@ def tx_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_growth(_t(spark, sf_dir, "documents"))
 
 
+_BACKOFF_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id AS id, string_split({_NORM_SQL}, ' ') AS t FROM documents
+    ), pos AS (
+      SELECT id, t,
+             unnest(CASE WHEN len(t) >= 2 THEN generate_series(1, len(t) - 1)
+                         ELSE CAST([] AS BIGINT[]) END) AS i
+      FROM toks
+    ), pairs AS (
+      SELECT id, t[i] AS v, t[i + 1] AS w FROM pos
+    ), big AS (
+      SELECT v, w, COUNT(*) AS c_vw FROM pairs GROUP BY v, w
+    ), unis AS (
+      SELECT tok, COUNT(*) AS c
+      FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY tok
+    ), totals AS (SELECT SUM(c) AS n FROM unis
+    ), scored AS (
+      SELECT p.id,
+             -CASE WHEN b.c_vw IS NOT NULL
+                   THEN ln(b.c_vw / CAST(uv.c AS DOUBLE))
+                   ELSE ln(0.4 * uw.c / CAST(t.n AS DOUBLE)) END AS nls
+      FROM pairs p
+      LEFT JOIN big b ON b.v = p.v AND b.w = p.w
+      JOIN unis uv ON uv.tok = p.v
+      JOIN unis uw ON uw.tok = p.w
+      CROSS JOIN totals t
+    )
+    SELECT id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(nls), 6) AS avg_neg_logscore
+    FROM scored GROUP BY id
+    """
+
+
+@query("tx_bigram_backoff", oracle=_BACKOFF_SQL)
+def tx_bigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-Backoff bigram LM score per doc (Brants et al. 2007):
+    seen bigrams score c(vw)/c(v), unseen back off to 0.4·c(w)/N —
+    the web-scale fluency signal complementing the unigram model. The
+    oracle replays counts, backoff, and the per-doc mean."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.corpus import (
+        stupid_backoff_logscore,
+    )
+
+    return stupid_backoff_logscore(_t(spark, sf_dir, "documents"), alpha=0.4)
+
+
 @query("ml_quality_classifier")
 def ml_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained corpus-quality filter (the GPT-3/LLaMA curated-vs-raw

@@ -686,3 +686,38 @@ def test_text_functions_null_and_unicode_edges(spark):
     # NULL lang fails the language gate instead of slipping through
     assert "lang" in rows[3].rej.split(",")
     assert "lang" not in rows[1].rej.split(",")
+
+
+def test_stupid_backoff_closed_forms(spark):
+    import math
+
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators import corpus
+
+    # corpus: doc1 = "a b a b", doc2 = "a c"
+    # unigrams: a=3, b=2, c=1, N=6
+    # bigrams:  (a,b)=2, (b,a)=1, (a,c)=1
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a c"), (3, "x")], "doc_id long, text string"
+    )
+    out = {r.id: r for r in corpus.stupid_backoff_logscore(df, alpha=0.4).collect()}
+    # doc1 positions: (a,b) s=2/3, (b,a) s=1/2, (a,b) s=2/3
+    exp1 = -(math.log(2 / 3) + math.log(1 / 2) + math.log(2 / 3)) / 3
+    assert out[1].n_bigrams == 3
+    assert abs(out[1].avg_neg_logscore - round(exp1, 6)) < 1e-9
+    # doc2: (a,c) seen once: s = 1/3
+    assert abs(out[2].avg_neg_logscore - round(-math.log(1 / 3), 6)) < 1e-9
+    # single-token doc: no bigram positions -> absent
+    assert 3 not in out
+    # HELD-OUT scoring is where backoff actually fires: train the LM on
+    # the corpus, then score new text with an unseen bigram and an OOV
+    lm = corpus.bigram_lm(df)
+    held = spark.createDataFrame(
+        [(10, "b c"), (11, "a zzz")], "doc_id long, text string"
+    )
+    out2 = {r.id: r for r in corpus.stupid_backoff_logscore(
+        held, alpha=0.4, lm=lm).collect()}
+    # (b,c) unseen in training bigrams -> backoff 0.4 * c(c)/N = 0.4*1/7
+    # (training unigrams: a=3, b=2, c=1, x=1 -> N=7)
+    assert abs(out2[10].avg_neg_logscore - round(-math.log(0.4 * 1 / 7), 6)) < 1e-9
+    # (a,zzz): zzz is OOV -> add-one floor: 0.4 * 1/7
+    assert abs(out2[11].avg_neg_logscore - round(-math.log(0.4 * 1 / 7), 6)) < 1e-9
