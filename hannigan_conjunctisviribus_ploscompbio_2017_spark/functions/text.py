@@ -126,17 +126,13 @@ def fingerprint(col: Column | str) -> Column:
     (cheap near-dup canary; exact-dup key).
 
     The [a-z0-9] normalizer maps non-Latin text to '': those docs
-    fingerprint on their RAW text instead (same guard, same sentinel
-    prefix as operators.dedup.exact_dedup), so two unrelated CJK or
-    Cyrillic documents never share a fingerprint.
+    fingerprint on their RAW text instead. Delegates to the ONE shared
+    definition (operators.dedup.fingerprint_expr) so this function and
+    exact_dedup can never silently disagree.
     """
-    c = F.col(col) if isinstance(col, str) else col
-    norm = F.trim(F.regexp_replace(F.lower(c), r"[^a-z0-9]+", " "))
-    return F.md5(
-        F.when(norm != "", norm).otherwise(
-            F.concat(F.lit("\x00raw\x00"), F.coalesce(c.cast("string"), F.lit("")))
-        )
-    )
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.dedup import fingerprint_expr
+
+    return fingerprint_expr(col)
 
 
 def reject_reasons(

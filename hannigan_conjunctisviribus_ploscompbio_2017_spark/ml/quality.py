@@ -37,19 +37,21 @@ def quality_features(
     """Per-doc feature vector of pure-Catalyst text signals (no UDF, no
     shuffle): token count, punctuation/stopword ratios, mean word
     length, digit and uppercase character ratios. NULL-safe: null text
-    yields all-zero features (the classifier sees 'empty doc')."""
+    is coalesced to '' up front and featurizes all-zero (TX.tokens
+    maps the empty string to an empty array, and every ratio guards
+    n == 0), so all empties land in one consistent feature point."""
     t = F.coalesce(F.col(text_col), F.lit(""))
     n_char = F.length(t)
     safe_char = F.greatest(n_char, F.lit(1)).cast("double")
-    n_tok = F.coalesce(TX.token_count(t), F.lit(0)).cast("double")
+    n_tok = TX.token_count(t).cast("double")
     safe_tok = F.greatest(n_tok, F.lit(1.0))
     digits = n_char - F.length(F.regexp_replace(t, r"[0-9]", ""))
     caps = n_char - F.length(F.regexp_replace(t, r"[A-Z]", ""))
     return df.select(
         F.col(id_col).alias("id"),
         n_tok.alias("f_n_tok"),
-        F.coalesce(TX.punct_ratio(t), F.lit(0.0)).alias("f_punct"),
-        F.coalesce(TX.stopword_ratio(t), F.lit(0.0)).alias("f_stopword"),
+        TX.punct_ratio(t).alias("f_punct"),
+        TX.stopword_ratio(t).alias("f_stopword"),
         (n_char.cast("double") / safe_tok).alias("f_avg_word_len"),
         (digits.cast("double") / safe_char).alias("f_digit_ratio"),
         (caps.cast("double") / safe_char).alias("f_caps_ratio"),

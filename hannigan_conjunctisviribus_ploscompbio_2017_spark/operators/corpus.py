@@ -361,9 +361,8 @@ def unigram_logprob(
     crossJoin — no driver collect. At 100 TB the token-count table is
     Zipf-bounded (vocab << corpus) and broadcastable after a min-count
     floor; the token join is the only wide stage."""
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.split(normalized(text_col), r"\s+")).alias("tok"),
+    toks = _doc_tokens(df, id_col, text_col).select(
+        "id", F.explode("_t").alias("tok")
     )
     counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     totals = counts.agg(
@@ -438,6 +437,16 @@ def vocab_growth(
     return wide.select(F.explode(F.array(*rows)).alias("s")).select("s.*")
 
 
+def _doc_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, _t=token array) — the ONE tokenization used by every LM
+    operator here (unigram, bigram counts, bigram pairs), so counts and
+    pair extraction can never tokenize differently."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.split(normalized(text_col), r"\s+").alias("_t"),
+    )
+
+
 def stupid_backoff_logscore(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -498,10 +507,7 @@ def stupid_backoff_logscore(
 
 
 def _doc_bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    toked = df.select(
-        F.col(id_col).alias("id"),
-        F.split(normalized(text_col), r"\s+").alias("_t"),
-    )
+    toked = _doc_tokens(df, id_col, text_col)
     idx = F.when(
         F.size("_t") >= 2, F.sequence(F.lit(1), F.size("_t") - 1)
     ).otherwise(F.array().cast("array<int>"))
@@ -526,10 +532,7 @@ def bigram_lm(
     unigrams(tok, c), totals(_n)} — persist these (Zipf-bounded, far
     smaller than the corpus) and score any stream of new text against
     them."""
-    toked = df.select(
-        F.col(id_col).alias("id"),
-        F.split(normalized(text_col), r"\s+").alias("_t"),
-    )
+    toked = _doc_tokens(df, id_col, text_col)
     big = _doc_bigrams(df, id_col, text_col).groupBy("v", "w").agg(
         F.count(F.lit(1)).alias("c_vw")
     )

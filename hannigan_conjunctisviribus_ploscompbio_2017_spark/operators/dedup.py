@@ -35,6 +35,38 @@ def normalized(text_col="text"):
     return F.trim(F.regexp_replace(F.lower(c), r"[^a-z0-9]+", " "))
 
 
+def validate_banding(total_bits: int, bands: int, what: str) -> int:
+    """Shared banding precondition for every LSH family (MinHash,
+    SimHash, SRP — batch and streaming): bands must divide the
+    signature evenly. bands > bits gives every row an empty/zero band
+    (the join silently degenerates to an all-pairs cartesian) and a
+    non-dividing bands silently drops trailing bits from banding.
+    Returns bits/rows per band."""
+    if bands < 1 or bands > total_bits or total_bits % bands != 0:
+        raise ValueError(
+            f"{what}: bands={bands} must divide {total_bits} evenly "
+            f"(1 <= bands <= {total_bits}); other values silently "
+            "degenerate the banded join or drop signature bits"
+        )
+    return total_bits // bands
+
+
+def fingerprint_expr(text_col="text"):
+    """THE document fingerprint: md5 of normalized text, falling back
+    to the raw text (sentinel-prefixed) when normalization empties it —
+    one definition shared by exact_dedup and functions.text.fingerprint
+    so the two can never silently disagree. The [a-z0-9] normalizer
+    maps non-Latin text to ''; without the fallback every CJK/Cyrillic
+    doc would share md5('') and collapse into one duplicate group."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    norm = F.trim(F.regexp_replace(F.lower(c), r"[^a-z0-9]+", " "))
+    return F.md5(
+        F.when(norm != "", norm).otherwise(
+            F.concat(F.lit("\x00raw\x00"), F.coalesce(c.cast("string"), F.lit("")))
+        )
+    )
+
+
 def portable_token_hash(col):
     """60-bit non-negative hash: first 15 hex chars of md5, as a long.
 
@@ -62,11 +94,9 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     One shuffle on the fingerprint; at 100 TB partition by fingerprint
     prefix and the group sizes stay tiny (hash uniformity).
     """
-    norm = normalized(text_col)
-    fp_val = F.when(norm != "", norm).otherwise(
-        F.concat(F.lit("\x00raw\x00"), F.coalesce(F.col(text_col).cast("string"), F.lit("")))
+    fp = df.select(
+        F.col(id_col).alias("id"), fingerprint_expr(text_col).alias("fingerprint")
     )
-    fp = df.select(F.col(id_col).alias("id"), F.md5(fp_val).alias("fingerprint"))
     keepers = fp.groupBy("fingerprint").agg(F.min("id").alias("keeper_id"))
     return (
         fp.join(keepers, "fingerprint")
@@ -170,14 +200,7 @@ def _lsh_pairs_from_sig(
     equality join is the scale path (candidates ∝ near-dups, never n²).
     bucket_by_hash=False keys the join on the band's raw value array —
     wider shuffle key, but collision-free and oracle-replayable."""
-    if bands < 1 or bands > num_hashes or num_hashes % bands != 0:
-        raise ValueError(
-            f"bands={bands} must divide num_hashes={num_hashes} evenly: "
-            "bands > num_hashes gives every row an empty band slice "
-            "(the join degenerates to all-pairs), a non-dividing bands "
-            "silently drops trailing hashes from banding"
-        )
-    rows_per_band = num_hashes // bands
+    rows_per_band = validate_banding(num_hashes, bands, "MinHash banding")
 
     def _bucket(i: int):
         band_vals = F.slice("sig", i * rows_per_band + 1, rows_per_band)
@@ -362,13 +385,7 @@ def simhash_pairs(
             f"bands={bands} only guarantees recall for hamming ≤ {bands - 1}; "
             f"raise bands to ≥ {max_hamming + 1} for max_hamming={max_hamming}"
         )
-    if bands < 1 or bands > 64 or 64 % bands != 0:
-        raise ValueError(
-            f"bands={bands} must divide the 64-bit fingerprint evenly "
-            "(bands > 64 gives a 0-bit chunk: every row matches every "
-            "row and the join degenerates to all-pairs)"
-        )
-    bits_per_band = 64 // bands
+    bits_per_band = validate_banding(64, bands, "SimHash banding")
     fp = simhash(df, id_col, text_col)
     mask = (1 << bits_per_band) - 1
     banded = fp.select(

@@ -16,7 +16,10 @@ import random
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.dedup import portable_token_hash
+from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.dedup import (
+    portable_token_hash,
+    validate_banding,
+)
 
 
 def _dot(a, b):
@@ -48,25 +51,11 @@ def cosine(a, b):
     return F.when(den != 0, _dot(a, b) / den)
 
 
-def _validate_banding(total_bits: int, bands: int, what: str) -> int:
-    """Shared banding precondition: bands must divide the signature
-    evenly. bands > bits would give every row an empty/zero bucket —
-    silently degenerating the LSH join into an all-pairs cartesian —
-    and a non-dividing bands silently drops trailing bits from every
-    band (unreported recall loss). Returns bits per band."""
-    if bands < 1 or bands > total_bits or total_bits % bands != 0:
-        raise ValueError(
-            f"{what}: bands={bands} must divide {total_bits} evenly "
-            f"(1 <= bands <= {total_bits}); other values silently "
-            "degenerate the banded join or drop signature bits"
-        )
-    return total_bits // bands
-
-
 def _band_cols(num_planes: int, bands: int):
     """(band, bucket) struct array from a packed `sig` column — the one
-    definition of SRP banding used by every consumer."""
-    bits_per_band = _validate_banding(num_planes, bands, "SRP banding")
+    definition of SRP banding used by every consumer. Validation lives
+    in dedup.validate_banding, shared by every LSH family."""
+    bits_per_band = validate_banding(num_planes, bands, "SRP banding")
     return F.array(
         *[
             F.struct(
@@ -282,13 +271,17 @@ def _resolve_centroids(
     the filtered and unfiltered passes select identical rows)."""
     if centroids is not None:
         return [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
-    # degenerate rows (null vector / null element) must not become
-    # centroids: collect() would hand the driver a None to iterate
+    # degenerate rows must not become centroids: a null vector/element
+    # would hand the driver a None to iterate, and a ZERO-NORM vector
+    # would give every item a NULL cosine distance to that cell — NULL
+    # struct fields sort FIRST in array_sort, so one zero centroid
+    # would swallow the entire corpus into a single cell
     sel = items.select(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
     ).filter(
         F.col(vec_col).isNotNull()
         & ~F.array_contains(F.transform(F.col(vec_col), lambda x: x.isNull()), True)
+        & (_norm(F.col(vec_col)) > 0)
     )
     cent_rows: list = []
     if centroid_frac is not None and 0.0 < centroid_frac < 1.0:

@@ -65,7 +65,14 @@ def get_spark(app_name: str = "hannigan-cvb-spark", cpus: str | None = None) -> 
     # standard Spark), and SPARK_GRAFT_MASTER is the explicit override.
     # Only default to local[...] when neither is present — otherwise a
     # cluster submission would silently run local.
-    submitted = "--master" in os.environ.get("PYSPARK_SUBMIT_ARGS", "")
+    # PYSPARK_SUBMIT_ARGS covers pyspark-shell-style launches;
+    # PYSPARK_GATEWAY_PORT marks the spark-submit path (PythonRunner
+    # spawns the driver Python with a pre-existing JVM gateway whose
+    # conf already carries the submitted master)
+    submitted = (
+        "--master" in os.environ.get("PYSPARK_SUBMIT_ARGS", "")
+        or "PYSPARK_GATEWAY_PORT" in os.environ
+    )
     if not submitted:
         master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
         builder = builder.master(master)

@@ -131,6 +131,18 @@ def incremental_edge_upsert(
     )
 
 
+def _drain_max_ms(pdfs, ts_col: str, floor_ms: int) -> int:
+    """Drain a stateful operator's duplicate batches and return the max
+    event-time in ms, floored at `floor_ms` (the stored arming basis) —
+    shared by both first-seen dedup operators so their retention math
+    cannot diverge."""
+    out = floor_ms
+    for pdf in pdfs:
+        if len(pdf):
+            out = max(out, int(pdf[ts_col].max().timestamp() * 1000))
+    return out
+
+
 def streaming_first_seen(
     events: DataFrame,
     key_col: str = "props",
@@ -158,32 +170,29 @@ def streaming_first_seen(
             T.StructField("n_dups", T.LongType()),
         ]
     )
-    state_schema = T.StructType([T.StructField("seen", T.BooleanType())])
+    state_schema = T.StructType([T.StructField("max_ms", T.LongType())])
 
     def dedup(key, pdfs, state):
         if state.hasTimedOut:
             state.remove()
         elif state.exists:
-            # Spark RESETS a GroupState timeout on every invocation: a
-            # duplicate arriving for a known key would otherwise clear
-            # the eviction timer and pin the state forever. Re-arm from
-            # the batch's max event time (duplicates EXTEND retention).
-            max_ts = None
-            for pdf in pdfs:  # drain: all rows are duplicates
-                if len(pdf):
-                    t = pdf["ts"].max()
-                    max_ts = t if max_ts is None else max(max_ts, t)
-            if max_ts is not None:
-                state.setTimeoutTimestamp(
-                    int(max_ts.timestamp() * 1000) + retention_ms
-                )
+            # Spark RESETS a GroupState timeout on every invocation, so
+            # the timer must be re-armed here — but from the MAX of the
+            # stored arming basis and this batch (an out-of-order
+            # duplicate must never move eviction EARLIER, and monotone
+            # timestamps also can't fall below the watermark, which
+            # would throw and kill the query). Duplicates extend
+            # retention; the arming basis lives in the state.
+            state.update(
+                (_drain_max_ms(pdfs, "ts", int(state.get[0])),)
+            )
+            state.setTimeoutTimestamp(int(state.get[0]) + retention_ms)
         else:
             rows = pd.concat(list(pdfs), ignore_index=True)
             first = rows.sort_values(["ts", "event_id"]).iloc[0]
-            state.update((True,))
-            state.setTimeoutTimestamp(
-                int(rows["ts"].max().timestamp() * 1000) + retention_ms
-            )
+            max_ms = int(rows["ts"].max().timestamp() * 1000)
+            state.update((max_ms,))
+            state.setTimeoutTimestamp(max_ms + retention_ms)
             yield pd.DataFrame(
                 [
                     {
@@ -261,14 +270,9 @@ def streaming_near_dup_candidates(
     pipeline."""
     import pandas as pd
 
-    if bands < 1 or bands > num_hashes or num_hashes % bands != 0:
-        raise ValueError(
-            f"bands={bands} must divide num_hashes={num_hashes} evenly "
-            "(same precondition as the batch twin): other values either "
-            "hash an empty slice into one global bucket or silently "
-            "drop trailing hashes from banding"
-        )
-    rows_per_band = num_hashes // bands
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.dedup import validate_banding
+
+    rows_per_band = validate_banding(num_hashes, bands, "MinHash banding")
     sig = events.select(
         "event_id",
         "ts",
@@ -390,30 +394,22 @@ def streaming_chunk_first_seen(
             T.StructField("n_dups", T.LongType()),
         ]
     )
-    state_schema = T.StructType([T.StructField("seen", T.BooleanType())])
+    state_schema = T.StructType([T.StructField("max_ms", T.LongType())])
 
     def dedup(key, pdfs, state):
         if state.hasTimedOut:
             state.remove()
         elif state.exists:
-            # re-arm the eviction timer (Spark resets it per invocation
-            # — see streaming_first_seen); duplicates extend retention
-            max_ts = None
-            for pdf in pdfs:  # drain: all rows are duplicate passages
-                if len(pdf):
-                    t = pdf[ts_col].max()
-                    max_ts = t if max_ts is None else max(max_ts, t)
-            if max_ts is not None:
-                state.setTimeoutTimestamp(
-                    int(max_ts.timestamp() * 1000) + retention_ms
-                )
+            # re-arm from max(stored basis, batch) — see
+            # streaming_first_seen: monotone, never shrinks retention
+            state.update((_drain_max_ms(pdfs, ts_col, int(state.get[0])),))
+            state.setTimeoutTimestamp(int(state.get[0]) + retention_ms)
         else:
             rows = pd.concat(list(pdfs), ignore_index=True)
             first = rows.sort_values([ts_col, "id", "chunk_idx"]).iloc[0]
-            state.update((True,))
-            state.setTimeoutTimestamp(
-                int(rows[ts_col].max().timestamp() * 1000) + retention_ms
-            )
+            max_ms = int(rows[ts_col].max().timestamp() * 1000)
+            state.update((max_ms,))
+            state.setTimeoutTimestamp(max_ms + retention_ms)
             yield pd.DataFrame(
                 [
                     {
