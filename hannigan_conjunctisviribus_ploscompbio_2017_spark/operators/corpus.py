@@ -204,13 +204,19 @@ def pii_scrub(
     Returns (id, clean_text, n_<family>...). Pure Catalyst regexes in
     one codegen'd projection: a 100 TB corpus is scanned once with no
     shuffle at all — the scrub is embarrassingly parallel and pushes
-    column pruning down to the parquet scan."""
+    column pruning down to the parquet scan.
+
+    NULL text is coalesced to '' up front (like quality_features), so a
+    NULL-text doc yields ('', 0, 0, 0) instead of NULL-poisoning every
+    downstream count — without this, regexp over NULL returns NULL and
+    pipelines keying off n_* = 0 silently misroute NULL docs."""
     pats = patterns or PII_PATTERNS
-    scrubbed = F.col(text_col)
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    scrubbed = text
     counts = []
     for name, pat in pats.items():
         counts.append(
-            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0)))
+            F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0)))
             .cast("long")
             .alias(f"n_{name}")
         )
@@ -238,7 +244,12 @@ def line_filter(
     Splits on \\r?\\n, so CRLF text normalizes to LF and no stray \\r
     reaches the terminal-punctuation anchor (Java's `$` matches before
     a final line terminator, RE2's does not — splitting the \\r away
-    keeps the rule identical across engines and the output clean)."""
+    keeps the rule identical across engines and the output clean).
+
+    NULL text is coalesced to '' up front: split(NULL) would make
+    n_lines/n_kept NULL (ANSI) and let NULL docs slip past any
+    `n_kept == 0` emptiness gate downstream; with the coalesce a NULL
+    doc counts as one empty line, zero kept."""
 
     def _keep(line):
         t = F.trim(line)
@@ -247,7 +258,7 @@ def line_filter(
             cond = cond & t.rlike(r"[.!?]$")
         return cond
 
-    lines = F.split(F.col(text_col), r"\r?\n")
+    lines = F.split(F.coalesce(F.col(text_col), F.lit("")), r"\r?\n")
     kept = F.filter(lines, _keep)
     return df.select(
         F.col(id_col).alias("id"),
@@ -404,6 +415,13 @@ def vocab_growth(
     At 100 TB the count-distincts expand to one Expand + two-stage
     aggregate; swap F.countDistinct for F.approx_count_distinct when a
     1-2% HLL estimate is acceptable and the expand is not."""
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
+    bad = [f for f in fractions if not (0.0 < f <= 1.0)]
+    if bad:
+        raise ValueError(f"fractions must lie in (0, 1]: {bad}")
+    if len(set(fractions)) != len(fractions):
+        raise ValueError(f"fractions must be unique: {sorted(fractions)}")
     h = (
         seeded_id_hash(id_col, seed)
     )
@@ -561,7 +579,14 @@ def mixture_weights(
 
     Returns (domain, n_docs, observed_share, target_share, weight).
     One aggregation; the domain table is dimension-sized, so the
-    shares/weights stay in-plan via a broadcast 1-row total."""
+    shares/weights stay in-plan via a broadcast 1-row total.
+
+    `target={}` is rejected: it is ambiguous between "uniform" (pass
+    None) and "drop everything", and the two internal target checks
+    would otherwise disagree on it (truthiness vs `is None`), silently
+    emitting weight 0 for every domain."""
+    if target is not None and not target:
+        raise ValueError("target must be a non-empty dict or None (uniform)")
     counts = df.groupBy(F.col(domain_col).alias("domain")).agg(
         F.count(F.lit(1)).alias("n_docs")
     )

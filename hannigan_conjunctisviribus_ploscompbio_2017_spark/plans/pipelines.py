@@ -499,7 +499,10 @@ def pretrain_pack(
         cleaned.join(dups, id_col), id_col=id_col, weights=split_weights, seed=split_seed
     ).withColumn(
         "disposition",
-        F.when(F.col("n_kept") == 0, F.lit("empty"))
+        # NULL n_kept (only possible if a custom cleaner skips the
+        # NULL-text coalesce that line_filter now applies) routes to
+        # 'empty' — never to a train/val/test split with NULL text
+        F.when((F.col("n_kept") == 0) | F.col("n_kept").isNull(), F.lit("empty"))
         .when(F.col("is_dup") == 1, F.lit("duplicate"))
         .otherwise(F.col("split")),
     ).localCheckpoint(eager=False)

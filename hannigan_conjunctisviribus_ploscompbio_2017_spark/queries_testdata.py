@@ -2109,9 +2109,16 @@ def _ivf_oracle(dim: int = 64, n_cells: int = 16, n_probe: int = 4, k: int = 5) 
     WITH vecs AS MATERIALIZED (
       SELECT vec_id AS id, embedding AS v FROM embeddings
     ), cents AS MATERIALIZED (
+      -- same degenerate-row filter as _resolve_centroids: null vectors,
+      -- null elements, and zero-norm vectors must never become centroids
       SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(id AS VARCHAR))) - 1 AS ci,
              v AS cv
-      FROM (SELECT id, v FROM vecs ORDER BY md5(CAST(id AS VARCHAR)) LIMIT {n_cells})
+      FROM (SELECT id, v FROM vecs
+            WHERE v IS NOT NULL
+              AND NOT list_contains(list_transform(v, x -> x IS NULL), true)
+              AND list_sum(list_transform(v,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0
+            ORDER BY md5(CAST(id AS VARCHAR)) LIMIT {n_cells})
     ), idx AS (SELECT unnest(generate_series(1, {dim})) AS j
     ), dists AS MATERIALIZED (
       SELECT t.id, c.ci,
@@ -3896,9 +3903,16 @@ def _semantic_dedup_oracle(dim: int = 64, n_cells: int = 16, tau: float = 0.8) -
     WITH vecs AS MATERIALIZED (
       SELECT vec_id AS id, embedding AS v FROM embeddings
     ), cents AS MATERIALIZED (
+      -- same degenerate-row filter as _resolve_centroids: null vectors,
+      -- null elements, and zero-norm vectors must never become centroids
       SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(id AS VARCHAR))) - 1 AS ci,
              v AS cv
-      FROM (SELECT id, v FROM vecs ORDER BY md5(CAST(id AS VARCHAR)) LIMIT {n_cells})
+      FROM (SELECT id, v FROM vecs
+            WHERE v IS NOT NULL
+              AND NOT list_contains(list_transform(v, x -> x IS NULL), true)
+              AND list_sum(list_transform(v,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0
+            ORDER BY md5(CAST(id AS VARCHAR)) LIMIT {n_cells})
     ), idx AS (SELECT unnest(generate_series(1, {dim})) AS j
     ), dists AS MATERIALIZED (
       SELECT t.id, c.ci, ROUND(1.0 - {cos}, 6) AS d

@@ -609,6 +609,50 @@ def test_vocab_growth_monotone_and_exact(spark):
     assert rows[1.0].n_tokens == sum(i % 7 + 1 for i in range(100))
 
 
+def test_vocab_growth_rejects_bad_fractions(spark):
+    import pytest
+
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators import corpus
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="unique"):
+        corpus.vocab_growth(df, fractions=(0.5, 0.5))
+    with pytest.raises(ValueError, match=r"\(0, 1\]"):
+        corpus.vocab_growth(df, fractions=(0.5, 1.5))
+    with pytest.raises(ValueError, match=r"\(0, 1\]"):
+        corpus.vocab_growth(df, fractions=(0.0,))
+    with pytest.raises(ValueError, match="non-empty"):
+        corpus.vocab_growth(df, fractions=())
+
+
+def test_mixture_weights_rejects_empty_target(spark):
+    import pytest
+
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators import corpus
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+    with pytest.raises(ValueError, match="non-empty"):
+        corpus.mixture_weights(df, target={})
+
+
+def test_scrub_and_line_filter_null_text_safe(spark):
+    """NULL text must behave like empty text: zero counts and zero
+    kept lines, never NULL-poisoned counters (the ANSI split(NULL)
+    trap that would let NULL docs slip past n_kept == 0 gates)."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators import corpus
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "mail me at a@b.com please.")],
+        "doc_id long, text string",
+    )
+    sc = {r.id: r for r in corpus.pii_scrub(df).collect()}
+    assert sc[1].clean_text == "" and sc[1].n_email == 0
+    assert sc[2].n_email == 1 and "<EMAIL>" in sc[2].clean_text
+    lf = {r.id: r for r in corpus.line_filter(df).collect()}
+    assert lf[1].n_kept == 0 and lf[1].n_lines == 1 and lf[1].clean_text == ""
+    assert lf[2].n_kept == 1
+
+
 def test_cosine_zero_vector_is_null_not_crash(spark):
     """ANSI mode turns naive x/0 into a job-killing exception; cosine
     must yield NULL for zero-norm vectors so degenerate rows drop out

@@ -159,3 +159,19 @@ def test_pretrain_pack_dispositions_and_packing(spark):
             assert r.pack_id >= 0 and 0 <= r.pack_offset < 16
         else:
             assert r.pack_id == -1
+
+
+def test_pretrain_pack_null_text_routes_empty(spark):
+    """A NULL-text doc must land in 'empty' with pack fields -1 — the
+    'only train docs pack' invariant — never in a train/val/test split
+    (the split(NULL) → NULL n_kept trap)."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.plans.pipelines import pretrain_pack
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "A surviving sentence stays right here.")],
+        "doc_id long, text string",
+    )
+    out = {r.id: r for r in pretrain_pack(df, budget=16, n_buckets=2).collect()}
+    assert out[1].disposition == "empty"
+    assert out[1].pack_id == -1 and out[1].n_tok == -1
+    assert out[2].disposition in ("train", "val", "test")
