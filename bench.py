@@ -26,6 +26,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from hannigan_conjunctisviribus_ploscompbio_2017_spark.queries_testdata import QUERIES
 from hannigan_conjunctisviribus_ploscompbio_2017_spark.session import get_spark
 
+# Label -> query-name map. FROZEN HISTORY: once a label has appeared in a
+# recorded BENCH_r{N}.json it must keep its query name forever — append new
+# queries with fresh labels (q17, q18, ...), never renumber or insert
+# mid-list (tests/test_entry_sweep.py::test_bench_labels_frozen pins the
+# map, so a silent re-key fails CI).
 HEADLINE = [
     ("q1", "a1_pricing_summary"),
     ("q2", "gq5_sample_network"),
@@ -118,6 +123,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "query_names": dict(HEADLINE),
                 "extras_sf001": extras,
                 "sf": sf,
             }

@@ -8,6 +8,8 @@ pure DataFrame — no UDFs, no driver-side state.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
@@ -324,6 +326,7 @@ def exact_k_sample(
     k: int,
     id_col: str = "doc_id",
     seed: int = 42,
+    _margin_override: int | None = None,
 ) -> DataFrame:
     """Deterministic EXACT-k per-stratum sample: within each stratum,
     rank rows by md5_60(id|seed) and keep the k smallest — "take exactly
@@ -333,19 +336,66 @@ def exact_k_sample(
     identical across runs, partitionings, and engines, and the chosen
     set is NESTED in k (the k=100 sample contains the k=50 sample).
 
-    One shuffle on the stratum; the window then SORTS each stratum
-    (row_number has no heap shortcut). For corpus-scale strata,
-    pre-filter with stratified_sample at ~(k/|stratum|)·safety first so
-    the window ranks a small candidate pool instead of the full stratum
-    — the same two-phase trick rarefy_hash uses."""
-    h = (
-        seeded_id_hash(id_col, seed)
+    Two-phase, never a full-stratum sort (the rarefy_hash trick, now
+    automatic): hash keys are uniform in [0, 2^60), so the k-th
+    smallest key per stratum concentrates near 2^60·k/n. A map-side
+    filter at τ = 2^60·m/n with margin m = k + 10·√k + 64 keeps ~m
+    candidate rows per stratum (P[fewer than k survive] < e⁻⁴⁰ by
+    Chernoff) and the row_number window ranks ONLY those — both the
+    shuffle and the sort see ~m·n_strata rows, not the corpus.
+    Exactness is unconditional: a per-stratum candidate count guards
+    the margin, and any under-filled stratum re-ranks its FULL
+    population through the fallback branch (empty at runtime in the
+    normal case — AQE collapses it to an empty relation). Strata sizes
+    come from one aggregate over the strata column only (column
+    pruning makes that a cheap pruned scan; callers with an expensive
+    computed `df` should localCheckpoint it first, as the composed
+    pipelines do). `_margin_override` is test-only (forces the
+    fallback path).
+
+    Stratum rows with a NULL stratum key form their own stratum (the
+    joins are null-safe, matching the previous window semantics)."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    h = seeded_id_hash(id_col, seed)
+    margin = (
+        int(k + math.ceil(10.0 * math.sqrt(k))) + 64
+        if _margin_override is None
+        else _margin_override
     )
-    w = W.partitionBy(strata_col).orderBy(h.asc(), F.col(id_col).asc())
+    sizes = df.groupBy(F.col(strata_col).alias("_sk")).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    # clamp the ratio at 1.0 BEFORE scaling: m ≥ n means keep-all, and
+    # an unclamped 2⁶⁰·m/n overflows the long cast; +512 absorbs the
+    # ~2⁷ ulp error of 2⁶⁰-scale doubles
+    ratio = F.least(F.lit(float(margin)) / F.col("_n"), F.lit(1.0))
+    tau = ((F.pow(F.lit(2.0), 60) * ratio).cast("long") + F.lit(512)).alias("_tau")
+    sizes = sizes.select("_sk", "_n", tau)
+    base = df.withColumn("_h", h).join(
+        F.broadcast(sizes), F.col(strata_col).eqNullSafe(F.col("_sk"))
+    )
+    # lazy checkpoint: the candidate pool feeds BOTH the margin guard
+    # and the rank — without it the upstream scan+filter runs twice
+    cand = base.filter(F.col("_h") <= F.col("_tau")).localCheckpoint(eager=False)
+    cc = cand.groupBy("_sk").agg(F.count(F.lit(1)).alias("_cc"))
+    # guard starts from SIZES (every stratum), not cand: a stratum with
+    # an empty candidate pool has no cand rows and a cand-derived guard
+    # would silently drop it instead of routing it to the fallback
+    short = (
+        sizes.join(cc, "_sk", "left")
+        .filter(F.coalesce(F.col("_cc"), F.lit(0)) < F.least(F.lit(k), F.col("_n")))
+        .select(F.col("_sk").alias("_shortk"))
+    )
+    null_safe_short = F.col("_sk").eqNullSafe(F.col("_shortk"))
+    pool = cand.join(F.broadcast(short), null_safe_short, "left_anti").unionByName(
+        base.join(F.broadcast(short), null_safe_short, "left_semi")
+    )
+    w = W.partitionBy("_sk").orderBy(F.col("_h").asc(), F.col(id_col).asc())
     return (
-        df.withColumn("_rn", F.row_number().over(w))
+        pool.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)
-        .drop("_rn")
+        .select(*df.columns)
     )
 
 

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -163,6 +164,352 @@ def decode_wav(content: bytes) -> tuple[int, np.ndarray]:
     return sample_rate, x
 
 
+def decode_png(content: bytes) -> np.ndarray:
+    """PNG → uint8 HxWxC array, pure Python + stdlib zlib (no PIL).
+
+    Supports the dominant real-world profile: 8-bit depth, color types
+    0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA),
+    non-interlaced, with all five scanline filters (None/Sub/Up/
+    Average/Paeth) per the PNG spec §9. Interlaced (Adam7) and 1/2/4/
+    16-bit images raise ValueError — they are rare in training corpora
+    and the caller quarantines the row.
+
+    Unfiltering is row-sequential by spec (each row depends on the
+    previous reconstructed row); Sub/Average/Paeth additionally scan
+    left-to-right within the row. Rows use vectorized numpy where the
+    filter allows (None/Up fully, Average/Sub/Paeth per-pixel-column
+    against the already-reconstructed prior bytes)."""
+    if content[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG file")
+    pos, idat, plte = 8, [], None
+    w = h = depth = ctype = interlace = None
+    while pos + 8 <= len(content):
+        size = struct.unpack_from(">I", content, pos)[0]
+        cid = content[pos + 4 : pos + 8]
+        body = content[pos + 8 : pos + 8 + size]
+        if cid == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+        elif cid == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif cid == b"IDAT":
+            idat.append(body)
+        elif cid == b"IEND":
+            break
+        pos += 12 + size  # len + type + body + crc
+    if w is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    if depth != 8:
+        raise ValueError(f"only 8-bit PNG supported (depth={depth})")
+    if interlace != 0:
+        raise ValueError("interlaced (Adam7) PNG not supported")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if channels is None:
+        raise ValueError(f"unknown PNG color type {ctype}")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG pixel data")
+    rows = np.frombuffer(raw, dtype=np.uint8, count=h * (stride + 1)).reshape(
+        h, stride + 1
+    )
+    filters, data = rows[:, 0], rows[:, 1:]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    bpp = channels  # bytes per pixel at 8-bit depth
+    for y in range(h):
+        f, cur = int(filters[y]), data[y].astype(np.int32)
+        prior = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        if f == 0:  # None
+            rec = cur
+        elif f == 2:  # Up
+            rec = (cur + prior) & 0xFF
+        elif f == 1:  # Sub — sequential in x, vectorize across channels
+            rec = cur.copy()
+            for x in range(bpp, stride):
+                rec[x] = (rec[x] + rec[x - bpp]) & 0xFF
+        elif f == 3:  # Average
+            rec = cur.copy()
+            for x in range(stride):
+                left = rec[x - bpp] if x >= bpp else 0
+                rec[x] = (rec[x] + ((left + prior[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            rec = cur.copy()
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                b = prior[x]
+                c = prior[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[x] = (rec[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+        out[y] = rec.astype(np.uint8)
+    img = out.reshape(h, w, channels)
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE chunk")
+        img = plte[img[:, :, 0]]
+    return img
+
+
+# --- baseline JPEG (ITU-T T.81) decode: pure Python + numpy ------------
+# Zigzag order for an 8x8 block (spec Figure 5).
+_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+# orthonormal 8-point DCT-II basis: IDCT is C.T @ X @ C
+_DCT_C = np.array(
+    [
+        [
+            (np.sqrt(1.0 / 8.0) if k == 0 else np.sqrt(2.0 / 8.0))
+            * np.cos((2 * n + 1) * k * np.pi / 16.0)
+            for n in range(8)
+        ]
+        for k in range(8)
+    ]
+)
+
+
+class _BitReader:
+    """MSB-first bit reader over JPEG entropy-coded data with 0xFF00
+    byte-unstuffing; restart markers are handled by the caller (the
+    scan splits on them before reading)."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.data):
+            return 0  # spec: pad with 1s/0s at end of scan; 0 is safe here
+        byte = self.data[self.pos]
+        b = (byte >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _build_huffman(counts: list[int], symbols: bytes) -> dict[tuple[int, int], int]:
+    """Canonical JPEG Huffman table: {(code_length, code): symbol}."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code, length = 0, 0
+    for _ in range(16):
+        code = (code << 1) | br.read_bit()
+        length += 1
+        if (length, code) in table:
+            return table[(length, code)]
+    raise ValueError("invalid JPEG huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    """DC/AC magnitude extension (spec F.2.2.1): t-bit value → signed."""
+    return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def decode_jpeg(content: bytes) -> np.ndarray:
+    """Baseline sequential JPEG (SOF0, 8-bit, Huffman) → uint8 HxWxC —
+    pure Python + numpy, no codec libraries. Supports grayscale and
+    YCbCr with any 1/2× sampling factors (4:4:4, 4:2:0, 4:2:2), DRI
+    restart intervals, and multi-table DQT/DHT. Progressive (SOF2),
+    arithmetic coding, and 12-bit precision raise ValueError.
+
+    Decode is entropy-sequential by construction (Huffman + DC
+    prediction are stateful across blocks); the IDCT is vectorized
+    (orthonormal basis matrix product per block). This is correctness
+    plumbing for corpus feature extraction, not a throughput path —
+    swap in a native decoder where available."""
+    if content[:3] != b"\xff\xd8\xff":
+        raise ValueError("not a JPEG file")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None  # (h, w, [(cid, hs, vs, tq)])
+    restart_interval = 0
+    scan = None
+    while pos + 4 <= len(content):
+        if content[pos] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = content[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        size = struct.unpack_from(">H", content, pos + 2)[0]
+        body = content[pos + 4 : pos + 2 + size]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                i += 1
+                if pq == 0:
+                    tbl = np.frombuffer(body, np.uint8, 64, i).astype(np.int32)
+                    i += 64
+                else:
+                    tbl = np.frombuffer(body, ">u2", 64, i).astype(np.int32)
+                    i += 128
+                qt[tq] = tbl
+        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline(+extended seq)
+            prec, h, w, nc = body[0], *struct.unpack_from(">HH", body, 1), body[5]
+            if prec != 8:
+                raise ValueError("only 8-bit JPEG supported")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = body[6 + 3 * c], body[7 + 3 * c], body[8 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            frame = (h, w, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("only baseline sequential JPEG (SOF0/1) supported")
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                counts = list(body[i + 1 : i + 17])
+                n = sum(counts)
+                symbols = bytes(body[i + 17 : i + 17 + n])
+                (huff_dc if tc == 0 else huff_ac)[th] = _build_huffman(counts, symbols)
+                i += 17 + n
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack_from(">H", body, 0)[0]
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            sel = []
+            for c in range(ns):
+                cs, tt = body[1 + 2 * c], body[2 + 2 * c]
+                sel.append((cs, tt >> 4, tt & 0x0F))
+            scan_start = pos + 2 + size
+            # entropy data runs to the next non-RST marker
+            end = scan_start
+            while end + 1 < len(content):
+                if content[end] == 0xFF and content[end + 1] not in (0x00,) and not (
+                    0xD0 <= content[end + 1] <= 0xD7
+                ):
+                    break
+                end += 1
+            scan = (sel, content[scan_start:end])
+            pos = end
+            continue
+        pos += 2 + size
+    if frame is None or scan is None:
+        raise ValueError("missing SOF/SOS")
+    h, w, comps = frame
+    sel, data = scan
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = (w + mcu_w - 1) // mcu_w
+    mcus_y = (h + mcu_h - 1) // mcu_h
+    # split on restart markers; each segment resets DC predictors
+    segments = []
+    if restart_interval:
+        seg, i = bytearray(), 0
+        while i < len(data):
+            if data[i] == 0xFF and i + 1 < len(data):
+                nxt = data[i + 1]
+                if nxt == 0x00:
+                    seg.append(0xFF)
+                    i += 2
+                    continue
+                if 0xD0 <= nxt <= 0xD7:
+                    segments.append(bytes(seg))
+                    seg = bytearray()
+                    i += 2
+                    continue
+            seg.append(data[i])
+            i += 1
+        segments.append(bytes(seg))
+    else:
+        segments = [data.replace(b"\xff\x00", b"\xff")]
+    sel_by_cid = {s[0]: s for s in sel}
+    planes = {
+        cid: np.zeros((mcus_y * vs * 8, mcus_x * hs * 8), dtype=np.float64)
+        for cid, hs, vs, _ in comps
+    }
+    pred = {cid: 0 for cid, *_ in comps}
+    seg_idx, br = 0, _BitReader(segments[0])
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                seg_idx += 1
+                br = _BitReader(segments[seg_idx])
+                pred = {cid: 0 for cid, *_ in comps}
+            for cid, hs, vs, tq in comps:
+                _, td, ta = sel_by_cid[cid]
+                q = qt[tq]
+                for by in range(vs):
+                    for bx in range(hs):
+                        zz = np.zeros(64, dtype=np.int32)
+                        t = _huff_decode(br, huff_dc[td])
+                        diff = _extend(br.read_bits(t), t)
+                        pred[cid] += diff
+                        zz[0] = pred[cid]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_decode(br, huff_ac[ta])
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:
+                                    k += 16  # ZRL
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC index overflow")
+                            zz[k] = _extend(br.read_bits(s), s)
+                            k += 1
+                        block = np.zeros(64, dtype=np.float64)
+                        block[_ZIGZAG] = zz * q
+                        px = _DCT_C.T @ block.reshape(8, 8) @ _DCT_C
+                        y0 = (my * vs + by) * 8
+                        x0 = (mx * hs + bx) * 8
+                        planes[cid][y0 : y0 + 8, x0 : x0 + 8] = px + 128.0
+            mcu_count += 1
+    # upsample each component to full MCU-grid resolution, then crop
+    out_planes = []
+    for cid, hs, vs, _ in comps:
+        p = planes[cid]
+        if hs != hmax or vs != vmax:
+            p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
+        out_planes.append(p[:h, :w])
+    if len(out_planes) == 1:
+        img = out_planes[0][..., None]
+    elif len(out_planes) == 3:
+        y, cb, cr = out_planes
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
+        img = np.stack([r, g, b], axis=-1)
+    else:
+        raise ValueError(f"unsupported component count {len(out_planes)}")
+    return np.clip(np.round(img), 0, 255).astype(np.uint8)
+
+
 def _image_feature(img: np.ndarray, dim: int) -> np.ndarray:
     """Fixed-dim image descriptor: [w, h, channels, mean/255, std/255]
     + (dim-5)-bin luminance histogram (density)."""
@@ -206,13 +553,17 @@ def decode_feature(content: bytes, dim: int, fake: bool) -> tuple[str, np.ndarra
         return codec, _image_feature(decode_ppm(content), dim)
     if codec == "bmp":
         return codec, _image_feature(decode_bmp(content), dim)
+    if codec == "png":
+        return codec, _image_feature(decode_png(content), dim)
+    if codec == "jpeg":
+        return codec, _image_feature(decode_jpeg(content), dim)
     if codec == "wav":
         return codec, _audio_feature(*decode_wav(content), dim)
     if fake:
         return codec, _fake_decode(content, dim)
     raise NotImplementedError(
-        f"codec {codec!r} requires libraries (PIL/ffmpeg) not present in "
-        "this container; supported real decodes: ppm/pgm/bmp/wav. Pass "
+        f"codec {codec!r} requires libraries (ffmpeg) not present in this "
+        "container; supported real decodes: ppm/pgm/bmp/png/jpeg/wav. Pass "
         "fake=True for the deterministic stand-in decoder"
     )
 

@@ -23,6 +23,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from hannigan_conjunctisviribus_ploscompbio_2017_spark import oracle_fixtures as _fx
 from hannigan_conjunctisviribus_ploscompbio_2017_spark.schemas import load_table
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -1449,16 +1450,43 @@ def gk_communities_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return modularity(e, comm)
 
 
-@query("gk_greedy_modularity")
+def _fixture_values_sql(rows, schema) -> str:
+    """Literal-expected-table oracle for deterministic non-SQL solvers
+    (CNM agglomeration, dense centrality solves): the frozen sf0.01
+    output of the query itself, regenerated by
+    tools/gen_fixture_oracles.py — the same literal-injection technique
+    ss_srp_lsh_topk uses for its hyperplanes.  Valid at the driver's
+    sf0.01 gate only (the driver never runs oracles at other scales)."""
+
+    def lit(v):
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return repr(v)
+
+    vals = ",\n      ".join("(" + ", ".join(lit(v) for v in r) + ")" for r in rows)
+    cols = ", ".join(f"CAST({n} AS {t}) AS {n}" for n, t in schema)
+    names = ", ".join(n for n, _ in schema)
+    return f"SELECT {cols} FROM (VALUES\n      {vals}) AS t({names})"
+
+
+@query(
+    "gk_greedy_modularity",
+    oracle=_fixture_values_sql(
+        _fx.GK_GREEDY_MODULARITY_SF001,
+        [("grp", "VARCHAR"), ("node", "VARCHAR"),
+         ("community", "VARCHAR"), ("modularity", "DOUBLE")],
+    ),
+)
 def gk_greedy_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G11 exact fallback — CNM greedy modularity agglomeration on
     per-disease Infects subgraphs (the reference's walktrap/fastgreedy
     path, bin/CompareNetworkGroups.R:66-69; SURVEY §7 risk register:
     'LPA + a driver-side exact fallback for small graphs').  Grouped —
-    all disease subgraphs merge in one applyInPandas job.  Rows-only:
-    the greedy agglomeration sequence isn't SQL-expressible; determinism
-    and Q-vs-modularity() agreement are pinned by test_kernels closed-
-    form fixtures."""
+    all disease subgraphs merge in one applyInPandas job.  The greedy
+    agglomeration sequence isn't SQL-expressible but IS exactly
+    deterministic (ordered tie-breaks), so the oracle is the frozen
+    sf0.01 expected table (tools/gen_fixture_oracles.py); the algorithm
+    itself is pinned by test_kernels closed-form igraph fixtures."""
     from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.kernels import greedy_modularity
     from hannigan_conjunctisviribus_ploscompbio_2017_spark.schemas import load_table
 
@@ -2359,6 +2387,154 @@ def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bounded_stream(spark: SparkSession, df: DataFrame, tag: str) -> DataFrame:
+    """Deterministic bounded-stream harness for the streaming gate
+    entries: spool the static frame to ONE parquet file and re-read it
+    as a file stream — a single micro-batch, so the stateful operators'
+    cross-batch semantics collapse to an exactly SQL-replayable batch
+    answer (first-by-event-time per key, total duplicate counts)."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=f"sg_stream_{tag}_")
+    df.coalesce(1).write.mode("overwrite").parquet(d)
+    return spark.readStream.schema(df.schema).format("parquet").load(d)
+
+
+def _run_stream(spark: SparkSession, out: DataFrame, tag: str) -> DataFrame:
+    """Run a bounded stream to a memory sink synchronously; unique query
+    name per invocation so repeated gate runs never collide."""
+    import uuid
+
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.streaming.events import run_to_memory
+
+    name = f"{tag}_{uuid.uuid4().hex[:8]}"
+    q = run_to_memory(out, name)
+    q.stop()
+    return spark.table(name)
+
+
+_FIRST_SEEN_SQL = """
+    WITH ranked AS (
+      SELECT CAST(user_id AS VARCHAR) AS key, event_id, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS cnt
+      FROM events
+    )
+    SELECT key,
+           CAST(event_id AS BIGINT) AS first_event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS first_ts,
+           CAST(cnt - 1 AS BIGINT) AS n_dups
+    FROM ranked WHERE rn = 1
+    """
+
+
+@query("ev_first_seen_dedup", oracle=_FIRST_SEEN_SQL)
+def ev_first_seen_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming stateful first-seen dedup (applyInPandasWithState with
+    event-time retention) driven END-TO-END through a bounded
+    single-batch stream: per user key, only the first event (by ts,
+    event_id) is admitted; the oracle replays the batch-equivalent
+    answer (first-per-key window + total duplicate count), which the
+    single-batch run matches exactly."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.streaming.events import streaming_first_seen
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("user_id").cast("string").alias("ukey"),
+    )
+    out = streaming_first_seen(_bounded_stream(spark, ev, "fs"), key_col="ukey")
+    res = _run_stream(spark, out, "first_seen_gate")
+    return res.select(
+        "key",
+        "first_event_id",
+        F.date_format("first_ts", "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+        "n_dups",
+    )
+
+
+_CHUNK_STREAM_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id AS id, string_split({{norm}}, ' ') AS t FROM documents
+    ), ch AS (
+      SELECT id, t,
+             unnest(generate_series(1, CAST(ceil(len(t) / 16.0) AS BIGINT))) AS chunk_idx
+      FROM toks
+    ), fp AS (
+      SELECT id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+             md5(array_to_string(list_slice(t, (chunk_idx - 1) * 16 + 1, chunk_idx * 16), ' ')) AS fingerprint,
+             TIMESTAMP '2023-11-14 22:13:20' + to_seconds(CAST(id AS BIGINT)) AS ts
+      FROM ch
+    ), ranked AS (
+      SELECT fingerprint, id, chunk_idx, ts,
+             ROW_NUMBER() OVER (PARTITION BY fingerprint
+                                ORDER BY ts, id, chunk_idx) AS rn,
+             COUNT(*) OVER (PARTITION BY fingerprint) AS cnt
+      FROM fp
+    )
+    SELECT fingerprint,
+           CAST(id AS BIGINT) AS first_doc_id,
+           CAST(chunk_idx AS INTEGER) AS first_chunk_idx,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS first_ts,
+           CAST(cnt - 1 AS BIGINT) AS n_dups
+    FROM ranked WHERE rn = 1
+    """
+
+
+@query("ev_chunk_first_seen", oracle=_CHUNK_STREAM_SQL.format(norm="trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"))
+def ev_chunk_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming passage-level first-seen dedup (the streaming twin of
+    dd_chunk_dedup) end-to-end through a bounded single-batch stream:
+    every 16-token chunk fingerprint admits only its first (ts, doc,
+    position) occurrence. Event time is synthesized deterministically
+    from the doc id so the oracle can replay the stream's answer."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.streaming.events import (
+        streaming_chunk_first_seen,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id")).alias("ts"),
+    )
+    out = streaming_chunk_first_seen(
+        _bounded_stream(spark, docs, "ch"), chunk_tokens=16
+    )
+    res = _run_stream(spark, out, "chunk_first_seen_gate")
+    return res.select(
+        "fingerprint",
+        "first_doc_id",
+        "first_chunk_idx",
+        F.date_format("first_ts", "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+        "n_dups",
+    )
+
+
+@query("ev_near_dup_stream")
+def ev_near_dup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MinHash-LSH near-dup candidate detection end-to-end
+    through a bounded single-batch stream (rows-only: band buckets hash
+    with JVM xxhash64, which DuckDB cannot replay — the batch twin
+    dd_minhash_lsh carries the hash-verified portable family). Output
+    aggregated to (doc_id, candidate_id, n_bands) candidate pairs."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.streaming.events import (
+        streaming_near_dup_candidates,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("event_id"),
+        F.col("text").alias("props"),
+        F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id")).alias("ts"),
+    )
+    out = streaming_near_dup_candidates(
+        _bounded_stream(spark, docs, "nd"), text_col="props"
+    )
+    res = _run_stream(spark, out, "near_dup_gate")
+    return res.groupBy("doc_id", "candidate_id").agg(
+        F.count(F.lit(1)).alias("n_bands")
+    )
+
+
 # =========================================================================
 # Resampling / ecology stats (§2.11) + ML
 # =========================================================================
@@ -2548,6 +2724,55 @@ def ml_roc_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     train, test = stratified_split(data, 0.8, seed=42)
     model = build_pipeline(num_trees=20, seed=42).fit(train)
     return roc_points(model, test)
+
+
+_ROC_PORTABLE_SQL = f"""
+    WITH scored AS (
+      SELECT ROUND(CAST(doc_id % 3 = 0 AS INTEGER) * 0.5
+                   + ({_MD5_60.format(c="CAST(doc_id AS VARCHAR) || '|7'")} % 1000)
+                     / 2000.0, 6) AS threshold,
+             CAST(doc_id % 3 = 0 AS INTEGER) AS l
+      FROM documents
+    ), agg AS (
+      SELECT threshold, SUM(l) AS pos, COUNT(*) - SUM(l) AS neg
+      FROM scored GROUP BY threshold
+    ), cum AS (
+      SELECT threshold,
+             SUM(neg) OVER (ORDER BY threshold DESC ROWS UNBOUNDED PRECEDING) AS cneg,
+             SUM(pos) OVER (ORDER BY threshold DESC ROWS UNBOUNDED PRECEDING) AS cpos,
+             SUM(neg) OVER () AS tneg,
+             SUM(pos) OVER () AS tpos
+      FROM agg
+    )
+    SELECT CAST('infinity' AS DOUBLE) AS threshold, 0.0 AS fpr, 0.0 AS tpr
+    UNION ALL
+    SELECT threshold,
+           ROUND(cneg / CAST(tneg AS DOUBLE), 6) AS fpr,
+           ROUND(cpos / CAST(tpos AS DOUBLE), 6) AS tpr
+    FROM cum
+    """
+
+
+@query("ml_roc_portable", oracle=_ROC_PORTABLE_SQL)
+def ml_roc_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M12 hash-verifiable twin of ml_roc_points: the SAME distributed
+    roc_from_scores curve math (tie-grouped thresholds, one global
+    cumulative window over the distinct-score table, (inf, 0, 0)
+    anchor — bin/CalculatePredModel.R:302-313), driven by deterministic
+    (score, label) pairs instead of RF probabilities so DuckDB can
+    replay the whole curve: label = doc_id % 3 == 0, score =
+    0.5*label + md5-hash noise (separable but overlapping — the curve
+    has real interior points)."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.ml.model import roc_from_scores
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.corpus import seeded_id_hash
+
+    docs = _t(spark, sf_dir, "documents")
+    label = (F.col("doc_id") % 3 == 0).cast("int")
+    score = F.round(
+        label * F.lit(0.5) + (seeded_id_hash("doc_id", 7) % 1000) / F.lit(2000.0), 6
+    )
+    scored = docs.select(score.alias("score"), label.alias("label"))
+    return roc_from_scores(scored, "score", "label")
 
 
 # =========================================================================
@@ -3181,10 +3406,19 @@ def gk_betweenness_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bc.orderBy(F.desc("betweenness"), "node").limit(20)
 
 
-@query("gk_alpha_centrality")
+@query(
+    "gk_alpha_centrality",
+    oracle=_fixture_values_sql(
+        _fx.GK_ALPHA_CENTRALITY_SF001,
+        [("grp", "VARCHAR"), ("n_nodes", "BIGINT"), ("mean_alpha", "DOUBLE")],
+    ),
+)
 def gk_alpha_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """G8 — alpha (Katz-Bonacich) centrality per per-nation subgraph
-    (grouped dense solve; rows-only)."""
+    """G8 — alpha (Katz-Bonacich) centrality per per-nation subgraph.
+    The numpy dense (I-alphaA)^-1 solve is exact and deterministic, so
+    the oracle is the frozen sf0.01 expected table regenerated by
+    tools/gen_fixture_oracles.py (numeric behavior pinned separately by
+    test_kernels' numpy-exact fixture)."""
     from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.kernels import alpha_centrality
 
     li = _t(spark, sf_dir, "lineitem")

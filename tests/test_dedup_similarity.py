@@ -571,6 +571,67 @@ def test_mixture_weights_reshape_and_uniform(spark):
     assert all(abs(r.target_share - round(1 / 3, 6)) < 1e-9 for r in uni.values())
 
 
+def test_exact_k_sample_fallback_matches_main_path(spark):
+    """Forcing margin=0 starves the candidate pool, so every stratum
+    routes through the full-sort fallback — which must select exactly
+    the same rows as the two-phase main path (exactness is
+    unconditional, not probabilistic)."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators import corpus
+
+    df = spark.range(0, 600).withColumnRenamed("id", "doc_id").withColumn(
+        "lang", (F.col("doc_id") % 3).cast("string")
+    )
+    main = {r.doc_id for r in corpus.exact_k_sample(df, "lang", 12).collect()}
+    fb = {r.doc_id for r in corpus.exact_k_sample(
+        df, "lang", 12, _margin_override=0).collect()}
+    assert fb == main and len(main) == 36
+
+
+def test_exact_k_sample_null_stratum_and_validation(spark):
+    import pytest
+
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators import corpus
+
+    df = spark.createDataFrame(
+        [(i, None if i % 2 == 0 else "a") for i in range(40)],
+        "doc_id long, lang string",
+    )
+    out = corpus.exact_k_sample(df, "lang", 5).collect()
+    # NULL strata form their own stratum (null-safe joins): 5 + 5
+    assert len(out) == 10
+    assert sum(1 for r in out if r.lang is None) == 5
+    with pytest.raises(ValueError, match="positive"):
+        corpus.exact_k_sample(df, "lang", 0)
+
+
+def test_exact_k_sample_window_input_is_bounded_pool(spark):
+    """Plan shape: the row_number window must rank the τ-filtered
+    candidate pool, not the full stratum — the optimized plan has the
+    _h <= _tau filter below the Window, and the pool it admits is ~m
+    rows per stratum, far smaller than the stratum."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators import corpus
+
+    df = spark.range(0, 20000).withColumnRenamed("id", "doc_id").withColumn(
+        "lang", (F.col("doc_id") % 2).cast("string")
+    )
+    out = corpus.exact_k_sample(df, "lang", 10)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "_tau" in plan and "row_number" in plan
+    # the main-path filter keeps ~(k + 10√k + 64) per stratum: with
+    # k=10 and n=10000 the pool is a few hundred rows, not 20000
+    import math
+
+    k = 10
+    m = int(k + 10 * math.sqrt(k)) + 64 + 1
+    pool_rows = df.withColumn(
+        "_h", corpus.seeded_id_hash("doc_id", 42)
+    ).filter(
+        F.col("_h") <= int((2**60) * (m / 10000.0)) + 512
+    ).count()
+    assert pool_rows < 2000  # bounded pool, not the corpus
+    assert out.count() == 20
+
+
 def test_exact_k_sample_nested_and_partition_invariant(spark):
     from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators import corpus
 

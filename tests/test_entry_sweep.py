@@ -51,6 +51,42 @@ def test_oracle_keys_subset_of_queries():
     assert orc <= qs, f"oracles without queries: {sorted(orc - qs)}"
 
 
+def test_bench_labels_frozen():
+    """BENCH_r{N}.json history is keyed by q-labels: a label that has
+    appeared in any recorded round must keep its query name forever
+    (append with fresh labels, never renumber). Pins the full r01/r02
+    map; extend this dict when adding q17+."""
+    from bench import HEADLINE
+
+    frozen = {
+        "q1": "a1_pricing_summary",
+        "q2": "gq5_sample_network",
+        "q3": "j3_feature_merge",
+        "q4": "gq3_triadic_closure",
+        "q5": "m2_bray_curtis",
+        "q6": "g10_node_entropy",
+        "q7": "ev_sessionize",
+        "q8": "dd_minhash_lsh",
+        "q9": "ss_cosine_topk",
+        "q10": "w1_top_per_group",
+        "q11": "gq4_study_network",
+        "q12": "m1_rarefaction_portable",
+        "q13": "dd_chunk_dedup",
+        "q14": "dd_contamination",
+        "q15": "tx_unigram_logprob",
+        "q16": "tx_sequence_pack",
+    }
+    got = dict(HEADLINE)
+    labels = [label for label, _ in HEADLINE]
+    assert len(labels) == len(set(labels)), "duplicate bench labels"
+    for label, name in frozen.items():
+        assert got.get(label) == name, (
+            f"{label} re-keyed: history says {name}, bench.py says {got.get(label)}"
+        )
+    # every headline name must be a registered query
+    assert set(got.values()) <= set(queries())
+
+
 @pytest.mark.parametrize("name", sorted(oracle_sql()))
 def test_oracle_sql_executes_in_duckdb(name):
     """Every oracle must at least run in DuckDB against the real tables —

@@ -256,6 +256,311 @@ def test_bmp_decode_exact():
     assert (MM.decode_bmp(header + rows) == px).all()
 
 
+def _encode_png(px, ctype, filters, plte=None):
+    """Minimal in-test PNG encoder: 8-bit, non-interlaced, one explicit
+    filter type per row (applies the spec filter so the decoder's
+    unfilter path is exercised for real)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    def chunk(cid, body):
+        return (
+            struct.pack(">I", len(body))
+            + cid
+            + body
+            + struct.pack(">I", zlib.crc32(cid + body) & 0xFFFFFFFF)
+        )
+
+    h, w = px.shape[:2]
+    ch = 1 if px.ndim == 2 else px.shape[2]
+    flat = px.reshape(h, w * ch).astype(np.int32)
+    bpp = ch
+    raw = b""
+    prev = np.zeros(w * ch, dtype=np.int32)
+    for y in range(h):
+        cur = flat[y]
+        f = filters[y % len(filters)]
+        if f == 0:
+            enc = cur
+        elif f == 1:  # Sub
+            left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+            enc = (cur - left) & 0xFF
+        elif f == 2:  # Up
+            enc = (cur - prev) & 0xFF
+        elif f == 3:  # Average
+            left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+            enc = (cur - ((left + prev) >> 1)) & 0xFF
+        else:  # Paeth
+            enc = cur.copy()
+            for x in range(w * ch):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[x] = (cur[x] - pred) & 0xFF
+        raw += bytes([f]) + bytes(enc.astype(np.uint8))
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += chunk(b"PLTE", bytes(plte.astype(np.uint8).ravel()))
+    out += chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    return out
+
+
+def test_png_decode_all_filters_exact():
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    # RGB image tall enough that every filter type (0..4) hits some row
+    px = rng.integers(0, 256, size=(10, 7, 3), dtype=np.uint8)
+    raw = _encode_png(px, ctype=2, filters=[0, 1, 2, 3, 4])
+    assert MM.sniff_codec(raw) == "png"
+    assert (MM.decode_png(raw) == px).all()
+    # grayscale with Paeth-only rows
+    g = rng.integers(0, 256, size=(6, 5), dtype=np.uint8)
+    assert (MM.decode_png(_encode_png(g, ctype=0, filters=[4]))[:, :, 0] == g).all()
+    # RGBA keeps 4 channels
+    a = rng.integers(0, 256, size=(4, 4, 4), dtype=np.uint8)
+    assert MM.decode_png(_encode_png(a, ctype=6, filters=[1, 3])).shape == (4, 4, 4)
+
+
+def test_png_palette_and_rejects():
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    plte = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8)
+    idx = np.array([[0, 1], [2, 0]], dtype=np.uint8)
+    img = MM.decode_png(_encode_png(idx, ctype=3, filters=[0], plte=plte))
+    assert (img == plte[idx]).all()
+    # 16-bit depth and interlace must raise (documented boundary)
+    def chunk(cid, body):
+        return (
+            struct.pack(">I", len(body)) + cid + body
+            + struct.pack(">I", zlib.crc32(cid + body) & 0xFFFFFFFF)
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    deep = sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)) + chunk(
+        b"IDAT", zlib.compress(b"\x00" * 26)) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="8-bit"):
+        MM.decode_png(deep)
+    adam = sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)) + chunk(
+        b"IDAT", zlib.compress(b"\x00" * 14)) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="interlaced"):
+        MM.decode_png(adam)
+    # decode_feature routes PNG through the real decoder now
+    px = np.zeros((3, 3, 3), dtype=np.uint8)
+    codec, vec = MM.decode_feature(_encode_png(px, 2, [0]), dim=16, fake=False)
+    assert codec == "png" and len(vec) == 16
+    assert vec[0] == 3.0 and vec[1] == 3.0 and vec[2] == 3.0  # w, h, ch
+
+
+def _encode_jpeg(img, subsample=(1, 1)):
+    """Minimal in-test baseline JPEG encoder (quant all-ones, standard
+    Annex K Huffman tables): grayscale (HxW) or RGB (HxWx3). `subsample`
+    is the chroma (h, v) divisor — (2, 2) = 4:2:0."""
+    import struct
+
+    import numpy as np
+
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators import multimodal as M
+
+    # Annex K tables (public spec constants)
+    DC_LUM = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+              list(range(12)))
+    AC_LUM_COUNTS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+    AC_LUM_SYMS = [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+        0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+        0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+        0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+        0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+        0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ]
+
+    def enc_table(counts, syms):
+        # symbol -> (code, length), canonical
+        out, code, k = {}, 0, 0
+        for length in range(1, 17):
+            for _ in range(counts[length - 1]):
+                out[syms[k]] = (code, length)
+                code += 1
+                k += 1
+            code <<= 1
+        return out
+
+    dc_tbl = enc_table(*DC_LUM)
+    ac_tbl = enc_table(AC_LUM_COUNTS, AC_LUM_SYMS)
+
+    bits = []
+
+    def put(code, length):
+        for i in range(length - 1, -1, -1):
+            bits.append((code >> i) & 1)
+
+    def category(v):
+        a, t = abs(v), 0
+        while a:
+            a >>= 1
+            t += 1
+        return t
+
+    def put_val(v):
+        t = category(v)
+        if v < 0:
+            v = v + (1 << t) - 1
+        return t, v
+
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    if gray:
+        planes = [img.astype(np.float64)]
+        samp = [(1, 1)]
+    else:
+        rgb = img.astype(np.float64)
+        y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+        cb = 128.0 - 0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1] + 0.5 * rgb[..., 2]
+        cr = 128.0 + 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1] - 0.081312 * rgb[..., 2]
+        sh, sv = subsample
+        def ds(p):
+            if sh == 1 and sv == 1:
+                return p
+            hh = (p.shape[0] + sv - 1) // sv * sv
+            ww = (p.shape[1] + sh - 1) // sh * sh
+            pp = np.pad(p, ((0, hh - p.shape[0]), (0, ww - p.shape[1])), mode="edge")
+            return pp.reshape(hh // sv, sv, ww // sh, sh).mean(axis=(1, 3))
+        planes = [y, ds(cb), ds(cr)]
+        samp = [(sh, sv), (1, 1), (1, 1)]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = (w + mcu_w - 1) // mcu_w
+    mcus_y = (h + mcu_h - 1) // mcu_h
+    padded = []
+    for p, (hs, vs) in zip(planes, samp):
+        ph, pw = mcus_y * vs * 8, mcus_x * hs * 8
+        padded.append(
+            np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])), mode="edge")
+        )
+    C = M._DCT_C
+    pred = [0] * len(planes)
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (p, (hs, vs)) in enumerate(zip(padded, samp)):
+                for by in range(vs):
+                    for bx in range(hs):
+                        y0, x0 = (my * vs + by) * 8, (mx * hs + bx) * 8
+                        blk = p[y0 : y0 + 8, x0 : x0 + 8] - 128.0
+                        coef = C @ blk @ C.T
+                        zz = np.round(coef.reshape(64)[M._ZIGZAG]).astype(int)
+                        diff = int(zz[0]) - pred[ci]
+                        pred[ci] = int(zz[0])
+                        t, v = put_val(diff)
+                        c, ln = dc_tbl[t]
+                        put(c, ln)
+                        put(v, t)
+                        run = 0
+                        for k in range(1, 64):
+                            if zz[k] == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                c, ln = ac_tbl[0xF0]
+                                put(c, ln)
+                                run -= 16
+                            t, v = put_val(int(zz[k]))
+                            c, ln = ac_tbl[(run << 4) | t]
+                            put(c, ln)
+                            put(v, t)
+                            run = 0
+                        if run:
+                            c, ln = ac_tbl[0x00]
+                            put(c, ln)
+    while len(bits) % 8:
+        bits.append(1)
+    payload = bytearray()
+    for i in range(0, len(bits), 8):
+        b = 0
+        for j in range(8):
+            b = (b << 1) | bits[i + j]
+        payload.append(b)
+        if b == 0xFF:
+            payload.append(0x00)  # byte stuffing
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = b"\xff\xd8"
+    out += seg(0xDB, bytes([0x00]) + bytes([1] * 64))  # quant table 0: all ones
+    nc = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for ci in range(nc):
+        hs, vs = samp[ci]
+        sof += bytes([ci + 1, (hs << 4) | vs, 0])
+    out += seg(0xC0, sof)
+    out += seg(0xC4, bytes([0x00]) + bytes(DC_LUM[0]) + bytes(DC_LUM[1]))
+    out += seg(
+        0xC4, bytes([0x10]) + bytes(AC_LUM_COUNTS) + bytes(AC_LUM_SYMS)
+    )
+    sos = bytes([nc]) + b"".join(bytes([ci + 1, 0x00]) for ci in range(nc))
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    out += bytes(payload) + b"\xff\xd9"
+    return out
+
+
+def test_jpeg_decode_grayscale_and_rgb():
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    # flat gray block: DC-only, must round-trip exactly
+    flat = np.full((8, 8), 130, dtype=np.uint8)
+    out = MM.decode_jpeg(_encode_jpeg(flat))
+    assert out.shape == (8, 8, 1)
+    assert int(np.abs(out[:, :, 0].astype(int) - 130).max()) <= 1
+    # smooth gradient 16x16 grayscale: quant=1 round-trip within rounding
+    grad = np.add.outer(np.arange(16) * 8, np.arange(16) * 4).astype(np.uint8)
+    out = MM.decode_jpeg(_encode_jpeg(grad))
+    assert int(np.abs(out[:, :, 0].astype(int) - grad.astype(int)).max()) <= 3
+    # random RGB 4:4:4 — colorspace round-trip dominates the error
+    img = rng.integers(0, 256, size=(16, 24, 3), dtype=np.uint8)
+    out = MM.decode_jpeg(_encode_jpeg(img))
+    assert out.shape == (16, 24, 3)
+    assert float(np.abs(out.astype(int) - img.astype(int)).mean()) < 4.0
+    assert MM.sniff_codec(_encode_jpeg(img)) == "jpeg"
+
+
+def test_jpeg_420_subsampling_and_feature_route():
+    import numpy as np
+
+    # flat color: chroma subsampling is lossless on constant chroma
+    img = np.zeros((20, 18, 3), dtype=np.uint8)
+    img[..., 0], img[..., 1], img[..., 2] = 180, 90, 40
+    out = MM.decode_jpeg(_encode_jpeg(img, subsample=(2, 2)))
+    assert out.shape == (20, 18, 3)
+    assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 2
+    # decode_feature routes JPEG through the real decoder now (no fake)
+    codec, vec = MM.decode_feature(_encode_jpeg(img), dim=16, fake=False)
+    assert codec == "jpeg" and len(vec) == 16
+    assert vec[0] == 18.0 and vec[1] == 20.0 and vec[2] == 3.0
+
+
 def test_wav_roundtrip_rms():
     import numpy as np
 
