@@ -2580,13 +2580,21 @@ def m2_bray_curtis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bray_curtis(ab, "sample", "item", "v")
 
 
-@query("m1_rarefaction")
+@query(
+    "m1_rarefaction",
+    oracle=_fixture_values_sql(
+        _fx.M1_RAREFACTION_SF001,
+        [("sample", "VARCHAR"), ("richness", "BIGINT"), ("total", "BIGINT")],
+    ),
+)
 def m1_rarefaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M1 — seeded per-sample rarefaction to the global min depth
-    (vegan::rrarefy, bin/interpersonaldiversity.R:60-76). Rows-only:
-    the multivariate-hypergeometric draw is seeded and reproducible in
-    the engine but not expressible in SQL. Returns per-sample richness
-    after rarefying (sums == depth by construction)."""
+    (vegan::rrarefy, bin/interpersonaldiversity.R:60-76). The
+    multivariate-hypergeometric draw is seeded per group (partition-
+    invariant) but not SQL-expressible, so the oracle is the frozen
+    sf0.01 expected table (double-run identity checked); the hash-rank
+    twin m1_rarefaction_portable carries the derivational oracle.
+    Returns per-sample richness after rarefying (sums == depth)."""
     from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.stats import rarefy
 
     li = _t(spark, sf_dir, "lineitem")
@@ -3071,10 +3079,18 @@ def g13_robustness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-@query("m13_rarefaction_curve")
+@query(
+    "m13_rarefaction_curve",
+    oracle=_fixture_values_sql(
+        _fx.M13_CURVE_SF001,
+        [("depth", "BIGINT"), ("n_samples", "BIGINT"), ("mean_richness", "DOUBLE")],
+    ),
+)
 def m13_rarefaction_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M13 — rarefaction/accumulation curve (bin/OpfRarefaction.R:12-18):
-    per-sample richness at increasing depths, seeded (rows-only)."""
+    per-sample richness at increasing depths, seeded deterministic draw
+    → frozen sf0.01 fixture oracle; m13_rarefaction_curve_portable
+    carries the derivational oracle."""
     from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.stats import rarefaction_curve
 
     li = _t(spark, sf_dir, "lineitem")
@@ -3153,11 +3169,19 @@ def m13_rarefaction_curve_portable(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-@query("m4_permutation_test")
+@query(
+    "m4_permutation_test",
+    oracle=_fixture_values_sql(
+        _fx.M4_PERMUTATION_SF001,
+        [("observed_diff", "DOUBLE"), ("p_value", "DOUBLE"), ("n_perm", "BIGINT")],
+    ),
+)
 def m4_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M4 — permutation test: does avg order value differ between two
-    mktsegments? (ANOSIM/permutest family,
-    bin/CompareSkin.R:336-423; rows-only: hash-seeded permutations)."""
+    mktsegments? (ANOSIM/permutest family, bin/CompareSkin.R:336-423).
+    Hash-seeded permutations are deterministic, so the oracle is the
+    frozen sf0.01 expected table; m4_permutation_portable carries the
+    derivational (integer-exact) oracle."""
     from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.stats import permutation_pvalue
 
     orders = _t(spark, sf_dir, "orders")
@@ -3357,11 +3381,20 @@ def gq2_predicted_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("gk_betweenness")
+@query(
+    "gk_betweenness",
+    oracle=_fixture_values_sql(
+        _fx.GK_BETWEENNESS_SF001,
+        [("grp", "VARCHAR"), ("n_nodes", "BIGINT"), ("max_betweenness", "DOUBLE")],
+    ),
+)
 def gk_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G7 — exact Brandes betweenness per per-nation supplier subgraph
-    (grouped applyInPandas — thousands of subgraphs in parallel;
-    rows-only). Subgraph = lineitems of suppliers in one nation."""
+    (grouped applyInPandas — thousands of subgraphs in parallel).
+    Subgraph = lineitems of suppliers in one nation. Brandes with
+    ordered traversal is exactly deterministic, so the oracle is the
+    frozen sf0.01 expected table (tools/gen_fixture_oracles.py,
+    double-run identity checked)."""
     from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.kernels import betweenness_centrality
 
     from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.relational import best_hit
@@ -3390,13 +3423,21 @@ def gk_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("gk_betweenness_distributed")
+@query(
+    "gk_betweenness_distributed",
+    oracle=_fixture_values_sql(
+        _fx.GK_BETWEENNESS_DIST_SF001,
+        [("node", "VARCHAR"), ("betweenness", "DOUBLE")],
+    ),
+)
 def gk_betweenness_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G7 at scale — pivot-sampled distributed Brandes on the global
     Infects graph (no per-executor subgraph materialization; 2·diameter
     shuffle supersteps; Brandes-Pich V/k scaling). 32 md5-ordered pivots
-    keep the query O(32·E·diameter) at any sf. Rows-only: the
-    level-synchronous σ/δ recursion is not SQL-expressible."""
+    keep the query O(32·E·diameter) at any sf. The σ/δ recursion is not
+    SQL-expressible but deterministic (md5 pivot order, rounded
+    accumulation), so the oracle is the frozen sf0.01 expected table
+    (double-run identity checked by the generator)."""
     from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.kernels import approx_betweenness
     from hannigan_conjunctisviribus_ploscompbio_2017_spark.plans.testdata_graph import infects_edges
 
@@ -3469,13 +3510,22 @@ def f12_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("pipeline_interpersonal_diversity")
+@query(
+    "pipeline_interpersonal_diversity",
+    oracle=_fixture_values_sql(
+        _fx.PIPE_INTERPERSONAL_SF001,
+        [("pair_class", "VARCHAR"), ("mean_distance", "DOUBLE"),
+         ("sd_distance", "DOUBLE"), ("n_pairs", "BIGINT")],
+    ),
+)
 def pipeline_interpersonal_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §3.1 — the WHOLE entry-point-A lifecycle fused into one
     Catalyst DAG: Q5 join → F6 normalize → A7 depth → M1 rarefaction →
     F7 weights → G6 per-sample eigencentrality (all samples jointly) →
-    M2 Bray-Curtis → F8 class labels → grouped stats (rows-only: seeded
-    resampling + iterative centrality). Classes = customer mktsegment."""
+    M2 Bray-Curtis → F8 class labels → grouped stats (seeded resampling +
+    iterative centrality aren't SQL, but the composition is cross-process
+    deterministic -> frozen sf0.01 fixture oracle, double-run checked).
+    Classes = customer mktsegment."""
     from hannigan_conjunctisviribus_ploscompbio_2017_spark.plans.pipelines import interpersonal_diversity
 
     cust0 = _t(spark, sf_dir, "customer").filter(F.col("c_nationkey") == 0)
@@ -3493,7 +3543,14 @@ def pipeline_interpersonal_diversity(spark: SparkSession, sf_dir: str) -> DataFr
     return out["stats"]
 
 
-@query("pipeline_compare_skin")
+@query(
+    "pipeline_compare_skin",
+    oracle=_fixture_values_sql(
+        _fx.PIPE_COMPARE_SKIN_SF001,
+        [("pair_class", "VARCHAR"), ("mean_distance", "DOUBLE"),
+         ("sd_distance", "DOUBLE"), ("n_pairs", "BIGINT")],
+    ),
+)
 def pipeline_compare_skin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §3 — bin/CompareSkin.R fused: composite
     patient__location__timepoint keys (F4) → 5th-percentile depth (A7)
@@ -3526,7 +3583,16 @@ def pipeline_compare_skin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out["stats"]
 
 
-@query("pipeline_altered_diet")
+@query(
+    "pipeline_altered_diet",
+    oracle=_fixture_values_sql(
+        _fx.PIPE_ALTERED_DIET_SF001,
+        [("diet", "VARCHAR"), ("n_nodes", "BIGINT"), ("n_edges", "BIGINT"),
+         ("diameter", "INTEGER"), ("radius", "INTEGER"),
+         ("centralization", "DOUBLE"), ("mean_degree", "DOUBLE"),
+         ("fraction", "DOUBLE")],
+    ),
+)
 def pipeline_altered_diet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §3 — bin/alteredDiet.R fused: per-diet-group (customer
     mktsegment) network stats under progressive hash-deterministic edge
@@ -3551,7 +3617,15 @@ def pipeline_altered_diet(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out["robustness"]
 
 
-@query("pipeline_compare_twins")
+@query(
+    "pipeline_compare_twins",
+    oracle=_fixture_values_sql(
+        _fx.PIPE_COMPARE_TWINS_SF001,
+        [("sample", "VARCHAR"), ("max_pagerank", "DOUBLE"),
+         ("max_alpha", "DOUBLE"), ("mean_entropy", "DOUBLE"),
+         ("n_nodes", "BIGINT")],
+    ),
+)
 def pipeline_compare_twins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §3 — bin/compareTwins.R fused: per-sample weighted PageRank
     (G9) + alpha centrality (G8) + edge-weight entropy (G10) merged per

@@ -1,15 +1,15 @@
 """Regenerate the frozen fixture tables backing the fixture-oracle
-entries (gk_greedy_modularity, gk_alpha_centrality).
+entries (deterministic non-SQL solvers).
 
-Both queries are exact deterministic computations (CNM agglomeration
-with deterministic tie-breaks; numpy dense (I-alpha*A)^-1 solve), but
-their algorithms are not SQL-expressible, so their DuckDB oracles are
-literal expected tables for the driver's sf0.01 gate — the same
-technique ss_srp_lsh_topk uses for its literal hyperplanes.  This
-script re-runs the queries at sf0.01 and rewrites
-hannigan_conjunctisviribus_ploscompbio_2017_spark/oracle_fixtures.py; run it whenever the kernel
-semantics (NOT the testdata — that is driver-frozen) intentionally
-change, and eyeball the diff.
+These queries are exact deterministic computations — CNM agglomeration
+with ordered tie-breaks, numpy dense solves, pandas Brandes, seeded
+hypergeometric draws, hash-keyed permutations — but their algorithms
+are not SQL-expressible, so their DuckDB oracles are literal expected
+tables for the driver's sf0.01 gate (the technique ss_srp_lsh_topk uses
+for its literal hyperplanes).  The generator runs every query TWICE and
+refuses to freeze anything that is not run-to-run identical.  Re-run
+whenever the kernel semantics (NOT the testdata — that is
+driver-frozen) intentionally change, and eyeball the diff.
 
 Usage: python tools/gen_fixture_oracles.py [sf_dir]
 """
@@ -18,16 +18,42 @@ from __future__ import annotations
 
 import sys
 
+import numpy as np
+
 sys.path.insert(0, "/root/repo")
 
 OUT = "/root/repo/hannigan_conjunctisviribus_ploscompbio_2017_spark/oracle_fixtures.py"
 
+# (query name, python variable) — schemas live at the @query site
+FIXTURES = [
+    ("gk_greedy_modularity", "GK_GREEDY_MODULARITY_SF001"),
+    ("gk_alpha_centrality", "GK_ALPHA_CENTRALITY_SF001"),
+    ("gk_betweenness", "GK_BETWEENNESS_SF001"),
+    ("gk_betweenness_distributed", "GK_BETWEENNESS_DIST_SF001"),
+    ("m1_rarefaction", "M1_RAREFACTION_SF001"),
+    ("m4_permutation_test", "M4_PERMUTATION_SF001"),
+    ("m13_rarefaction_curve", "M13_CURVE_SF001"),
+    ("pipeline_interpersonal_diversity", "PIPE_INTERPERSONAL_SF001"),
+    ("pipeline_compare_skin", "PIPE_COMPARE_SKIN_SF001"),
+    ("pipeline_altered_diet", "PIPE_ALTERED_DIET_SF001"),
+    ("pipeline_compare_twins", "PIPE_COMPARE_TWINS_SF001"),
+]
+
 HEADER = '''"""Frozen expected outputs for the fixture-oracle entries — generated
 by tools/gen_fixture_oracles.py at sf0.01 (the driver's correctness
-scale).  Do not hand-edit; regenerate and review the diff instead."""
+scale) with a double-run determinism check.  Do not hand-edit;
+regenerate and review the diff instead."""
 
 # fmt: off
 '''
+
+
+def lit(v):
+    if isinstance(v, (float, np.floating)):
+        return repr(float(v))
+    if isinstance(v, (int, np.integer)):
+        return repr(int(v))
+    return repr(str(v))
 
 
 def main() -> None:
@@ -37,26 +63,25 @@ def main() -> None:
 
     spark = get_spark("gen-fixture-oracles")
     blocks = [HEADER]
-    for name, var in [
-        ("gk_greedy_modularity", "GK_GREEDY_MODULARITY_SF001"),
-        ("gk_alpha_centrality", "GK_ALPHA_CENTRALITY_SF001"),
-    ]:
-        import numpy as np
-
-        def lit(v):
-            if isinstance(v, (float, np.floating)):
-                return repr(float(v))
-            if isinstance(v, (int, np.integer)):
-                return repr(int(v))
-            return repr(str(v))
-
-        pdf = QUERIES[name](spark, sf_dir).toPandas()
-        lines = [f"{var} = ["]
-        for row in pdf.itertuples(index=False):
-            lines.append("    (" + ", ".join(lit(v) for v in row) + "),")
+    for name, var in FIXTURES:
+        cols = None
+        runs = []
+        for _ in range(2):
+            pdf = QUERIES[name](spark, sf_dir).toPandas()
+            cols = list(pdf.columns)
+            runs.append(
+                sorted(tuple(lit(v) for v in row) for row in pdf.itertuples(index=False))
+            )
+        if runs[0] != runs[1]:
+            raise SystemExit(
+                f"{name}: NOT run-to-run identical — refusing to freeze a fixture"
+            )
+        lines = [f"# columns: {cols}", f"{var} = ["]
+        for row in runs[0]:
+            lines.append("    (" + ", ".join(row) + "),")
         lines.append("]")
         blocks.append("\n".join(lines))
-        print(f"{name}: froze {len(pdf)} rows")
+        print(f"{name}: froze {len(runs[0])} rows (double-run identical)")
     with open(OUT, "w") as f:
         f.write("\n\n".join(blocks) + "\n")
     print(f"wrote {OUT}")
