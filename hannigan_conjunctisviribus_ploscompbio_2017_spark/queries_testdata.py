@@ -1458,9 +1458,19 @@ def _fixture_values_sql(rows, schema) -> str:
     ss_srp_lsh_topk uses for its hyperplanes.  Valid at the driver's
     sf0.01 gate only (the driver never runs oracles at other scales)."""
 
+    import math
+
     def lit(v):
         if isinstance(v, str):
             return "'" + v.replace("'", "''") + "'"
+        if isinstance(v, float):
+            if math.isinf(v):
+                return ("CAST('infinity' AS DOUBLE)" if v > 0
+                        else "CAST('-infinity' AS DOUBLE)")
+            # string→double cast is correctly rounded; a bare numeric
+            # literal goes through DECIMAL first (double rounding, off
+            # by 1 ulp on long mantissas)
+            return f"CAST('{v!r}' AS DOUBLE)"
         return repr(v)
 
     vals = ",\n      ".join("(" + ", ".join(lit(v) for v in r) + ")" for r in rows)
@@ -2510,13 +2520,21 @@ def ev_chunk_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ev_near_dup_stream")
+@query(
+    "ev_near_dup_stream",
+    oracle=_fixture_values_sql(
+        _fx.EV_NEAR_DUP_STREAM_SF001,
+        [("doc_id", "BIGINT"), ("candidate_id", "BIGINT"), ("n_bands", "BIGINT")],
+    ),
+)
 def ev_near_dup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming MinHash-LSH near-dup candidate detection end-to-end
-    through a bounded single-batch stream (rows-only: band buckets hash
-    with JVM xxhash64, which DuckDB cannot replay — the batch twin
-    dd_minhash_lsh carries the hash-verified portable family). Output
-    aggregated to (doc_id, candidate_id, n_bands) candidate pairs."""
+    through a bounded single-batch stream. Band buckets hash with JVM
+    xxhash64, which DuckDB cannot derive, but the run is exactly
+    deterministic (fixed hash algorithm, per-bucket (ts, event_id)
+    processing order) → frozen sf0.01 fixture oracle; the batch twin
+    dd_minhash_lsh carries the derivational portable-family oracle.
+    Output aggregated to (doc_id, candidate_id, n_bands) pairs."""
     from hannigan_conjunctisviribus_ploscompbio_2017_spark.streaming.events import (
         streaming_near_dup_candidates,
     )
@@ -2673,7 +2691,13 @@ def m1_rarefaction_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ml_rf_interactions")
+@query(
+    "ml_rf_interactions",
+    oracle=_fixture_values_sql(
+        _fx.ML_RF_INTERACTIONS_SF001,
+        [("prediction", "VARCHAR"), ("gold", "INTEGER"), ("n", "BIGINT")],
+    ),
+)
 def ml_rf_interactions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M7-M12 — the reference's model pipeline end-to-end
     (bin/CalculatePredModel.R): Q1 edge scan → stratified 80/20 split →
@@ -2700,7 +2724,15 @@ def ml_rf_interactions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labeled.groupBy("prediction", "gold").agg(F.count(F.lit(1)).alias("n"))
 
 
-@query("ml_nested_cv")
+@query(
+    "ml_nested_cv",
+    oracle=_fixture_values_sql(
+        _fx.ML_NESTED_CV_SF001,
+        [("iteration", "INTEGER"), ("cv_auc", "DOUBLE"), ("auc", "DOUBLE"),
+         ("sensitivity", "DOUBLE"), ("specificity", "DOUBLE"),
+         ("n_test", "BIGINT")],
+    ),
+)
 def ml_nested_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M10 — explicit nested CV (bin/CalculatePredModel.R:68-170, the
     avgaucnested.tsv loop): 2 outer stratified splits × 3-fold inner CV
@@ -2714,7 +2746,13 @@ def ml_nested_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nested_cv(data, n_outer=2, num_folds=3, num_trees=20, seed=42)
 
 
-@query("ml_roc_points")
+@query(
+    "ml_roc_points",
+    oracle=_fixture_values_sql(
+        _fx.ML_ROC_POINTS_SF001,
+        [("threshold", "DOUBLE"), ("fpr", "DOUBLE"), ("tpr", "DOUBLE")],
+    ),
+)
 def ml_roc_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M12 — ROC curve points (bin/CalculatePredModel.R:302-313): train
     on the 80% stratum, emit (threshold, fpr, tpr) for the held-out 20%.
@@ -4426,7 +4464,14 @@ def tx_bigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stupid_backoff_logscore(_t(spark, sf_dir, "documents"), alpha=0.4)
 
 
-@query("ml_quality_classifier")
+@query(
+    "ml_quality_classifier",
+    oracle=_fixture_values_sql(
+        _fx.ML_QUALITY_CLASSIFIER_SF001,
+        [("source", "VARCHAR"), ("mean_quality_prob", "DOUBLE"),
+         ("n_docs", "BIGINT")],
+    ),
+)
 def ml_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained corpus-quality filter (the GPT-3/LLaMA curated-vs-raw
     classifier): weak labels = sources src0-4 as 'curated', train a

@@ -37,6 +37,11 @@ FIXTURES = [
     ("pipeline_compare_skin", "PIPE_COMPARE_SKIN_SF001"),
     ("pipeline_altered_diet", "PIPE_ALTERED_DIET_SF001"),
     ("pipeline_compare_twins", "PIPE_COMPARE_TWINS_SF001"),
+    ("ml_rf_interactions", "ML_RF_INTERACTIONS_SF001"),
+    ("ml_roc_points", "ML_ROC_POINTS_SF001"),
+    ("ml_nested_cv", "ML_NESTED_CV_SF001"),
+    ("ml_quality_classifier", "ML_QUALITY_CLASSIFIER_SF001"),
+    ("ev_near_dup_stream", "EV_NEAR_DUP_STREAM_SF001"),
 ]
 
 HEADER = '''"""Frozen expected outputs for the fixture-oracle entries — generated
@@ -50,7 +55,12 @@ regenerate and review the diff instead."""
 
 def lit(v):
     if isinstance(v, (float, np.floating)):
-        return repr(float(v))
+        f = float(v)
+        if np.isnan(f):
+            raise SystemExit("NaN in fixture output — refusing to freeze")
+        if np.isinf(f):
+            return "float('inf')" if f > 0 else "float('-inf')"
+        return repr(f)
     if isinstance(v, (int, np.integer)):
         return repr(int(v))
     return repr(str(v))
