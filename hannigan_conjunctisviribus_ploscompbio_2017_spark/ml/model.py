@@ -5,7 +5,9 @@ Semantics preserved from the reference:
 - missing scores mean absence of evidence → fillna(0)
   (bin/CalculatePredModel.R:35; doc/manuscript.md:180);
 - stratified train/test split (caret::createDataPartition,
-  bin/CalculatePredModel.R:72-77) → sampleBy on the label;
+  bin/CalculatePredModel.R:72-77) → partition-invariant md5-hash
+  threshold per row (sampleBy draws per-partition and would tie the
+  split to physical layout);
 - random forest, CV'd, ROC-AUC metric (caret train method='rf',
   bin/CalculatePredModel.R:47-57) → MLlib RandomForestClassifier +
   CrossValidator + BinaryClassificationEvaluator;
@@ -37,20 +39,43 @@ def prepare_training(edges: DataFrame, label_col: str = "interaction") -> DataFr
     df = edges.select(
         "src", "dst", *FEATURES, F.col(label_col).cast("double").alias("_raw_label")
     ).fillna(0.0, subset=FEATURES)
-    return (
+    out = (
         df.dropna(subset=["_raw_label"])
         .withColumn("label", F.when(F.col("_raw_label") > 0, 1.0).otherwise(0.0))
         .drop("_raw_label")
     )
+    # Canonical physical layout: fixed-width hash repartition + in-
+    # partition sort. Every seeded MLlib stage downstream (RF bagging,
+    # CrossValidator fold assignment) draws per-partition randomness in
+    # row order, so without this the trained model — and every fixture
+    # built on it — silently depends on the INPUT's split count (core
+    # count, maxPartitionBytes). 8 partitions is sized for the
+    # dimension-scale candidate-interaction table the reference trains
+    # on (thousands of rows), not corpus-scale data; raise it if a
+    # training table ever genuinely outgrows a few partitions.
+    return out.repartition(8, "src", "dst").sortWithinPartitions("src", "dst")
 
 
 def stratified_split(
     df: DataFrame, train_frac: float = 0.8, seed: int = 42
 ) -> tuple[DataFrame, DataFrame]:
-    """M7 — per-label-stratum split (createDataPartition)."""
-    train = df.sampleBy("label", {0.0: train_frac, 1.0: train_frac}, seed=seed)
-    test = df.join(train.select("src", "dst"), ["src", "dst"], "left_anti")
-    return train, test
+    """M7 — per-label-stratum split (createDataPartition).
+
+    The split decision is a pure row function — md5-60(src|dst|seed)
+    thresholded at train_frac — NOT sampleBy: sampleBy seeds its
+    Bernoulli draw per PARTITION, so the selected rows change with the
+    input's physical split count (a different core count or
+    maxPartitionBytes silently reshuffles train/test). The hash rule is
+    partition-invariant, engine-replayable, and the test set is the
+    exact complement (no anti-join needed). Per-stratum proportions
+    hold because the hash is independent of the label."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.dedup import portable_token_hash
+
+    h = portable_token_hash(
+        F.concat_ws("|", F.col("src"), F.col("dst"), F.lit(str(seed)))
+    ) % 1_000_000
+    thr = int(train_frac * 1_000_000)
+    return df.filter(h < thr), df.filter(h >= thr)
 
 
 def build_pipeline(num_trees: int = 500, seed: int = 42) -> Pipeline:

@@ -397,6 +397,11 @@ def decode_jpeg(content: bytes) -> np.ndarray:
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xDA:  # SOS
+            if scan is not None:
+                # T.81 allows multiple scans (non-interleaved baseline);
+                # silently overwriting the first would desync Huffman
+                # state and emit garbage — refuse instead
+                raise ValueError("multi-scan baseline JPEG not supported")
             ns = body[0]
             sel = []
             for c in range(ns):
@@ -419,6 +424,14 @@ def decode_jpeg(content: bytes) -> np.ndarray:
         raise ValueError("missing SOF/SOS")
     h, w, comps = frame
     sel, data = scan
+    if len(sel) < len(comps):
+        raise ValueError("non-interleaved multi-component JPEG not supported")
+    if len(comps) == 1:
+        # a single-component scan is ALWAYS non-interleaved (T.81
+        # A.2.2): MCU = one block, SOF sampling factors do not apply
+        # (a 2x2-listed extracted-Y plane would otherwise desync)
+        cid0, _, _, tq0 = comps[0]
+        comps = [(cid0, 1, 1, tq0)]
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcu_w, mcu_h = 8 * hmax, 8 * vmax
@@ -512,9 +525,13 @@ def decode_jpeg(content: bytes) -> np.ndarray:
 
 def _image_feature(img: np.ndarray, dim: int) -> np.ndarray:
     """Fixed-dim image descriptor: [w, h, channels, mean/255, std/255]
-    + (dim-5)-bin luminance histogram (density)."""
+    + (dim-5)-bin luminance histogram (density). Alpha channels (RGBA,
+    gray+alpha) are excluded from the luminance statistics — the same
+    pixels must descriptor-match whether or not the encoding carries
+    alpha."""
     h, w, ch = img.shape
-    lum = img.mean(axis=2).ravel() / 255.0
+    color = img[..., :3] if ch == 4 else (img[..., :1] if ch == 2 else img)
+    lum = color.mean(axis=2).ravel() / 255.0
     head = [float(w), float(h), float(ch), float(lum.mean()), float(lum.std())]
     bins = max(dim - len(head), 1)
     hist, _ = np.histogram(lum, bins=bins, range=(0.0, 1.0))

@@ -83,8 +83,13 @@ def interpersonal_diversity(
         e = anti_filter(e, removal_list, "phage")
 
     # 4-5. rarefy per-sample phage abundances to the global min depth (A7+M1)
-    ab = e.select("sample", "phage", "phage_abundance").dropDuplicates(
-        ["sample", "phage"]
+    # deterministic canonical abundance per (sample, phage): the edge
+    # expansion repeats the phage row once per host, and dropDuplicates
+    # would keep whichever copy the shuffle ordered first — if copies
+    # ever disagree, the rarefaction draw would silently depend on
+    # partition layout
+    ab = e.groupBy("sample", "phage").agg(
+        F.max("phage_abundance").alias("phage_abundance")
     )
     # A7 min depth stays IN the plan: the 1-row aggregate is broadcast
     # into the rarefaction (relational.py:129 pattern) — one Catalyst
@@ -183,7 +188,13 @@ def compare_skin(
     e = site_edges.withColumn(
         "skey", F.concat_ws("__", "patient", "location", "timepoint")
     )
-    ab = e.select("skey", "phage", "phage_abundance").dropDuplicates(["skey", "phage"])
+    # deterministic canonical abundance per (skey, phage) — NOT
+    # dropDuplicates, which keeps a shuffle-order-dependent copy (this
+    # exact line made compare_skin's output drift 2.5e-05 between
+    # 12- and 32-core sessions)
+    ab = e.groupBy("skey", "phage").agg(
+        F.max("phage_abundance").alias("phage_abundance")
+    )
     totals = ab.groupBy("skey").agg(F.sum("phage_abundance").alias("t"))
     # A7 5th-percentile depth as an in-plan 1-row frame (no collect)
     depth_df = totals.selectExpr("CAST(percentile(t, 0.05) AS LONG) AS d")

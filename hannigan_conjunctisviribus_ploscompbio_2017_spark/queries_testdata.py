@@ -2402,10 +2402,15 @@ def _bounded_stream(spark: SparkSession, df: DataFrame, tag: str) -> DataFrame:
     entries: spool the static frame to ONE parquet file and re-read it
     as a file stream — a single micro-batch, so the stateful operators'
     cross-batch semantics collapse to an exactly SQL-replayable batch
-    answer (first-by-event-time per key, total duplicate counts)."""
+    answer (first-by-event-time per key, total duplicate counts). The
+    spool directory is removed at interpreter exit — repeated gate/test
+    runs must not accumulate table copies in /tmp."""
+    import atexit
+    import shutil
     import tempfile
 
     d = tempfile.mkdtemp(prefix=f"sg_stream_{tag}_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
     df.coalesce(1).write.mode("overwrite").parquet(d)
     return spark.readStream.schema(df.schema).format("parquet").load(d)
 

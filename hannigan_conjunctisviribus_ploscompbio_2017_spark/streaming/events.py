@@ -313,7 +313,12 @@ def streaming_near_dup_candidates(
         ids = list(state.get[0]) if state.exists else []
         out = []
         max_ts = None
-        for pdf in pdfs:
+        # concat BEFORE sorting: a bucket spanning multiple Arrow
+        # batches must process in global (ts, event_id) order, not
+        # per-chunk order (chunk arrival order is nondeterministic) —
+        # same discipline as the first-seen operators
+        allrows = pd.concat(list(pdfs), ignore_index=True)
+        for pdf in [allrows]:
             for _, r in pdf.sort_values(["ts", "event_id"]).iterrows():
                 doc = int(r["event_id"])
                 max_ts = r["ts"] if max_ts is None else max(max_ts, r["ts"])

@@ -363,10 +363,12 @@ def test_png_palette_and_rejects():
     assert vec[0] == 3.0 and vec[1] == 3.0 and vec[2] == 3.0  # w, h, ch
 
 
-def _encode_jpeg(img, subsample=(1, 1)):
+def _encode_jpeg(img, subsample=(1, 1), restart_interval=0):
     """Minimal in-test baseline JPEG encoder (quant all-ones, standard
     Annex K Huffman tables): grayscale (HxW) or RGB (HxWx3). `subsample`
-    is the chroma (h, v) divisor — (2, 2) = 4:2:0."""
+    is the chroma (h, v) divisor — (2, 2) = 4:2:0. `restart_interval`
+    > 0 emits a DRI segment and RSTn markers every N MCUs (byte-aligned,
+    DC predictors reset) — exercises the decoder's restart path."""
     import struct
 
     import numpy as np
@@ -409,10 +411,24 @@ def _encode_jpeg(img, subsample=(1, 1)):
     ac_tbl = enc_table(AC_LUM_COUNTS, AC_LUM_SYMS)
 
     bits = []
+    payload = bytearray()
 
     def put(code, length):
         for i in range(length - 1, -1, -1):
             bits.append((code >> i) & 1)
+
+    def flush_bits():
+        # pad to byte with 1s (spec), drain into payload with FF00 stuffing
+        while len(bits) % 8:
+            bits.append(1)
+        for i in range(0, len(bits), 8):
+            b = 0
+            for j in range(8):
+                b = (b << 1) | bits[i + j]
+            payload.append(b)
+            if b == 0xFF:
+                payload.append(0x00)
+        bits.clear()
 
     def category(v):
         a, t = abs(v), 0
@@ -460,8 +476,16 @@ def _encode_jpeg(img, subsample=(1, 1)):
         )
     C = M._DCT_C
     pred = [0] * len(planes)
+    mcu_count = 0
+    rst_n = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                flush_bits()
+                payload.extend(bytes([0xFF, 0xD0 + rst_n]))
+                rst_n = (rst_n + 1) % 8
+                pred = [0] * len(planes)
+            mcu_count += 1
             for ci, (p, (hs, vs)) in enumerate(zip(padded, samp)):
                 for by in range(vs):
                     for bx in range(hs):
@@ -492,16 +516,7 @@ def _encode_jpeg(img, subsample=(1, 1)):
                         if run:
                             c, ln = ac_tbl[0x00]
                             put(c, ln)
-    while len(bits) % 8:
-        bits.append(1)
-    payload = bytearray()
-    for i in range(0, len(bits), 8):
-        b = 0
-        for j in range(8):
-            b = (b << 1) | bits[i + j]
-        payload.append(b)
-        if b == 0xFF:
-            payload.append(0x00)  # byte stuffing
+    flush_bits()
 
     def seg(marker, body):
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
@@ -518,6 +533,8 @@ def _encode_jpeg(img, subsample=(1, 1)):
     out += seg(
         0xC4, bytes([0x10]) + bytes(AC_LUM_COUNTS) + bytes(AC_LUM_SYMS)
     )
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([nc]) + b"".join(bytes([ci + 1, 0x00]) for ci in range(nc))
     sos += bytes([0, 63, 0])
     out += seg(0xDA, sos)
@@ -544,6 +561,41 @@ def test_jpeg_decode_grayscale_and_rgb():
     assert out.shape == (16, 24, 3)
     assert float(np.abs(out.astype(int) - img.astype(int)).mean()) < 4.0
     assert MM.sniff_codec(_encode_jpeg(img)) == "jpeg"
+
+
+def test_jpeg_restart_intervals_and_scan_boundaries():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    rng = np.random.default_rng(23)
+    # DRI every 2 MCUs over a 4x2-MCU grayscale image: RST markers,
+    # byte alignment, and DC-predictor resets must all round-trip
+    grad = rng.integers(0, 256, size=(16, 32), dtype=np.uint8)
+    raw = _encode_jpeg(grad, restart_interval=2)
+    assert b"\xff\xdd" in raw and b"\xff\xd0" in raw  # DRI + RST0 present
+    out = MM.decode_jpeg(raw)
+    assert int(np.abs(out[:, :, 0].astype(int) - grad.astype(int)).max()) <= 3
+    # ... and with an interval that doesn't divide the MCU count
+    raw3 = _encode_jpeg(grad, restart_interval=3)
+    out3 = MM.decode_jpeg(raw3)
+    assert int(np.abs(out3[:, :, 0].astype(int) - grad.astype(int)).max()) <= 3
+    # single-component scan ignores SOF sampling factors (T.81 A.2.2):
+    # patch the SOF of a grayscale file to claim 2x2 — decode unchanged
+    raw = bytearray(_encode_jpeg(grad))
+    i = raw.find(b"\xff\xc0")
+    assert raw[i + 11] == 0x11
+    raw[i + 11] = 0x22  # h=2, v=2 sampling for the only component
+    out = MM.decode_jpeg(bytes(raw))
+    assert int(np.abs(out[:, :, 0].astype(int) - grad.astype(int)).max()) <= 3
+    # a second SOS must raise, not silently overwrite scan state
+    raw = bytearray(_encode_jpeg(grad))
+    j = raw.find(b"\xff\xda")
+    sos_seg = bytes(raw[j : j + 2 + struct.unpack_from(">H", raw, j + 2)[0]])
+    doubled = bytes(raw[: j]) + sos_seg + bytes(raw[j:])
+    with pytest.raises(ValueError, match="multi-scan"):
+        MM.decode_jpeg(doubled)
 
 
 def test_jpeg_420_subsampling_and_feature_route():

@@ -11,6 +11,19 @@ refuses to freeze anything that is not run-to-run identical.  Re-run
 whenever the kernel semantics (NOT the testdata — that is
 driver-frozen) intentionally change, and eyeball the diff.
 
+The double-run check catches within-session nondeterminism only; the
+real hazard is PARTITION-LAYOUT dependence (sampleBy, RF bagging, CV
+folds, dropDuplicates all draw per-partition), which a same-session
+re-run cannot see.  After regenerating, always cross-check the frozen
+entries under perturbed parallelism:
+
+    for c in 5 8 12; do SPARK_GRAFT_CPUS=$c \
+      python tools/check_oracle.py /root/testdata/sf0.01 <names...>; done
+
+(the round-3 sweep caught exactly this: sampleBy-based RF splits and a
+dropDuplicates abundance canon both drifted with core count and were
+replaced by hash-threshold / groupBy-max equivalents).
+
 Usage: python tools/gen_fixture_oracles.py [sf_dir]
 """
 
@@ -19,6 +32,7 @@ from __future__ import annotations
 import sys
 
 import numpy as np
+import pandas as pd
 
 sys.path.insert(0, "/root/repo")
 
@@ -54,6 +68,8 @@ regenerate and review the diff instead."""
 
 
 def lit(v):
+    if v is None or v is pd.NA or v is pd.NaT:
+        raise SystemExit("NULL in fixture output — refusing to freeze")
     if isinstance(v, (float, np.floating)):
         f = float(v)
         if np.isnan(f):
