@@ -46,9 +46,42 @@ def cosine(a, b):
     division into a job-killing DIVIDE_BY_ZERO on the first degenerate
     row — the exact rows embedding_health exists to count). NULLs rank
     last under desc() ordering and fail threshold filters, so
-    degenerate vectors drop out of top-k/near-dup results naturally."""
+    degenerate vectors drop out of top-k/near-dup results naturally.
+
+    Hot-path note: this inlines BOTH norms into the pair expression —
+    the generated plan evaluates each norm twice (WHEN condition +
+    division), five array passes per PAIR. Every per-pair call in this
+    module instead precomputes per-ROW norm columns upstream of the
+    join and uses cosine_pre(); keep this form for one-off expressions
+    only."""
     den = _norm(a) * _norm(b)
     return F.when(den != 0, _dot(a, b) / den)
+
+
+def cosine_pre(dot, na, nb):
+    """cosine() from a precomputed dot and per-side norm COLUMNS — the
+    identical IEEE operations (den = na·nb, guard, divide), but the
+    norms are evaluated once per row upstream of the join instead of
+    re-derived per pair, so the per-pair work is one zip_with pass.
+    Bit-identical to cosine(): same doubles, same operation order —
+    the DuckDB oracles that replay the inline form still hash-match.
+
+    Higher-order array functions are interpreted (no whole-stage
+    codegen, no common-subexpression elimination), so this explicit
+    reuse is the only way the engine avoids the 5x re-evaluation."""
+    den = na * nb
+    return F.when(den != 0, dot / den)
+
+
+def _py_norm(v: list[float]) -> float:
+    """Python replay of _norm() over a literal vector: left-fold double
+    adds then sqrt — the exact IEEE sequence Catalyst's aggregate()
+    performs, so folding a CONSTANT vector's norm at plan-build time is
+    bit-identical to evaluating _norm(lit_array) per row."""
+    acc = 0.0
+    for x in v:
+        acc += float(x) * float(x)
+    return math.sqrt(acc)
 
 
 def _band_cols(num_planes: int, bands: int):
@@ -86,17 +119,31 @@ def brute_force_topk(
     sets (small |Q|); broadcast the query side. For corpus-scale ANN use
     srp_lsh_topk.
     """
+    # norms are per-ROW columns attached before the crossJoin: the pair
+    # expression then runs ONE zip_with pass instead of five array
+    # aggregates (cosine() would re-derive each norm twice per pair)
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        _norm(F.col(vec_col)).alias("_qn"),
     )
-    n = items.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv"))
+    n = items.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_nv"),
+        _norm(F.col(vec_col)).alias("_nn"),
+    )
     scored = (
         n.crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("_qv"), F.col("_nv")), round_to).alias("cosine_sim"),
+            F.round(
+                cosine_pre(
+                    _dot(F.col("_qv"), F.col("_nv")), F.col("_qn"), F.col("_nn")
+                ),
+                round_to,
+            ).alias("cosine_sim"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
@@ -133,8 +180,16 @@ def embedding_near_dup_pairs(
     wrong dim nulls every SRP dot product (zip_with pads with nulls),
     every row falls to bucket 0, and the join silently degenerates to
     all-pairs — so it is required rather than defaulted."""
-    a = items.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    b = items.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    a = items.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"),
+        _norm(F.col(vec_col)).alias("_na"),
+    )
+    b = items.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"),
+        _norm(F.col(vec_col)).alias("_nb"),
+    )
     if exact:
         # bounded-input baseline: broadcast the right side so the pair
         # frame is one nested-loop pass, not |a|x|b| cartesian partitions
@@ -146,18 +201,31 @@ def embedding_near_dup_pairs(
                 "embedding dimension for the banded path (a mismatched "
                 "dim silently degrades banding to a single bucket)"
             )
-        sig = srp_signature(items, dim, num_planes, id_col, vec_col, seed)
+        # norm computed once per VECTOR (before the band explode — the
+        # exploded copies carry the scalar along); the rerank below is
+        # then a single zip_with per candidate pair
+        sig = srp_signature(items, dim, num_planes, id_col, vec_col, seed).withColumn(
+            "_nrm", _norm(F.col("vec"))
+        )
         bandcols = _band_cols(num_planes, bands)
-        banded = sig.select("id", "vec", F.explode(bandcols).alias("bb")).select(
-            "id", "vec", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+        banded = sig.select("id", "vec", "_nrm", F.explode(bandcols).alias("bb")).select(
+            "id", "vec", "_nrm", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
         )
         cand = (
             banded.select(
-                F.col("id").alias("id_a"), F.col("vec").alias("_va"), "band", "bucket"
+                F.col("id").alias("id_a"),
+                F.col("vec").alias("_va"),
+                F.col("_nrm").alias("_na"),
+                "band",
+                "bucket",
             )
             .join(
                 banded.select(
-                    F.col("id").alias("id_b"), F.col("vec").alias("_vb"), "band", "bucket"
+                    F.col("id").alias("id_b"),
+                    F.col("vec").alias("_vb"),
+                    F.col("_nrm").alias("_nb"),
+                    "band",
+                    "bucket",
                 ),
                 ["band", "bucket"],
             )
@@ -168,7 +236,12 @@ def embedding_near_dup_pairs(
         cand.select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("_va"), F.col("_vb")), round_to).alias("cosine_sim"),
+            F.round(
+                cosine_pre(
+                    _dot(F.col("_va"), F.col("_vb")), F.col("_na"), F.col("_nb")
+                ),
+                round_to,
+            ).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
@@ -232,13 +305,22 @@ def srp_lsh_topk(
     bandcols = _band_cols(num_planes, bands)
 
     def banded(df: DataFrame, label: str) -> DataFrame:
-        sig = srp_signature(df, dim, num_planes, id_col, vec_col, seed)
+        # norm once per vector, pre-explode; the rerank is then a
+        # single zip_with per candidate instead of five array passes
+        sig = srp_signature(df, dim, num_planes, id_col, vec_col, seed).withColumn(
+            "_nrm", _norm(F.col("vec"))
+        )
         return sig.select(
             F.col("id").alias(f"{label}_id"),
             F.col("vec").alias(f"{label}_vec"),
+            F.col("_nrm").alias(f"{label}_nrm"),
             F.explode(bandcols).alias("bb"),
         ).select(
-            f"{label}_id", f"{label}_vec", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+            f"{label}_id",
+            f"{label}_vec",
+            f"{label}_nrm",
+            F.col("bb.band").alias("band"),
+            F.col("bb.bucket").alias("bucket"),
         )
 
     cand = (
@@ -250,7 +332,14 @@ def srp_lsh_topk(
     scored = cand.select(
         F.col("q_id").alias("query_id"),
         F.col("n_id").alias("neighbor_id"),
-        F.round(cosine(F.col("q_vec"), F.col("n_vec")), round_to).alias("cosine_sim"),
+        F.round(
+            cosine_pre(
+                _dot(F.col("q_vec"), F.col("n_vec")),
+                F.col("q_nrm"),
+                F.col("n_nrm"),
+            ),
+            round_to,
+        ).alias("cosine_sim"),
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -304,13 +393,22 @@ def _resolve_centroids(
 def _ranked_cells_expr(cents: list[tuple[int, list[float]]], round_to: int):
     """Column-expression factory: cells sorted by (rounded cosine
     distance, index) against literal centroid arrays — a pure projection,
-    no shuffle, no Python."""
+    no shuffle, no Python.
 
-    def ranked_cells(v):
+    Per-row cost is n_cells zip_with dot products and ONE row-norm
+    (passed in as `nv`, computed once upstream): centroid norms are
+    constant-folded to literals at plan-build time (_py_norm replays
+    the identical IEEE fold, so the distances are bit-identical to the
+    inline form the oracles replay). The naive inline cosine() would
+    cost ~5·n_cells array passes per row — at 16 cells that is an 80x
+    vs 17x difference in interpreted higher-order-function work."""
+
+    def ranked_cells(v, nv):
         entries = []
         for i, cv in cents:
             carr = F.array(*[F.lit(x) for x in cv])
-            d = F.round(F.lit(1.0) - cosine(v, carr), round_to)
+            cn = F.lit(_py_norm(cv))
+            d = F.round(F.lit(1.0) - cosine_pre(_dot(v, carr), nv, cn), round_to)
             entries.append(F.struct(d.alias("d"), F.lit(i).alias("i")))
         return F.array_sort(F.array(*entries))
 
@@ -348,17 +446,39 @@ def semantic_dedup(
     replayable by the DuckDB oracle."""
     cents = _resolve_centroids(items, n_cells, id_col, vec_col, centroid_frac, centroids)
     ranked_cells = _ranked_cells_expr(cents, round_to)
-    cells = items.select(
+    # row norm once, in its own projection: CollapseProject refuses to
+    # inline a non-cheap expression used many times, so `_n` stays a
+    # single evaluation feeding the n_cells distances AND the pair
+    # rerank below
+    base = items.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("_v"),
-        ranked_cells(F.col(vec_col))[0]["i"].cast("long").alias("cell"),
+        _norm(F.col(vec_col)).alias("_n"),
     )
-    a = cells.select(F.col("id").alias("id_a"), F.col("_v").alias("_va"), "cell")
-    b = cells.select(F.col("id").alias("id_b"), F.col("_v").alias("_vb"), "cell")
+    cells = base.select(
+        "id",
+        "_v",
+        "_n",
+        ranked_cells(F.col("_v"), F.col("_n"))[0]["i"].cast("long").alias("cell"),
+    )
+    a = cells.select(
+        F.col("id").alias("id_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na"), "cell"
+    )
+    b = cells.select(
+        F.col("id").alias("id_b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb"), "cell"
+    )
     dups = (
         a.join(b, "cell")
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(F.round(cosine(F.col("_va"), F.col("_vb")), round_to) >= tau)
+        .filter(
+            F.round(
+                cosine_pre(
+                    _dot(F.col("_va"), F.col("_vb")), F.col("_na"), F.col("_nb")
+                ),
+                round_to,
+            )
+            >= tau
+        )
         .groupBy("id_b")
         .agg(F.min("id_a").alias("_dup_of"))
     )
@@ -449,17 +569,33 @@ def ivf_topk(
     cents = _resolve_centroids(items, n_cells, id_col, vec_col, centroid_frac, centroids)
     ranked_cells = _ranked_cells_expr(cents, round_to)
 
-    n = items.select(
+    # row norm once per side (own projection, kept by CollapseProject's
+    # non-cheap-expression rule), reused by the n_cells cell distances
+    # AND the candidate rerank
+    nb = items.select(
         F.col(id_col).alias("n_id"),
         F.col(vec_col).alias("n_vec"),
-        ranked_cells(F.col(vec_col))[0]["i"].alias("cell"),
+        _norm(F.col(vec_col)).alias("n_nrm"),
     )
-    q = queries.select(
+    n = nb.select(
+        "n_id",
+        "n_vec",
+        "n_nrm",
+        ranked_cells(F.col("n_vec"), F.col("n_nrm"))[0]["i"].alias("cell"),
+    )
+    qb = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col)).alias("q_nrm"),
+    )
+    q = qb.select(
+        "q_id",
+        "q_vec",
+        "q_nrm",
         F.explode(
             F.transform(
-                F.slice(ranked_cells(F.col(vec_col)), 1, n_probe), lambda x: x["i"]
+                F.slice(ranked_cells(F.col("q_vec"), F.col("q_nrm")), 1, n_probe),
+                lambda x: x["i"],
             )
         ).alias("cell"),
     )
@@ -467,7 +603,14 @@ def ivf_topk(
     scored = cand.select(
         F.col("q_id").alias("query_id"),
         F.col("n_id").alias("neighbor_id"),
-        F.round(cosine(F.col("q_vec"), F.col("n_vec")), round_to).alias("cosine_sim"),
+        F.round(
+            cosine_pre(
+                _dot(F.col("q_vec"), F.col("n_vec")),
+                F.col("q_nrm"),
+                F.col("n_nrm"),
+            ),
+            round_to,
+        ).alias("cosine_sim"),
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
