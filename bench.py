@@ -60,6 +60,12 @@ HEADLINE = [
     # property, not a bug.
     ("q15", "tx_unigram_logprob"),
     ("q16", "tx_sequence_pack"),
+    # r03 additions: the two ANN scale paths — IVF cell-probe (incl. its
+    # eager md5-centroid resolve, an honest part of the operator's cost)
+    # and SRP-LSH band-bucket top-k. Both rerank with the precomputed-
+    # norm cosine (one zip_with per candidate pair).
+    ("q17", "ss_ivf_topk"),
+    ("q18", "ss_srp_lsh_topk"),
 ]
 
 

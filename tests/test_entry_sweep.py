@@ -75,6 +75,8 @@ def test_bench_labels_frozen():
         "q14": "dd_contamination",
         "q15": "tx_unigram_logprob",
         "q16": "tx_sequence_pack",
+        "q17": "ss_ivf_topk",
+        "q18": "ss_srp_lsh_topk",
     }
     got = dict(HEADLINE)
     labels = [label for label, _ in HEADLINE]
