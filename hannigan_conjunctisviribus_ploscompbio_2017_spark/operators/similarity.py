@@ -395,22 +395,32 @@ def _ranked_cells_expr(cents: list[tuple[int, list[float]]], round_to: int):
     distance, index) against literal centroid arrays — a pure projection,
     no shuffle, no Python.
 
-    Per-row cost is n_cells zip_with dot products and ONE row-norm
-    (passed in as `nv`, computed once upstream): centroid norms are
-    constant-folded to literals at plan-build time (_py_norm replays
-    the identical IEEE fold, so the distances are bit-identical to the
-    inline form the oracles replay). The naive inline cosine() would
-    cost ~5·n_cells array passes per row — at 16 cells that is an 80x
-    vs 17x difference in interpreted higher-order-function work."""
+    Per-row cost is n_cells zip_with dot products and ONE row-norm:
+    centroid norms are constant-folded to literals at plan-build time
+    (_py_norm replays the identical IEEE fold, so the distances are
+    bit-identical to the inline form the oracles replay), and the row
+    norm is bound ONCE via a single-element transform() lambda — a
+    precomputed norm COLUMN is not enough here, because CollapseProject
+    inlines the producing projection into the n_cells consuming
+    expressions and silently re-evaluates it per cell; a lambda-bound
+    variable cannot be duplicated by any rewrite. The naive inline
+    cosine() costs ~5·n_cells array passes per row — at 16 cells that
+    is an 80x vs 17x difference in interpreted higher-order-function
+    work (tests pin the plan's aggregate() count)."""
 
-    def ranked_cells(v, nv):
-        entries = []
-        for i, cv in cents:
-            carr = F.array(*[F.lit(x) for x in cv])
-            cn = F.lit(_py_norm(cv))
-            d = F.round(F.lit(1.0) - cosine_pre(_dot(v, carr), nv, cn), round_to)
-            entries.append(F.struct(d.alias("d"), F.lit(i).alias("i")))
-        return F.array_sort(F.array(*entries))
+    def ranked_cells(v):
+        def entries(nv):
+            out = []
+            for i, cv in cents:
+                carr = F.array(*[F.lit(x) for x in cv])
+                cn = F.lit(_py_norm(cv))
+                d = F.round(
+                    F.lit(1.0) - cosine_pre(_dot(v, carr), nv, cn), round_to
+                )
+                out.append(F.struct(d.alias("d"), F.lit(i).alias("i")))
+            return F.array_sort(F.array(*out))
+
+        return F.transform(F.array(_norm(v)), entries)[0]
 
     return ranked_cells
 
@@ -459,7 +469,7 @@ def semantic_dedup(
         "id",
         "_v",
         "_n",
-        ranked_cells(F.col("_v"), F.col("_n"))[0]["i"].cast("long").alias("cell"),
+        ranked_cells(F.col("_v"))[0]["i"].cast("long").alias("cell"),
     )
     a = cells.select(
         F.col("id").alias("id_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na"), "cell"
@@ -581,7 +591,7 @@ def ivf_topk(
         "n_id",
         "n_vec",
         "n_nrm",
-        ranked_cells(F.col("n_vec"), F.col("n_nrm"))[0]["i"].alias("cell"),
+        ranked_cells(F.col("n_vec"))[0]["i"].alias("cell"),
     )
     qb = queries.select(
         F.col(id_col).alias("q_id"),
@@ -594,7 +604,7 @@ def ivf_topk(
         "q_nrm",
         F.explode(
             F.transform(
-                F.slice(ranked_cells(F.col("q_vec"), F.col("q_nrm")), 1, n_probe),
+                F.slice(ranked_cells(F.col("q_vec")), 1, n_probe),
                 lambda x: x["i"],
             )
         ).alias("cell"),

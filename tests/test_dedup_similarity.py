@@ -826,3 +826,62 @@ def test_stupid_backoff_closed_forms(spark):
     assert abs(out2[10].avg_neg_logscore - round(-math.log(0.4 * 1 / 7), 6)) < 1e-9
     # (a,zzz): zzz is OOV -> add-one floor: 0.4 * 1/7
     assert abs(out2[11].avg_neg_logscore - round(-math.log(0.4 * 1 / 7), 6)) < 1e-9
+
+
+def test_cosine_hot_paths_precompute_norms(spark):
+    """Plan-shape guard for the norm-precompute optimization: the pair
+    expression must reference precomputed norm COLUMNS, never re-derive
+    a norm per pair. Higher-order array functions are interpreted (no
+    codegen, no common-subexpression elimination), so an inline
+    cosine() silently quintuples the per-pair array work — this test
+    fails if a refactor reintroduces it."""
+    emb = _embeddings(spark)
+    q = emb.filter(F.col("vec_id") == 0)
+
+    def agg_count(df):
+        return df._jdf.queryExecution().optimizedPlan().toString().count("aggregate(")
+
+    # brute-force: 1 dot (pair) + 2 norms (one per side) = 3
+    assert agg_count(similarity.brute_force_topk(emb, q, k=3)) == 3
+    # SRP top-k: num_planes projection dots per side + 1 norm per side
+    # + 1 rerank dot = 2*(planes+1)+1
+    planes = 8
+    assert (
+        agg_count(similarity.srp_lsh_topk(emb, q, dim=8, k=1, num_planes=planes, bands=4))
+        == 2 * (planes + 1) + 1
+    )
+    # semantic dedup, n_cells=4: the cell expression is 5 aggregates
+    # (1 lambda-bound row norm + 4 dots; centroid norms are literals).
+    # The self-join derives the corpus subtree 3x (a, b, final — Spark
+    # shares no DAG subtrees) at 6 each (cell 5 + rerank-norm column 1),
+    # Catalyst's isnotnull(cell) join-key filters inline 2 more copies
+    # (5 each), plus 1 rerank dot: 3*6 + 2*5 + min-agg... = 28 total.
+    # The pre-optimization count was 76 (inline cosine per cell per
+    # copy); a regression shows up as a jump back toward that.
+    assert agg_count(similarity.semantic_dedup(emb, n_cells=4)) == 28
+
+
+def test_cosine_pre_matches_inline_cosine(spark):
+    """cosine_pre must be bit-identical to the inline form (the DuckDB
+    oracles replay the inline math)."""
+    emb = _embeddings(spark)
+    pairs = (
+        emb.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
+        .crossJoin(
+            emb.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"))
+        )
+        .filter(F.col("ia") < F.col("ib"))
+    )
+    both = pairs.select(
+        "ia",
+        "ib",
+        similarity.cosine(F.col("va"), F.col("vb")).alias("inline"),
+        similarity.cosine_pre(
+            similarity._dot(F.col("va"), F.col("vb")),
+            similarity._norm(F.col("va")),
+            similarity._norm(F.col("vb")),
+        ).alias("pre"),
+    ).collect()
+    assert both, "no pairs"
+    for r in both:
+        assert r.inline == r.pre  # bitwise, not approx
