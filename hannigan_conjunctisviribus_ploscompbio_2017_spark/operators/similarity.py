@@ -456,10 +456,8 @@ def semantic_dedup(
     replayable by the DuckDB oracle."""
     cents = _resolve_centroids(items, n_cells, id_col, vec_col, centroid_frac, centroids)
     ranked_cells = _ranked_cells_expr(cents, round_to)
-    # row norm once, in its own projection: CollapseProject refuses to
-    # inline a non-cheap expression used many times, so `_n` stays a
-    # single evaluation feeding the n_cells distances AND the pair
-    # rerank below
+    # row norm once per row (cell assignment binds its own copy inside
+    # the ranked-cells lambda; `_n` feeds the pair rerank)
     base = items.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("_v"),
@@ -471,6 +469,13 @@ def semantic_dedup(
         "_n",
         ranked_cells(F.col("_v"))[0]["i"].cast("long").alias("cell"),
     )
+    # the assignment table feeds THREE consumers (both self-join sides
+    # and the output join) and Spark shares no plan subtrees — without
+    # this the corpus scan + n_cells cell distances run three times.
+    # One materialized pass is the scale shape too: at 100 TB this is
+    # the "persist the assignment bucketed by cell" step, here as a
+    # lazy localCheckpoint (GC'd with the frame, no storage pinning).
+    cells = cells.localCheckpoint(eager=False)
     a = cells.select(
         F.col("id").alias("id_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na"), "cell"
     )

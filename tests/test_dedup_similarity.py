@@ -850,15 +850,18 @@ def test_cosine_hot_paths_precompute_norms(spark):
         agg_count(similarity.srp_lsh_topk(emb, q, dim=8, k=1, num_planes=planes, bands=4))
         == 2 * (planes + 1) + 1
     )
-    # semantic dedup, n_cells=4: the cell expression is 5 aggregates
-    # (1 lambda-bound row norm + 4 dots; centroid norms are literals).
-    # The self-join derives the corpus subtree 3x (a, b, final — Spark
-    # shares no DAG subtrees) at 6 each (cell 5 + rerank-norm column 1),
-    # Catalyst's isnotnull(cell) join-key filters inline 2 more copies
-    # (5 each), plus 1 rerank dot: 3*6 + 2*5 + min-agg... = 28 total.
-    # The pre-optimization count was 76 (inline cosine per cell per
-    # copy); a regression shows up as a jump back toward that.
-    assert agg_count(similarity.semantic_dedup(emb, n_cells=4)) == 28
+    # semantic dedup: the assignment table is lazily checkpointed (it
+    # feeds three consumers and Spark shares no plan subtrees), so the
+    # downstream plan carries exactly ONE aggregate — the rerank dot.
+    assert agg_count(similarity.semantic_dedup(emb, n_cells=4)) == 1
+    # and the checkpointed assignment expression itself is 1 lambda-
+    # bound row norm + n_cells dots (centroid norms are literals —
+    # 0 aggregates): a jump back toward ~5*n_cells means CollapseProject
+    # is re-inlining the norm per cell
+    cents = [(i, [float(j == i) for j in range(8)]) for i in range(4)]
+    rc = similarity._ranked_cells_expr(cents, 6)
+    cell_df = emb.select(rc(F.col("embedding"))[0]["i"].alias("cell"))
+    assert agg_count(cell_df) == 1 + 4
 
 
 def test_cosine_pre_matches_inline_cosine(spark):
