@@ -94,9 +94,11 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     One shuffle on the fingerprint; at 100 TB partition by fingerprint
     prefix and the group sizes stay tiny (hash uniformity).
     """
+    # (id, fingerprint) feeds the keeper aggregate AND the join back;
+    # without the checkpoint the full-text scan + md5 runs twice
     fp = df.select(
         F.col(id_col).alias("id"), fingerprint_expr(text_col).alias("fingerprint")
-    )
+    ).localCheckpoint(eager=False)
     keepers = fp.groupBy("fingerprint").agg(F.min("id").alias("keeper_id"))
     return (
         fp.join(keepers, "fingerprint")
@@ -201,6 +203,13 @@ def _lsh_pairs_from_sig(
     bucket_by_hash=False keys the join on the band's raw value array —
     wider shuffle key, but collision-free and oracle-replayable."""
     rows_per_band = validate_banding(num_hashes, bands, "MinHash banding")
+
+    # the signature build (shingle explode + num_hashes-way min groupBy)
+    # is the expensive half, and the band self-join below derives it once
+    # PER SIDE (Spark shares no plan subtrees). One materialized pass —
+    # the in-engine analog of persisting the bucketed signature table at
+    # scale; (id, num_hashes longs) per doc, far smaller than the text.
+    sig = sig.localCheckpoint(eager=False)
 
     def _bucket(i: int):
         band_vals = F.slice("sig", i * rows_per_band + 1, rows_per_band)
@@ -386,7 +395,10 @@ def simhash_pairs(
             f"raise bands to ≥ {max_hamming + 1} for max_hamming={max_hamming}"
         )
     bits_per_band = validate_banding(64, bands, "SimHash banding")
-    fp = simhash(df, id_col, text_col)
+    # the fingerprint build (64-way bit-sum groupBy over exploded
+    # tokens) would derive once per self-join side — materialize the
+    # (id, simhash) table once
+    fp = simhash(df, id_col, text_col).localCheckpoint(eager=False)
     mask = (1 << bits_per_band) - 1
     banded = fp.select(
         "id",
@@ -519,7 +531,9 @@ def chunk_dedup(
     Scale: one shuffle on the chunk fingerprint (same shape as
     exact_dedup — hash-uniform groups, no text comparison, no windows);
     keeper choice is a min(struct) aggregate, not a global sort."""
-    ch = doc_chunks(df, id_col, text_col, chunk_tokens)
+    # chunk frame feeds the keeper aggregate AND the join back —
+    # materialize the tokenize+fingerprint pass once
+    ch = doc_chunks(df, id_col, text_col, chunk_tokens).localCheckpoint(eager=False)
     keepers = ch.groupBy("fingerprint").agg(
         F.min(F.struct("id", "chunk_idx")).alias("_k")
     )

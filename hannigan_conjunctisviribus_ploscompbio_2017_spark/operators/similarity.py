@@ -203,9 +203,13 @@ def embedding_near_dup_pairs(
             )
         # norm computed once per VECTOR (before the band explode — the
         # exploded copies carry the scalar along); the rerank below is
-        # then a single zip_with per candidate pair
-        sig = srp_signature(items, dim, num_planes, id_col, vec_col, seed).withColumn(
-            "_nrm", _norm(F.col("vec"))
+        # then a single zip_with per candidate pair. Checkpoint: the
+        # signature build (num_planes projection dots) would otherwise
+        # derive once per self-join side.
+        sig = (
+            srp_signature(items, dim, num_planes, id_col, vec_col, seed)
+            .withColumn("_nrm", _norm(F.col("vec")))
+            .localCheckpoint(eager=False)
         )
         bandcols = _band_cols(num_planes, bands)
         banded = sig.select("id", "vec", "_nrm", F.explode(bandcols).alias("bb")).select(
