@@ -425,7 +425,14 @@ def unigram_logprob(
     toks = _doc_tokens(df, id_col, text_col).select(
         "id", F.explode("_t").alias("tok")
     )
-    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    # the Zipf-bounded count table feeds BOTH the N/V totals and the
+    # token join; without the checkpoint the tokenize+count shuffle runs
+    # twice. toks itself is deliberately NOT checkpointed: materializing
+    # the exploded token table costs ~corpus size, while re-running the
+    # tokenize projection is one cheap codegen pass.
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c")).localCheckpoint(
+        eager=False
+    )
     totals = counts.agg(
         F.sum("c").alias("_n"), F.count(F.lit(1)).alias("_v")
     )  # 1 row; crossJoin keeps the scalars in the same Catalyst DAG
@@ -604,10 +611,14 @@ def bigram_lm(
     big = _doc_bigrams(df, id_col, text_col).groupBy("v", "w").agg(
         F.count(F.lit(1)).alias("c_vw")
     )
+    # the scorer consumes unigrams three ways (v-join, w-join, totals);
+    # one materialized pass of the Zipf-bounded table replaces three
+    # tokenize+count shuffles
     unis = (
         toked.select(F.explode("_t").alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
     )
     return {"bigrams": big, "unigrams": unis, "totals": unis.agg(F.sum("c").alias("_n"))}
 
