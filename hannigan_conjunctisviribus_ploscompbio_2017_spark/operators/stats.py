@@ -370,9 +370,12 @@ def permutation_pvalue_portable(
     from pyspark.sql import Window as W
 
     md5_60 = lambda c: F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")  # noqa: E731
+    # base feeds FOUR actions (group enumeration, n1, observed means,
+    # the permutation null) — materialize the possibly-join-derived
+    # input once instead of re-running its upstream plan per action
     base = df.select(
         F.col(group_col).alias("_g"), F.col(value_col).cast("long").alias("_v")
-    )
+    ).localCheckpoint(eager=False)
     groups = sorted(str(r["_g"]) for r in base.select("_g").distinct().collect())
     if len(groups) != 2:
         raise ValueError(f"needs exactly 2 groups, got {groups}")
@@ -477,9 +480,11 @@ def permutation_pvalue(
 
     Returns 1 row: (observed_diff, p_value, n_perm).
     """
+    # base feeds multiple actions (group enumeration, n1, observed
+    # means, the null) — materialize the input once
     base = df.select(
         F.col(group_col).alias("_g"), F.col(value_col).cast("double").alias("_v")
-    )
+    ).localCheckpoint(eager=False)
     groups = [r["_g"] for r in base.select("_g").distinct().collect()]
     if len(groups) != 2:
         raise ValueError(f"permutation_pvalue needs exactly 2 groups, got {groups}")
