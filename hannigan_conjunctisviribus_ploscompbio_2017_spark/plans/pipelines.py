@@ -298,6 +298,11 @@ def altered_diet(
         symmetrize,
     )
 
+    # the edge frame feeds four consumers per fraction (sizes, roots,
+    # BFS, centrality) across len(fractions) subgraphs — materialize the
+    # caller's upstream plan once; each fraction's hash-filter subgraph
+    # then reads the checkpointed rows
+    diet_edges = diet_edges.localCheckpoint(eager=False)
     out = None
     for frac in fractions:
         sub = diet_edges if frac >= 1.0 else sample_edges(diet_edges, frac, seed)
