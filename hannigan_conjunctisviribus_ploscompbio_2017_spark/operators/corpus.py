@@ -648,9 +648,12 @@ def mixture_weights(
     emitting weight 0 for every domain."""
     if target is not None and not target:
         raise ValueError("target must be a non-empty dict or None (uniform)")
+    # the domain-count table feeds both the grand-total aggregate and
+    # the weight projection; one materialized pass instead of two
+    # corpus scans (the table is domain-sized — tiny)
     counts = df.groupBy(F.col(domain_col).alias("domain")).agg(
         F.count(F.lit(1)).alias("n_docs")
-    )
+    ).localCheckpoint(eager=False)
     if target:
         requested = df.sparkSession.createDataFrame(
             [(d,) for d in sorted(target)], "domain string"
