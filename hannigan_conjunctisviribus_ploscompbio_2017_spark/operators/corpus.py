@@ -405,6 +405,7 @@ def unigram_logprob(
     text_col: str = "text",
     k_smooth: float = 1.0,
     round_to: int = 6,
+    broadcast_counts: bool = True,
 ) -> DataFrame:
     """CCNet-style language-model quality score without an external LM:
     train an add-k-smoothed unigram model on the corpus itself, then
@@ -419,9 +420,15 @@ def unigram_logprob(
     Returns (id, n_tok, avg_neg_logprob). Two aggregations: token counts
     (one shuffle on token, partial map-side), then the per-doc mean
     (shuffle on id). The global N/V scalars stay IN-PLAN as a 1-row
-    crossJoin — no driver collect. At 100 TB the token-count table is
-    Zipf-bounded (vocab << corpus) and broadcastable after a min-count
-    floor; the token join is the only wide stage."""
+    crossJoin — no driver collect.
+
+    `broadcast_counts` (default True) hash-joins the token stream
+    against a broadcast of the count table, so the exploded tokens are
+    never shuffled on token — the per-doc groupBy is then the only wide
+    stage over the corpus. The count table is Zipf-bounded (vocab <<
+    corpus), but at extreme corpus scale the raw vocabulary (typos,
+    URLs, ids) can outgrow the broadcast limit — set False there to fall
+    back to a shuffle join (values identical either way)."""
     toks = _doc_tokens(df, id_col, text_col).select(
         "id", F.explode("_t").alias("tok")
     )
@@ -437,7 +444,7 @@ def unigram_logprob(
         F.sum("c").alias("_n"), F.count(F.lit(1)).alias("_v")
     )  # 1 row; crossJoin keeps the scalars in the same Catalyst DAG
     scored = (
-        toks.join(counts, "tok")
+        toks.join(F.broadcast(counts) if broadcast_counts else counts, "tok")
         .crossJoin(F.broadcast(totals))
         .select(
             "id",

@@ -561,6 +561,7 @@ def contamination_pairs(
     k: int = 3,
     threshold: float = 0.2,
     max_df: int | None = None,
+    broadcast_test_shingles: bool = True,
 ) -> DataFrame:
     """Train/test contamination screen: for every test doc, the train
     docs sharing ≥ threshold of its k-token shingles (containment
@@ -577,8 +578,27 @@ def contamination_pairs(
 
     Scale: shuffle on shingle (explode-join), group on (test, train)
     pair; candidates ∝ genuinely-shared rare shingles, never
-    |train|×|test|."""
+    |train|×|test|. With `broadcast_test_shingles` (default True) the
+    train side is first filtered map-side against a broadcast of the
+    DISTINCT test shingles — only shingles the test set actually
+    contains can survive the containment join, so the shuffle (and the
+    max_df window's sort) see the tiny matched subset of the train
+    corpus, not all of it. That's the right bet at scale: the test side
+    is an eval benchmark, orders of magnitude smaller than the training
+    corpus. Set False if the test side's shingle vocabulary itself
+    exceeds broadcast limits (values identical either way)."""
     sh_tr = shingles(train, id_col, text_col, k).withColumnRenamed("id", "train_id")
+    sh_te = shingles(test, id_col, text_col, k).withColumnRenamed("id", "test_id")
+    sh_te = sh_te.localCheckpoint(eager=False)  # feeds sizes AND the join
+    if broadcast_test_shingles:
+        # map-side prune BEFORE the df-window and the shuffle: the later
+        # inner join drops non-test shingles anyway, and per-shingle
+        # doc-frequencies are unchanged by dropping other shingles, so
+        # the result is value-identical — the prune only moves the
+        # filter ahead of the expensive exchange
+        sh_tr = sh_tr.join(
+            F.broadcast(sh_te.select("shingle").distinct()), "shingle", "left_semi"
+        )
     if max_df is not None:
         # doc-frequency prune as a count-over-window, not agg+self-join:
         # one derivation of the train shingles, and the window's
@@ -589,8 +609,6 @@ def contamination_pairs(
         sh_tr = sh_tr.withColumn(
             "_df", F.count(F.lit(1)).over(W.partitionBy("shingle"))
         ).filter(F.col("_df") <= max_df).drop("_df")
-    sh_te = shingles(test, id_col, text_col, k).withColumnRenamed("id", "test_id")
-    sh_te = sh_te.localCheckpoint(eager=False)  # feeds sizes AND the join
     sizes = sh_te.groupBy("test_id").agg(F.count(F.lit(1)).alias("_n"))
     return (
         sh_te.join(sh_tr, "shingle")
