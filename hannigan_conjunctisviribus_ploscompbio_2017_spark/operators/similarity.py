@@ -73,6 +73,35 @@ def cosine_pre(dot, na, nb):
     return F.when(den != 0, dot / den)
 
 
+def _lit_vec(vals) -> "F.Column":
+    """Double-array literal in ONE py4j call. F.array(*[F.lit(x) ...])
+    costs a JVM round trip PER ELEMENT — for the centroid/hyperplane
+    sets (n_cells or num_planes vectors × dim elements) that is
+    thousands of driver round trips, ~2s of plan-BUILD time per
+    operator at 16×64. Parsing a single SQL array literal yields the
+    identical CreateArray-of-Literal tree: `repr(float)` is the
+    shortest round-trip form and Spark's `<value>D` literal parses to
+    the bit-identical double, so downstream IEEE arithmetic (and every
+    oracle replay) is unchanged. Non-finite values fall back to the
+    per-element path (`1e400D` would not survive the SQL parser)."""
+    vals = [float(x) for x in vals]
+    if not all(math.isfinite(x) for x in vals):
+        return F.array(*[F.lit(x) for x in vals])
+    return F.expr("array(" + ",".join(f"{x!r}D" for x in vals) + ")")
+
+
+def _lit_mat(rows) -> "F.Column":
+    """array<array<double>> literal in one py4j call (see _lit_vec)."""
+    rows = [[float(x) for x in r] for r in rows]
+    if not all(math.isfinite(x) for r in rows for x in r):
+        return F.array(*[_lit_vec(r) for r in rows])
+    return F.expr(
+        "array("
+        + ",".join("array(" + ",".join(f"{x!r}D" for x in r) + ")" for r in rows)
+        + ")"
+    )
+
+
 def _py_norm(v: list[float]) -> float:
     """Python replay of _norm() over a literal vector: left-fold double
     adds then sqrt — the exact IEEE sequence Catalyst's aggregate()
@@ -275,16 +304,27 @@ def srp_signature(
     """
     planes = _hyperplanes(dim, num_planes, seed)
     v = F.col(vec_col)
-    bits = []
-    for i, h in enumerate(planes):
-        harr = F.array(*[F.lit(x) for x in h])
-        bits.append(F.when(_dot(v, harr) >= 0, F.lit(1)).otherwise(F.lit(0)).alias(f"bit{i}"))
-    out = df.select(F.col(id_col).alias("id"), v.alias("vec"), *bits)
-    sig = None
-    for i in range(num_planes):
-        term = F.col(f"bit{i}").cast("long") * F.lit(1 << i).cast("long")
-        sig = term if sig is None else sig + term
-    return out.select("id", "vec", sig.alias("sig"))
+    # ONE transform over a 2-D plane literal instead of num_planes
+    # separate dot expressions: building each zip_with/aggregate lambda
+    # costs ~20ms of py4j round trips, so 16 planes × 2 call sites was
+    # ~0.6s of driver-side plan-BUILD time per query. The fold adds the
+    # bit weights left-to-right in plane order — the identical long
+    # arithmetic (and identical sig values) as the old per-bit sum.
+    p2d = _lit_mat(planes)
+    pow2 = F.expr(
+        "array(" + ",".join(f"{1 << i}L" for i in range(num_planes)) + ")"
+    )
+    sig = F.aggregate(
+        F.transform(
+            p2d,
+            lambda h, i: F.when(_dot(v, h) >= 0, F.get(pow2, i)).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return df.select(F.col(id_col).alias("id"), v.alias("vec"), sig.alias("sig"))
 
 
 def srp_lsh_topk(
@@ -410,19 +450,35 @@ def _ranked_cells_expr(cents: list[tuple[int, list[float]]], round_to: int):
     variable cannot be duplicated by any rewrite. The naive inline
     cosine() costs ~5·n_cells array passes per row — at 16 cells that
     is an 80x vs 17x difference in interpreted higher-order-function
-    work (tests pin the plan's aggregate() count)."""
+    work (tests pin the plan's aggregate() count).
+
+    Build cost matters too: the distances come from ONE transform over
+    a 2-D centroid literal, not n_cells separate dot expressions — each
+    zip_with/aggregate lambda costs ~20ms of py4j round trips to
+    construct, so 16 per side was ~0.5s of driver-side plan-build time
+    per invocation. Values are unchanged: the lambda binds the same
+    literal centroid row, the same dot fold, and the same indexed
+    centroid-norm literal the per-cell form used."""
+    mat = _lit_mat([cv for _, cv in cents])
+    cns = _lit_vec([_py_norm(cv) for _, cv in cents])
+    # _resolve_centroids always numbers cells 0..n-1; the transform
+    # index replays exactly that numbering
+    assert [i for i, _ in cents] == list(range(len(cents)))
 
     def ranked_cells(v):
         def entries(nv):
-            out = []
-            for i, cv in cents:
-                carr = F.array(*[F.lit(x) for x in cv])
-                cn = F.lit(_py_norm(cv))
-                d = F.round(
-                    F.lit(1.0) - cosine_pre(_dot(v, carr), nv, cn), round_to
+            return F.array_sort(
+                F.transform(
+                    mat,
+                    lambda c, i: F.struct(
+                        F.round(
+                            F.lit(1.0) - cosine_pre(_dot(v, c), nv, F.get(cns, i)),
+                            round_to,
+                        ).alias("d"),
+                        i.alias("i"),
+                    ),
                 )
-                out.append(F.struct(d.alias("d"), F.lit(i).alias("i")))
-            return F.array_sort(F.array(*out))
+            )
 
         return F.transform(F.array(_norm(v)), entries)[0]
 

@@ -843,25 +843,29 @@ def test_cosine_hot_paths_precompute_norms(spark):
 
     # brute-force: 1 dot (pair) + 2 norms (one per side) = 3
     assert agg_count(similarity.brute_force_topk(emb, q, k=3)) == 3
-    # SRP top-k: num_planes projection dots per side + 1 norm per side
-    # + 1 rerank dot = 2*(planes+1)+1
+    # SRP top-k: per side, ONE sig fold + ONE projection dot inside its
+    # transform lambda + 1 norm = 3 (the per-plane dots share a single
+    # lambda over the 2-D plane literal), + 1 rerank dot = 7. A jump
+    # back toward 2*(planes+1)+1 means the signature reverted to
+    # per-plane dot expressions.
     planes = 8
     assert (
         agg_count(similarity.srp_lsh_topk(emb, q, dim=8, k=1, num_planes=planes, bands=4))
-        == 2 * (planes + 1) + 1
+        == 7
     )
     # semantic dedup: the assignment table is lazily checkpointed (it
     # feeds three consumers and Spark shares no plan subtrees), so the
     # downstream plan carries exactly ONE aggregate — the rerank dot.
     assert agg_count(similarity.semantic_dedup(emb, n_cells=4)) == 1
     # and the checkpointed assignment expression itself is 1 lambda-
-    # bound row norm + n_cells dots (centroid norms are literals —
-    # 0 aggregates): a jump back toward ~5*n_cells means CollapseProject
-    # is re-inlining the norm per cell
+    # bound row norm + ONE cell-distance dot inside the 2-D-centroid
+    # transform lambda (centroid norms are literals — 0 aggregates): a
+    # jump back toward ~5*n_cells means CollapseProject is re-inlining
+    # the norm per cell (or the per-cell dot expressions returned)
     cents = [(i, [float(j == i) for j in range(8)]) for i in range(4)]
     rc = similarity._ranked_cells_expr(cents, 6)
     cell_df = emb.select(rc(F.col("embedding"))[0]["i"].alias("cell"))
-    assert agg_count(cell_df) == 1 + 4
+    assert agg_count(cell_df) == 1 + 1
 
 
 def test_cosine_pre_matches_inline_cosine(spark):
