@@ -57,6 +57,7 @@ _PRIORITY = [
     "ev_first_seen_dedup",
     "ev_chunk_first_seen",
     "ev_near_dup_stream",
+    "ev_stream_pack",
 ]
 
 

@@ -4243,6 +4243,25 @@ def tx_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ev_stream_pack", oracle=_SEQPACK_SQL)
+def ev_stream_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sequence packing (streaming.events.streaming_sequence_pack)
+    end-to-end through a bounded single-batch stream: per-bucket
+    cumulative-token state fills packs across micro-batches; a
+    single-batch run orders each bucket by the same md5 shuffle as batch
+    sequence_pack, so the batch oracle replays the stream's answer
+    bit-for-bit."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.streaming.events import (
+        streaming_sequence_pack,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = streaming_sequence_pack(
+        _bounded_stream(spark, docs, "sp"), budget=128, n_buckets=8, seed=42
+    )
+    return _run_stream(spark, out, "stream_pack_gate")
+
+
 def _semantic_dedup_oracle(dim: int = 64, n_cells: int = 16, tau: float = 0.8) -> str:
     """DuckDB twin of semantic_dedup: same md5-first centroids and
     argmin cell assignment as the IVF oracle, then the within-cell
