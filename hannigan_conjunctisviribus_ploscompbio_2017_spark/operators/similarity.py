@@ -459,6 +459,11 @@ def _ranked_cells_expr(cents: list[tuple[int, list[float]]], round_to: int):
     per invocation. Values are unchanged: the lambda binds the same
     literal centroid row, the same dot fold, and the same indexed
     centroid-norm literal the per-cell form used."""
+    if not cents:
+        raise ValueError(
+            "no usable centroids: the items table has no non-degenerate "
+            "vectors (every row is null, has null elements, or is zero-norm)"
+        )
     mat = _lit_mat([cv for _, cv in cents])
     cns = _lit_vec([_py_norm(cv) for _, cv in cents])
     # _resolve_centroids always numbers cells 0..n-1; the transform

@@ -507,6 +507,23 @@ def test_sequence_pack_invariants(spark):
         by_bucket[r.bucket] = start + r.n_tok
 
 
+def test_semantic_dedup_empty_table_raises_cleanly(spark):
+    """A table with no usable centroid rows (empty, or all-degenerate)
+    must raise a clear ValueError at build, not an AnalysisException
+    from an untyped empty-array literal deep in the cell expression."""
+    import pytest
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="no usable centroids"):
+        similarity.semantic_dedup(empty, n_cells=4)
+    degenerate = spark.createDataFrame(
+        [(1, None), (2, [0.0, 0.0]), (3, [1.0, None])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="no usable centroids"):
+        similarity.ivf_topk(degenerate, degenerate, dim=2)
+
+
 def test_semantic_dedup_flags_clumps(spark):
     import math
 
