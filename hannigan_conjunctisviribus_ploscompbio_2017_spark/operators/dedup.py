@@ -183,13 +183,19 @@ def _sig_from_shingles(
     min-hashes in one groupBy over the exploded shingles (no per-row
     Python). Shared by token-shingle and k-mer MinHash."""
     base = hash_fn("shingle") if hash_fn is not None else F.xxhash64("shingle")
-    h = F.pmod(base, F.lit(_MERSENNE))
+    # each min-hash is ONE parsed expression, not per-Column-op py4j
+    # round trips: building num_hashes affine mins element-by-element
+    # cost ~8 JVM calls apiece (~0.5s of plan-build at 32 hashes); the
+    # parsed tree — min(pmod(_h * aL + bL, ML)) over the named base
+    # hash — is the identical long arithmetic, same values
     coeffs = _hash_coeffs(num_hashes, seed)
+    m = _MERSENNE
+    hashed = sh.select("id", F.pmod(base, F.lit(m)).alias("_h"))
     mins = [
-        F.min(F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE))).alias(f"h{i}")
+        F.expr(f"min(pmod(_h * {a}L + {b}L, {m}L)) AS h{i}")
         for i, (a, b) in enumerate(coeffs)
     ]
-    sig = sh.groupBy("id").agg(*mins)
+    sig = hashed.groupBy("id").agg(*mins)
     return sig.select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
 
 
