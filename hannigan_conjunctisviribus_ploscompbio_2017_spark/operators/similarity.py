@@ -90,6 +90,11 @@ def _lit_vec(vals) -> "F.Column":
     return F.expr("array(" + ",".join(f"{x!r}D" for x in vals) + ")")
 
 
+def _lit_longs(vals) -> "F.Column":
+    """array<bigint> literal in one py4j call (see _lit_vec)."""
+    return F.expr("array(" + ",".join(f"{int(x)}L" for x in vals) + ")")
+
+
 def _lit_mat(rows) -> "F.Column":
     """array<array<double>> literal in one py4j call (see _lit_vec)."""
     rows = [[float(x) for x in r] for r in rows]
@@ -311,9 +316,7 @@ def srp_signature(
     # bit weights left-to-right in plane order — the identical long
     # arithmetic (and identical sig values) as the old per-bit sum.
     p2d = _lit_mat(planes)
-    pow2 = F.expr(
-        "array(" + ",".join(f"{1 << i}L" for i in range(num_planes)) + ")"
-    )
+    pow2 = _lit_longs(1 << i for i in range(num_planes))
     sig = F.aggregate(
         F.transform(
             p2d,

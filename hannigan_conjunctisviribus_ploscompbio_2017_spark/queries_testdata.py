@@ -40,20 +40,23 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
-_TABLE_CACHE: dict = {}
-
-
 def _t(spark, sf_dir, name):
     """Cached per-(session, dir, table) reader. spark.read.parquet
     resolves footers/schema EAGERLY (~0.1s of JVM round trips per
     table), and the gate builds >100 query plans over the same ten
     tables — reusing the immutable DataFrame handle pays that once per
-    table instead of once per query build. Keyed on the session object
-    itself, so a restarted session never sees a stale handle."""
-    key = (spark, sf_dir, name)
-    df = _TABLE_CACHE.get(key)
+    table instead of once per query build. The cache lives as an
+    attribute ON the session object (not a module global), so it is
+    garbage-collected with its session — a restarted session starts
+    empty and a dead one pins nothing."""
+    cache = getattr(spark, "_sg_table_cache", None)
+    if cache is None:
+        cache = {}
+        spark._sg_table_cache = cache
+    key = (sf_dir, name)
+    df = cache.get(key)
     if df is None:
-        df = _TABLE_CACHE.setdefault(key, load_table(spark, sf_dir, name))
+        df = cache.setdefault(key, load_table(spark, sf_dir, name))
     return df
 
 
