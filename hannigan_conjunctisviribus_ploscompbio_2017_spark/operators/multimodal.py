@@ -3,18 +3,23 @@
 Treats media as opaque `binary` columns + typed metadata, the standard
 lakehouse layout for multimodal training data.  The Spark-side plumbing —
 schemas, batch iteration, partition sizing — is real and tested, and so
-is decode for the container-friendly uncompressed formats:
+is decode across all three modalities:
 
-- images: PPM (P6) / PGM (P5) and 24-bit uncompressed BMP, parsed with
-  pure numpy (no Pillow needed);
-- audio: RIFF/WAVE PCM 8/16-bit, parsed with struct+numpy (no ffmpeg).
+- images: PPM (P6) / PGM (P5), 24-bit uncompressed BMP, PNG (stdlib
+  zlib inflate + all five filter types), and baseline JPEG (pure-python
+  Huffman + IDCT) — no Pillow needed;
+- audio: RIFF/WAVE PCM 8/16-bit, parsed with struct+numpy (no ffmpeg);
+- video: YUV4MPEG2 (.y4m, the standard uncompressed interchange
+  container) — header parse, C420/C422/C444/mono planes, BT.601
+  limited-range conversion, real per-frame extraction
+  (extract_video_frames); MP4 gets ISO-BMFF box-walk METADATA
+  (mp4_metadata) without frame decode.
 
-Compressed codecs (JPEG/PNG/MP3/MP4...) genuinely need external codec
-libraries that are not in this container: those formats raise
+The remaining compressed codecs (H.264/MP3...) genuinely need external
+codec libraries that are not in this container: those raise
 NotImplementedError unless `fake=True`, in which case a deterministic
 stand-in decoder (seeded from the content hash) keeps the pipeline shape
-exercised end to end.  This is the documented decision from the r01
-verdict: real decode for one-plus modality, honest stub for the rest.
+exercised end to end.
 
 Scale notes: media rows are huge → keep `spark.sql.files.maxPartitionBytes`
 small enough that a partition of blobs fits in executor memory, and
@@ -61,7 +66,10 @@ FEATURE_SCHEMA = (
 
 
 def sniff_codec(content: bytes) -> str:
-    """Classify a blob by magic bytes: ppm|pgm|bmp|wav|png|jpeg|mp4|unknown."""
+    """Classify a blob by magic bytes:
+    ppm|pgm|bmp|wav|png|jpeg|y4m|mp4|unknown."""
+    if content[:9] == b"YUV4MPEG2":
+        return "y4m"
     if content[:2] == b"P6":
         return "ppm"
     if content[:2] == b"P5":
@@ -162,6 +170,89 @@ def decode_wav(content: bytes) -> tuple[int, np.ndarray]:
     if channels > 1:
         x = x[: len(x) // channels * channels].reshape(-1, channels).mean(axis=1)
     return sample_rate, x
+
+
+def decode_y4m(content: bytes, max_frames: int | None = None) -> tuple[float, np.ndarray]:
+    """YUV4MPEG2 (.y4m) uncompressed video → (fps, frames[n, h, w, 3]
+    RGB uint8). Real video decode without codec libraries: y4m is the
+    standard uncompressed interchange container (what
+    `ffmpeg -f yuv4mpegpipe` emits).
+
+    Stream header `YUV4MPEG2 W<w> H<h> F<num>:<den> ... [C<fmt>]\\n`,
+    then per frame `FRAME[params]\\n` + planar YUV bytes. Chroma formats:
+    any C420 variant (jpeg/mpeg2/paldv share the sampling grid at this
+    fidelity), C422, C444, and Cmono. Colorimetry is the y4m convention —
+    BT.601 limited range (Y 16-235, C 16-240) — NOT the full-range
+    matrix the JPEG path uses; both are exact per their format's spec.
+    `max_frames` stops parsing early (frame sampling reads a bounded
+    prefix of a long video blob)."""
+    nl = content.find(b"\n")
+    if not content.startswith(b"YUV4MPEG2") or nl < 0:
+        raise ValueError("not a YUV4MPEG2 stream")
+    w = h = None
+    fps = 0.0
+    cfmt = "420jpeg"  # spec default when C is absent
+    for tok in content[9:nl].split():
+        t, v = chr(tok[0]), tok[1:].decode("ascii", "replace")
+        if t == "W":
+            w = int(v)
+        elif t == "H":
+            h = int(v)
+        elif t == "F":
+            num, den = v.split(":")
+            fps = int(num) / int(den)
+        elif t == "C":
+            cfmt = v
+    if not w or not h:
+        raise ValueError("y4m header missing W/H")
+    if cfmt.startswith("420"):
+        cw, ch_ = (w + 1) // 2, (h + 1) // 2
+    elif cfmt.startswith("422"):
+        cw, ch_ = (w + 1) // 2, h
+    elif cfmt.startswith("444"):
+        cw, ch_ = w, h
+    elif cfmt.startswith("mono"):
+        cw = ch_ = 0
+    else:
+        raise ValueError(f"unsupported y4m chroma format C{cfmt}")
+    ysz, csz = w * h, cw * ch_
+    frames = []
+    pos = nl + 1
+    while pos < len(content):
+        if content[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"bad FRAME marker at byte {pos}")
+        fnl = content.find(b"\n", pos)
+        if fnl < 0:
+            raise ValueError("truncated FRAME header")
+        pos = fnl + 1
+        if pos + ysz + 2 * csz > len(content):
+            raise ValueError("truncated frame payload")
+        y = np.frombuffer(content, np.uint8, ysz, pos).reshape(h, w).astype(np.float32)
+        pos += ysz
+        if csz:
+            cb = np.frombuffer(content, np.uint8, csz, pos).reshape(ch_, cw)
+            cr = np.frombuffer(content, np.uint8, csz, pos + csz).reshape(ch_, cw)
+            pos += 2 * csz
+            # nearest-neighbor chroma upsample to the luma grid, crop
+            cb = np.repeat(np.repeat(cb, -(-h // ch_), 0), -(-w // cw), 1)[:h, :w]
+            cr = np.repeat(np.repeat(cr, -(-h // ch_), 0), -(-w // cw), 1)[:h, :w]
+            yl = 1.164383 * (y - 16.0)
+            r = yl + 1.596027 * (cr.astype(np.float32) - 128.0)
+            g = (
+                yl
+                - 0.391762 * (cb.astype(np.float32) - 128.0)
+                - 0.812968 * (cr.astype(np.float32) - 128.0)
+            )
+            b = yl + 2.017232 * (cb.astype(np.float32) - 128.0)
+            img = np.stack([r, g, b], axis=-1)
+        else:
+            img = np.repeat((1.164383 * (y - 16.0))[..., None], 3, axis=2)
+        frames.append(np.clip(np.round(img), 0, 255).astype(np.uint8))
+        if max_frames is not None and len(frames) >= max_frames:
+            break
+    if not frames:
+        raise ValueError("y4m stream has no frames")
+    return fps, np.stack(frames)
 
 
 def decode_png(content: bytes) -> np.ndarray:
@@ -553,6 +644,21 @@ def _audio_feature(sr: int, x: np.ndarray, dim: int) -> np.ndarray:
     return np.asarray(vec[:dim], dtype=np.float32)
 
 
+def _video_feature(fps: float, frames: np.ndarray, dim: int) -> np.ndarray:
+    """Fixed-dim video descriptor: [fps, n_frames, h, w, mean luminance
+    over sampled frames] + (dim-5)-bin luminance histogram (density).
+    At most 8 frames, sampled evenly across the clip, contribute —
+    bounded work per blob regardless of clip length."""
+    n, h, w, _ = frames.shape
+    idx = np.unique(np.linspace(0, n - 1, num=min(n, 8)).astype(np.int64))
+    lum = frames[idx, :, :, :3].mean(axis=3).ravel() / 255.0
+    head = [float(fps), float(n), float(h), float(w), float(lum.mean())]
+    bins = max(dim - len(head), 1)
+    hist, _ = np.histogram(lum, bins=bins, range=(0.0, 1.0))
+    vec = head + (hist / max(lum.size, 1)).tolist()
+    return np.asarray(vec[:dim], dtype=np.float32)
+
+
 def _fake_decode(content: bytes, dim: int = 16) -> np.ndarray:
     """Deterministic stand-in for compressed codecs: feature vector
     seeded from the content hash. Replace with PIL/torchvision/ffmpeg in
@@ -563,8 +669,9 @@ def _fake_decode(content: bytes, dim: int = 16) -> np.ndarray:
 
 
 def decode_feature(content: bytes, dim: int, fake: bool) -> tuple[str, np.ndarray]:
-    """(codec, feature) for one blob: real decode for ppm/pgm/bmp/wav,
-    fake or NotImplementedError for compressed codecs."""
+    """(codec, feature) for one blob: real decode for
+    ppm/pgm/bmp/png/jpeg/wav/y4m, fake or NotImplementedError for the
+    remaining compressed codecs (mp4/h264, mp3)."""
     codec = sniff_codec(content)
     if codec in ("ppm", "pgm"):
         return codec, _image_feature(decode_ppm(content), dim)
@@ -576,12 +683,14 @@ def decode_feature(content: bytes, dim: int, fake: bool) -> tuple[str, np.ndarra
         return codec, _image_feature(decode_jpeg(content), dim)
     if codec == "wav":
         return codec, _audio_feature(*decode_wav(content), dim)
+    if codec == "y4m":
+        return codec, _video_feature(*decode_y4m(content), dim)
     if fake:
         return codec, _fake_decode(content, dim)
     raise NotImplementedError(
         f"codec {codec!r} requires libraries (ffmpeg) not present in this "
-        "container; supported real decodes: ppm/pgm/bmp/png/jpeg/wav. Pass "
-        "fake=True for the deterministic stand-in decoder"
+        "container; supported real decodes: ppm/pgm/bmp/png/jpeg/wav/y4m. "
+        "Pass fake=True for the deterministic stand-in decoder"
     )
 
 
@@ -645,7 +754,8 @@ def blob_stats(df: DataFrame, id_col: str = "media_id", content_col: str = "cont
         return F.substring(hx, pos_chars, 2 * len(ascii_magic)) == ascii_magic.hex().upper()
 
     codec = (
-        F.when(_hex_at(1, b"P6"), "ppm")
+        F.when(_hex_at(1, b"YUV4MPEG2"), "y4m")
+        .when(_hex_at(1, b"P6"), "ppm")
         .when(_hex_at(1, b"P5"), "pgm")
         .when(_hex_at(1, b"BM"), "bmp")
         .when(_hex_at(1, b"RIFF") & _hex_at(17, b"WAVE"), "wav")
@@ -697,9 +807,106 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
+FRAME_SCHEMA = (
+    "media_id long, frame_idx int, ts_ms long, height int, width int, "
+    "feature array<float>"
+)
+
+
+def extract_video_frames(
+    df: DataFrame,
+    every_n: int = 1,
+    max_frames: int | None = 32,
+    dim: int = 16,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """REAL frame extraction: decode each y4m video blob and emit one row
+    per sampled frame — (media_id, frame_idx, ts_ms, height, width,
+    per-frame image feature). The decode-backed realization of
+    frame_sample_plan's metadata fan-out: same shape, but the rows come
+    from actual pixel data.
+
+    `every_n` keeps every n-th frame; `max_frames` bounds decode work
+    per blob (the parser stops reading the byte stream after
+    every_n*max_frames frames, so a long clip costs its sampled prefix,
+    not its length). ts_ms derives from the stream's own F rate.
+    Compressed containers (mp4/h264) still raise NotImplementedError —
+    filter on blob_stats codec first in mixed corpora; corrupt y4m blobs
+    quarantine as a single (frame_idx=-1, NULL feature) row rather than
+    failing the job. Arrow-batched mapInPandas: peak memory is one batch
+    of decoded clips, and media partitions must already be sized for
+    blob columns (module scale notes)."""
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in ("media_id", "frame_idx", "ts_ms", "height", "width", "feature")}
+            for mid, c in zip(pdf[id_col], pdf[content_col]):
+                raw = bytes(c) if c is not None else b""
+                codec = sniff_codec(raw)
+                if codec == "mp4":
+                    raise NotImplementedError(
+                        "mp4/h264 frame decode requires ffmpeg (absent in "
+                        "this container); extract_video_frames decodes y4m"
+                    )
+                try:
+                    limit = None if max_frames is None else every_n * max_frames
+                    fps, frames = decode_y4m(raw, max_frames=limit)
+                    sel = frames[::every_n]
+                    if max_frames is not None:
+                        sel = sel[:max_frames]
+                    step_ms = 0.0 if fps <= 0 else 1000.0 / fps
+                    for j, frame in enumerate(sel):
+                        out["media_id"].append(mid)
+                        out["frame_idx"].append(j * every_n)
+                        out["ts_ms"].append(int(j * every_n * step_ms))
+                        out["height"].append(frame.shape[0])
+                        out["width"].append(frame.shape[1])
+                        out["feature"].append(_image_feature(frame, dim).tolist())
+                except ValueError:
+                    # corrupt/non-y4m blob: quarantine the ROW, keep the job
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(-1)
+                    out["ts_ms"].append(-1)
+                    out["height"].append(0)
+                    out["width"].append(0)
+                    out["feature"].append(None)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_batches, schema=FRAME_SCHEMA)
+
+
 # --------------------------------------------------------------------------
 # fixture encoders (tests synthesize real media bytes with these)
 # --------------------------------------------------------------------------
+
+
+def encode_y4m(frames: np.ndarray, fps: int = 25, cfmt: str = "444") -> bytes:
+    """uint8 [n, h, w, 3] RGB → YUV4MPEG2 bytes (C444 or C420jpeg via
+    2x2 mean subsampling). Exact inverse colorimetry of decode_y4m
+    (BT.601 limited range), so encode→decode round-trips within
+    rounding."""
+    n, h, w, _ = frames.shape
+    head = f"YUV4MPEG2 W{w} H{h} F{int(fps)}:1 Ip A1:1 C{cfmt}\n".encode()
+    parts = [head]
+    for f in frames:
+        r, g, b = (f[..., i].astype(np.float64) for i in range(3))
+        y = 16.0 + (0.299 * r + 0.587 * g + 0.114 * b) * 219.0 / 255.0
+        cb = 128.0 + (b - (0.299 * r + 0.587 * g + 0.114 * b)) * 0.564 * 224.0 / 255.0
+        cr = 128.0 + (r - (0.299 * r + 0.587 * g + 0.114 * b)) * 0.713 * 224.0 / 255.0
+        if cfmt.startswith("420"):
+            if h % 2 or w % 2:
+                raise ValueError("C420 needs even dimensions")
+            cb = cb.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+            cr = cr.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+        elif not cfmt.startswith("444"):
+            raise ValueError(f"encoder supports C444/C420*, not C{cfmt}")
+        parts.append(b"FRAME\n")
+        for plane in (y, cb, cr):
+            parts.append(np.clip(np.round(plane), 0, 255).astype(np.uint8).tobytes())
+    return b"".join(parts)
 
 
 def encode_ppm(img: np.ndarray) -> bytes:

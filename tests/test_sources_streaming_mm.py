@@ -1196,3 +1196,88 @@ def test_multimodal_corrupt_blob_robustness(spark):
     )
     plan = sorted((r.media_id, r.frame_ts_ms) for r in MM.frame_sample_plan(vids).collect())
     assert plan == [(1, 0), (1, 1000)]
+
+
+def test_y4m_decode_roundtrip_and_formats():
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    frames = rng.integers(0, 256, size=(5, 8, 12, 3), dtype=np.uint8)
+    # C444 round-trips within rounding (no chroma loss)
+    data = MM.encode_y4m(frames, fps=25, cfmt="444")
+    assert MM.sniff_codec(data) == "y4m"
+    fps, dec = MM.decode_y4m(data)
+    assert fps == 25.0 and dec.shape == (5, 8, 12, 3)
+    assert int(np.abs(dec.astype(int) - frames.astype(int)).max()) <= 2
+    # C420 preserves flat-color frames (2x2 chroma mean is lossless there)
+    flat = np.zeros((2, 4, 6, 3), np.uint8)
+    flat[..., 0], flat[..., 1], flat[..., 2] = 200, 64, 32
+    fps, dec420 = MM.decode_y4m(MM.encode_y4m(flat, cfmt="420jpeg"))
+    assert int(np.abs(dec420.astype(int) - flat.astype(int)).max()) <= 2
+    # fractional frame rate, mono chroma, max_frames early stop
+    mono = (
+        b"YUV4MPEG2 W4 H2 F30000:1001 Cmono\n"
+        + b"FRAME\n" + bytes(range(8))
+        + b"FRAME\n" + bytes(range(8, 16))
+    )
+    fps, decm = MM.decode_y4m(mono)
+    assert abs(fps - 29.97) < 0.01 and decm.shape == (2, 2, 4, 3)
+    # gray conversion: all three channels equal
+    assert (decm[..., 0] == decm[..., 1]).all() and (decm[..., 1] == decm[..., 2]).all()
+    assert MM.decode_y4m(mono, max_frames=1)[1].shape[0] == 1
+    # truncation / garbage raise ValueError (quarantine contract)
+    for bad in (data[:-5], b"YUV4MPEG2 W4 H2\x00", b"nonsense", data[: data.find(b"FRAME") + 3]):
+        with pytest.raises(ValueError):
+            MM.decode_y4m(bad)
+
+
+def test_y4m_feature_and_extract_features_route(spark):
+    import numpy as np
+
+    frames = np.full((4, 6, 6, 3), 128, np.uint8)
+    blob = MM.encode_y4m(frames, fps=10)
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(blob))], "media_id long, kind string, content binary"
+    )
+    row = MM.extract_features(media, dim=8).collect()[0]
+    assert row.codec == "y4m" and row.feature is not None
+    # head = [fps, n_frames, h, w, mean_lum]
+    assert row.feature[0] == 10.0 and row.feature[1] == 4.0
+    assert row.feature[2] == 6.0 and row.feature[3] == 6.0
+    # deterministic: same blob, same feature
+    row2 = MM.extract_features(media, dim=8).collect()[0]
+    assert row.feature == row2.feature
+
+
+def test_extract_video_frames_real_decode(spark):
+    import numpy as np
+
+    # 10 frames with a per-frame luminance ramp: the per-frame features
+    # must reflect each frame's own pixels, in stream order
+    frames = np.stack(
+        [np.full((4, 4, 3), 20 * i, np.uint8) for i in range(10)]
+    )
+    blob = MM.encode_y4m(frames, fps=20, cfmt="444")
+    media = spark.createDataFrame(
+        [(7, bytearray(blob)), (8, bytearray(b"YUV4MPEG2 W4 H4 F20:1\n" + b"FRAME"))],
+        "media_id long, content binary",
+    )
+    out = MM.extract_video_frames(media, every_n=3, max_frames=3, dim=6)
+    rows = sorted(out.collect(), key=lambda r: (r.media_id, r.frame_idx))
+    good = [r for r in rows if r.media_id == 7]
+    bad = [r for r in rows if r.media_id == 8]
+    # every 3rd frame, capped at 3: indexes 0, 3, 6; ts at 20 fps = 50ms/frame
+    assert [(r.frame_idx, r.ts_ms) for r in good] == [(0, 0), (3, 150), (6, 300)]
+    assert all(r.height == 4 and r.width == 4 for r in good)
+    # feature[3] is mean luminance/255 of THAT frame (ramp 0, 60, 120 —
+    # ±2 for the limited-range Y' quantization round trip)
+    lums = [round(r.feature[3] * 255) for r in good]
+    assert all(abs(a - b) <= 2 for a, b in zip(lums, [0, 60, 120]))
+    # corrupt blob quarantined as one (-1, NULL) row, job survives
+    assert len(bad) == 1 and bad[0].frame_idx == -1 and bad[0].feature is None
+    # mp4 keeps the explicit NotImplementedError contract
+    mp4ish = spark.createDataFrame(
+        [(9, bytearray(b"\x00\x00\x00\x08ftypisom"))], "media_id long, content binary"
+    )
+    with pytest.raises(Exception, match="NotImplementedError|ffmpeg"):
+        MM.extract_video_frames(mp4ish).collect()
