@@ -58,6 +58,7 @@ _PRIORITY = [
     "ev_chunk_first_seen",
     "ev_near_dup_stream",
     "ev_stream_pack",
+    "mm_video_frames",
 ]
 
 

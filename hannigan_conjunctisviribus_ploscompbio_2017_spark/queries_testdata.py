@@ -2010,6 +2010,66 @@ def mm_blob_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mm_video_frames",
+    oracle=_fixture_values_sql(
+        _fx.MM_VIDEO_FRAMES_SF001,
+        [
+            ("media_id", "BIGINT"),
+            ("frame_idx", "INTEGER"),
+            ("ts_ms", "BIGINT"),
+            ("height", "INTEGER"),
+            ("width", "INTEGER"),
+            ("mean_lum", "DOUBLE"),
+        ],
+    ),
+)
+def mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL per-frame video decode through the gate: deterministic y4m
+    clips are synthesized per doc (frame count and fill level are pure
+    functions of doc_id), extract_video_frames decodes them in Arrow
+    batches and emits one row per sampled frame with that frame's own
+    luminance. The decode is pure numpy (not SQL-expressible), but the
+    output is an exact deterministic function of the data — frozen
+    fixture oracle, same technique as the solver entries."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.multimodal import (
+        encode_y4m,
+        extract_video_frames,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40).select("doc_id")
+
+    def _mk(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            blobs = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                frames = np.stack(
+                    [
+                        np.full((6, 8, 3), (d * 13 + i * 29) % 256, np.uint8)
+                        for i in range(2 + d % 3)
+                    ]
+                )
+                blobs.append(encode_y4m(frames, fps=10, cfmt="444"))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"].astype("int64"), "content": blobs}
+            )
+
+    media = docs.mapInPandas(_mk, "media_id long, content binary")
+    out = extract_video_frames(media, every_n=2, max_frames=4, dim=8)
+    return out.select(
+        "media_id",
+        "frame_idx",
+        "ts_ms",
+        "height",
+        "width",
+        F.round(F.element_at("feature", 5).cast("double"), 6).alias("mean_lum"),
+    )
+
+
+@query(
     "ss_cosine_topk",
     oracle="""
     WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
