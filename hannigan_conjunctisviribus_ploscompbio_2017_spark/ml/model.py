@@ -33,9 +33,11 @@ def prepare_training(edges: DataFrame, label_col: str = "interaction") -> DataFr
 
     The label is BINARIZED (> 0 → 1.0), matching the reference's recode
     (bin/CalculatePredModel.R:41-44 treats any positive Interaction as
-    the positive class) — and guaranteeing the {0.0, 1.0} strata that
-    stratified_split samples by: an un-binarized label value like 2
-    would silently fall outside both strata and never reach training."""
+    the positive class). Split membership does NOT depend on the label
+    (stratified_split is a label-independent md5 threshold over the
+    (src, dst) key), so binarization here is purely the class
+    definition the model trains on, not a filter — every row reaches
+    one side of the split regardless of its raw label value."""
     df = edges.select(
         "src", "dst", *FEATURES, F.col(label_col).cast("double").alias("_raw_label")
     ).fillna(0.0, subset=FEATURES)

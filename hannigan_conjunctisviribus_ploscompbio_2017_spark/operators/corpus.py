@@ -378,12 +378,16 @@ def exact_k_sample(
     # lazy checkpoint: the candidate pool feeds BOTH the margin guard
     # and the rank — without it the upstream scan+filter runs twice
     cand = base.filter(F.col("_h") <= F.col("_tau")).localCheckpoint(eager=False)
-    cc = cand.groupBy("_sk").agg(F.count(F.lit(1)).alias("_cc"))
+    cc = cand.groupBy(F.col("_sk").alias("_cck")).agg(F.count(F.lit(1)).alias("_cc"))
     # guard starts from SIZES (every stratum), not cand: a stratum with
     # an empty candidate pool has no cand rows and a cand-derived guard
-    # would silently drop it instead of routing it to the fallback
+    # would silently drop it instead of routing it to the fallback.
+    # eqNullSafe like every other join here: a plain key join can never
+    # match the NULL stratum's count row, which would route that (often
+    # large) stratum through the full-population fallback sort on every
+    # run — correct rows, but the exact cost the two-phase pool avoids
     short = (
-        sizes.join(cc, "_sk", "left")
+        sizes.join(cc, F.col("_sk").eqNullSafe(F.col("_cck")), "left")
         .filter(F.coalesce(F.col("_cc"), F.lit(0)) < F.least(F.lit(k), F.col("_n")))
         .select(F.col("_sk").alias("_shortk"))
     )

@@ -172,6 +172,99 @@ def decode_wav(content: bytes) -> tuple[int, np.ndarray]:
     return sample_rate, x
 
 
+def _y4m_header(content: bytes) -> tuple:
+    """Parse the YUV4MPEG2 stream header → (w, h, fps, ysz, csz, cw,
+    ch, data_start). Raises ValueError on any malformed header field
+    (the quarantine contract for corrupt blobs)."""
+    nl = content.find(b"\n")
+    if not content.startswith(b"YUV4MPEG2") or nl < 0:
+        raise ValueError("not a YUV4MPEG2 stream")
+    w = h = None
+    fps = 0.0
+    cfmt = "420jpeg"  # spec default when C is absent
+    try:
+        for tok in content[9:nl].split():
+            t, v = chr(tok[0]), tok[1:].decode("ascii", "replace")
+            if t == "W":
+                w = int(v)
+            elif t == "H":
+                h = int(v)
+            elif t == "F":
+                num, den = v.split(":")
+                if int(den) == 0:
+                    raise ValueError("y4m frame rate has zero denominator")
+                fps = int(num) / int(den)
+            elif t == "C":
+                cfmt = v
+    except ValueError:
+        raise
+    except Exception as e:  # malformed int/split — still a corrupt blob
+        raise ValueError(f"malformed y4m header: {e}") from e
+    if not w or not h:
+        raise ValueError("y4m header missing W/H")
+    if cfmt.startswith("420"):
+        cw, ch_ = (w + 1) // 2, (h + 1) // 2
+    elif cfmt.startswith("422"):
+        cw, ch_ = (w + 1) // 2, h
+    elif cfmt.startswith("444"):
+        cw, ch_ = w, h
+    elif cfmt.startswith("mono"):
+        cw = ch_ = 0
+    else:
+        raise ValueError(f"unsupported y4m chroma format C{cfmt}")
+    return w, h, fps, w * h, cw * ch_, cw, ch_, nl + 1
+
+
+def _y4m_frame_offsets(
+    content: bytes, hdr: tuple, max_frames: int | None = None
+) -> list[int]:
+    """Byte offsets of each frame's PAYLOAD — a marker/length scan only,
+    no pixel conversion, so indexing a long clip is O(n_frames) pointer
+    arithmetic. Raises ValueError on a bad marker or truncated payload."""
+    _, _, _, ysz, csz, _, _, pos = hdr
+    offsets: list[int] = []
+    while pos < len(content):
+        if content[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"bad FRAME marker at byte {pos}")
+        fnl = content.find(b"\n", pos)
+        if fnl < 0:
+            raise ValueError("truncated FRAME header")
+        pos = fnl + 1
+        if pos + ysz + 2 * csz > len(content):
+            raise ValueError("truncated frame payload")
+        offsets.append(pos)
+        pos += ysz + 2 * csz
+        if max_frames is not None and len(offsets) >= max_frames:
+            break
+    if not offsets:
+        raise ValueError("y4m stream has no frames")
+    return offsets
+
+
+def _y4m_frame(content: bytes, hdr: tuple, pos: int) -> np.ndarray:
+    """Convert ONE frame payload → h x w x 3 RGB uint8 (BT.601 limited
+    range, nearest-neighbor chroma upsample)."""
+    w, h, _, ysz, csz, cw, ch_, _ = hdr
+    y = np.frombuffer(content, np.uint8, ysz, pos).reshape(h, w).astype(np.float32)
+    if csz:
+        cb = np.frombuffer(content, np.uint8, csz, pos + ysz).reshape(ch_, cw)
+        cr = np.frombuffer(content, np.uint8, csz, pos + ysz + csz).reshape(ch_, cw)
+        cb = np.repeat(np.repeat(cb, -(-h // ch_), 0), -(-w // cw), 1)[:h, :w]
+        cr = np.repeat(np.repeat(cr, -(-h // ch_), 0), -(-w // cw), 1)[:h, :w]
+        yl = 1.164383 * (y - 16.0)
+        r = yl + 1.596027 * (cr.astype(np.float32) - 128.0)
+        g = (
+            yl
+            - 0.391762 * (cb.astype(np.float32) - 128.0)
+            - 0.812968 * (cr.astype(np.float32) - 128.0)
+        )
+        b = yl + 2.017232 * (cb.astype(np.float32) - 128.0)
+        img = np.stack([r, g, b], axis=-1)
+    else:
+        img = np.repeat((1.164383 * (y - 16.0))[..., None], 3, axis=2)
+    return np.clip(np.round(img), 0, 255).astype(np.uint8)
+
+
 def decode_y4m(content: bytes, max_frames: int | None = None) -> tuple[float, np.ndarray]:
     """YUV4MPEG2 (.y4m) uncompressed video → (fps, frames[n, h, w, 3]
     RGB uint8). Real video decode without codec libraries: y4m is the
@@ -185,74 +278,12 @@ def decode_y4m(content: bytes, max_frames: int | None = None) -> tuple[float, np
     BT.601 limited range (Y 16-235, C 16-240) — NOT the full-range
     matrix the JPEG path uses; both are exact per their format's spec.
     `max_frames` stops parsing early (frame sampling reads a bounded
-    prefix of a long video blob)."""
-    nl = content.find(b"\n")
-    if not content.startswith(b"YUV4MPEG2") or nl < 0:
-        raise ValueError("not a YUV4MPEG2 stream")
-    w = h = None
-    fps = 0.0
-    cfmt = "420jpeg"  # spec default when C is absent
-    for tok in content[9:nl].split():
-        t, v = chr(tok[0]), tok[1:].decode("ascii", "replace")
-        if t == "W":
-            w = int(v)
-        elif t == "H":
-            h = int(v)
-        elif t == "F":
-            num, den = v.split(":")
-            fps = int(num) / int(den)
-        elif t == "C":
-            cfmt = v
-    if not w or not h:
-        raise ValueError("y4m header missing W/H")
-    if cfmt.startswith("420"):
-        cw, ch_ = (w + 1) // 2, (h + 1) // 2
-    elif cfmt.startswith("422"):
-        cw, ch_ = (w + 1) // 2, h
-    elif cfmt.startswith("444"):
-        cw, ch_ = w, h
-    elif cfmt.startswith("mono"):
-        cw = ch_ = 0
-    else:
-        raise ValueError(f"unsupported y4m chroma format C{cfmt}")
-    ysz, csz = w * h, cw * ch_
-    frames = []
-    pos = nl + 1
-    while pos < len(content):
-        if content[pos : pos + 5] != b"FRAME":
-            raise ValueError(f"bad FRAME marker at byte {pos}")
-        fnl = content.find(b"\n", pos)
-        if fnl < 0:
-            raise ValueError("truncated FRAME header")
-        pos = fnl + 1
-        if pos + ysz + 2 * csz > len(content):
-            raise ValueError("truncated frame payload")
-        y = np.frombuffer(content, np.uint8, ysz, pos).reshape(h, w).astype(np.float32)
-        pos += ysz
-        if csz:
-            cb = np.frombuffer(content, np.uint8, csz, pos).reshape(ch_, cw)
-            cr = np.frombuffer(content, np.uint8, csz, pos + csz).reshape(ch_, cw)
-            pos += 2 * csz
-            # nearest-neighbor chroma upsample to the luma grid, crop
-            cb = np.repeat(np.repeat(cb, -(-h // ch_), 0), -(-w // cw), 1)[:h, :w]
-            cr = np.repeat(np.repeat(cr, -(-h // ch_), 0), -(-w // cw), 1)[:h, :w]
-            yl = 1.164383 * (y - 16.0)
-            r = yl + 1.596027 * (cr.astype(np.float32) - 128.0)
-            g = (
-                yl
-                - 0.391762 * (cb.astype(np.float32) - 128.0)
-                - 0.812968 * (cr.astype(np.float32) - 128.0)
-            )
-            b = yl + 2.017232 * (cb.astype(np.float32) - 128.0)
-            img = np.stack([r, g, b], axis=-1)
-        else:
-            img = np.repeat((1.164383 * (y - 16.0))[..., None], 3, axis=2)
-        frames.append(np.clip(np.round(img), 0, 255).astype(np.uint8))
-        if max_frames is not None and len(frames) >= max_frames:
-            break
-    if not frames:
-        raise ValueError("y4m stream has no frames")
-    return fps, np.stack(frames)
+    prefix of a long video blob). To sample sparsely WITHOUT converting
+    every frame, use _y4m_frame_offsets + _y4m_frame (the
+    decode_feature path does)."""
+    hdr = _y4m_header(content)
+    offsets = _y4m_frame_offsets(content, hdr, max_frames)
+    return hdr[2], np.stack([_y4m_frame(content, hdr, p) for p in offsets])
 
 
 def decode_png(content: bytes) -> np.ndarray:
@@ -644,15 +675,25 @@ def _audio_feature(sr: int, x: np.ndarray, dim: int) -> np.ndarray:
     return np.asarray(vec[:dim], dtype=np.float32)
 
 
-def _video_feature(fps: float, frames: np.ndarray, dim: int) -> np.ndarray:
+def _video_feature(
+    fps: float, frames: np.ndarray, dim: int, n_total: int | None = None
+) -> np.ndarray:
     """Fixed-dim video descriptor: [fps, n_frames, h, w, mean luminance
     over sampled frames] + (dim-5)-bin luminance histogram (density).
-    At most 8 frames, sampled evenly across the clip, contribute —
-    bounded work per blob regardless of clip length."""
+    At most 8 frames, sampled evenly across `frames`, contribute; pass
+    `n_total` when `frames` is already the evenly-sampled subset of a
+    longer clip (decode_feature's offset-sampled path) so the n_frames
+    slot still reports the CLIP length."""
     n, h, w, _ = frames.shape
     idx = np.unique(np.linspace(0, n - 1, num=min(n, 8)).astype(np.int64))
     lum = frames[idx, :, :, :3].mean(axis=3).ravel() / 255.0
-    head = [float(fps), float(n), float(h), float(w), float(lum.mean())]
+    head = [
+        float(fps),
+        float(n_total if n_total is not None else n),
+        float(h),
+        float(w),
+        float(lum.mean()),
+    ]
     bins = max(dim - len(head), 1)
     hist, _ = np.histogram(lum, bins=bins, range=(0.0, 1.0))
     vec = head + (hist / max(lum.size, 1)).tolist()
@@ -684,7 +725,17 @@ def decode_feature(content: bytes, dim: int, fake: bool) -> tuple[str, np.ndarra
     if codec == "wav":
         return codec, _audio_feature(*decode_wav(content), dim)
     if codec == "y4m":
-        return codec, _video_feature(*decode_y4m(content), dim)
+        # offset-index the clip and convert ONLY the ≤8 sampled frames:
+        # bounded work and memory per blob regardless of clip length
+        # (the same idx formula _video_feature uses, so values match a
+        # full decode exactly)
+        hdr = _y4m_header(content)
+        offs = _y4m_frame_offsets(content, hdr)
+        idx = np.unique(
+            np.linspace(0, len(offs) - 1, num=min(len(offs), 8)).astype(np.int64)
+        )
+        frames = np.stack([_y4m_frame(content, hdr, offs[i]) for i in idx])
+        return codec, _video_feature(hdr[2], frames, dim, n_total=len(offs))
     if fake:
         return codec, _fake_decode(content, dim)
     raise NotImplementedError(
@@ -852,13 +903,19 @@ def extract_video_frames(
                         "this container); extract_video_frames decodes y4m"
                     )
                 try:
+                    # offset scan first, convert only the kept frames:
+                    # skipped frames cost pointer arithmetic, not a
+                    # YUV->RGB float pass
+                    hdr = _y4m_header(raw)
                     limit = None if max_frames is None else every_n * max_frames
-                    fps, frames = decode_y4m(raw, max_frames=limit)
-                    sel = frames[::every_n]
+                    offs = _y4m_frame_offsets(raw, hdr, max_frames=limit)
+                    sel = offs[::every_n]
                     if max_frames is not None:
                         sel = sel[:max_frames]
+                    fps = hdr[2]
                     step_ms = 0.0 if fps <= 0 else 1000.0 / fps
-                    for j, frame in enumerate(sel):
+                    for j, p in enumerate(sel):
+                        frame = _y4m_frame(raw, hdr, p)
                         out["media_id"].append(mid)
                         out["frame_idx"].append(j * every_n)
                         out["ts_ms"].append(int(j * every_n * step_ms))

@@ -2059,13 +2059,17 @@ def mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = docs.mapInPandas(_mk, "media_id long, content binary")
     out = extract_video_frames(media, every_n=2, max_frames=4, dim=8)
+    # element_at is 1-BASED; _image_feature's head is [w, h, ch, mean,
+    # std, ...] so the mean luminance is element 4 (element 5 is the
+    # std — zero for these constant-fill frames, which would pin
+    # nothing about the color decode)
     return out.select(
         "media_id",
         "frame_idx",
         "ts_ms",
         "height",
         "width",
-        F.round(F.element_at("feature", 5).cast("double"), 6).alias("mean_lum"),
+        F.round(F.element_at("feature", 4).cast("double"), 6).alias("mean_lum"),
     )
 
 

@@ -1281,3 +1281,28 @@ def test_extract_video_frames_real_decode(spark):
     )
     with pytest.raises(Exception, match="NotImplementedError|ffmpeg"):
         MM.extract_video_frames(mp4ish).collect()
+
+
+def test_y4m_zero_denominator_and_sparse_sampling(spark):
+    import numpy as np
+
+    # F25:0 must raise ValueError (the quarantine contract), not
+    # ZeroDivisionError — a corrupt header must never kill the job
+    bad = b"YUV4MPEG2 W4 H2 F25:0 Cmono\n" + b"FRAME\n" + bytes(8)
+    with pytest.raises(ValueError, match="zero denominator"):
+        MM.decode_y4m(bad)
+    media = spark.createDataFrame(
+        [(1, bytearray(bad))], "media_id long, content binary"
+    )
+    rows = MM.extract_video_frames(media).collect()
+    assert len(rows) == 1 and rows[0].frame_idx == -1  # quarantined row
+    # decode_feature's offset-sampled path must equal a full decode:
+    # same descriptor for a long clip whether or not frames are skipped
+    frames = np.stack(
+        [np.full((4, 4, 3), (i * 11) % 256, np.uint8) for i in range(30)]
+    )
+    blob = MM.encode_y4m(frames, fps=25, cfmt="444")
+    codec, sparse = MM.decode_feature(blob, dim=8, fake=False)
+    full = MM._video_feature(*MM.decode_y4m(blob), dim=8)
+    assert codec == "y4m" and np.array_equal(sparse, full)
+    assert sparse[1] == 30.0  # n_frames reports the CLIP length
