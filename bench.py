@@ -89,16 +89,18 @@ def main() -> None:
     for _, name in HEADLINE:
         QUERIES[name](spark, sf_dir).count()
 
-    # Best-of-2 measured runs per query: a single timed pass is exposed to
+    # Best-of-3 measured runs per query: a single timed pass is exposed to
     # transient interference (GC pause, page-cache eviction, a co-tenant
     # process) that can inflate the whole suite ~10x run-to-run; the min of
-    # two executions of an identical plan is the steady-state cost.
+    # three executions of an identical plan is the steady-state cost
+    # (best-of-2 still recorded 3-4x swings on this host for the heavy
+    # corpus queries when a co-tenant burst spanned both passes).
     timings: dict[str, float] = {}
     total = 0.0
     for label, name in HEADLINE:
         fn = QUERIES[name]
         best, rows = float("inf"), 0
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             rows = fn(spark, sf_dir).count()
             best = min(best, time.time() - t0)
