@@ -540,6 +540,7 @@ def stupid_backoff_logscore(
     alpha: float = 0.4,
     round_to: int = 6,
     lm: dict[str, DataFrame] | None = None,
+    broadcast_counts: bool = True,
 ) -> DataFrame:
     """Bigram LM scoring with Stupid Backoff (Brants et al. 2007 — the
     web-scale scheme that skips normalization): per doc, the mean over
@@ -555,8 +556,14 @@ def stupid_backoff_logscore(
 
     Docs with fewer than 2 tokens have no bigram positions and are
     absent from the output. Shapes: one bigram-count shuffle + one
-    unigram-count shuffle over Zipf-bounded tables, then two joins back
-    onto the exploded positions; N stays in-plan via a 1-row broadcast.
+    unigram-count shuffle over Zipf-bounded tables; with
+    `broadcast_counts` (default True) the exploded bigram stream then
+    hash-joins BROADCASTS of both count tables — the per-doc groupBy is
+    the only corpus-wide shuffle, instead of three shuffles of the
+    pairs stream (on (v,w), v, and w). N stays in-plan via a 1-row
+    broadcast either way. Set False when the bigram vocabulary itself
+    outgrows broadcast limits (values identical; the joins fall back to
+    shuffles).
 
     Pass `lm=bigram_lm(train_corpus)` to score HELD-OUT text against
     stored counts — that is where the backoff branch actually fires
@@ -565,10 +572,11 @@ def stupid_backoff_logscore(
     lm = lm if lm is not None else bigram_lm(df, id_col, text_col)
     pairs = _doc_bigrams(df, id_col, text_col)
     unis = lm["unigrams"]
+    bc = F.broadcast if broadcast_counts else (lambda d: d)
     scored = (
-        pairs.join(lm["bigrams"], ["v", "w"], "left")
-        .join(unis.select(F.col("tok").alias("v"), F.col("c").alias("c_v")), "v", "left")
-        .join(unis.select(F.col("tok").alias("w"), F.col("c").alias("c_w")), "w", "left")
+        pairs.join(bc(lm["bigrams"]), ["v", "w"], "left")
+        .join(bc(unis.select(F.col("tok").alias("v"), F.col("c").alias("c_v"))), "v", "left")
+        .join(bc(unis.select(F.col("tok").alias("w"), F.col("c").alias("c_w"))), "w", "left")
         .crossJoin(F.broadcast(lm["totals"]))
         .select(
             "id",
