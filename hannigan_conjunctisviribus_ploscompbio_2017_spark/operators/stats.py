@@ -206,8 +206,15 @@ def _hash_ranked_kept(
     # unclamped 2⁶⁰·m/T overflows the long cast
     ratio = F.least(margin.cast("double") / F.col("_t"), F.lit(1.0))
     tau = (F.pow(F.lit(2.0), 60) * ratio).cast("long") + 512
+    # stats is one row per SAMPLE — broadcast it so the full community
+    # table is never shuffled on sample just to pick up its (_t, _d, τ)
+    # thresholds (statically planned as SortMergeJoin otherwise: the
+    # checkpointed community's size is unknown to the planner). Samples
+    # are bounded at any corpus scale; the candidate-rank window below
+    # still shuffles only the ~margin-sized candidate pool.
     base = typed.join(
-        stats.select(sample_col, "_t", "_d", tau.alias("_tau")), sample_col
+        F.broadcast(stats.select(sample_col, "_t", "_d", tau.alias("_tau"))),
+        sample_col,
     )
     key = F.conv(
         F.substring(
