@@ -359,3 +359,58 @@ def test_sequence_pack_conservation(spark, n, budget, nb):
         pos = per_bucket.get(r.bucket, 0)
         assert r.pack_id * budget + r.pack_offset == pos
         per_bucket[r.bucket] = pos + r.n_tok
+
+
+# --- y4m codec properties (pure numpy — no Spark session, so these run
+# with a generous example budget) --------------------------------------
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n=st.integers(1, 4),
+    h=st.integers(1, 10),
+    w=st.integers(1, 10),
+    fps=st.integers(1, 120),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_y4m_c444_roundtrip_property(n, h, w, fps, seed):
+    """encode→decode at C444 must round-trip every pixel within the
+    ±2 quantization of the limited-range matrix, preserve (n, h, w),
+    and report the exact frame rate — for ANY geometry."""
+    import numpy as np
+
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators import multimodal as MM
+
+    rng = np.random.default_rng(seed)
+    frames = rng.integers(0, 256, size=(n, h, w, 3), dtype=np.uint8)
+    got_fps, dec = MM.decode_y4m(MM.encode_y4m(frames, fps=fps, cfmt="444"))
+    assert got_fps == float(fps)
+    assert dec.shape == frames.shape
+    assert int(np.abs(dec.astype(int) - frames.astype(int)).max()) <= 2
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n=st.integers(1, 3),
+    h2=st.integers(1, 5),
+    w2=st.integers(1, 5),
+    cut=st.integers(0, 40),
+)
+def test_y4m_truncation_always_valueerror(n, h2, w2, cut):
+    """ANY truncation of a valid stream must raise ValueError (the
+    quarantine contract) — never IndexError/ZeroDivisionError or a
+    silent short decode past a chopped frame payload."""
+    import numpy as np
+
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators import multimodal as MM
+
+    frames = np.zeros((n, 2 * h2, 2 * w2, 3), np.uint8)
+    data = MM.encode_y4m(frames, fps=10, cfmt="420jpeg")
+    trunc = data[: len(data) - 1 - cut]
+    try:
+        _, dec = MM.decode_y4m(trunc)
+        # a cut inside the LAST frame's payload or header must not
+        # yield that frame; whole earlier frames may legitimately decode
+        assert dec.shape[0] < n
+    except ValueError:
+        pass
