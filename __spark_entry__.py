@@ -59,6 +59,7 @@ _PRIORITY = [
     "ev_near_dup_stream",
     "ev_stream_pack",
     "mm_video_frames",
+    "j11_asof_join",
 ]
 
 

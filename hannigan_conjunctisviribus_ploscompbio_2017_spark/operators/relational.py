@@ -245,3 +245,101 @@ def salted_join(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(buckets)]))
     )
     return lsalted.join(rexpl, [on, "_salt"], how).drop("_salt")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    ts_col: str = "ts",
+    value_cols: Sequence[str] | None = None,
+    tolerance: float | None = None,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """As-of (backward) join — the training-pipeline feature join Spark
+    has no built-in for: each left row picks up the single right row
+    with the greatest right.ts <= left.ts per key (DuckDB `ASOF LEFT
+    JOIN` / pandas `merge_asof(direction="backward")` semantics,
+    equal timestamps match).
+
+    Implemented WITHOUT a join: both sides union into one frame tagged
+    by side, one window per key ordered by (ts, side) carries the right
+    side's values forward via last(ignoreNulls), and left rows are
+    filtered back out. One hash shuffle on the key — no range-join
+    explosion, no per-key fan-out, and skewed keys cost what any
+    aggregation on that key costs. This is the 100 TB shape: the
+    union-window plan touches each row once, where a naive
+    left.ts >= right.ts theta-join materializes every (left, right)
+    candidate pair per key.
+
+    `value_cols` (default: all right columns except key/ts) are emitted
+    as `{prefix}{col}`, plus `{prefix}{ts_col}` — all NULL when no
+    right row precedes. `tolerance` (seconds, timestamps; native units
+    otherwise) voids matches older than the window, like merge_asof's
+    tolerance.
+
+    Right rows should be unique per (key, ts): ties carry no defined
+    winner in any as-of engine — pre-aggregate (the registered gate
+    entry keeps MAX(event_id) per instant and DuckDB replays it).
+    """
+    on = list(on)
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in (*on, ts_col)]
+    value_cols = list(value_cols)
+    out_ts = f"{prefix}{ts_col}"
+    rsel = right.select(
+        *on,
+        F.col(ts_col).alias("_ats"),
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"{prefix}{c}") for c in value_cols],
+        F.col(ts_col).alias(out_ts),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left.columns if c not in on],
+    )
+    lsel = left.select(
+        *on,
+        F.col(ts_col).alias("_ats"),
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{prefix}{c}")
+          for c in value_cols],
+        F.lit(None).cast(right.schema[ts_col].dataType).alias(out_ts),
+        *[F.col(c) for c in left.columns if c not in on],
+    )
+    # right rows sort BEFORE left rows at the same instant (side 0 < 1),
+    # so an equal-timestamp right row is inside every same-instant left
+    # row's frame — the `>=` match both reference engines implement
+    w = (
+        W.partitionBy(*on)
+        .orderBy(F.col("_ats").asc(), F.col("_side").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = rsel.unionByName(lsel).select(
+        *on,
+        "_ats",
+        "_side",
+        *[F.last(f"{prefix}{c}", ignorenulls=True).over(w).alias(f"{prefix}{c}")
+          for c in value_cols],
+        F.last(out_ts, ignorenulls=True).over(w).alias(out_ts),
+        *[F.col(c) for c in left.columns if c not in on],
+    )
+    res = carried.filter(F.col("_side") == 1)
+    if tolerance is not None:
+        stale = (
+            F.col("_ats").cast("double") - F.col(out_ts).cast("double")
+        ) > F.lit(float(tolerance))
+        res = res.select(
+            *on,
+            "_ats",
+            "_side",
+            *[F.when(stale, F.lit(None)).otherwise(F.col(f"{prefix}{c}"))
+              .alias(f"{prefix}{c}") for c in value_cols],
+            F.when(stale, F.lit(None)).otherwise(F.col(out_ts)).alias(out_ts),
+            *[F.col(c) for c in left.columns if c not in on],
+        )
+    return res.select(
+        *on,
+        F.col("_ats").alias(ts_col),
+        *[c for c in left.columns if c not in (*on, ts_col)],
+        *[f"{prefix}{c}" for c in value_cols],
+        out_ts,
+    )

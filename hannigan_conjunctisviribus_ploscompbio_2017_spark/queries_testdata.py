@@ -456,6 +456,53 @@ def j7_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return region.crossJoin(status)
 
 
+@query(
+    "j11_asof_join",
+    oracle="""
+    WITH l AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase'
+    ), r AS (
+      SELECT user_id, ts, MAX(event_id) AS signup_event FROM events
+      WHERE event_type = 'signup' GROUP BY user_id, ts
+    )
+    SELECT l.event_id, l.user_id AS ukey,
+           strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           l.value,
+           CAST(r.signup_event AS BIGINT) AS signup_event,
+           strftime(r.ts, '%Y-%m-%d %H:%M:%S') AS signup_ts
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def j11_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of backward join (relational.asof_join): every purchase event
+    picks up the user's most recent signup at-or-before it — the
+    training-pipeline feature-join primitive Spark lacks natively,
+    expressed as a union + per-key window (one shuffle, no range-join
+    pair explosion). The oracle is DuckDB's NATIVE `ASOF LEFT JOIN`, an
+    independent implementation of the same semantics."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.relational import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    right = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("signup_event"))
+    )
+    res = asof_join(left, right, on=["user_id"], ts_col="ts", value_cols=["signup_event"])
+    return res.select(
+        "event_id",
+        F.col("user_id").alias("ukey"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        "value",
+        F.col("asof_signup_event").cast("long").alias("signup_event"),
+        F.date_format("asof_ts", "yyyy-MM-dd HH:mm:ss").alias("signup_ts"),
+    )
+
+
 # =========================================================================
 # Windows / sorts / set ops (SURVEY §2.5, §2.6)
 # =========================================================================

@@ -909,3 +909,40 @@ def test_cosine_pre_matches_inline_cosine(spark):
     assert both, "no pairs"
     for r in both:
         assert r.inline == r.pre  # bitwise, not approx
+
+
+def test_asof_join_semantics(spark):
+    """Backward as-of semantics: greatest right.ts <= left.ts per key;
+    equal instants match; missing priors are NULL; tolerance voids
+    stale matches; multi-column keys work."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame(
+        [("u", 1, 5, "a"), ("u", 1, 10, "b"), ("u", 1, 20, "c"), ("v", 2, 7, "d")],
+        "g string, k long, ts long, tag string",
+    )
+    right = spark.createDataFrame(
+        [("u", 1, 10, 100.0), ("u", 1, 15, 150.0), ("v", 2, 99, 999.0)],
+        "g string, k long, ts long, px double",
+    )
+    out = {
+        (r.g, r.k, r.ts): (r.asof_px, r.asof_ts)
+        for r in asof_join(left, right, on=["g", "k"], ts_col="ts").collect()
+    }
+    assert out[("u", 1, 5)] == (None, None)     # no prior
+    assert out[("u", 1, 10)] == (100.0, 10)     # equal instant matches
+    assert out[("u", 1, 20)] == (150.0, 15)     # latest prior wins
+    assert out[("v", 2, 7)] == (None, None)     # right row is in the future
+    tol = {
+        r.ts: r.asof_px
+        for r in asof_join(
+            left.filter(F.col("g") == "u"),
+            right.filter(F.col("g") == "u"),
+            on=["g", "k"], ts_col="ts", tolerance=4,
+        ).collect()
+    }
+    assert tol[10] == 100.0 and tol[20] is None  # 20-15=5 > 4 → voided
+    # left columns and row count are preserved exactly (left join)
+    res = asof_join(left, right, on=["g", "k"], ts_col="ts")
+    assert res.count() == left.count()
+    assert [c for c in res.columns[: len(left.columns)]] == ["g", "k", "ts", "tag"]

@@ -269,3 +269,22 @@ def test_contamination_prunes_train_to_test_vocab(spark):
         contamination_pairs(train, test, max_df=20, broadcast_test_shingles=False)
     )
     assert "LeftSemi" not in p_off
+
+
+def test_asof_join_single_shuffle_no_join_node(spark):
+    # the as-of join must be a union + per-key window: ONE hash
+    # exchange on the key, no join operator, no range-join pair
+    # explosion (CartesianProduct / BroadcastNestedLoopJoin)
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.relational import asof_join
+
+    left = spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("ts"), F.lit("x").alias("v")
+    )
+    right = spark.range(5).select(
+        F.col("id").alias("k"), (F.col("id") * 7).alias("ts"), F.lit(1.0).alias("px")
+    )
+    p = plan_of(asof_join(left, right, on=["k"], ts_col="ts"))
+    assert "Join" not in p or "join" not in p.lower().replace("asof_join", "")
+    assert "CartesianProduct" not in p and "NestedLoop" not in p
+    assert p.count("hashpartitioning") >= 1
+    assert "Window" in p
