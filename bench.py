@@ -89,39 +89,47 @@ def main() -> None:
     for _, name in HEADLINE:
         QUERIES[name](spark, sf_dir).count()
 
-    # Best-of-3 measured runs per query: a single timed pass is exposed to
-    # transient interference (GC pause, page-cache eviction, a co-tenant
-    # process) that can inflate the whole suite ~10x run-to-run; the min of
-    # three executions of an identical plan is the steady-state cost
-    # (best-of-2 still recorded 3-4x swings on this host for the heavy
-    # corpus queries when a co-tenant burst spanned both passes).
+    # Best-of-3 INTERLEAVED passes: run the whole headline suite three
+    # full times and take each query's min ACROSS passes.  Timing one
+    # query's three runs consecutively correlates all three samples with
+    # whatever co-tenant burst is active at that moment — the r03 record
+    # showed exactly that signature (q2-q5 spiked 2.7-4x while their
+    # neighbors improved; idle re-runs reproduced r02-level numbers).
+    # Interleaving decorrelates bursts from queries: a burst now poisons
+    # at most one of each query's three samples.
+    best: dict[str, float] = {}
+    rows_seen: dict[str, int] = {}
+    for pass_i in range(3):
+        for label, name in HEADLINE:
+            t0 = time.time()
+            rows_seen[label] = QUERIES[name](spark, sf_dir).count()
+            dt = time.time() - t0
+            if dt < best.get(label, float("inf")):
+                best[label] = dt
+        print(f"# pass {pass_i + 1}/3 done", file=sys.stderr)
+
     timings: dict[str, float] = {}
     total = 0.0
     for label, name in HEADLINE:
-        fn = QUERIES[name]
-        best, rows = float("inf"), 0
-        for _ in range(3):
-            t0 = time.time()
-            rows = fn(spark, sf_dir).count()
-            best = min(best, time.time() - t0)
-        dt = round(best, 3)
+        dt = round(best[label], 3)
         timings[label] = dt
         total += dt
-        print(f"# {label} {name}: {rows} rows in {dt}s", file=sys.stderr)
+        print(f"# {label} {name}: {rows_seen[label]} rows in {dt}s", file=sys.stderr)
 
     # Extras (not in the headline total): the two betweenness regimes at
     # a FIXED sf0.01, documenting the r01-verdict watch item — the exact
     # Brandes path vs the pivot-sampled distributed path with the
     # small-graph fast-path default (was 189s before the fast path).
+    # Same interleaving rationale: two full passes over the pair.
+    EXTRAS = ("gk_betweenness", "gk_betweenness_distributed")
     extras: dict[str, float] = {}
-    for name in ("gk_betweenness", "gk_betweenness_distributed"):
-        fn = QUERIES[name]
-        best = float("inf")
-        for _ in range(2):
+    for _ in range(2):
+        for name in EXTRAS:
             t0 = time.time()
-            fn(spark, "/root/testdata/sf0.01").count()
-            best = min(best, time.time() - t0)
-        extras[name] = round(best, 3)
+            QUERIES[name](spark, "/root/testdata/sf0.01").count()
+            extras[name] = min(extras.get(name, float("inf")), time.time() - t0)
+    for name in EXTRAS:
+        extras[name] = round(extras[name], 3)
         print(f"# extra {name}: {extras[name]}s at sf0.01", file=sys.stderr)
 
     print(

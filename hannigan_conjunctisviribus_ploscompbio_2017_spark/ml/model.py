@@ -33,11 +33,9 @@ def prepare_training(edges: DataFrame, label_col: str = "interaction") -> DataFr
 
     The label is BINARIZED (> 0 → 1.0), matching the reference's recode
     (bin/CalculatePredModel.R:41-44 treats any positive Interaction as
-    the positive class). Split membership does NOT depend on the label
-    (stratified_split is a label-independent md5 threshold over the
-    (src, dst) key), so binarization here is purely the class
-    definition the model trains on, not a filter — every row reaches
-    one side of the split regardless of its raw label value."""
+    the positive class). Every row reaches exactly one side of the
+    downstream stratified_split regardless of its raw label value — the
+    split ranks within each binarized stratum, it never filters."""
     df = edges.select(
         "src", "dst", *FEATURES, F.col(label_col).cast("double").alias("_raw_label")
     ).fillna(0.0, subset=FEATURES)
@@ -59,25 +57,58 @@ def prepare_training(edges: DataFrame, label_col: str = "interaction") -> DataFr
 
 
 def stratified_split(
-    df: DataFrame, train_frac: float = 0.8, seed: int = 42
+    df: DataFrame, train_frac: float = 0.8, seed: int = 42, label_col: str = "label"
 ) -> tuple[DataFrame, DataFrame]:
-    """M7 — per-label-stratum split (createDataPartition).
+    """M7 — EXACT per-label-stratum split (caret createDataPartition,
+    bin/CalculatePredModel.R:72-77, guarantees proportional strata).
 
-    The split decision is a pure row function — md5-60(src|dst|seed)
-    thresholded at train_frac — NOT sampleBy: sampleBy seeds its
-    Bernoulli draw per PARTITION, so the selected rows change with the
-    input's physical split count (a different core count or
-    maxPartitionBytes silently reshuffles train/test). The hash rule is
-    partition-invariant, engine-replayable, and the test set is the
-    exact complement (no anti-join needed). Per-stratum proportions
-    hold because the hash is independent of the label."""
+    Within each label stratum, rows are ranked by md5-60(src|dst|seed)
+    (deterministic tie-break on the (src, dst) key itself) and the top
+    ⌈frac·n_s⌉ go to train.  This keeps BOTH properties at once:
+
+    - partition-invariant: the rank orders by pure row functions, so
+      the split never depends on the input's physical layout (a plain
+      sampleBy seeds its Bernoulli draw per PARTITION and silently
+      reshuffles train/test when core count or maxPartitionBytes
+      changes — the round-3 perturbation sweep caught exactly that);
+    - exactly stratified: per-stratum train counts are ⌈frac·n_s⌉ by
+      construction, not merely frac·n_s in expectation — caret's
+      createDataPartition contract.  The test set is the exact
+      complement (rank > ⌈frac·n_s⌉), so no row is lost or duplicated.
+
+    Cost: one hash shuffle on label_col shared by both window functions
+    (row_number and the stratum count use the same partitioning).  The
+    training tables this serves are dimension-scale (SURVEY §2.11), so
+    the per-stratum window is nowhere near a skew hazard; for a
+    corpus-scale labeled set prefer tx_split_assign's thresholds."""
+    from pyspark.sql import Window as W
+
     from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.dedup import portable_token_hash
 
     h = portable_token_hash(
         F.concat_ws("|", F.col("src"), F.col("dst"), F.lit(str(seed)))
-    ) % 1_000_000
-    thr = int(train_frac * 1_000_000)
-    return df.filter(h < thr), df.filter(h >= thr)
+    )
+    w_rank = W.partitionBy(label_col).orderBy(h.asc(), F.col("src"), F.col("dst"))
+    w_stratum = W.partitionBy(label_col)
+    ranked = df.withColumn("_rk", F.row_number().over(w_rank)).withColumn(
+        "_k", F.ceil(F.lit(float(train_frac)) * F.count(F.lit(1)).over(w_stratum))
+    )
+    train = ranked.filter(F.col("_rk") <= F.col("_k")).drop("_rk", "_k")
+    test = ranked.filter(F.col("_rk") > F.col("_k")).drop("_rk", "_k")
+
+    # Re-canonicalize AFTER the window: the rank shuffle hashes on
+    # label_col into spark.sql.shuffle.partitions partitions — a width
+    # that tracks core count — so without this the split OUTPUT's
+    # physical layout (which seeded RF bagging / CV fold draws consume
+    # in row order) would vary with the machine even though membership
+    # is exact. Same fixed-width layout contract as prepare_training;
+    # the r03 filter-based split preserved it for free, the windowed
+    # split must restore it. (The CPUS=5/12 perturbation sweep catches
+    # exactly this class of drift.)
+    def canon(d: DataFrame) -> DataFrame:
+        return d.repartition(8, "src", "dst").sortWithinPartitions("src", "dst")
+
+    return canon(train), canon(test)
 
 
 def build_pipeline(num_trees: int = 500, seed: int = 42) -> Pipeline:

@@ -592,18 +592,36 @@ def ivf_train_centroids(
     distance (matching the probe metric); `sample_frac` trains on a
     md5-hash-thresholded subset so the training pass reads a bounded
     slice of a 100 TB corpus. Returns a plain centroid list consumable
-    by ivf_topk(centroids=...). KMeans is iterative/numeric — not
-    oracle-replayable — so the registered oracle entry keeps the md5
-    family; recall is pinned by tests instead."""
+    by ivf_topk(centroids=...). KMeans is iterative/numeric — DuckDB
+    cannot re-derive it — but the fit is exactly deterministic (seeded
+    init over a canonical hash layout below), so the driver entry
+    ss_ivf_trained_topk carries a frozen sf0.01 fixture oracle; recall
+    is additionally pinned by tests."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    d = items
+    # degenerate rows crash cosine KMeans (zero-norm assertion) or null
+    # out the feature vector — same hygiene filter _resolve_centroids
+    # applies to the md5-sampled path
+    d = items.filter(
+        F.col(vec_col).isNotNull()
+        & ~F.array_contains(F.transform(F.col(vec_col), lambda x: x.isNull()), True)
+        & (_norm(F.col(vec_col)) > 0)
+    )
     if sample_frac is not None and 0.0 < sample_frac < 1.0:
         h = portable_token_hash(F.col(id_col).cast("string"))
         d = d.filter(h < F.lit(int(sample_frac * (1 << 60))))
-    feats = d.select(
-        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    # Canonical physical layout BEFORE the seeded fit: k-means|| init
+    # draws per-partition randomness in row order, so without a fixed
+    # hash layout the trained centroids silently depend on the input's
+    # split count (core count, maxPartitionBytes) — the same hazard the
+    # round-3 perturbation sweep caught in RF splits. 8 partitions is
+    # sized for training SAMPLES (n_cells·thousands of rows), which is
+    # what a 100 TB deployment feeds this via sample_frac.
+    feats = (
+        d.repartition(8, id_col)
+        .sortWithinPartitions(id_col)
+        .select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
     )
     km = KMeans(
         k=n_cells, seed=seed, maxIter=max_iter, distanceMeasure="cosine"

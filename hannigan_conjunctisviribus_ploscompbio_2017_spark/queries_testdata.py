@@ -2346,6 +2346,40 @@ def ss_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ss_ivf_trained_topk",
+    oracle=_fixture_values_sql(
+        _fx.SS_IVF_TRAINED_SF001,
+        [("query_id", "BIGINT"), ("neighbor_id", "BIGINT"),
+         ("cosine_sim", "DOUBLE"), ("rank", "BIGINT")],
+    ),
+)
+def ss_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat top-k over TRAINED centroids — the production ANN path
+    (ivf_train_centroids → ivf_topk(centroids=...)): seeded cosine-
+    KMeans cells are tighter than the md5-sampled ones at the same plan
+    shape, so each probe reranks fewer candidates at equal recall.
+    KMeans is iterative/numeric — not SQL-replayable — but the fit is
+    exactly deterministic (seeded init over a canonical hash layout;
+    the centroid list is a plan literal), so the frozen sf0.01 fixture
+    oracle gives the trained path the same gate credit as the
+    md5-sampled ss_ivf_topk. Assignment/probe/rerank plan is identical
+    to ss_ivf_topk (cell projection over literal centroids, broadcast
+    query probes, zip_with rerank — no shuffle before the final top-k
+    window)."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.similarity import (
+        ivf_topk,
+        ivf_train_centroids,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = ivf_train_centroids(emb, n_cells=16, seed=42)
+    queries_df = emb.filter(F.col("vec_id") < 20)
+    return ivf_topk(emb, queries_df, dim=64, k=5, centroids=cents).withColumn(
+        "rank", F.col("rank").cast("long")
+    )
+
+
+@query(
     "tx_token_stats",
     oracle="""
     SELECT doc_id,
@@ -2643,6 +2677,120 @@ def ev_chunk_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
         _bounded_stream(spark, docs, "ch"), chunk_tokens=16
     )
     res = _run_stream(spark, out, "chunk_first_seen_gate")
+    return res.select(
+        "fingerprint",
+        "first_doc_id",
+        "first_chunk_idx",
+        F.date_format("first_ts", "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+        "n_dups",
+    )
+
+
+def _bounded_stream_batches(spark: SparkSession, dfs, tag: str) -> DataFrame:
+    """Multi-micro-batch bounded stream: each frame spools to its own
+    single parquet file with strictly increasing mtimes, and the file
+    source reads with maxFilesPerTrigger=1 — so frame i becomes micro-
+    batch i in list order (FileStreamSource admits files oldest-first).
+    This makes CROSS-batch state behavior driver-visible: a key claimed
+    in batch 0 must be suppressed by state when it reappears in batch 1,
+    which no single-batch run can demonstrate."""
+    import atexit
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    d = tempfile.mkdtemp(prefix=f"sg_stream_{tag}_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    seen: set[str] = set()
+    now = _time.time()
+    for i, df in enumerate(dfs):
+        df.coalesce(1).write.mode("append").parquet(d)
+        new = [f for f in glob.glob(os.path.join(d, "*.parquet")) if f not in seen]
+        # explicit mtimes (not sleeps): batch i is 100·(n−i) seconds
+        # "older" than batch i+1, so source ordering never ties
+        t = now - 100.0 * (len(dfs) - i)
+        for f in new:
+            os.utime(f, (t, t))
+        seen.update(new)
+    return (
+        spark.readStream.schema(dfs[0].schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(d)
+    )
+
+
+_CHUNK_2BATCH_SQL = """
+    WITH toks AS (
+      SELECT doc_id AS id,
+             string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ), ch AS (
+      SELECT id, t,
+             unnest(generate_series(1, CAST(ceil(len(t) / 16.0) AS BIGINT))) AS chunk_idx
+      FROM toks
+    ), fp AS (
+      SELECT id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+             md5(array_to_string(list_slice(t, (chunk_idx - 1) * 16 + 1, chunk_idx * 16), ' ')) AS fingerprint,
+             TIMESTAMP '2023-11-14 22:13:20' + to_seconds(CAST(id AS BIGINT)) AS ts,
+             CAST(id % 2 AS INTEGER) AS batch
+      FROM ch
+    ), firstb AS (
+      -- the stateful operator admits a fingerprint in the FIRST micro-
+      -- batch that carries it; later batches are suppressed by state
+      SELECT fingerprint, MIN(batch) AS b0 FROM fp GROUP BY fingerprint
+    ), ranked AS (
+      SELECT fp.fingerprint, id, chunk_idx, ts,
+             ROW_NUMBER() OVER (PARTITION BY fp.fingerprint
+                                ORDER BY ts, id, chunk_idx) AS rn,
+             COUNT(*) OVER (PARTITION BY fp.fingerprint) AS cnt
+      FROM fp JOIN firstb ON fp.fingerprint = firstb.fingerprint
+      WHERE fp.batch = firstb.b0
+    )
+    SELECT fingerprint,
+           CAST(id AS BIGINT) AS first_doc_id,
+           CAST(chunk_idx AS INTEGER) AS first_chunk_idx,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS first_ts,
+           CAST(cnt - 1 AS BIGINT) AS n_dups
+    FROM ranked WHERE rn = 1
+    """
+
+
+@query("ev_chunk_first_seen_2batch", oracle=_CHUNK_2BATCH_SQL)
+def ev_chunk_first_seen_2batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming passage dedup across TWO real micro-batches — the
+    cross-batch suppression that distinguishes the stateful operator
+    from its batch twin, driver-visible: even-id docs arrive in batch 0,
+    odd-id docs in batch 1 (maxFilesPerTrigger=1 over two spooled
+    files). A fingerprint first seen in batch 0 is emitted once with
+    n_dups counting only its batch-0 siblings; its batch-1 repeats are
+    suppressed BY STATE (were state dropped between batches, every
+    shared fingerprint would re-emit and the row count would differ).
+    The oracle replays both batches: per fingerprint, first (ts, id,
+    chunk) within its earliest batch, duplicates counted within that
+    batch only."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.streaming.events import (
+        streaming_chunk_first_seen,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id")).alias("ts"),
+    )
+    b0 = docs.filter(F.col("doc_id") % 2 == 0)
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+    # watermark far above the doc-id time span: odd-id event times
+    # interleave below batch 0's max, and a late-data drop here would
+    # silently turn the state check into a smaller single-batch run
+    out = streaming_chunk_first_seen(
+        _bounded_stream_batches(spark, [b0, b1], "ch2"),
+        chunk_tokens=16,
+        watermark="240 hours",
+    )
+    res = _run_stream(spark, out, "chunk_first_seen_2batch_gate")
     return res.select(
         "fingerprint",
         "first_doc_id",

@@ -46,6 +46,29 @@ def test_stratified_split_preserves_classes(labeled):
     assert test.filter(F.col("label") == 1).count() > 0
 
 
+def test_stratified_split_exact_per_stratum(labeled):
+    """caret createDataPartition contract: train takes EXACTLY
+    ⌈frac·n_s⌉ rows per label stratum, not just frac in expectation."""
+    import math
+
+    data = M.prepare_training(labeled)
+    n_by_label = {r.label: r.n for r in data.groupBy("label").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for frac in (0.5, 0.8):
+        train, _ = M.stratified_split(data, frac, seed=1)
+        got = {r.label: r.n for r in train.groupBy("label").agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert got == {lbl: math.ceil(frac * n) for lbl, n in n_by_label.items()}
+
+
+def test_stratified_split_partition_invariant(labeled):
+    """Split membership is a pure function of (src, dst, seed, stratum
+    ranks) — repartitioning the input must not move a single row."""
+    data = M.prepare_training(labeled)
+    base, _ = M.stratified_split(data, 0.8, seed=3)
+    perturbed, _ = M.stratified_split(data.repartition(13), 0.8, seed=3)
+    keys = lambda df: {(r.src, r.dst) for r in df.select("src", "dst").collect()}
+    assert keys(base) == keys(perturbed)
+
+
 def test_train_predict_separable(labeled):
     data = M.prepare_training(labeled)
     train, test = M.stratified_split(data, 0.8, seed=1)

@@ -56,6 +56,7 @@ FIXTURES = [
     ("ml_nested_cv", "ML_NESTED_CV_SF001"),
     ("ml_quality_classifier", "ML_QUALITY_CLASSIFIER_SF001"),
     ("ev_near_dup_stream", "EV_NEAR_DUP_STREAM_SF001"),
+    ("ss_ivf_trained_topk", "SS_IVF_TRAINED_SF001"),
     ("mm_video_frames", "MM_VIDEO_FRAMES_SF001"),
 ]
 
