@@ -25,41 +25,71 @@ from hannigan_conjunctisviribus_ploscompbio_2017_spark.queries_testdata import (
 SF0001 = "/root/testdata/sf0.001"
 
 # The driver gate executes the first ~50 registered entries, so
-# registration order decides what gets driver-gate credit.  r03 order:
-# (1) the 15 entries NO prior round's gate ever executed (r01/r02 union
-#     covers everything else) — two of them (gk_greedy_modularity,
-#     gk_alpha_centrality) are newly hash-oracled this round, the rest
-#     receive their first rows-check row;
-# (2) entries NEW this round (hash-green ml_roc_portable /
-#     ev_first_seen_dedup / ev_chunk_first_seen, rows-only
-#     ev_near_dup_stream);
-# (3) the remaining oracle-backed entries (regression re-measure).
+# registration order decides what gets driver-gate credit.  r04 order
+# (oldest-measurement-first, per the r03 verdict):
+# (1) entries NEW this round (never driver-measured);
+# (2) entries whose FROZEN FIXTURES were regenerated this round (the
+#     exact stratified split changed the trained models) — their r03
+#     green rows describe the old fixtures, so they must re-measure;
+# (3) the 20 entries last driver-measured in r01;
+# (4) the stalest r02-measured entries (the rest of the 48 rotate in
+#     next round — every entry's newest green row stays ≤ 2 rounds old).
 # All entries pass the identical local gate (tools/check_oracle.py).
 _PRIORITY = [
-    # -- (1) never driver-measured before r03 --
-    "gk_greedy_modularity",
-    "gk_alpha_centrality",
-    "gk_betweenness",
-    "gk_betweenness_distributed",
-    "m1_rarefaction",
-    "m4_permutation_test",
-    "m13_rarefaction_curve",
+    # -- (1) new in r04 --
+    "ss_ivf_trained_topk",
+    "ev_chunk_first_seen_2batch",
+    "ev_stream_pack_2batch",
+    "ss_pq_topk",
+    # -- (2) fixtures regenerated in r04 --
     "ml_rf_interactions",
-    "ml_nested_cv",
     "ml_roc_points",
-    "ml_quality_classifier",
-    "pipeline_interpersonal_diversity",
-    "pipeline_compare_skin",
-    "pipeline_altered_diet",
-    "pipeline_compare_twins",
-    # -- (2) new in r03 --
-    "ml_roc_portable",
-    "ev_first_seen_dedup",
-    "ev_chunk_first_seen",
-    "ev_near_dup_stream",
-    "ev_stream_pack",
-    "mm_video_frames",
-    "j11_asof_join",
+    "ml_nested_cv",
+    # -- (3) last measured in r01 --
+    "gq6_label_scan",
+    "gq7_disease_scope",
+    "g1_degree_per_node",
+    "g5_degree_distribution",
+    "g10_node_entropy",
+    "g12_simplify",
+    "gk_connected_components",
+    "gk_diameter_radius",
+    "gk_eccentricity_closeness",
+    "gk_connectivity",
+    "gk_eigenvector_centrality",
+    "gk_katz_centrality",
+    "gk_pagerank",
+    "gk_communities_modularity",
+    "dd_exact_dedup",
+    "dd_jaccard_pairs",
+    "dd_simhash",
+    "dd_minhash_sig",
+    "ss_cosine_topk",
+    "dd_embedding_near_dup",
+    # -- (4) last measured in r02 (first half; rest rotate in r05) --
+    "dd_minhash_lsh",
+    "dd_dup_clusters",
+    "dd_kmer_minhash",
+    "gb_gene_network",
+    "mm_blob_stats",
+    "ss_srp_lsh_topk",
+    "ss_ivf_topk",
+    "tx_token_stats",
+    "tx_fingerprint",
+    "tx_corpus_summary",
+    "tx_quality_langid",
+    "ev_hourly_agg",
+    "ev_sessionize",
+    "m2_bray_curtis",
+    "m1_rarefaction_portable",
+    "w3_global_sort_limit",
+    "a10_frequency_table",
+    "f11_substring_extract",
+    "r6_transpose",
+    "r7_column_subsample",
+    "gq4_study_network",
+    "g13_robustness",
+    "m13_rarefaction_curve_portable",
 ]
 
 

@@ -66,6 +66,10 @@ HEADLINE = [
     # norm cosine (one zip_with per candidate pair).
     ("q17", "ss_ivf_topk"),
     ("q18", "ss_srp_lsh_topk"),
+    # r04 addition: product-quantization ADC top-k — the compressed-
+    # residency ANN path (m byte codes per vector, table-lookup
+    # distances; the only per-pair work is 8 array lookups)
+    ("q19", "ss_pq_topk"),
 ]
 
 

@@ -717,6 +717,171 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _pq_codebooks(
+    items: DataFrame,
+    dim: int,
+    m: int,
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> list[list[list[float]]]:
+    """Per-subspace PQ codebooks from the md5-first `k` non-degenerate
+    vectors (deterministic sample — the same oracle-replayable
+    technique as ivf_topk's coarse centroids): codebook[s][c] is the
+    s-th subvector of the c-th sampled vector.  One TakeOrdered pass
+    over the items serves every subspace."""
+    if dim % m != 0:
+        raise ValueError(f"pq_topk: dim={dim} must be divisible by m={m}")
+    dsub = dim // m
+    sel = items.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+    ).filter(
+        F.col(vec_col).isNotNull()
+        & ~F.array_contains(F.transform(F.col(vec_col), lambda x: x.isNull()), True)
+        & (F.size(vec_col) == dim)
+    )
+    rows = sel.orderBy(F.md5(F.col("cid").cast("string"))).limit(k).collect()
+    if len(rows) < k:
+        raise ValueError(
+            f"pq_topk: needs at least k={k} usable vectors, got {len(rows)}"
+        )
+    return [
+        [[float(x) for x in r["cvec"][s * dsub : (s + 1) * dsub]] for r in rows]
+        for s in range(m)
+    ]
+
+
+def pq_topk(
+    items: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    m: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+    rerank: int | None = None,
+) -> DataFrame:
+    """Product-quantization approximate top-k (Jégou et al. 2011) — the
+    compressed-residency ANN path: items are encoded ONCE as `m` byte
+    codes (argmin squared-L2 subspace centroid, 6dp-rounded distance +
+    index tie-break), and each query probes with an ADC lookup table.
+
+    The 100 TB shape is the whole point: the encoded table stores m
+    SMALL INTS per vector instead of `dim` floats (64-d float32 → 8
+    codes = 32x smaller), so a corpus that cannot hold its raw
+    embeddings in memory scans codes instead.  Per (query, item) pair
+    the distance is m array LOOKUPS into the query's precomputed m × k
+    distance table — computed once per query row on the broadcast side —
+    never a per-pair vector product; the only shuffle is the final
+    per-query top-k window.  Codebooks are md5-first samples (pure
+    function of the data → partition-invariant, DuckDB-replayable);
+    swap in trained centroids the same way ivf_topk accepts them if
+    recall needs tightening.
+
+    `rerank=N` optionally re-scores the top-N ADC candidates per query
+    with exact cosine before the final top-k (asymmetric distance keeps
+    recall high enough that N of ~4k suffices; the rerank touches only
+    N·|Q| vectors).  Returns (query_id, neighbor_id, adc_dist, rank) —
+    or with rerank, (query_id, neighbor_id, cosine_sim, rank)."""
+    cbs = _pq_codebooks(items, dim, m, n_codes, id_col, vec_col)
+    dsub = dim // m
+    cb_lits = [_lit_mat(cb) for cb in cbs]
+
+    def sub(v, s):
+        return F.slice(v, s * dsub + 1, dsub)
+
+    def l2sq(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double")) ** 2),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    # closure factories, NOT default-arg lambdas: PySpark derives the
+    # higher-order function's arity from the python signature, so a
+    # `lambda c, _s=s:` registers as the 2-arg (element, index) form
+    # and silently binds the array index to _s
+    def _code_sub(v, s):
+        def entry(c, i):
+            return F.struct(
+                F.round(l2sq(sub(v, s), c), round_to).alias("d"), i.alias("i")
+            )
+
+        return F.array_sort(F.transform(cb_lits[s], entry))[0]["i"].cast("int")
+
+    def code_expr(v):
+        # per subspace: argmin_{c} round(L2², 6), ties by index — the
+        # same deterministic rule (and rounding) the oracle replays
+        return F.array(*[_code_sub(v, s) for s in range(m)])
+
+    def _dtable_sub(v, s):
+        def entry(c):
+            return F.round(l2sq(sub(v, s), c), round_to)
+
+        return F.transform(cb_lits[s], entry)
+
+    def dtable_expr(v):
+        # m × k lookup table, computed ONCE per query row
+        return F.array(*[_dtable_sub(v, s) for s in range(m)])
+
+    n = items.select(
+        F.col(id_col).alias("n_id"),
+        *( [F.col(vec_col).alias("n_vec"), _norm(F.col(vec_col)).alias("n_nrm")]
+           if rerank else [] ),
+        code_expr(F.col(vec_col)).alias("codes"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        *( [F.col(vec_col).alias("q_vec"), _norm(F.col(vec_col)).alias("q_nrm")]
+           if rerank else [] ),
+        dtable_expr(F.col(vec_col)).alias("dtable"),
+    )
+    # ADC distance: m table lookups per pair (element_at is 1-based)
+    adc = F.round(
+        sum(
+            F.get(F.get(F.col("dtable"), s), F.col("codes")[s])
+            for s in range(m)
+        ),
+        round_to,
+    )
+    pairs = (
+        n.crossJoin(F.broadcast(q))
+        .filter(F.col("q_id") != F.col("n_id"))
+        .withColumn("adc_dist", adc)
+    )
+    if rerank:
+        w_pre = W.partitionBy("q_id").orderBy(F.asc("adc_dist"), F.asc("n_id"))
+        cand = (
+            pairs.withColumn("_pre", F.row_number().over(w_pre))
+            .filter(F.col("_pre") <= rerank)
+        )
+        scored = cand.select(
+            F.col("q_id").alias("query_id"),
+            F.col("n_id").alias("neighbor_id"),
+            F.round(
+                cosine_pre(
+                    _dot(F.col("q_vec"), F.col("n_vec")), F.col("q_nrm"), F.col("n_nrm")
+                ),
+                round_to,
+            ).alias("cosine_sim"),
+        )
+        w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+        return scored.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= k
+        )
+    scored = pairs.select(
+        F.col("q_id").alias("query_id"),
+        F.col("n_id").alias("neighbor_id"),
+        F.col("adc_dist"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def embedding_health(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -2379,6 +2379,74 @@ def ss_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_oracle(dim: int = 64, m: int = 8, n_codes: int = 16, k: int = 5) -> str:
+    """DuckDB twin of pq_topk: md5-first codebook vectors, per-subspace
+    6dp-rounded squared-L2 code assignment (ties by code index), ADC =
+    sum of the query's per-subspace table entries at the item's codes."""
+    dsub = dim // m
+    return f"""
+    WITH vecs AS MATERIALIZED (
+      SELECT vec_id AS id, embedding AS v FROM embeddings
+    ), cb AS MATERIALIZED (
+      SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(id AS VARCHAR))) - 1 AS c, v AS cv
+      FROM (SELECT id, v FROM vecs
+            WHERE v IS NOT NULL
+              AND NOT list_contains(list_transform(v, x -> x IS NULL), true)
+              AND len(v) = {dim}
+            ORDER BY md5(CAST(id AS VARCHAR)) LIMIT {n_codes})
+    ), sub AS (SELECT unnest(generate_series(0, {m - 1})) AS s
+    ), jj AS (SELECT unnest(generate_series(1, {dsub})) AS j
+    ), dist AS MATERIALIZED (
+      -- 6dp-rounded squared L2 between every vector's subspace slice
+      -- and every codebook entry (serves BOTH code assignment and the
+      -- query ADC tables — identical rounding on both consumers)
+      SELECT t.id, sub.s, cb.c,
+             ROUND(SUM((CAST(t.v[sub.s * {dsub} + jj.j] AS DOUBLE)
+                        - CAST(cb.cv[sub.s * {dsub} + jj.j] AS DOUBLE))
+                       * (CAST(t.v[sub.s * {dsub} + jj.j] AS DOUBLE)
+                          - CAST(cb.cv[sub.s * {dsub} + jj.j] AS DOUBLE))), 6) AS d
+      FROM vecs t CROSS JOIN sub CROSS JOIN cb CROSS JOIN jj
+      GROUP BY t.id, sub.s, cb.c
+    ), codes AS MATERIALIZED (
+      SELECT id, s, c FROM (
+        SELECT id, s, c,
+               ROW_NUMBER() OVER (PARTITION BY id, s ORDER BY d, c) AS rn
+        FROM dist
+      ) WHERE rn = 1
+    ), adc AS (
+      SELECT qd.id AS query_id, c.id AS neighbor_id,
+             ROUND(SUM(qd.d), 6) AS adc_dist
+      FROM codes c JOIN dist qd ON qd.s = c.s AND qd.c = c.c
+      WHERE qd.id < 20 AND qd.id <> c.id
+      GROUP BY qd.id, c.id
+    )
+    SELECT query_id, neighbor_id, adc_dist, CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT query_id, neighbor_id, adc_dist,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY adc_dist, neighbor_id
+             ) AS rank
+      FROM adc
+    ) WHERE rank <= {k}
+    """
+
+
+@query("ss_pq_topk", oracle=_pq_oracle())
+def ss_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k — the compressed-residency ANN
+    path (items live as m=8 byte codes, 32x smaller than raw floats;
+    per pair the distance is 8 table lookups, no vector math).  Codebook
+    = md5-first sample, so DuckDB replays encode + ADC end-to-end —
+    full value-hash parity for a quantized ANN operator."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.similarity import pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 20)
+    return pq_topk(emb, queries_df, dim=64, k=5, m=8, n_codes=16).withColumn(
+        "rank", F.col("rank").cast("long")
+    )
+
+
 @query(
     "tx_token_stats",
     oracle="""
@@ -4535,6 +4603,55 @@ def ev_stream_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         _bounded_stream(spark, docs, "sp"), budget=128, n_buckets=8, seed=42
     )
     return _run_stream(spark, out, "stream_pack_gate")
+
+
+_SEQPACK_2BATCH_SQL = f"""
+    WITH b AS (
+      SELECT doc_id AS id,
+             {_MD5_60.format(c="CAST(doc_id AS VARCHAR) || '|42'")} AS h,
+             CAST(len(string_split({_NORM_SQL}, ' ')) AS BIGINT) AS n_tok,
+             CAST(doc_id % 2 AS INTEGER) AS batch
+      FROM documents
+    ), w AS (
+      SELECT id, CAST(h % 8 AS BIGINT) AS bucket, batch, h AS ord, n_tok FROM b
+    ), c AS (
+      -- arrival order across micro-batches, md5 order within each:
+      -- the per-bucket token state carries batch 0's totals into batch 1
+      SELECT id, bucket, n_tok,
+             SUM(n_tok) OVER (PARTITION BY bucket ORDER BY batch, ord, id
+                              ROWS UNBOUNDED PRECEDING) - n_tok AS start
+      FROM w
+    )
+    SELECT id, bucket, n_tok,
+           CAST(FLOOR(start / 128.0) AS BIGINT) AS pack_id,
+           CAST(start % 128 AS BIGINT) AS pack_offset
+    FROM c
+    """
+
+
+@query("ev_stream_pack_2batch", oracle=_SEQPACK_2BATCH_SQL)
+def ev_stream_pack_2batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sequence packing across TWO real micro-batches: even-id
+    docs arrive first, odd-id docs second (mtime-ordered spool files +
+    maxFilesPerTrigger=1).  The per-bucket cumulative-token state must
+    carry batch 0's totals into batch 1 — the oracle replays the exact
+    cross-batch running sum (ORDER BY batch, md5-ord, id per bucket), so
+    a packer that dropped state between batches would reset every
+    batch-1 offset to zero and hash-mismatch."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.streaming.events import (
+        streaming_sequence_pack,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    b0 = docs.filter(F.col("doc_id") % 2 == 0)
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+    out = streaming_sequence_pack(
+        _bounded_stream_batches(spark, [b0, b1], "sp2"),
+        budget=128,
+        n_buckets=8,
+        seed=42,
+    )
+    return _run_stream(spark, out, "stream_pack_2batch_gate")
 
 
 def _semantic_dedup_oracle(dim: int = 64, n_cells: int = 16, tau: float = 0.8) -> str:

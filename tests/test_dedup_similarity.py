@@ -946,3 +946,137 @@ def test_asof_join_semantics(spark):
     res = asof_join(left, right, on=["g", "k"], ts_col="ts")
     assert res.count() == left.count()
     assert [c for c in res.columns[: len(left.columns)]] == ["g", "k", "ts", "tag"]
+
+
+def test_pq_topk_recall_on_clustered_data(spark):
+    """PQ's contract is preserving COARSE distance structure — on iid
+    random vectors all pairwise distances concentrate and no quantizer
+    can rank them (measured recall ≈ chance on the synthetic embeddings
+    table; the ADC still correlates ~0.5 with true L2², i.e. the math
+    is right and the data is unrankable).  So recall is pinned on a
+    CLUSTERED fixture, where cluster membership dominates distance: 30
+    centers × 5 members, small noise — each point's exact-L2 top-4 are
+    its cluster siblings, and a broken ADC (e.g. swapped lookup index)
+    would score ~0."""
+    import random
+
+    import numpy as np
+
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.similarity import pq_topk
+
+    rng = random.Random(7)
+    centers = [[rng.uniform(-1, 1) for _ in range(64)] for _ in range(30)]
+    rows, vecs = [], {}
+    for ci, c in enumerate(centers):
+        for j in range(5):
+            vid = ci * 5 + j
+            v = [x + rng.gauss(0, 0.02) for x in c]
+            rows.append((vid, [float(x) for x in v]))
+            vecs[vid] = np.array(v)
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # float32 storage (as in the parquet table): recompute truth from
+    # the stored values
+    vecs = {vid: np.array(v, dtype=np.float32).astype(np.float64) for vid, v in rows}
+    q = emb.filter(F.col("vec_id") < 25)  # 5 clusters' worth of queries
+    approx: dict[int, set] = {}
+    for r in pq_topk(emb, q, dim=64, k=4, m=8, n_codes=32).collect():
+        approx.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = total = 0
+    for qid in range(25):
+        exact = {
+            nid
+            for _, nid in sorted(
+                (float(((vecs[qid] - v) ** 2).sum()), nid)
+                for nid, v in vecs.items()
+                if nid != qid
+            )[:4]
+        }
+        hits += len(exact & approx[qid])
+        total += 4
+    assert hits / total >= 0.9, hits / total
+
+
+def test_pq_topk_determinism_and_zero_quantization_error(spark):
+    """Two sharp properties on the real embeddings table: (1) the ADC
+    ranking is partition-invariant (codebook sample and every distance
+    are pure row functions); (2) for the md5-sampled codebook vectors
+    THEMSELVES quantization error is zero — their codes reproduce their
+    own subvectors, so ADC(q, item) must equal the true 6dp-rounded
+    subspace-sum L2² exactly.  And dim % m must validate."""
+    import numpy as np
+    import pytest as _pytest
+
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.similarity import pq_topk
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.schemas import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    base = {
+        (r.query_id, r.neighbor_id, r.adc_dist, r.rank)
+        for r in pq_topk(emb, q, dim=64, k=5).collect()
+    }
+    again = {
+        (r.query_id, r.neighbor_id, r.adc_dist, r.rank)
+        for r in pq_topk(emb.repartition(13), q, dim=64, k=5).collect()
+    }
+    assert again == base
+
+    # codebook vectors: md5-first 16 ids — replicate the sample and
+    # check zero quantization error through the full ADC path
+    import hashlib
+
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+    cb_ids = sorted(vecs, key=lambda i: hashlib.md5(str(i).encode()).hexdigest())[:16]
+    all_pairs = {
+        (r.query_id, r.neighbor_id): r.adc_dist
+        for r in pq_topk(emb, q, dim=64, k=10**6).collect()
+    }
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def r6(x):
+        return float(Decimal(repr(x)).quantize(Decimal("1e-6"), ROUND_HALF_UP))
+
+    checked = 0
+    for qid in range(10):
+        if qid not in vecs:
+            continue
+        for nid in cb_ids:
+            if nid == qid:
+                continue
+            truth = r6(
+                sum(
+                    r6(float(((vecs[qid][s * 8 : s * 8 + 8] - vecs[nid][s * 8 : s * 8 + 8]) ** 2).sum()))
+                    for s in range(8)
+                )
+            )
+            assert all_pairs[(qid, nid)] == truth, (qid, nid)
+            checked += 1
+    assert checked >= 100
+
+    with _pytest.raises(ValueError, match="divisible"):
+        pq_topk(emb, q, dim=64, m=7)
+
+
+def test_pq_topk_rerank_exact_cosine(spark):
+    """rerank=N re-scores the ADC shortlist with exact cosine: the
+    reranked top-k must be the EXACT top-k whenever the shortlist
+    contains it (here N is the whole corpus, so recall is 1 by
+    construction and the output must equal brute force exactly)."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.similarity import (
+        brute_force_topk,
+        pq_topk,
+    )
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.schemas import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    n_items = emb.count()
+    exact = {
+        (r.query_id, r.neighbor_id, r.cosine_sim, r.rank)
+        for r in brute_force_topk(emb, q, k=5).collect()
+    }
+    reranked = {
+        (r.query_id, r.neighbor_id, r.cosine_sim, r.rank)
+        for r in pq_topk(emb, q, dim=64, k=5, rerank=n_items).collect()
+    }
+    assert reranked == exact

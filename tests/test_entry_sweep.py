@@ -77,6 +77,7 @@ def test_bench_labels_frozen():
         "q16": "tx_sequence_pack",
         "q17": "ss_ivf_topk",
         "q18": "ss_srp_lsh_topk",
+        "q19": "ss_pq_topk",
     }
     got = dict(HEADLINE)
     labels = [label for label, _ in HEADLINE]

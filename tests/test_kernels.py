@@ -462,3 +462,31 @@ def test_bfs_raises_on_silent_truncation(spark):
     # a sweep that completes under the cap is unaffected
     full = K.bfs_distances(path, max_depth=20)
     assert full.agg({"dist": "max"}).collect()[0][0] == 8
+
+
+def test_approx_betweenness_error_bound_realistic_pivots(spark):
+    """Accuracy contract for the pivot-sampled path on a NON-TOY graph
+    (r03 verdict item #7): on the sf0.001 Infects graph (210 nodes,
+    ~1.9k directed pairs), the Brandes-Pich estimate at realistic pivot
+    counts must stay within a documented relative-error envelope of the
+    exact values, and must recover the exact top-10 nodes.  Everything
+    is deterministic (md5 pivot order), so these are fixed numbers, not
+    statistical bounds: measured max relative error (vs the exact max)
+    is 0.114 at 32 pivots and 0.068 at 64 — pinned with headroom at
+    0.15 / 0.10.  Exact equality when pivots >= |V| is covered by
+    test_approx_betweenness_* above; this pins the SAMPLED regime."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.kernels import approx_betweenness
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.plans.testdata_graph import infects_edges
+
+    e = infects_edges(spark, "/root/testdata/sf0.001").select("src", "dst")
+    exact = {r.node: r.betweenness for r in approx_betweenness(e, n_pivots=None).collect()}
+    mx = max(exact.values())
+    top10 = set(sorted(exact, key=lambda n: -exact[n])[:10])
+    for n_pivots, bound in ((32, 0.15), (64, 0.10)):
+        appr = {
+            r.node: r.betweenness
+            for r in approx_betweenness(e, n_pivots=n_pivots).collect()
+        }
+        max_err = max(abs(appr.get(n, 0.0) - v) / mx for n, v in exact.items())
+        assert max_err <= bound, (n_pivots, max_err)
+        assert set(sorted(appr, key=lambda n: -appr[n])[:10]) == top10
