@@ -41,6 +41,8 @@ _PRIORITY = [
     "ev_chunk_first_seen_2batch",
     "ev_stream_pack_2batch",
     "ss_pq_topk",
+    "tx_dsir_weights",
+    "tx_dsir_sample",
     # -- (2) fixtures regenerated in r04 --
     "ml_rf_interactions",
     "ml_roc_points",
@@ -88,8 +90,6 @@ _PRIORITY = [
     "r6_transpose",
     "r7_column_subsample",
     "gq4_study_network",
-    "g13_robustness",
-    "m13_rarefaction_curve_portable",
 ]
 
 

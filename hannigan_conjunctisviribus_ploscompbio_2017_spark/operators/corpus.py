@@ -727,3 +727,129 @@ def stratified_sample(
     for stratum, frac in sorted(fractions.items(), reverse=True):
         thr = F.when(F.col(strata_col) == stratum, F.lit(int(frac * 1_000_000))).otherwise(thr)
     return df.filter(bucket < thr)
+
+
+def _doc_buckets(
+    df: DataFrame, id_col: str, text_col: str, n_buckets: int
+) -> DataFrame:
+    """(id, bucket) — one row per hashed bigram occurrence: the DSIR
+    feature stream. Bucket = md5-60(bigram) % n_buckets (the portable
+    hash family, so external engines replay the bucketing exactly)."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.dedup import portable_token_hash
+
+    pairs = _doc_bigrams(df, id_col, text_col)
+    return pairs.select(
+        "id",
+        (
+            portable_token_hash(F.concat_ws(" ", F.col("v"), F.col("w")))
+            % n_buckets
+        ).alias("bucket"),
+    )
+
+
+def dsir_logweights(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    k_smooth: float = 0.01,
+    round_to: int = 6,
+) -> DataFrame:
+    """DSIR importance log-weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): fit add-k-smoothed
+    hashed-bigram bucket models over the TARGET distribution (a small
+    curated set) and the RAW corpus, then score every raw doc by
+    log p_target(doc)/p_raw(doc) = Σ_features [log p_t(b) − log p_r(b)].
+    High log-weight = raw text that looks like the target domain.
+
+    Returns (id, n_feat, log_weight); docs with < 2 tokens carry zero
+    features and log_weight 0.
+
+    Scale shape: both bucket models are ≤ n_buckets rows by
+    construction (broadcast the log-ratio table no matter how big the
+    corpora); scoring is one explode + broadcast join + per-doc sum —
+    the unigram_logprob shape, one wide stage over the raw corpus.
+    Everything md5-derived → partition-invariant, oracle-replayable."""
+    rb = _doc_buckets(raw, id_col, text_col, n_buckets)
+    tb = _doc_buckets(target, id_col, text_col, n_buckets)
+    # per-corpus bucket counts (≤ n_buckets rows each); buckets missing
+    # from one side smooth to k/(N + k·B) via the coalesce(0)
+    rc = rb.groupBy("bucket").agg(F.count(F.lit(1)).alias("_cr"))
+    tc = tb.groupBy("bucket").agg(F.count(F.lit(1)).alias("_ct"))
+    joined = rc.join(tc, "bucket", "full").select(
+        "bucket",
+        F.coalesce("_cr", F.lit(0)).alias("_cr"),
+        F.coalesce("_ct", F.lit(0)).alias("_ct"),
+    )
+    # the joined count table feeds BOTH the totals and the λ projection,
+    # and Catalyst does not share the subtree — without this the two
+    # corpus-wide bucket-count shuffles (raw + target scans) run TWICE.
+    # ≤ n_buckets rows, so materializing it is free at any corpus scale.
+    joined = joined.localCheckpoint(eager=False)
+    totals = joined.agg(
+        F.sum("_cr").alias("_nr"), F.sum("_ct").alias("_nt")
+    )
+    k = F.lit(float(k_smooth))
+    kb = F.lit(float(k_smooth) * n_buckets)
+    lam = joined.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            (F.log(F.col("_ct") + k) - F.log(F.col("_nt") + kb))
+            - (F.log(F.col("_cr") + k) - F.log(F.col("_nr") + kb))
+        ).alias("_lam"),
+    )
+    per_doc = (
+        rb.join(F.broadcast(lam), "bucket")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feat"),
+            F.sum("_lam").alias("_lw"),
+        )
+    )
+    ids = raw.select(F.col(id_col).alias("id"))
+    return ids.join(per_doc, "id", "left").select(
+        "id",
+        F.coalesce("n_feat", F.lit(0)).alias("n_feat"),
+        F.round(F.coalesce("_lw", F.lit(0.0)), round_to).alias("log_weight"),
+    )
+
+
+def dsir_sample(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    k_smooth: float = 0.01,
+    seed: int = 42,
+    round_to: int = 6,
+) -> DataFrame:
+    """DSIR selection: Gumbel-top-k over the importance log-weights —
+    samples k raw docs ∝ their importance weights WITHOUT replacement
+    (Gumbel-max trick), deterministically: the Gumbel noise derives
+    from the md5-60 of (id|seed), so the draw is a pure row function —
+    partition-invariant and replayable by the oracle.
+
+    Returns the k selected (id, n_feat, log_weight, gumbel_key) rows.
+    orderBy+limit plans as TakeOrderedAndProject — per-partition top-k
+    heaps, no global sort, so selection costs one narrow pass at any
+    corpus scale."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.dedup import portable_token_hash
+
+    lw = dsir_logweights(
+        raw, target, id_col, text_col, n_buckets, k_smooth, round_to=round_to
+    )
+    u = (
+        portable_token_hash(
+            F.concat_ws("|", F.col("id").cast("string"), F.lit(str(seed)))
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 60))
+    key = F.round(F.col("log_weight") - F.log(-F.log(u)), round_to)
+    return (
+        lw.withColumn("gumbel_key", key)
+        .orderBy(F.desc("gumbel_key"), F.asc("id"))
+        .limit(k)
+    )

@@ -2379,6 +2379,92 @@ def ss_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dsir_weights_sql(n_buckets: int = 4096, k_smooth: float = 0.01) -> str:
+    """DuckDB twin of dsir_logweights over documents with target =
+    curated sources src0-4 (the quality-classifier convention)."""
+    bucket = _MD5_60.format(c="sh")
+    return f"""
+    WITH tok AS MATERIALIZED (
+      SELECT doc_id AS id, source, string_split({_NORM_SQL}, ' ') AS t
+      FROM documents
+    ), bk AS MATERIALIZED (
+      SELECT id, source, {bucket} % {n_buckets} AS bucket
+      FROM (
+        SELECT id, source, t[i] || ' ' || t[i + 1] AS sh
+        FROM (SELECT id, source, t, unnest(generate_series(1, len(t) - 1)) AS i
+              FROM tok WHERE len(t) >= 2)
+      )
+    ), rc AS (
+      SELECT bucket, COUNT(*) AS cr FROM bk GROUP BY bucket
+    ), tc AS (
+      SELECT bucket, COUNT(*) AS ct FROM bk
+      WHERE CAST(regexp_extract(source, 'src(\\d+)', 1) AS INTEGER) < 5
+      GROUP BY bucket
+    ), j AS (
+      SELECT COALESCE(rc.bucket, tc.bucket) AS bucket,
+             COALESCE(cr, 0) AS cr, COALESCE(ct, 0) AS ct
+      FROM rc FULL OUTER JOIN tc ON rc.bucket = tc.bucket
+    ), tot AS (SELECT SUM(cr) AS nr, SUM(ct) AS nt FROM j
+    ), lam AS (
+      SELECT bucket,
+             (LN(ct + {k_smooth}) - LN(nt + {k_smooth * n_buckets}))
+             - (LN(cr + {k_smooth}) - LN(nr + {k_smooth * n_buckets})) AS lam
+      FROM j CROSS JOIN tot
+    ), per_doc AS (
+      SELECT bk.id, CAST(COUNT(*) AS BIGINT) AS n_feat,
+             ROUND(SUM(lam.lam), 6) AS log_weight
+      FROM bk JOIN lam ON bk.bucket = lam.bucket
+      GROUP BY bk.id
+    )
+    SELECT d.doc_id AS id,
+           COALESCE(p.n_feat, 0) AS n_feat,
+           COALESCE(p.log_weight, 0.0) AS log_weight
+    FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.id
+    """
+
+
+@query("tx_dsir_weights", oracle=_dsir_weights_sql())
+def tx_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance log-weights (Xie et al. 2023): hashed-bigram
+    bucket models for target (curated sources src0-4) vs the raw
+    corpus; per-doc log p_t/p_r.  Both models are ≤ n_buckets rows →
+    broadcast; scoring is one explode + broadcast join + per-doc sum.
+    The md5 bucket family lets the oracle replay the whole model."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.corpus import dsir_logweights
+
+    docs = _t(spark, sf_dir, "documents")
+    srcnum = F.regexp_extract("source", r"src(\d+)", 1).cast("int")
+    target = docs.filter(srcnum < 5)
+    return dsir_logweights(docs, target)
+
+
+@query(
+    "tx_dsir_sample",
+    oracle=f"""
+    WITH w AS ({_dsir_weights_sql()}),
+    keyed AS (
+      SELECT id, n_feat, log_weight,
+             ROUND(log_weight - LN(-LN(
+               ({_MD5_60.format(c="CAST(id AS VARCHAR) || '|42'")} + 0.5)
+               / 1152921504606846976.0)), 6) AS gumbel_key
+      FROM w
+    )
+    SELECT id, n_feat, log_weight, gumbel_key
+    FROM keyed ORDER BY gumbel_key DESC, id ASC LIMIT 50
+    """,
+)
+def tx_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR Gumbel-top-k selection: 50 docs sampled ∝ importance weight
+    without replacement, deterministically (md5-derived Gumbel noise).
+    TakeOrderedAndProject — per-partition heaps, no global sort."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.corpus import dsir_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    srcnum = F.regexp_extract("source", r"src(\d+)", 1).cast("int")
+    target = docs.filter(srcnum < 5)
+    return dsir_sample(docs, target, k=50, seed=42)
+
+
 def _pq_oracle(dim: int = 64, m: int = 8, n_codes: int = 16, k: int = 5) -> str:
     """DuckDB twin of pq_topk: md5-first codebook vectors, per-subspace
     6dp-rounded squared-L2 code assignment (ties by code index), ADC =

@@ -1080,3 +1080,57 @@ def test_pq_topk_rerank_exact_cosine(spark):
         for r in pq_topk(emb, q, dim=64, k=5, rerank=n_items).collect()
     }
     assert reranked == exact
+
+
+def test_dsir_logweights_separate_target_domain(spark):
+    """DSIR's defining behavior: raw docs written in the target domain's
+    n-gram distribution must out-weigh off-domain docs.  Target = cooking
+    text; raw = cooking docs + code-flavored docs.  Also pins the
+    short-doc contract (< 2 tokens → 0 features, log_weight 0) and
+    partition invariance (md5 buckets are pure row functions)."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.corpus import dsir_logweights
+
+    cook = "stir the onions in butter then add salt and pepper to taste"
+    code = "def main args return int x plus y else raise error value"
+    target = spark.createDataFrame(
+        [(100 + i, cook) for i in range(10)], "doc_id long, text string"
+    )
+    raw = spark.createDataFrame(
+        [(i, cook) for i in range(5)]
+        + [(10 + i, code) for i in range(5)]
+        + [(99, "one")],  # single token: no bigram features
+        "doc_id long, text string",
+    )
+    lw = {r.id: (r.n_feat, r.log_weight) for r in dsir_logweights(raw, target).collect()}
+    assert lw[99] == (0, 0.0)
+    assert all(lw[i][1] > 0 for i in range(5))        # on-domain: weight up
+    assert all(lw[10 + i][1] < 0 for i in range(5))   # off-domain: weight down
+    assert min(lw[i][1] for i in range(5)) > max(lw[10 + i][1] for i in range(5))
+
+    again = {
+        r.id: (r.n_feat, r.log_weight)
+        for r in dsir_logweights(raw.repartition(7), target.repartition(3)).collect()
+    }
+    assert again == lw
+
+
+def test_dsir_sample_prefers_heavy_docs(spark):
+    """Gumbel-top-k: with a large weight gap the on-domain docs must
+    dominate the selection, and the draw is deterministic."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.corpus import dsir_sample
+
+    cook = "stir the onions in butter then add salt and pepper to taste"
+    code = "def main args return int x plus y else raise error value"
+    target = spark.createDataFrame(
+        [(100 + i, cook) for i in range(10)], "doc_id long, text string"
+    )
+    raw = spark.createDataFrame(
+        [(i, cook) for i in range(20)] + [(50 + i, code) for i in range(20)],
+        "doc_id long, text string",
+    )
+    sel = dsir_sample(raw, target, k=10, seed=42)
+    ids = [r.id for r in sel.collect()]
+    assert len(ids) == 10
+    on_domain = sum(1 for i in ids if i < 20)
+    assert on_domain >= 9  # weight gap >> Gumbel noise scale
+    assert [r.id for r in dsir_sample(raw, target, k=10, seed=42).collect()] == ids
