@@ -784,7 +784,15 @@ def pq_topk(
     with exact cosine before the final top-k (asymmetric distance keeps
     recall high enough that N of ~4k suffices; the rerank touches only
     N·|Q| vectors).  Returns (query_id, neighbor_id, adc_dist, rank) —
-    or with rerank, (query_id, neighbor_id, cosine_sim, rank)."""
+    or with rerank, (query_id, neighbor_id, cosine_sim, rank).
+
+    This is the flat-PQ scan (every code row read per query batch).
+    For the full FAISS-style IVFPQ shape, compose with the IVF cell
+    operators: assign items to cells with ivf_topk's literal-centroid
+    projection (persist bucketed by cell), then run this ADC scan only
+    over the n_probe probed cells — both halves are already
+    partition-invariant and oracle-replayable, so the composition is
+    too."""
     cbs = _pq_codebooks(items, dim, m, n_codes, id_col, vec_col)
     dsub = dim // m
     cb_lits = [_lit_mat(cb) for cb in cbs]

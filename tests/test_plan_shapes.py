@@ -288,3 +288,43 @@ def test_asof_join_single_shuffle_no_join_node(spark):
     assert "CartesianProduct" not in p and "NestedLoop" not in p
     assert p.count("hashpartitioning") >= 1
     assert "Window" in p
+
+
+def test_pq_topk_plan_lookup_only_pairs(spark):
+    # the whole point of ADC: per-pair work is table LOOKUPS — the pair
+    # stage must be a single broadcast nested-loop over (codes, dtable)
+    # columns with NO per-pair zip_with/aggregate (those run once per
+    # ROW upstream, in the encode and table projections), and no
+    # shuffle before the final top-k window
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.similarity import pq_topk
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.schemas import load_table
+
+    emb = load_table(spark, SF0001, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    df = pq_topk(emb, q, dim=64, k=5)
+    p = plan_of(df)
+    assert "BroadcastNestedLoopJoin" in p  # queries broadcast, items streamed
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    # exactly one wide exchange: the per-query top-k window (formatted
+    # mode names each node once in the details as "(N) Exchange";
+    # BroadcastExchange doesn't match the word boundary)
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1
+
+
+def test_dsir_plans(spark):
+    # weights: the log-ratio table broadcasts (bounded by n_buckets) —
+    # the corpus-side feature stream must never shuffle on bucket for
+    # scoring; sample: top-k is TakeOrderedAndProject, not a global sort
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.corpus import dsir_logweights, dsir_sample
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.schemas import load_table
+
+    docs = load_table(spark, SF0001, "documents")
+    target = docs.filter(F.col("doc_id") % 7 == 0)
+    pw = plan_of(dsir_logweights(docs, target))
+    assert "BroadcastHashJoin" in pw  # feature stream x broadcast λ
+    ps = plan_of(dsir_sample(docs, target, k=10))
+    assert "TakeOrderedAndProject" in ps
+    assert ps.count("Scan parquet") <= 4  # λ subtree materialized once
