@@ -43,6 +43,7 @@ _PRIORITY = [
     "ss_pq_topk",
     "tx_dsir_weights",
     "tx_dsir_sample",
+    "ss_ivf_pq_topk",
     # -- (2) fixtures regenerated in r04 --
     "ml_rf_interactions",
     "ml_roc_points",
@@ -89,7 +90,6 @@ _PRIORITY = [
     "f11_substring_extract",
     "r6_transpose",
     "r7_column_subsample",
-    "gq4_study_network",
 ]
 
 

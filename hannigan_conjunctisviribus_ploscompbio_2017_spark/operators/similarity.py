@@ -890,6 +890,100 @@ def pq_topk(
     )
 
 
+def ivf_pq_topk(
+    items: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+    centroid_frac: float | None = None,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF-PQ approximate top-k — the composed FAISS-style production
+    shape: coarse IVF cells bound WHICH items each query touches
+    (n_probe/n_cells of the corpus), PQ codes bound WHAT is read per
+    touched item (m small ints, 32x less than raw floats), and the
+    per-pair distance is m ADC table lookups.  At 100 TB this is the
+    only ANN regime where both the scan volume AND the residency are
+    sublinear in the raw embedding bytes: persist (cell, codes) bucketed
+    by cell and the raw vectors are never read at query time.
+
+    Both halves reuse the verified building blocks unchanged — coarse
+    cells from _resolve_centroids/_ranked_cells_expr (as ivf_topk),
+    codebooks + ADC from the pq_topk machinery — so cell assignment,
+    codes, and distances are all pure row functions over md5-sampled
+    literals: partition-invariant and end-to-end DuckDB-replayable.
+    Returns (query_id, neighbor_id, adc_dist, rank); ranking is by
+    quantized distance (ties by id), as in pq_topk."""
+    cents = _resolve_centroids(items, n_cells, id_col, vec_col, centroid_frac, centroids)
+    ranked_cells = _ranked_cells_expr(cents, round_to)
+    cbs = _pq_codebooks(items, dim, m, n_codes, id_col, vec_col)
+    dsub = dim // m
+    cb_lits = [_lit_mat(cb) for cb in cbs]
+
+    def sub(v, s):
+        return F.slice(v, s * dsub + 1, dsub)
+
+    def l2sq(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double")) ** 2),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def _code_sub(v, s):
+        def entry(c, i):
+            return F.struct(
+                F.round(l2sq(sub(v, s), c), round_to).alias("d"), i.alias("i")
+            )
+
+        return F.array_sort(F.transform(cb_lits[s], entry))[0]["i"].cast("int")
+
+    def _dtable_sub(v, s):
+        def entry(c):
+            return F.round(l2sq(sub(v, s), c), round_to)
+
+        return F.transform(cb_lits[s], entry)
+
+    n = items.select(
+        F.col(id_col).alias("n_id"),
+        ranked_cells(F.col(vec_col))[0]["i"].alias("cell"),
+        F.array(*[_code_sub(F.col(vec_col), s) for s in range(m)]).alias("codes"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.array(*[_dtable_sub(F.col(vec_col), s) for s in range(m)]).alias("dtable"),
+        F.explode(
+            F.transform(
+                F.slice(ranked_cells(F.col(vec_col)), 1, n_probe), lambda x: x["i"]
+            )
+        ).alias("cell"),
+    )
+    adc = F.round(
+        sum(F.get(F.get(F.col("dtable"), s), F.col("codes")[s]) for s in range(m)),
+        round_to,
+    )
+    scored = (
+        n.join(F.broadcast(q), "cell")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("n_id").alias("neighbor_id"),
+            adc.alias("adc_dist"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def embedding_health(
     df: DataFrame,
     id_col: str = "vec_id",

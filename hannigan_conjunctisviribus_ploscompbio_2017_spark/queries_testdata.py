@@ -2517,6 +2517,105 @@ def _pq_oracle(dim: int = 64, m: int = 8, n_codes: int = 16, k: int = 5) -> str:
     """
 
 
+def _ivf_pq_oracle(
+    dim: int = 64, n_cells: int = 16, n_probe: int = 4,
+    m: int = 8, n_codes: int = 16, k: int = 5,
+) -> str:
+    """DuckDB twin of ivf_pq_topk: the _ivf_oracle cell/probe CTEs
+    composed with the _pq_oracle code/ADC CTEs — candidates come only
+    from probed cells, distances only from code lookups."""
+    dsub = dim // m
+    cos = """SUM(CAST(t.v[j] AS DOUBLE) * CAST(c.cv[j] AS DOUBLE))
+               / (SQRT(SUM(CAST(t.v[j] AS DOUBLE) * CAST(t.v[j] AS DOUBLE)))
+                  * SQRT(SUM(CAST(c.cv[j] AS DOUBLE) * CAST(c.cv[j] AS DOUBLE))))"""
+    return f"""
+    WITH vecs AS MATERIALIZED (
+      SELECT vec_id AS id, embedding AS v FROM embeddings
+    ), cents AS MATERIALIZED (
+      SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(id AS VARCHAR))) - 1 AS ci,
+             v AS cv
+      FROM (SELECT id, v FROM vecs
+            WHERE v IS NOT NULL
+              AND NOT list_contains(list_transform(v, x -> x IS NULL), true)
+              AND list_sum(list_transform(v,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0
+            ORDER BY md5(CAST(id AS VARCHAR)) LIMIT {n_cells})
+    ), idx AS (SELECT unnest(generate_series(1, {dim})) AS j
+    ), celldists AS MATERIALIZED (
+      SELECT t.id, c.ci, ROUND(1.0 - {cos}, 6) AS d
+      FROM vecs t CROSS JOIN cents c CROSS JOIN idx
+      GROUP BY t.id, c.ci
+    ), cells AS MATERIALIZED (
+      SELECT id, ci AS cell FROM (
+        SELECT id, ci, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, ci) AS rn
+        FROM celldists
+      ) WHERE rn = 1
+    ), probes AS (
+      SELECT id, ci AS cell FROM (
+        SELECT id, ci, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, ci) AS rn
+        FROM celldists WHERE id < 20
+      ) WHERE rn <= {n_probe}
+    ), cb AS MATERIALIZED (
+      SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(id AS VARCHAR))) - 1 AS c, v AS cv
+      FROM (SELECT id, v FROM vecs
+            WHERE v IS NOT NULL
+              AND NOT list_contains(list_transform(v, x -> x IS NULL), true)
+              AND len(v) = {dim}
+            ORDER BY md5(CAST(id AS VARCHAR)) LIMIT {n_codes})
+    ), sub AS (SELECT unnest(generate_series(0, {m - 1})) AS s
+    ), jj AS (SELECT unnest(generate_series(1, {dsub})) AS j
+    ), pqdist AS MATERIALIZED (
+      SELECT t.id, sub.s, cb.c,
+             ROUND(SUM((CAST(t.v[sub.s * {dsub} + jj.j] AS DOUBLE)
+                        - CAST(cb.cv[sub.s * {dsub} + jj.j] AS DOUBLE))
+                       * (CAST(t.v[sub.s * {dsub} + jj.j] AS DOUBLE)
+                          - CAST(cb.cv[sub.s * {dsub} + jj.j] AS DOUBLE))), 6) AS d
+      FROM vecs t CROSS JOIN sub CROSS JOIN cb CROSS JOIN jj
+      GROUP BY t.id, sub.s, cb.c
+    ), codes AS MATERIALIZED (
+      SELECT id, s, c FROM (
+        SELECT id, s, c,
+               ROW_NUMBER() OVER (PARTITION BY id, s ORDER BY d, c) AS rn
+        FROM pqdist
+      ) WHERE rn = 1
+    ), cand AS (
+      SELECT DISTINCT p.id AS query_id, n.id AS neighbor_id
+      FROM probes p JOIN cells n ON n.cell = p.cell
+      WHERE n.id <> p.id
+    ), adc AS (
+      SELECT cd.query_id, cd.neighbor_id, ROUND(SUM(qd.d), 6) AS adc_dist
+      FROM cand cd
+      JOIN codes nc ON nc.id = cd.neighbor_id
+      JOIN pqdist qd ON qd.id = cd.query_id AND qd.s = nc.s AND qd.c = nc.c
+      GROUP BY cd.query_id, cd.neighbor_id
+    )
+    SELECT query_id, neighbor_id, adc_dist, CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT query_id, neighbor_id, adc_dist,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY adc_dist, neighbor_id
+             ) AS rank
+      FROM adc
+    ) WHERE rank <= {k}
+    """
+
+
+@query("ss_ivf_pq_topk", oracle=_ivf_pq_oracle())
+def ss_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed top-k — the FAISS-style production regime where
+    BOTH the scan (n_probe/n_cells of the corpus) and the per-item
+    bytes (m codes) are sublinear in the raw embeddings.  End-to-end
+    replayed: cells + probes from the IVF oracle CTEs, codes + ADC from
+    the PQ oracle CTEs."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.similarity import ivf_pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 20)
+    return ivf_pq_topk(emb, queries_df, dim=64, k=5).withColumn(
+        "rank", F.col("rank").cast("long")
+    )
+
+
 @query("ss_pq_topk", oracle=_pq_oracle())
 def ss_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ADC top-k — the compressed-residency ANN

@@ -1134,3 +1134,49 @@ def test_dsir_sample_prefers_heavy_docs(spark):
     on_domain = sum(1 for i in ids if i < 20)
     assert on_domain >= 9  # weight gap >> Gumbel noise scale
     assert [r.id for r in dsir_sample(raw, target, k=10, seed=42).collect()] == ids
+
+
+def test_ivf_pq_topk_clustered_recall_and_invariance(spark):
+    """Composed IVF-PQ on the clustered fixture: cluster siblings share
+    a coarse cell AND quantize nearby, so recall@4 vs exact L2 stays
+    high even with both approximations stacked; and the whole path is
+    partition-invariant (md5 cells + md5 codebooks are row functions)."""
+    import random
+
+    import numpy as np
+
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.similarity import ivf_pq_topk
+
+    rng = random.Random(11)
+    centers = [[rng.uniform(-1, 1) for _ in range(64)] for _ in range(20)]
+    rows = []
+    for ci, c in enumerate(centers):
+        for j in range(5):
+            rows.append((ci * 5 + j, [float(x + rng.gauss(0, 0.02)) for x in c]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    vecs = {vid: np.array(v, dtype=np.float32).astype(np.float64) for vid, v in rows}
+    q = emb.filter(F.col("vec_id") < 20)
+    got: dict[int, set] = {}
+    res = ivf_pq_topk(emb, q, dim=64, k=4, n_cells=20, n_probe=4, m=8, n_codes=32)
+    for r in res.collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = total = 0
+    for qid in range(20):
+        exact = {
+            nid
+            for _, nid in sorted(
+                (float(((vecs[qid] - v) ** 2).sum()), nid)
+                for nid, v in vecs.items()
+                if nid != qid
+            )[:4]
+        }
+        hits += len(exact & got.get(qid, set()))
+        total += 4
+    assert hits / total >= 0.75, hits / total  # two stacked approximations
+
+    again: dict[int, set] = {}
+    for r in ivf_pq_topk(
+        emb.repartition(9), q, dim=64, k=4, n_cells=20, n_probe=4, m=8, n_codes=32
+    ).collect():
+        again.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert again == got
