@@ -44,6 +44,8 @@ _PRIORITY = [
     "tx_dsir_weights",
     "tx_dsir_sample",
     "ss_ivf_pq_topk",
+    "dd_duplicate_spans",
+    "ev_first_seen_2batch",
     # -- (2) fixtures regenerated in r04 --
     "ml_rf_interactions",
     "ml_roc_points",
@@ -88,8 +90,6 @@ _PRIORITY = [
     "w3_global_sort_limit",
     "a10_frequency_table",
     "f11_substring_extract",
-    "r6_transpose",
-    "r7_column_subsample",
 ]
 
 

@@ -625,3 +625,92 @@ def contamination_pairs(
         .filter(F.col("containment") >= threshold)
         .select("test_id", "train_id", "shared", "containment")
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_count: int = 2,
+    hash_fn=None,
+    broadcast_dup_fps: bool = True,
+) -> DataFrame:
+    """Exact-substring duplicate SPANS at token granularity — the
+    overlapping-window generalization of chunk_dedup, i.e. the actual
+    Lee et al. 2022 semantics: a token position is duplicated when it
+    lies inside ANY k-token window whose normalized fingerprint occurs
+    >= min_count times corpus-wide; maximal runs of duplicated windows
+    merge into per-doc spans.  (Lee et al. build a corpus suffix array;
+    over k-token windows the same duplicated regions fall out of a
+    plain fingerprint count — no suffix array, three Spark stages.)
+
+    Returns (id, span_start, span_end, n_windows): 1-based inclusive
+    TOKEN indexes of each maximal duplicated span. Fixed chunking
+    (chunk_dedup) misses duplicates straddling chunk boundaries and
+    over-flags part-duplicated chunks; spans are exact to ±(k−1)
+    tokens at the edges.
+
+    Scale: one fingerprint groupBy over the exploded windows (the only
+    corpus-wide shuffle), a semi join against the duplicated-fingerprint
+    set (broadcast by default — duplicated fingerprints ∝ duplicated
+    text, typically tiny; flip broadcast_dup_fps=False for a
+    near-duplicate-saturated corpus), and a per-doc window for the
+    interval merge. No UDFs anywhere."""
+    from pyspark.sql import Window as W
+
+    base = hash_fn if hash_fn is not None else F.xxhash64
+    toked = df.select(
+        F.col(id_col).alias("id"),
+        F.split(normalized(text_col), r"\s+").alias("_t"),
+    )
+    idx = F.when(
+        F.size("_t") >= k, F.sequence(F.lit(1), F.size("_t") - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    wins = toked.select(
+        "id",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    base(F.array_join(F.slice("_t", i, k), " ")).alias("fp"),
+                ),
+            )
+        ).alias("w"),
+    ).select("id", F.col("w.pos").alias("pos"), F.col("w.fp").alias("fp"))
+    # the exploded window table feeds BOTH the global count and the
+    # flag join; Catalyst shares no subtrees — one materialized pass
+    wins = wins.localCheckpoint(eager=False)
+    dup_fps = (
+        wins.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= min_count)
+        .select("fp")
+    )
+    flagged = wins.join(
+        F.broadcast(dup_fps) if broadcast_dup_fps else dup_fps, "fp", "semi"
+    )
+    # interval merge: windows are fixed-length k, so sorted by pos the
+    # running max end is the previous pos + k − 1 — a new span starts
+    # when the gap exceeds k (not even token-adjacent)
+    wseq = W.partitionBy("id").orderBy("pos")
+    spans = (
+        flagged.withColumn(
+            "_brk",
+            F.when(
+                F.col("pos") - F.lag("pos").over(wseq) > k, 1
+            ).otherwise(0),
+        )
+        .withColumn("_grp", F.sum("_brk").over(
+            wseq.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ))
+        .groupBy("id", "_grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .drop("_grp")
+    )
+    return spans.select("id", "span_start", "span_end", "n_windows")

@@ -2379,6 +2379,60 @@ def ss_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dup_spans_sql(k: int = 8, min_count: int = 2) -> str:
+    fp = _MD5_60.format(c=f"array_to_string(list_slice(t, i, i + {k - 1}), ' ')")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id AS id, string_split({_NORM_SQL}, ' ') AS t FROM documents
+    ), wins AS MATERIALIZED (
+      SELECT id, i AS pos, {fp} AS fp
+      FROM (SELECT id, t, unnest(generate_series(1, len(t) - {k - 1})) AS i
+            FROM toks WHERE len(t) >= {k})
+    ), dup AS (
+      SELECT fp FROM wins GROUP BY fp HAVING COUNT(*) >= {min_count}
+    ), flagged AS (
+      SELECT id, pos FROM wins WHERE fp IN (SELECT fp FROM dup)
+    ), m AS (
+      SELECT id, pos,
+             CASE WHEN pos - LAG(pos) OVER (PARTITION BY id ORDER BY pos) > {k}
+                  THEN 1 ELSE 0 END AS brk
+      FROM flagged
+    ), g AS (
+      SELECT id, pos,
+             SUM(brk) OVER (PARTITION BY id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS grp
+      FROM m
+    )
+    SELECT id, CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) + {k - 1} AS BIGINT) AS span_end,
+           CAST(COUNT(*) AS BIGINT) AS n_windows
+    FROM g GROUP BY id, grp
+    """
+
+
+@query("dd_duplicate_spans", oracle=_dup_spans_sql())
+def dd_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate spans (the overlapping-window Lee et
+    al. 2022 semantics chunk_dedup approximates with fixed chunks):
+    maximal per-doc runs of corpus-duplicated 8-token windows.  One
+    fingerprint shuffle + a broadcast-semi flag join + a per-doc merge
+    window; the md5 hash family lets the oracle replay spans exactly."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.dedup import (
+        duplicate_spans,
+        portable_token_hash,
+    )
+
+    out = duplicate_spans(
+        _t(spark, sf_dir, "documents"), k=8, hash_fn=portable_token_hash
+    )
+    return out.select(
+        "id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        "n_windows",
+    )
+
+
 def _dsir_weights_sql(n_buckets: int = 4096, k_smooth: float = 0.01) -> str:
     """DuckDB twin of dsir_logweights over documents with target =
     curated sources src0-4 (the quality-classifier convention)."""
@@ -2874,6 +2928,60 @@ def ev_first_seen_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = streaming_first_seen(_bounded_stream(spark, ev, "fs"), key_col="ukey")
     res = _run_stream(spark, out, "first_seen_gate")
+    return res.select(
+        "key",
+        "first_event_id",
+        F.date_format("first_ts", "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+        "n_dups",
+    )
+
+
+_FIRST_SEEN_2BATCH_SQL = """
+    WITH e AS (
+      SELECT CAST(user_id AS VARCHAR) AS key, event_id, ts,
+             CAST(event_id % 2 AS INTEGER) AS batch
+      FROM events
+    ), fb AS (
+      SELECT key, MIN(batch) AS b0 FROM e GROUP BY key
+    ), ranked AS (
+      SELECT e.key, event_id, ts,
+             ROW_NUMBER() OVER (PARTITION BY e.key ORDER BY ts, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY e.key) AS cnt
+      FROM e JOIN fb ON e.key = fb.key
+      WHERE e.batch = fb.b0
+    )
+    SELECT key,
+           CAST(event_id AS BIGINT) AS first_event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS first_ts,
+           CAST(cnt - 1 AS BIGINT) AS n_dups
+    FROM ranked WHERE rn = 1
+    """
+
+
+@query("ev_first_seen_2batch", oracle=_FIRST_SEEN_2BATCH_SQL)
+def ev_first_seen_2batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming first-seen dedup across TWO real micro-batches
+    (even-event-id rows arrive first): a user key claimed in batch 0
+    must be suppressed BY STATE when it reappears in batch 1 — n_dups
+    counts only the first-seen batch's siblings, and dropped state
+    would re-emit every shared key.  Watermark lifted far above the
+    event-time span so no batch-1 row is late-dropped (the oracle
+    replays pure per-batch first-seen, not watermark loss)."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.streaming.events import streaming_first_seen
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("user_id").cast("string").alias("ukey"),
+    )
+    b0 = ev.filter(F.col("event_id") % 2 == 0)
+    b1 = ev.filter(F.col("event_id") % 2 == 1)
+    out = streaming_first_seen(
+        _bounded_stream_batches(spark, [b0, b1], "fs2"),
+        key_col="ukey",
+        watermark="8760 hours",
+    )
+    res = _run_stream(spark, out, "first_seen_2batch_gate")
     return res.select(
         "key",
         "first_event_id",

@@ -1180,3 +1180,43 @@ def test_ivf_pq_topk_clustered_recall_and_invariance(spark):
     ).collect():
         again.setdefault(r.query_id, set()).add(r.neighbor_id)
     assert again == got
+
+
+def test_duplicate_spans_exact_boundaries(spark):
+    """Closed-form span semantics: two docs share a 12-token run buried
+    at different offsets; with k=8 the duplicated windows are exactly
+    the ones fully inside the shared run, so each doc's span is the
+    full 12-token run (positions known in advance).  Unique docs yield
+    no spans; a doc shorter than k yields no windows at all."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    a_prefix = "one two three"
+    b_prefix = "uno dos tres cuatro cinco"
+    rows = [
+        (1, f"{a_prefix} {shared} tail1 tail2"),
+        (2, f"{b_prefix} {shared} other end words here"),
+        (3, "totally unrelated text with enough tokens to window over fine"),
+        (4, "short doc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.id: (r.span_start, r.span_end, r.n_windows)
+           for r in dedup.duplicate_spans(df, k=8).collect()}
+    # doc 1: shared run occupies tokens 4..15 → windows 4..8 (5 windows)
+    assert out[1] == (4, 15, 5)
+    # doc 2: shared run occupies tokens 6..17 → windows 6..10
+    assert out[2] == (6, 17, 5)
+    assert 3 not in out and 4 not in out
+
+    # two separated duplicated runs in one doc stay two spans
+    df2 = spark.createDataFrame(
+        [
+            (1, f"{shared} x1 x2 x3 x4 x5 x6 x7 x8 x9 {shared}"),
+            (2, shared),
+        ],
+        "doc_id long, text string",
+    )
+    spans = sorted(
+        (r.span_start, r.span_end)
+        for r in dedup.duplicate_spans(df2, k=8).collect()
+        if r.id == 1
+    )
+    assert spans == [(1, 12), (22, 33)]

@@ -597,6 +597,44 @@ def test_ml_quality_classifier_invariants(con):
     assert all(0.0 <= p <= 1.0 for _s, p, _n in FX.ML_QUALITY_CLASSIFIER_SF001)
 
 
+def test_ss_ivf_trained_topk_independent(con):
+    """The trained-KMeans IVF fixture gets independent evidence without
+    recomputing MLlib's fit: (1) every reported cosine_sim must equal
+    the numpy-exact cosine of the claimed (query, neighbor) pair — the
+    values are exact cosines, not quantized, so a corrupted fixture or
+    wrong rerank math fails hard; (2) ranks must be consistent with the
+    similarities (desc, ties by neighbor id); (3) recall@5 vs the
+    numpy-exact cosine top-5 is pinned (measured 0.59 with 16 cells /
+    4 probes on the iid synthetic embeddings — deterministic, pinned
+    with headroom at 0.5)."""
+    rows = con.execute("SELECT vec_id, embedding FROM embeddings").fetchall()
+    vecs = {i: np.array(v, dtype=np.float64) for i, v in rows}
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    by_q: dict[int, list] = {}
+    for qid, nid, sim, rank in FX.SS_IVF_TRAINED_SF001:
+        assert abs(cos(vecs[qid], vecs[nid]) - sim) <= 2e-6, (qid, nid)
+        by_q.setdefault(qid, []).append((rank, sim, nid))
+    hits = tot = 0
+    for qid, lst in by_q.items():
+        lst.sort()
+        assert [r for r, _, _ in lst] == list(range(1, len(lst) + 1))
+        assert lst == sorted(lst, key=lambda t: (t[0],))
+        sims = [(-s, n) for _, s, n in lst]
+        assert sims == sorted(sims), qid  # rank order == (sim desc, id asc)
+        exact = {
+            n
+            for _, n in sorted(
+                ((-cos(vecs[qid], v), n) for n, v in vecs.items() if n != qid)
+            )[:5]
+        }
+        hits += len(exact & {n for _, _, n in lst})
+        tot += 5
+    assert hits / tot >= 0.5, hits / tot
+
+
 def test_mm_video_frames_independent(con):
     """The video gate entry admits a CLOSED-FORM independent answer
     from the PUBLIC BT.601 limited-range spec — each synthesized frame
