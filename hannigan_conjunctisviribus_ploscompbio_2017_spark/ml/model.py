@@ -80,7 +80,12 @@ def stratified_split(
     (row_number and the stratum count use the same partitioning).  The
     training tables this serves are dimension-scale (SURVEY §2.11), so
     the per-stratum window is nowhere near a skew hazard; for a
-    corpus-scale labeled set prefer tx_split_assign's thresholds."""
+    corpus-scale labeled set prefer tx_split_assign's thresholds.
+
+    Ties: rows sharing a (src, dst) key hash identically, so the rank
+    breaks further ties on every remaining column — the split stays a
+    pure function of row VALUES even if the caller feeds duplicate
+    keys (full-duplicate rows are interchangeable by definition)."""
     from pyspark.sql import Window as W
 
     from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.dedup import portable_token_hash
@@ -88,10 +93,21 @@ def stratified_split(
     h = portable_token_hash(
         F.concat_ws("|", F.col("src"), F.col("dst"), F.lit(str(seed)))
     )
-    w_rank = W.partitionBy(label_col).orderBy(h.asc(), F.col("src"), F.col("dst"))
+    rest = [
+        F.col(c) for c in df.columns if c not in ("src", "dst", label_col)
+    ]
+    w_rank = W.partitionBy(label_col).orderBy(
+        h.asc(), F.col("src"), F.col("dst"), *rest
+    )
     w_stratum = W.partitionBy(label_col)
+    # ⌈frac·n_s⌉ in EXACT decimal arithmetic: the double product can
+    # round up across an integer (0.07·100 = 7.000000000000001 → ceil
+    # 8); a 12-dp decimal of the fraction times an exact integer count
+    # reproduces the mathematical ceiling for any sane fraction
+    frac_dec = F.lit(float(train_frac)).cast("decimal(14,12)")
     ranked = df.withColumn("_rk", F.row_number().over(w_rank)).withColumn(
-        "_k", F.ceil(F.lit(float(train_frac)) * F.count(F.lit(1)).over(w_stratum))
+        "_k",
+        F.ceil(frac_dec * F.count(F.lit(1)).over(w_stratum)).cast("long"),
     )
     train = ranked.filter(F.col("_rk") <= F.col("_k")).drop("_rk", "_k")
     test = ranked.filter(F.col("_rk") > F.col("_k")).drop("_rk", "_k")

@@ -717,6 +717,22 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _pq_usable(vec_col: str, dim: int):
+    """Row predicate for the PQ encode/score paths: null vectors, null
+    elements, and wrong-length vectors must be EXCLUDED before any
+    subspace distance — zip_with pads a short slice with nulls, every
+    per-subspace L2² goes NULL, and array_sort puts NULL struct fields
+    FIRST, so a degenerate row would silently take code 0 in every
+    subspace (and a degenerate QUERY would rank k arbitrary neighbors
+    with NULL adc_dist at the top: NULLs sort first under ASC).  Same
+    hazard _resolve_centroids documents for the IVF cells."""
+    return (
+        F.col(vec_col).isNotNull()
+        & ~F.array_contains(F.transform(F.col(vec_col), lambda x: x.isNull()), True)
+        & (F.size(vec_col) == dim)
+    )
+
+
 def _pq_codebooks(
     items: DataFrame,
     dim: int,
@@ -731,7 +747,7 @@ def _pq_codebooks(
     s-th subvector of the c-th sampled vector.  One TakeOrdered pass
     over the items serves every subspace."""
     if dim % m != 0:
-        raise ValueError(f"pq_topk: dim={dim} must be divisible by m={m}")
+        raise ValueError(f"PQ: dim={dim} must be divisible by m={m}")
     dsub = dim // m
     sel = items.select(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
@@ -743,12 +759,73 @@ def _pq_codebooks(
     rows = sel.orderBy(F.md5(F.col("cid").cast("string"))).limit(k).collect()
     if len(rows) < k:
         raise ValueError(
-            f"pq_topk: needs at least k={k} usable vectors, got {len(rows)}"
+            f"PQ: needs at least k={k} usable vectors, got {len(rows)}"
         )
     return [
         [[float(x) for x in r["cvec"][s * dsub : (s + 1) * dsub]] for r in rows]
         for s in range(m)
     ]
+
+
+def _pq_exprs(cbs: list[list[list[float]]], dsub: int, round_to: int):
+    """The ONE definition of the PQ encode/table/ADC expressions, shared
+    by pq_topk and ivf_pq_topk — both are replayed by DuckDB oracles
+    that must stay bit-identical, so the rounding, tie-break, and
+    lookup indexing live in exactly one place.  Returns
+    (code_expr(v), dtable_expr(v), adc_expr()) where adc_expr reads the
+    joined `codes`/`dtable` columns."""
+    m = len(cbs)
+    cb_lits = [_lit_mat(cb) for cb in cbs]
+
+    def sub(v, s):
+        return F.slice(v, s * dsub + 1, dsub)
+
+    def l2sq(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double")) ** 2),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    # closure factories, NOT default-arg lambdas: PySpark derives the
+    # higher-order function's arity from the python signature, so a
+    # `lambda c, _s=s:` registers as the 2-arg (element, index) form
+    # and silently binds the array index to _s
+    def _code_sub(v, s):
+        def entry(c, i):
+            return F.struct(
+                F.round(l2sq(sub(v, s), c), round_to).alias("d"), i.alias("i")
+            )
+
+        return F.array_sort(F.transform(cb_lits[s], entry))[0]["i"].cast("int")
+
+    def code_expr(v):
+        # per subspace: argmin_{c} round(L2², 6), ties by index — the
+        # same deterministic rule (and rounding) the oracles replay
+        return F.array(*[_code_sub(v, s) for s in range(m)])
+
+    def _dtable_sub(v, s):
+        def entry(c):
+            return F.round(l2sq(sub(v, s), c), round_to)
+
+        return F.transform(cb_lits[s], entry)
+
+    def dtable_expr(v):
+        # m × k lookup table, computed ONCE per query row
+        return F.array(*[_dtable_sub(v, s) for s in range(m)])
+
+    def adc_expr():
+        # ADC distance: m table lookups per pair (F.get is 0-based,
+        # matching the 0-based codes)
+        return F.round(
+            sum(
+                F.get(F.get(F.col("dtable"), s), F.col("codes")[s])
+                for s in range(m)
+            ),
+            round_to,
+        )
+
+    return code_expr, dtable_expr, adc_expr
 
 
 def pq_topk(
@@ -794,45 +871,9 @@ def pq_topk(
     partition-invariant and oracle-replayable, so the composition is
     too."""
     cbs = _pq_codebooks(items, dim, m, n_codes, id_col, vec_col)
-    dsub = dim // m
-    cb_lits = [_lit_mat(cb) for cb in cbs]
-
-    def sub(v, s):
-        return F.slice(v, s * dsub + 1, dsub)
-
-    def l2sq(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double")) ** 2),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    # closure factories, NOT default-arg lambdas: PySpark derives the
-    # higher-order function's arity from the python signature, so a
-    # `lambda c, _s=s:` registers as the 2-arg (element, index) form
-    # and silently binds the array index to _s
-    def _code_sub(v, s):
-        def entry(c, i):
-            return F.struct(
-                F.round(l2sq(sub(v, s), c), round_to).alias("d"), i.alias("i")
-            )
-
-        return F.array_sort(F.transform(cb_lits[s], entry))[0]["i"].cast("int")
-
-    def code_expr(v):
-        # per subspace: argmin_{c} round(L2², 6), ties by index — the
-        # same deterministic rule (and rounding) the oracle replays
-        return F.array(*[_code_sub(v, s) for s in range(m)])
-
-    def _dtable_sub(v, s):
-        def entry(c):
-            return F.round(l2sq(sub(v, s), c), round_to)
-
-        return F.transform(cb_lits[s], entry)
-
-    def dtable_expr(v):
-        # m × k lookup table, computed ONCE per query row
-        return F.array(*[_dtable_sub(v, s) for s in range(m)])
+    code_expr, dtable_expr, adc_expr = _pq_exprs(cbs, dim // m, round_to)
+    items = items.filter(_pq_usable(vec_col, dim))
+    queries = queries.filter(_pq_usable(vec_col, dim))
 
     n = items.select(
         F.col(id_col).alias("n_id"),
@@ -846,18 +887,10 @@ def pq_topk(
            if rerank else [] ),
         dtable_expr(F.col(vec_col)).alias("dtable"),
     )
-    # ADC distance: m table lookups per pair (element_at is 1-based)
-    adc = F.round(
-        sum(
-            F.get(F.get(F.col("dtable"), s), F.col("codes")[s])
-            for s in range(m)
-        ),
-        round_to,
-    )
     pairs = (
         n.crossJoin(F.broadcast(q))
         .filter(F.col("q_id") != F.col("n_id"))
-        .withColumn("adc_dist", adc)
+        .withColumn("adc_dist", adc_expr())
     )
     if rerank:
         w_pre = W.partitionBy("q_id").orderBy(F.asc("adc_dist"), F.asc("n_id"))
@@ -924,50 +957,23 @@ def ivf_pq_topk(
     cents = _resolve_centroids(items, n_cells, id_col, vec_col, centroid_frac, centroids)
     ranked_cells = _ranked_cells_expr(cents, round_to)
     cbs = _pq_codebooks(items, dim, m, n_codes, id_col, vec_col)
-    dsub = dim // m
-    cb_lits = [_lit_mat(cb) for cb in cbs]
-
-    def sub(v, s):
-        return F.slice(v, s * dsub + 1, dsub)
-
-    def l2sq(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double")) ** 2),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    def _code_sub(v, s):
-        def entry(c, i):
-            return F.struct(
-                F.round(l2sq(sub(v, s), c), round_to).alias("d"), i.alias("i")
-            )
-
-        return F.array_sort(F.transform(cb_lits[s], entry))[0]["i"].cast("int")
-
-    def _dtable_sub(v, s):
-        def entry(c):
-            return F.round(l2sq(sub(v, s), c), round_to)
-
-        return F.transform(cb_lits[s], entry)
+    code_expr, dtable_expr, adc_expr = _pq_exprs(cbs, dim // m, round_to)
+    items = items.filter(_pq_usable(vec_col, dim))
+    queries = queries.filter(_pq_usable(vec_col, dim))
 
     n = items.select(
         F.col(id_col).alias("n_id"),
         ranked_cells(F.col(vec_col))[0]["i"].alias("cell"),
-        F.array(*[_code_sub(F.col(vec_col), s) for s in range(m)]).alias("codes"),
+        code_expr(F.col(vec_col)).alias("codes"),
     )
     q = queries.select(
         F.col(id_col).alias("q_id"),
-        F.array(*[_dtable_sub(F.col(vec_col), s) for s in range(m)]).alias("dtable"),
+        dtable_expr(F.col(vec_col)).alias("dtable"),
         F.explode(
             F.transform(
                 F.slice(ranked_cells(F.col(vec_col)), 1, n_probe), lambda x: x["i"]
             )
         ).alias("cell"),
-    )
-    adc = F.round(
-        sum(F.get(F.get(F.col("dtable"), s), F.col("codes")[s]) for s in range(m)),
-        round_to,
     )
     scored = (
         n.join(F.broadcast(q), "cell")
@@ -975,7 +981,7 @@ def ivf_pq_topk(
         .select(
             F.col("q_id").alias("query_id"),
             F.col("n_id").alias("neighbor_id"),
-            adc.alias("adc_dist"),
+            adc_expr().alias("adc_dist"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))

@@ -3083,10 +3083,9 @@ def _bounded_stream_batches(spark: SparkSession, dfs, tag: str) -> DataFrame:
     )
 
 
-_CHUNK_2BATCH_SQL = """
+_CHUNK_2BATCH_SQL = f"""
     WITH toks AS (
-      SELECT doc_id AS id,
-             string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+      SELECT doc_id AS id, string_split({_NORM_SQL}, ' ') AS t
       FROM documents
     ), ch AS (
       SELECT id, t,

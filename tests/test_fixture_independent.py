@@ -163,21 +163,12 @@ def _abundance(con, where="TRUE"):
     ).fetchall()
 
 
-def _rarefy_sample(items_counts, depth, sample_key, seed=42):
-    """vegan::rrarefy replay: canonical item order (string sort), RNG
-    seeded from sha256('{seed}:{sample}'), one multivariate-
-    hypergeometric draw of `depth` individuals."""
-    items_counts = sorted(items_counts, key=lambda t: t[0])
-    counts = np.array([c for _, c in items_counts], dtype=np.int64)
-    rng = np.random.default_rng(I.seed_for(sample_key, seed))
-    kept = rng.multivariate_hypergeometric(counts, depth)
-    return kept
-
-
 def test_m1_rarefaction_independent(con):
     """Seeded hypergeometric rarefaction to the global min depth,
-    replayed straight through numpy; per-sample (richness, total) must
-    equal the frozen M1_RAREFACTION_SF001."""
+    replayed straight through numpy (the ONE replay implementation,
+    independent_impl.rarefy_py — also used by the pipeline tests, so
+    the rarefaction semantics cannot drift between test families);
+    per-sample (richness, total) must equal M1_RAREFACTION_SF001."""
     ab = _abundance(con)
     by_sample: dict[str, list[tuple[str, int]]] = {}
     for s, i, c in ab:
@@ -185,11 +176,10 @@ def test_m1_rarefaction_independent(con):
     depth = min(sum(c for _, c in v) for v in by_sample.values())
     got = set()
     for s, ic in by_sample.items():
-        total = sum(c for _, c in ic)
-        if total < depth:
+        if sum(c for _, c in ic) < depth:
             continue
-        kept = _rarefy_sample(ic, depth, s)
-        got.add((s, int((kept > 0).sum()), int(kept.sum())))
+        kept = I.rarefy_py(ic, depth, s)
+        got.add((s, len(kept), sum(kept.values())))
     assert got == {tuple(r) for r in FX.M1_RAREFACTION_SF001}
 
 
@@ -206,8 +196,7 @@ def test_m13_rarefaction_curve_independent(con):
         for s, ic in by_sample.items():
             if sum(c for _, c in ic) < depth:
                 continue
-            kept = _rarefy_sample(ic, depth, s)
-            rich.append(int((kept > 0).sum()))
+            rich.append(len(I.rarefy_py(ic, depth, s)))
         got.add(
             (depth, len(rich), I.round_half_up(sum(rich) / len(rich), 4))
         )
@@ -527,6 +516,16 @@ def test_ev_near_dup_stream_independent(con):
     assert got == {tuple(r) for r in FX.EV_NEAR_DUP_STREAM_SF001}
 
 
+def _ceil_frac(frac: float, n: int) -> int:
+    """The split's EXACT per-stratum ceiling: ⌈decimal₁₂(frac)·n⌉ —
+    decimal arithmetic, not double (0.07·100 rounds UP to 8 in binary
+    doubles; the engine computes the product in decimal(14,12))."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    d = Decimal(frac).quantize(Decimal("1e-12"), rounding=ROUND_HALF_UP)
+    return int(math.ceil(d * n))
+
+
 def _split_sizes(con):
     """Independent replay of the ML data prep: Infects feature rows
     (one per (part, supplier) pair), binarized label = max(l_quantity)
@@ -550,7 +549,7 @@ def test_ml_split_sizes_independent(con):
     ml_nested_cv's per-iteration n_test — a wrong split (the r03 nit:
     per-stratum drift) would break these before any model runs."""
     sizes = _split_sizes(con)
-    n_test = sum(n - math.ceil(0.8 * n) for n in sizes.values())
+    n_test = sum(n - _ceil_frac(0.8, n) for n in sizes.values())
     # every nested-CV iteration splits the same strata → identical n_test
     for it, _cv, _auc, _sens, _spec, nt in FX.ML_NESTED_CV_SF001:
         assert nt == n_test, (it, nt, n_test)
@@ -559,7 +558,7 @@ def test_ml_split_sizes_independent(con):
     for _pred, gold, n in FX.ML_RF_INTERACTIONS_SF001:
         by_gold[gold] = by_gold.get(gold, 0) + n
     expect_gold = {
-        lbl: n - math.ceil(0.8 * n) for lbl, n in sizes.items()
+        lbl: n - _ceil_frac(0.8, n) for lbl, n in sizes.items()
     }
     assert by_gold == expect_gold
 
@@ -579,7 +578,7 @@ def test_ml_roc_points_curve_invariants(con):
     assert pts[-1][1:] == (1.0, 1.0)
     # thresholds are distinct RF probabilities → bounded by test size
     sizes = _split_sizes(con)
-    n_test = sum(n - math.ceil(0.8 * n) for n in sizes.values())
+    n_test = sum(n - _ceil_frac(0.8, n) for n in sizes.values())
     assert len(pts) - 1 <= n_test
 
 
