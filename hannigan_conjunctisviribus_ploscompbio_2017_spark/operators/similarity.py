@@ -1,11 +1,25 @@
 """Similarity search over embedding columns (array<float>).
 
-Brute-force cosine top-k as the exact baseline, plus an LSH-bucketed
-(random hyperplane / SRP) approximate variant as the scale path.
+The ANN ladder, all pure Catalyst (no Python in any scan) and all
+oracle-replayable:
 
-Dot products run JVM-side via F.zip_with + F.aggregate — no Python in the
-scan. At 100 TB the SRP variant is the only sane shape: candidates come
-from bucket-equality joins, the exact rerank touches only candidates.
+- brute_force_topk      exact cosine — the documented baseline
+- srp_lsh_topk          signed-random-projection band buckets: the
+                        candidate count tracks true near neighbors
+- ivf_topk              coarse cells: each query SCANS n_probe/n_cells
+                        of the corpus (md5-sampled or trained-KMeans
+                        centroids — ivf_train_centroids)
+- pq_topk               product quantization: each item is READ as m
+                        small codes (32x smaller residency); per-pair
+                        distance = m ADC table lookups, no vector math
+- ivf_pq_topk           both at once — the FAISS-style 100 TB regime
+- semantic_dedup        SemDeDup cells + within-cell cosine clumps
+- embedding_near_dup_pairs / embedding_health
+
+Dot products run JVM-side via F.zip_with + F.aggregate; every sampled
+artifact (centroids, hyperplanes, codebooks) is an md5-derived plan
+literal, so results are partition-invariant and the DuckDB oracles
+replay each path end-to-end.
 """
 
 from __future__ import annotations
