@@ -46,6 +46,7 @@ _PRIORITY = [
     "ss_ivf_pq_topk",
     "dd_duplicate_spans",
     "ev_first_seen_2batch",
+    "dd_cut_spans",
     # -- (2) fixtures regenerated in r04 --
     "ml_rf_interactions",
     "ml_roc_points",
@@ -89,7 +90,6 @@ _PRIORITY = [
     "m1_rarefaction_portable",
     "w3_global_sort_limit",
     "a10_frequency_table",
-    "f11_substring_extract",
 ]
 
 

@@ -31,7 +31,7 @@ _MERSENNE = (1 << 31) - 1
 
 
 def normalized(text_col="text"):
-    c = F.col(text_col)
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
     return F.trim(F.regexp_replace(F.lower(c), r"[^a-z0-9]+", " "))
 
 
@@ -714,3 +714,58 @@ def duplicate_spans(
         .drop("_grp")
     )
     return spans.select("id", "span_start", "span_end", "n_windows")
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_count: int = 2,
+    hash_fn=None,
+    broadcast_dup_fps: bool = True,
+) -> DataFrame:
+    """Apply duplicate_spans to the corpus: rebuild each doc's
+    normalized text WITHOUT its duplicated spans — the cut step of the
+    Lee et al. pipeline (dedup before packing, so repeated boilerplate
+    never reaches the trainer).
+
+    Returns (id, clean_text, n_tokens, n_removed): clean_text is the
+    space-joined surviving tokens of the NORMALIZED text (span indexes
+    are defined over the normalized token stream, so cutting happens
+    there; NULL text coalesces to the empty doc rather than poisoning
+    the pipeline).  Shuffle cost = duplicate_spans + one per-doc
+    aggregate of its spans; the cut itself is a pure array expression.
+    """
+    spans = duplicate_spans(
+        df, id_col, text_col, k, min_count, hash_fn, broadcast_dup_fps
+    )
+    sp = spans.groupBy("id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    toked = df.select(
+        F.col(id_col).alias("id"),
+        F.split(normalized(F.coalesce(F.col(text_col), F.lit(""))), r"\s+").alias("_t"),
+    )
+    joined = toked.join(sp, "id", "left").withColumn(
+        "_spans",
+        F.coalesce(
+            "_spans",
+            F.array().cast("array<struct<span_start:int,span_end:int>>"),
+        ),
+    )
+    kept_idx = F.filter(
+        F.sequence(F.lit(1), F.size("_t")),
+        lambda i: ~F.exists(
+            F.col("_spans"),
+            lambda s: (i >= s["span_start"]) & (i <= s["span_end"]),
+        ),
+    )
+    return joined.select(
+        "id",
+        F.array_join(
+            F.transform(kept_idx, lambda i: F.get("_t", i - 1)), " "
+        ).alias("clean_text"),
+        F.size("_t").cast("long").alias("n_tokens"),
+        (F.size("_t") - F.size(kept_idx)).cast("long").alias("n_removed"),
+    )

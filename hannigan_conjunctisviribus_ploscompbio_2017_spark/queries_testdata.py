@@ -2433,6 +2433,72 @@ def dd_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cut_spans_sql(k: int = 8, min_count: int = 2) -> str:
+    """DuckDB twin of remove_duplicate_spans: the _dup_spans_sql span
+    derivation, then per doc the surviving normalized tokens."""
+    fp = _MD5_60.format(c=f"array_to_string(list_slice(t, i, i + {k - 1}), ' ')")
+    norm_coalesced = _NORM_SQL.replace("lower(text)", "lower(COALESCE(text, ''))")
+    inside = "len(list_filter(sp, x -> i >= x.s AND i <= x.e)) > 0"
+    return f"""
+    WITH toks AS (
+      SELECT doc_id AS id, string_split({norm_coalesced}, ' ') AS t FROM documents
+    ), wins AS MATERIALIZED (
+      SELECT id, i AS pos, {fp} AS fp
+      FROM (SELECT id, t, unnest(generate_series(1, len(t) - {k - 1})) AS i
+            FROM toks WHERE len(t) >= {k})
+    ), dup AS (
+      SELECT fp FROM wins GROUP BY fp HAVING COUNT(*) >= {min_count}
+    ), flagged AS (
+      SELECT id, pos FROM wins WHERE fp IN (SELECT fp FROM dup)
+    ), m AS (
+      SELECT id, pos,
+             CASE WHEN pos - LAG(pos) OVER (PARTITION BY id ORDER BY pos) > {k}
+                  THEN 1 ELSE 0 END AS brk
+      FROM flagged
+    ), g AS (
+      SELECT id, pos,
+             SUM(brk) OVER (PARTITION BY id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS grp
+      FROM m
+    ), spans AS (
+      SELECT id, MIN(pos) AS s, MAX(pos) + {k - 1} AS e FROM g GROUP BY id, grp
+    ), spl AS (
+      SELECT id, list(struct_pack(s := s, e := e)) AS sp FROM spans GROUP BY id
+    ), cut AS (
+      SELECT toks.id, toks.t,
+             COALESCE(spl.sp, CAST([] AS STRUCT(s BIGINT, e BIGINT)[])) AS sp
+      FROM toks LEFT JOIN spl ON toks.id = spl.id
+    )
+    SELECT id,
+           -- array_to_string([]) is NULL in DuckDB; Spark's array_join
+           -- of an empty array is '' (the fully-cut-doc case)
+           COALESCE(array_to_string(
+             list_transform(
+               list_filter(generate_series(1, len(t)), i -> NOT ({inside})),
+               i -> t[i]), ' '), '') AS clean_text,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(generate_series(1, len(t)), i -> {inside}))
+                AS BIGINT) AS n_removed
+    FROM cut
+    """
+
+
+@query("dd_cut_spans", oracle=_cut_spans_sql())
+def dd_cut_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cut step of exact-substring dedup: rebuild every doc's
+    normalized text with its duplicated spans removed (Lee et al.'s
+    dedup-before-packing).  One span derivation + a per-doc array
+    expression; the oracle replays the cut token-for-token."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.dedup import (
+        portable_token_hash,
+        remove_duplicate_spans,
+    )
+
+    return remove_duplicate_spans(
+        _t(spark, sf_dir, "documents"), k=8, hash_fn=portable_token_hash
+    )
+
+
 def _dsir_weights_sql(n_buckets: int = 4096, k_smooth: float = 0.01) -> str:
     """DuckDB twin of dsir_logweights over documents with target =
     curated sources src0-4 (the quality-classifier convention)."""

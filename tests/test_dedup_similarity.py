@@ -1220,3 +1220,23 @@ def test_duplicate_spans_exact_boundaries(spark):
         if r.id == 1
     )
     assert spans == [(1, 12), (22, 33)]
+
+
+def test_remove_duplicate_spans_cuts_exactly(spark):
+    """The cut step: surviving text is the normalized tokens minus the
+    duplicated spans; a fully-duplicated doc collapses to the empty
+    string (not NULL), and NULL text behaves as an empty doc."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    rows = [
+        (1, f"one two three {shared} tail1 tail2"),
+        (2, shared),               # fully duplicated → everything cut
+        (3, "unique filler text with enough tokens to stay intact here"),
+        (4, None),                 # NULL text → empty doc, never crashes
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.id: r for r in dedup.remove_duplicate_spans(df, k=8).collect()}
+    assert out[1].clean_text == "one two three tail1 tail2"
+    assert out[1].n_tokens == 17 and out[1].n_removed == 12
+    assert out[2].clean_text == "" and out[2].n_removed == 12
+    assert out[3].clean_text.startswith("unique filler") and out[3].n_removed == 0
+    assert out[4].n_removed == 0
