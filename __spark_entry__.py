@@ -25,71 +25,70 @@ from hannigan_conjunctisviribus_ploscompbio_2017_spark.queries_testdata import (
 SF0001 = "/root/testdata/sf0.001"
 
 # The driver gate executes the first ~50 registered entries, so
-# registration order decides what gets driver-gate credit.  r04 order
-# (oldest-measurement-first, per the r03 verdict):
+# registration order decides what gets driver-gate credit.  r05 order
+# (oldest-measurement-first — the rotation contract: every entry's
+# newest green row stays within the last three measured rounds):
 # (1) entries NEW this round (never driver-measured);
-# (2) entries whose FROZEN FIXTURES were regenerated this round (the
-#     exact stratified split changed the trained models) — their r03
-#     green rows describe the old fixtures, so they must re-measure;
-# (3) the 20 entries last driver-measured in r01;
-# (4) the stalest r02-measured entries (the rest of the 48 rotate in
-#     next round — every entry's newest green row stays ≤ 2 rounds old).
+# (2) ALL 31 entries last driver-measured in r02 (the r04 verdict's
+#     top ask — they hit the staleness limit this round);
+# (3) 17 of the 47 r03-measured entries (fixture/pipeline-heavy picks
+#     first; the remaining 30 rotate in r06 together with the oldest
+#     r04 entries).
 # All entries pass the identical local gate (tools/check_oracle.py).
 _PRIORITY = [
-    # -- (1) new in r04 --
-    "ss_ivf_trained_topk",
-    "ev_chunk_first_seen_2batch",
-    "ev_stream_pack_2batch",
-    "ss_pq_topk",
-    "tx_dsir_weights",
-    "tx_dsir_sample",
-    "ss_ivf_pq_topk",
-    "dd_duplicate_spans",
-    "ev_first_seen_2batch",
-    "dd_cut_spans",
-    # -- (2) fixtures regenerated in r04 --
-    "ml_rf_interactions",
-    "ml_roc_points",
-    "ml_nested_cv",
-    # -- (3) last measured in r01 --
-    "gq6_label_scan",
-    "gq7_disease_scope",
-    "g1_degree_per_node",
-    "g5_degree_distribution",
-    "g10_node_entropy",
-    "g12_simplify",
-    "gk_connected_components",
-    "gk_diameter_radius",
-    "gk_eccentricity_closeness",
-    "gk_connectivity",
-    "gk_eigenvector_centrality",
-    "gk_katz_centrality",
-    "gk_pagerank",
-    "gk_communities_modularity",
-    "dd_exact_dedup",
-    "dd_jaccard_pairs",
-    "dd_simhash",
-    "dd_minhash_sig",
-    "ss_cosine_topk",
-    "dd_embedding_near_dup",
-    # -- (4) last measured in r02 (first half; rest rotate in r05) --
-    "dd_minhash_lsh",
-    "dd_dup_clusters",
-    "dd_kmer_minhash",
-    "gb_gene_network",
-    "mm_blob_stats",
-    "ss_srp_lsh_topk",
-    "ss_ivf_topk",
-    "tx_token_stats",
-    "tx_fingerprint",
-    "tx_corpus_summary",
-    "tx_quality_langid",
-    "ev_hourly_agg",
-    "ev_sessionize",
-    "m2_bray_curtis",
-    "m1_rarefaction_portable",
-    "w3_global_sort_limit",
-    "a10_frequency_table",
+    # -- (1) new in r05 --
+    "ss_pq_rerank_topk",
+    "pipeline_pretrain_pack_spancut",
+    # -- (2) last measured in r02 (all 31) --
+    "a11_cube_rollup",
+    "dd_chunk_dedup",
+    "dd_contamination",
+    "dd_semantic_dedup",
+    "f11_substring_extract",
+    "f12_json_props",
+    "g13_robustness",
+    "gq2_predicted_links",
+    "gq4_study_network",
+    "graph_build_e2e",
+    "m13_rarefaction_curve_portable",
+    "m4_permutation_portable",
+    "pipeline_corpus_curation",
+    "pipeline_pretrain_pack",
+    "r6_transpose",
+    "r7_column_subsample",
+    "ss_embedding_health",
+    "tx_bigram_backoff",
+    "tx_exact_k_sample",
+    "tx_line_filter",
+    "tx_mixture_weights",
+    "tx_pii_scrub",
+    "tx_quality_filter",
+    "tx_quality_score",
+    "tx_repetition_stats",
+    "tx_sequence_pack",
+    "tx_split_assign",
+    "tx_stratified_sample",
+    "tx_top_ngrams",
+    "tx_unigram_logprob",
+    "tx_vocab_growth",
+    # -- (3) oldest r03 entries (17 of 47; rest rotate in r06) --
+    "pipeline_interpersonal_diversity",
+    "pipeline_compare_skin",
+    "pipeline_altered_diet",
+    "pipeline_compare_twins",
+    "gk_alpha_centrality",
+    "gk_betweenness",
+    "gk_betweenness_distributed",
+    "gk_greedy_modularity",
+    "gq1_interaction_scores",
+    "gq3_triadic_closure",
+    "gq5_sample_network",
+    "j11_asof_join",
+    "j3_feature_merge",
+    "ml_quality_classifier",
+    "ml_roc_portable",
+    "mm_video_frames",
+    "m4_permutation_test",
 ]
 
 

@@ -747,6 +747,11 @@ def _pq_usable(vec_col: str, dim: int):
     )
 
 
+# hard cap on driver-collected codebook size (doubles): 2^18 ≈ 2 MiB as
+# a plan literal — see _pq_codebooks' bounded-collect contract
+_PQ_CODEBOOK_MAX_FLOATS = 1 << 18
+
+
 def _pq_codebooks(
     items: DataFrame,
     dim: int,
@@ -759,9 +764,24 @@ def _pq_codebooks(
     vectors (deterministic sample — the same oracle-replayable
     technique as ivf_topk's coarse centroids): codebook[s][c] is the
     s-th subvector of the c-th sampled vector.  One TakeOrdered pass
-    over the items serves every subspace."""
+    over the items serves every subspace.
+
+    Bounded-collect contract (same spirit as _resolve_centroids): the
+    codebooks come back to the driver and re-enter the plan as a
+    literal matrix, so `k * dim` is capped at _PQ_CODEBOOK_MAX_FLOATS
+    (2^18 doubles ≈ 2 MiB of plan literal — generous for byte-code PQ,
+    where k is 16-256).  A 16-bit-codebook caller (k=65536) gets this
+    ValueError instead of a silent driver OOM + megabyte plan; codebooks
+    that big belong in a join-side table, not a literal."""
     if dim % m != 0:
         raise ValueError(f"PQ: dim={dim} must be divisible by m={m}")
+    if k * dim > _PQ_CODEBOOK_MAX_FLOATS:
+        raise ValueError(
+            f"PQ: codebook literal would hold k*dim = {k * dim} doubles "
+            f"(> {_PQ_CODEBOOK_MAX_FLOATS}); driver-collected codebooks are "
+            "bounded by construction — for codebooks this large, store them "
+            "as a table and join instead of inlining plan literals"
+        )
     dsub = dim // m
     sel = items.select(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")

@@ -542,3 +542,88 @@ def pretrain_pack(
             F.coalesce("pack_offset", F.lit(-1)).alias("pack_offset"),
         )
     )
+
+
+def pretrain_pack_spancut(
+    docs: DataFrame,
+    budget: int = 128,
+    n_buckets: int = 8,
+    split_weights: tuple[float, float, float] = (0.8, 0.1, 0.1),
+    split_seed: int = 42,
+    pack_seed: int = 7,
+    k: int = 8,
+    min_count: int = 2,
+    hash_fn=None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The Lee et al. 2022 ordering of the pretraining path: cut
+    exact-substring duplicate SPANS first, then split and pack the
+    surviving text — so repeated boilerplate never reaches the trainer
+    even when it lives INSIDE otherwise-unique documents (which
+    doc-level exact dedup, pretrain_pack's step, can never remove).
+
+    Trade-off vs pretrain_pack's whole-doc dedup: span-cut removes the
+    duplicated k-token runs from every copy (Lee et al.'s `dedup-before
+    -packing`), at the cost of one windowed-fingerprint shuffle over
+    token windows instead of one per-doc fingerprint; whole-doc dedup
+    keeps one full copy per duplicate cluster and drops the rest.  The
+    two compose (cut spans, then doc-dedup survivors) but this variant
+    registers the cut→pack spine on its own so the oracle replays it
+    end-to-end.
+
+    Returns one audit row per input doc:
+    (id, disposition, n_removed, bucket, n_tok, pack_id, pack_offset);
+    disposition ∈ {empty, train, val, test} — 'empty' covers NULL text
+    AND fully-cut docs; n_tok is the POST-cut token count (pack fields
+    -1 off the train split).
+
+    Scale shape: duplicate_spans' fingerprint groupBy is the only
+    corpus-wide shuffle; the cut is a per-doc array expression; split
+    assignment is a pure hash of the id; packing costs one bucket
+    exchange + a streaming running-sum window.  The routed frame is
+    lazily checkpointed before branching (audit side + packer), same
+    reasoning as pretrain_pack."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.corpus import (
+        sequence_pack,
+        split_assign,
+    )
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    cut = remove_duplicate_spans(
+        docs, id_col=id_col, text_col=text_col, k=k,
+        min_count=min_count, hash_fn=hash_fn,
+    )
+    routed = (
+        split_assign(cut, id_col="id", weights=split_weights, seed=split_seed)
+        .withColumn(
+            "disposition",
+            F.when(F.col("clean_text") == "", F.lit("empty")).otherwise(
+                F.col("split")
+            ),
+        )
+        .localCheckpoint(eager=False)
+    )
+    packed = sequence_pack(
+        routed.filter(F.col("disposition") == "train").select("id", "clean_text"),
+        id_col="id",
+        text_col="clean_text",
+        budget=budget,
+        n_buckets=n_buckets,
+        seed=pack_seed,
+    )
+    return (
+        routed.select("id", "disposition", F.col("n_removed").cast("long").alias("n_removed"))
+        .join(packed, "id", "left")
+        .select(
+            "id",
+            "disposition",
+            "n_removed",
+            F.coalesce("bucket", F.lit(-1)).alias("bucket"),
+            F.coalesce("n_tok", F.lit(-1)).alias("n_tok"),
+            F.coalesce("pack_id", F.lit(-1)).alias("pack_id"),
+            F.coalesce("pack_offset", F.lit(-1)).alias("pack_offset"),
+        )
+    )

@@ -2585,10 +2585,10 @@ def tx_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_sample(docs, target, k=50, seed=42)
 
 
-def _pq_oracle(dim: int = 64, m: int = 8, n_codes: int = 16, k: int = 5) -> str:
-    """DuckDB twin of pq_topk: md5-first codebook vectors, per-subspace
-    6dp-rounded squared-L2 code assignment (ties by code index), ADC =
-    sum of the query's per-subspace table entries at the item's codes."""
+def _pq_adc_ctes(dim: int = 64, m: int = 8, n_codes: int = 16) -> str:
+    """The shared PQ derivation CTEs (vecs → codebook → per-subspace
+    distances → codes → per-pair ADC), used verbatim by _pq_oracle and
+    _pq_rerank_oracle so encode/ADC semantics live in one place."""
     dsub = dim // m
     return f"""
     WITH vecs AS MATERIALIZED (
@@ -2625,7 +2625,14 @@ def _pq_oracle(dim: int = 64, m: int = 8, n_codes: int = 16, k: int = 5) -> str:
       FROM codes c JOIN dist qd ON qd.s = c.s AND qd.c = c.c
       WHERE qd.id < 20 AND qd.id <> c.id
       GROUP BY qd.id, c.id
-    )
+    )"""
+
+
+def _pq_oracle(dim: int = 64, m: int = 8, n_codes: int = 16, k: int = 5) -> str:
+    """DuckDB twin of pq_topk: md5-first codebook vectors, per-subspace
+    6dp-rounded squared-L2 code assignment (ties by code index), ADC =
+    sum of the query's per-subspace table entries at the item's codes."""
+    return f"""{_pq_adc_ctes(dim, m, n_codes)}
     SELECT query_id, neighbor_id, adc_dist, CAST(rank AS BIGINT) AS rank
     FROM (
       SELECT query_id, neighbor_id, adc_dist,
@@ -2633,6 +2640,50 @@ def _pq_oracle(dim: int = 64, m: int = 8, n_codes: int = 16, k: int = 5) -> str:
                PARTITION BY query_id ORDER BY adc_dist, neighbor_id
              ) AS rank
       FROM adc
+    ) WHERE rank <= {k}
+    """
+
+
+def _pq_rerank_oracle(
+    dim: int = 64, m: int = 8, n_codes: int = 16, k: int = 5, rerank: int = 20,
+) -> str:
+    """DuckDB twin of pq_topk(rerank=N): the same ADC CTEs, then the
+    top-`rerank` ADC candidates per query (ties by neighbor_id) are
+    re-scored with EXACT cosine (NULL for zero-norm pairs, matching
+    cosine_pre) and the final top-k ranks by cosine desc NULLS LAST."""
+    return f"""{_pq_adc_ctes(dim, m, n_codes)}, pre AS (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY adc_dist, neighbor_id
+             ) AS prer
+      FROM adc
+    ), cand AS (
+      SELECT query_id, neighbor_id FROM pre WHERE prer <= {rerank}
+    ), cidx AS (SELECT unnest(generate_series(1, {dim})) AS j
+    ), cosr AS (
+      SELECT cd.query_id, cd.neighbor_id,
+             SUM(CAST(q.v[j] AS DOUBLE) * CAST(n.v[j] AS DOUBLE)) AS dot,
+             SQRT(SUM(CAST(q.v[j] AS DOUBLE) * CAST(q.v[j] AS DOUBLE))) AS na,
+             SQRT(SUM(CAST(n.v[j] AS DOUBLE) * CAST(n.v[j] AS DOUBLE))) AS nb
+      FROM cand cd
+      JOIN vecs q ON q.id = cd.query_id
+      JOIN vecs n ON n.id = cd.neighbor_id
+      CROSS JOIN cidx
+      GROUP BY cd.query_id, cd.neighbor_id
+    ), cosd AS (
+      SELECT query_id, neighbor_id,
+             CASE WHEN na * nb <> 0 THEN ROUND(dot / (na * nb), 6) END
+               AS cosine_sim
+      FROM cosr
+    )
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT query_id, neighbor_id, cosine_sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY cosine_sim DESC NULLS LAST, neighbor_id
+             ) AS rank
+      FROM cosd
     ) WHERE rank <= {k}
     """
 
@@ -2750,6 +2801,24 @@ def ss_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(emb, queries_df, dim=64, k=5, m=8, n_codes=16).withColumn(
         "rank", F.col("rank").cast("long")
     )
+
+
+@query("ss_pq_rerank_topk", oracle=_pq_rerank_oracle())
+def ss_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ADC shortlist + exact-cosine rerank — the standard recall
+    repair for quantized ANN (Jégou et al. 2011 §IV): the compressed
+    scan proposes the top-20 ADC candidates per query, then exact
+    cosine touches ONLY those 20·|Q| vectors before the final top-5.
+    At 100 TB the raw embeddings are read for ~20 rows per query
+    instead of the corpus; the oracle replays shortlist, rescore, and
+    NULLS-LAST ranking end-to-end."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.similarity import pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 20)
+    return pq_topk(
+        emb, queries_df, dim=64, k=5, m=8, n_codes=16, rerank=20
+    ).withColumn("rank", F.col("rank").cast("long"))
 
 
 @query(
@@ -5387,3 +5456,54 @@ def pipeline_pretrain_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return pretrain_pack(aug, budget=128, n_buckets=8, split_seed=42, pack_seed=7)
+
+
+# Span-cut-first pretraining path (the actual Lee et al. 2022 ordering:
+# exact-substring dedup BEFORE packing): the _cut_spans_sql derivation
+# nested as a CTE, then the split/pack CTEs from _PRETRAIN_SQL over the
+# post-cut text.
+_SPANCUT_PACK_SQL = f"""
+    WITH cut_out AS ({_cut_spans_sql()}),
+    disp AS (
+      SELECT id, n_removed, clean_text,
+             CASE WHEN clean_text = '' THEN 'empty'
+                  WHEN {_MD5_60.format(c="CAST(id AS VARCHAR) || '|42'")} % 1000000 < 800000 THEN 'train'
+                  WHEN {_MD5_60.format(c="CAST(id AS VARCHAR) || '|42'")} % 1000000 < 900000 THEN 'val'
+                  ELSE 'test' END AS disposition
+      FROM cut_out
+    ), tr AS (
+      SELECT id, {_MD5_60.format(c="CAST(id AS VARCHAR) || '|7'")} AS h,
+             CAST(len(string_split(clean_text, ' ')) AS BIGINT) AS n_tok
+      FROM disp WHERE disposition = 'train'
+    ), pk AS (
+      SELECT id, CAST(h % 8 AS BIGINT) AS bucket, n_tok,
+             SUM(n_tok) OVER (PARTITION BY h % 8 ORDER BY h, id
+                              ROWS UNBOUNDED PRECEDING) - n_tok AS start
+      FROM tr
+    )
+    SELECT d.id, d.disposition, CAST(d.n_removed AS BIGINT) AS n_removed,
+           CAST(COALESCE(p.bucket, -1) AS BIGINT) AS bucket,
+           CAST(COALESCE(p.n_tok, -1) AS BIGINT) AS n_tok,
+           CAST(COALESCE(CAST(FLOOR(p.start / 128.0) AS BIGINT), -1) AS BIGINT) AS pack_id,
+           CAST(COALESCE(p.start % 128, -1) AS BIGINT) AS pack_offset
+    FROM disp d LEFT JOIN pk p USING (id)
+    """
+
+
+@query("pipeline_pretrain_pack_spancut", oracle=_SPANCUT_PACK_SQL)
+def pipeline_pretrain_pack_spancut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-before-packing, Lee et al. 2022's actual ordering: cut
+    exact-substring duplicate spans out of every doc FIRST, then split
+    and sequence-pack the surviving text — removing boilerplate that
+    lives inside otherwise-unique docs, which pipeline_pretrain_pack's
+    whole-doc dedup can never touch.  Two exchanges beyond the span
+    derivation (split is a pure id hash; pack bucket + running-sum
+    window); the oracle replays cut, route, and packing end-to-end."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.dedup import portable_token_hash
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.plans.pipelines import pretrain_pack_spancut
+
+    docs = _t(spark, sf_dir, "documents")
+    return pretrain_pack_spancut(
+        docs, budget=128, n_buckets=8, split_seed=42, pack_seed=7,
+        k=8, hash_fn=portable_token_hash,
+    )

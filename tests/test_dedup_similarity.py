@@ -1240,3 +1240,19 @@ def test_remove_duplicate_spans_cuts_exactly(spark):
     assert out[2].clean_text == "" and out[2].n_removed == 12
     assert out[3].clean_text.startswith("unique filler") and out[3].n_removed == 0
     assert out[4].n_removed == 0
+
+
+def test_pq_codebooks_bounded_collect_guard(spark):
+    """_pq_codebooks' driver collect is bounded by contract: a
+    16-bit-codebook request (n_codes·dim > 2^18 doubles of plan
+    literal) must raise instead of OOMing the driver — same spirit as
+    _resolve_centroids' bounded-collect contract."""
+    import pytest as _pytest
+
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.similarity import pq_topk
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.schemas import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    with _pytest.raises(ValueError, match="codebook literal"):
+        pq_topk(emb, q, dim=64, k=5, m=8, n_codes=65536)

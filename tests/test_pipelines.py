@@ -175,3 +175,40 @@ def test_pretrain_pack_null_text_routes_empty(spark):
     assert out[1].disposition == "empty"
     assert out[1].pack_id == -1 and out[1].n_tok == -1
     assert out[2].disposition in ("train", "val", "test")
+
+
+def test_pretrain_pack_spancut_cuts_before_packing(spark):
+    """Lee et al. ordering: the duplicated 8-token run shared by two
+    otherwise-distinct docs is cut from BOTH before packing, so each
+    train doc's n_tok reflects the post-cut text; fully-cut and
+    NULL-text docs route to 'empty' with pack fields -1."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.plans.pipelines import pretrain_pack_spancut
+
+    boiler = "one two three four five six seven eight"
+    rows = [
+        (1, f"{boiler} unique tail alpha beta gamma delta epsilon zeta"),
+        (2, f"{boiler} other ending iota kappa lambdaa mu nu xi"),
+        (3, boiler),  # nothing but the duplicated span -> fully cut
+        (4, None),  # NULL text -> empty
+        (5, "an untouched doc with no duplicated span at all here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.id: r
+        for r in pretrain_pack_spancut(df, budget=16, n_buckets=2, k=8).collect()
+    }
+    assert len(out) == 5
+    assert out[3].disposition == "empty" and out[3].pack_id == -1
+    assert out[4].disposition == "empty" and out[4].n_tok == -1
+    # docs 1/2 lose the 8-token boilerplate: 16 raw tokens -> 8 survive
+    for i in (1, 2):
+        assert out[i].n_removed == 8
+        assert out[i].disposition in ("train", "val", "test")
+        if out[i].disposition == "train":
+            assert out[i].n_tok == 8
+    assert out[5].n_removed == 0
+    for r in out.values():
+        if r.disposition == "train":
+            assert r.pack_id >= 0 and 0 <= r.pack_offset < 16
+        else:
+            assert r.pack_id == -1 and r.n_tok == -1
