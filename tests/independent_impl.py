@@ -471,3 +471,74 @@ def rarefy_py(items_counts, depth: int, sample_key: str, seed: int = 42):
     return {
         i: int(k) for (i, _), k in zip(items_counts, kept) if k > 0
     }
+
+
+# --------------------------------------------------------------------------
+# ML curve/count math from frozen per-row scores (no MLlib anywhere)
+# --------------------------------------------------------------------------
+
+
+def roc_points_py(scored, round_to: int = 6):
+    """ROC points from (gold, score) rows — the pROC::roc construction
+    the reference plots (bin/CalculatePredModel.R:302-313) and
+    ml/model.roc_from_scores implements distributed: distinct
+    thresholds DESCENDING, cumulative FPR/TPR with ties grouped, an
+    (inf, 0, 0) anchor, fpr/tpr HALF_UP-rounded like Spark's round().
+    Returns [(threshold, fpr, tpr), ...]."""
+    pos: dict[float, int] = {}
+    neg: dict[float, int] = {}
+    npos = nneg = 0
+    for gold, s in scored:
+        if gold:
+            pos[s] = pos.get(s, 0) + 1
+            npos += 1
+        else:
+            neg[s] = neg.get(s, 0) + 1
+            nneg += 1
+    pts = [(float("inf"), 0.0, 0.0)]
+    cp = cn = 0
+    for t in sorted(set(pos) | set(neg), reverse=True):
+        cp += pos.get(t, 0)
+        cn += neg.get(t, 0)
+        pts.append(
+            (t, round_half_up(cn / nneg, round_to), round_half_up(cp / npos, round_to))
+        )
+    return pts
+
+
+def auc_trapezoid_py(scored) -> float:
+    """areaUnderROC from (gold, score) rows: trapezoid over the exact
+    (unrounded) cumulative curve — MLlib's definition with no curve
+    downsampling (BinaryClassificationMetrics numBins=0)."""
+    pos: dict[float, int] = {}
+    neg: dict[float, int] = {}
+    npos = nneg = 0
+    for gold, s in scored:
+        if gold:
+            pos[s] = pos.get(s, 0) + 1
+            npos += 1
+        else:
+            neg[s] = neg.get(s, 0) + 1
+            nneg += 1
+    auc = 0.0
+    px = py = 0.0
+    cp = cn = 0
+    for t in sorted(set(pos) | set(neg), reverse=True):
+        cp += pos.get(t, 0)
+        cn += neg.get(t, 0)
+        x, y = cn / nneg, cp / npos
+        auc += (x - px) * (y + py) / 2.0
+        px, py = x, y
+    return auc
+
+
+def confusion_py(scored) -> dict[tuple[str, int], int]:
+    """Confusion counts from (gold, score) rows under MLlib's argmax
+    prediction rule for binary RF: predict class 1 iff P(1) > 0.5 (an
+    exact 0.5 tie argmaxes to class 0).  Keys are the engine's
+    (prediction label, gold) pairs."""
+    out: dict[tuple[str, int], int] = {}
+    for gold, s in scored:
+        label = "Interacts" if s > 0.5 else "NotInteracts"
+        out[(label, gold)] = out.get((label, gold), 0) + 1
+    return out

@@ -704,3 +704,74 @@ def test_pipeline_compare_twins_independent(con):
         assert math.isclose(mp, ep, abs_tol=2e-6), (s, mp, ep)
         assert math.isclose(ma, ea, abs_tol=2e-6), (s, ma, ea)
         assert math.isclose(me, ee, abs_tol=2e-6), (s, me, ee)
+
+
+def test_ml_roc_auc_confusion_from_frozen_probs(con):
+    """The r04 verdict's ask: with the model's per-row held-out
+    probabilities frozen (tests/ml_frozen.py, double-run checked), the
+    ROC points, AUC trapezoid, and confusion counts of the driver's ML
+    fixtures are recomputed here WITHOUT MLlib — leaving only the RF
+    fit itself engine-attested.  Also re-verifies the frozen score
+    table's own shape against the independent split arithmetic."""
+    import ml_frozen as MLF
+
+    scored = [(gold, score) for _s, _d, gold, score in MLF.ML_PROBS_SF001]
+    # the frozen score table covers exactly the held-out stratum sizes
+    sizes = _split_sizes(con)
+    assert len(scored) == sum(n - _ceil_frac(0.8, n) for n in sizes.values())
+    by_gold: dict[int, int] = {}
+    for g, _ in scored:
+        by_gold[g] = by_gold.get(g, 0) + 1
+    assert by_gold == {lbl: n - _ceil_frac(0.8, n) for lbl, n in sizes.items()}
+
+    # (1) ROC points: pure-python cumulative curve == the frozen driver
+    # fixture, threshold-for-threshold, value-for-value
+    pts = I.roc_points_py(scored, round_to=6)
+    assert sorted(pts) == sorted(FX.ML_ROC_POINTS_SF001)
+
+    # (2) AUC: trapezoid over the exact curve == the engine's frozen
+    # BinaryClassificationEvaluator value (10dp; MLlib's reduction
+    # jitters at ~1e-16)
+    assert abs(I.auc_trapezoid_py(scored) - MLF.ML_EVAL_SF001["auc"]) < 1e-8
+
+    # (3) confusion counts under the argmax rule == the frozen
+    # ml_rf_interactions fixture
+    conf = I.confusion_py(scored)
+    assert conf == {(p, g): n for p, g, n in FX.ML_RF_INTERACTIONS_SF001}
+
+    # (4) sensitivity/specificity from the recomputed confusion ==
+    # the engine's frozen evaluate() metrics (exact count ratios)
+    tp = conf.get(("Interacts", 1), 0)
+    fn = conf.get(("NotInteracts", 1), 0)
+    tn = conf.get(("NotInteracts", 0), 0)
+    fp = conf.get(("Interacts", 0), 0)
+    assert tp + fn + tn + fp == MLF.ML_EVAL_SF001["n_test"]
+    assert tp / (tp + fn) == MLF.ML_EVAL_SF001["sensitivity"]
+    assert tn / (tn + fp) == MLF.ML_EVAL_SF001["specificity"]
+
+
+def test_ml_nested_cv_metrics_from_frozen_probs(con):
+    """ml_nested_cv's per-iteration auc/sensitivity/specificity
+    recomputed from each outer iteration's frozen held-out scores with
+    no MLlib (cv_auc — the inner CV selection metric — is the one value
+    that genuinely requires refitting, documented in COVERAGE.md)."""
+    import ml_frozen as MLF
+
+    by_iter: dict[int, list[tuple[int, float]]] = {}
+    for it, gold, score in MLF.ML_NESTED_PROBS_SF001:
+        by_iter.setdefault(it, []).append((gold, score))
+    frozen = {r[0]: r for r in FX.ML_NESTED_CV_SF001}
+    assert sorted(by_iter) == sorted(frozen)
+    for it, scored in by_iter.items():
+        _it, _cv, auc, sens, spec, n_test = frozen[it]
+        assert len(scored) == n_test
+        # 6dp-frozen MLlib AUC vs exact trapezoid: half-ulp + reduction
+        # jitter tolerance
+        assert abs(I.auc_trapezoid_py(scored) - auc) < 6e-7, it
+        conf = I.confusion_py(scored)
+        tp = conf.get(("Interacts", 1), 0)
+        fn = conf.get(("NotInteracts", 1), 0)
+        tn = conf.get(("NotInteracts", 0), 0)
+        fp = conf.get(("Interacts", 0), 0)
+        assert I.round_half_up(tp / (tp + fn), 6) == sens, it
+        assert I.round_half_up(tn / (tn + fp), 6) == spec, it
