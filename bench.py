@@ -70,6 +70,10 @@ HEADLINE = [
     # residency ANN path (m byte codes per vector, table-lookup
     # distances; the only per-pair work is 8 array lookups)
     ("q19", "ss_pq_topk"),
+    # r05 addition (r04 verdict ask #4): the composed IVF-PQ — the
+    # production ANN regime (cells bound the scan, codes bound the
+    # bytes); scale-tracked like q17-q19
+    ("q20", "ss_ivf_pq_topk"),
 ]
 
 

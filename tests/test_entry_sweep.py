@@ -78,6 +78,7 @@ def test_bench_labels_frozen():
         "q17": "ss_ivf_topk",
         "q18": "ss_srp_lsh_topk",
         "q19": "ss_pq_topk",
+        "q20": "ss_ivf_pq_topk",
     }
     got = dict(HEADLINE)
     labels = [label for label, _ in HEADLINE]
