@@ -775,3 +775,24 @@ def test_ml_nested_cv_metrics_from_frozen_probs(con):
         fp = conf.get(("Interacts", 0), 0)
         assert I.round_half_up(tp / (tp + fn), 6) == sens, it
         assert I.round_half_up(tn / (tn + fp), 6) == spec, it
+
+
+def test_ml_quality_classifier_from_frozen_probs(con):
+    """ml_quality_classifier's per-source means/counts recomputed from
+    the frozen per-doc quality probabilities with no MLlib — the LR fit
+    (the probabilities) is now the only engine-attested piece.  Also
+    checks the frozen score table covers every document exactly once."""
+    import ml_frozen as MLF
+
+    n_docs = con.execute("SELECT COUNT(*) FROM documents").fetchone()[0]
+    ids = [did for did, _s, _p in MLF.ML_QUALITY_PROBS_SF001]
+    assert len(ids) == len(set(ids)) == n_docs
+    by_src: dict[str, list[float]] = {}
+    for _did, src, prob in MLF.ML_QUALITY_PROBS_SF001:
+        assert 0.0 <= prob <= 1.0
+        by_src.setdefault(src, []).append(prob)
+    got = {
+        (src, I.round_half_up(sum(ps) / len(ps), 4), len(ps))
+        for src, ps in by_src.items()
+    }
+    assert got == set(FX.ML_QUALITY_CLASSIFIER_SF001)

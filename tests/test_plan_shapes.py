@@ -328,3 +328,23 @@ def test_dsir_plans(spark):
     ps = plan_of(dsir_sample(docs, target, k=10))
     assert "TakeOrderedAndProject" in ps
     assert ps.count("Scan parquet") <= 4  # λ subtree materialized once
+
+
+def test_pq_rerank_plan_shape(spark):
+    """pq_topk(rerank=N) keeps the ADC pair stage's shape (broadcast
+    nested loop, no sort-merge/cartesian) and adds at most ONE more
+    wide exchange beyond the base plan: the shortlist window and the
+    final top-k window both hash-partition on the query id, so
+    Catalyst must reuse the partitioning rather than reshuffle."""
+    import re
+
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.similarity import pq_topk
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.schemas import load_table
+
+    emb = load_table(spark, SF0001, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    p = plan_of(pq_topk(emb, q, dim=64, k=5, rerank=20))
+    assert "BroadcastNestedLoopJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) <= 2
