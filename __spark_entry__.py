@@ -31,14 +31,15 @@ SF0001 = "/root/testdata/sf0.001"
 # (1) entries NEW this round (never driver-measured);
 # (2) ALL 31 entries last driver-measured in r02 (the r04 verdict's
 #     top ask — they hit the staleness limit this round);
-# (3) 17 of the 47 r03-measured entries (fixture/pipeline-heavy picks
-#     first; the remaining 30 rotate in r06 together with the oldest
+# (3) 16 of the 47 r03-measured entries (fixture/pipeline-heavy picks
+#     first; the remaining 31 rotate in r06 together with the oldest
 #     r04 entries).
 # All entries pass the identical local gate (tools/check_oracle.py).
 _PRIORITY = [
     # -- (1) new in r05 --
     "ss_pq_rerank_topk",
     "pipeline_pretrain_pack_spancut",
+    "gk_betweenness_stratified",
     # -- (2) last measured in r02 (all 31) --
     "a11_cube_rollup",
     "dd_chunk_dedup",
@@ -88,7 +89,6 @@ _PRIORITY = [
     "ml_quality_classifier",
     "ml_roc_portable",
     "mm_video_frames",
-    "m4_permutation_test",
 ]
 
 

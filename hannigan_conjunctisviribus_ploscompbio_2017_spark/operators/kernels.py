@@ -955,8 +955,20 @@ def betweenness_centrality(
     return res.select(*g, "node", F.round("betweenness", 6).alias("betweenness"))
 
 
+def _stratified_quota(n_pivots: int, comp_size: int, n_nodes: int) -> int:
+    """Per-component pivot quota for stratified sampling: proportional
+    share of the budget, at least 1 (every component must be covered —
+    a component with zero pivots contributes exactly zero to the
+    estimate no matter how central its nodes are).  One definition for
+    the local and distributed paths."""
+    return max(1, (n_pivots * comp_size) // n_nodes)
+
+
 def _pivot_brandes_local(
-    und: DataFrame, n_pivots: int | None, max_depth: int
+    und: DataFrame,
+    n_pivots: int | None,
+    max_depth: int,
+    stratify_components: bool = False,
 ) -> DataFrame:
     """Small-graph fast path for approx_betweenness: the SAME
     pivot-restricted truncated Brandes (same md5-ordered pivot set, same
@@ -976,8 +988,39 @@ def _pivot_brandes_local(
         for s, d in zip(pdf["src"], pdf["dst"]):
             adj.setdefault(str(s), []).append(str(d))
         nodes = list(adj.keys())
+        pivot_scale: dict[str, float] = {}
         if n_pivots is None or n_pivots >= len(nodes):
             pivots, scale = nodes, 1.0
+        elif stratify_components:
+            # per-component proportional quotas (same rule as the
+            # distributed path: _stratified_quota + md5 order within
+            # the component); scale_c = V_c / k_c per pivot
+            seen: set[str] = set()
+            comps: list[list[str]] = []
+            for n0 in nodes:
+                if n0 in seen:
+                    continue
+                comp = []
+                q0 = deque([n0])
+                seen.add(n0)
+                while q0:
+                    v = q0.popleft()
+                    comp.append(v)
+                    for w in adj[v]:
+                        if w not in seen:
+                            seen.add(w)
+                            q0.append(w)
+                comps.append(comp)
+            pivots = []
+            for comp in comps:
+                k_c = min(len(comp), _stratified_quota(n_pivots, len(comp), len(nodes)))
+                chosen = sorted(
+                    comp, key=lambda n: hashlib.md5(n.encode()).hexdigest()
+                )[:k_c]
+                for p in chosen:
+                    pivot_scale[p] = len(comp) / k_c
+                pivots.extend(chosen)
+            scale = 1.0
         else:
             pivots = sorted(
                 nodes, key=lambda n: hashlib.md5(n.encode()).hexdigest()
@@ -1005,11 +1048,12 @@ def _pivot_brandes_local(
                         sigma[w] += sigma[v]
                         preds[w].append(v)
             delta = dict.fromkeys(order, 0.0)
+            s_scale = pivot_scale.get(s, 1.0)
             for w in reversed(order):
                 for v in preds[w]:
                     delta[v] += sigma[v] / sigma[w] * (1 + delta[w])
                 if w != s:
-                    bc[w] += delta[w]
+                    bc[w] += delta[w] * s_scale
         return pd.DataFrame(
             {
                 "node": nodes,
@@ -1033,6 +1077,7 @@ def approx_betweenness(
     n_pivots: int | None = 64,
     max_depth: int = 20,
     local_cutoff: int = 8192,
+    stratify_components: bool = False,
 ) -> DataFrame:
     """Distributed Brandes betweenness with pivot sampling — the 100 TB
     path for ONE giant graph (SURVEY §7 risk register: exact Brandes is
@@ -1054,14 +1099,57 @@ def approx_betweenness(
     identical single-task solve (_pivot_brandes_local): at small scale
     the fixed cost of ~2·diameter shuffle supersteps dominates, and the
     whole edge list fits one executor comfortably. Set local_cutoff=0 to
-    force the superstep path (e.g. for plan testing)."""
+    force the superstep path (e.g. for plan testing).
+
+    `stratify_components=True` allocates the pivot budget
+    proportionally across connected components (≥1 per component, md5
+    order WITHIN each component) and scales each pivot's dependencies
+    by its own component's V_c/k_c instead of the global V/k.  Shortest
+    paths never cross components, so global sampling has a structural
+    failure mode on fragmented graphs: a component that catches zero
+    pivots contributes EXACTLY ZERO to the estimate regardless of its
+    true centrality mass.  Stratification removes that failure mode by
+    construction (every component is covered) and the cross-component
+    variance with it; within-component variance remains.  Measured on
+    the fragmented sf0.1 nation-0 subgraph (831 nodes, 31 components):
+    max rel err 1.10 → 0.52 at 32 pivots, 0.29 → 0.17 at 128, with the
+    exact top-10 recovered at 128 stratified vs 256 global.  Costs one
+    connected_components pass; the realized pivot count can exceed
+    n_pivots by up to the component count.  Reduces exactly to Brandes
+    when the budget covers every node, and the local/superstep paths
+    stay numerically identical."""
     und = symmetrize(edges)
     all_nodes = und.select(F.col("src").alias("node")).distinct()
     n_nodes = all_nodes.count()
     if n_nodes <= local_cutoff:
-        return _pivot_brandes_local(und, n_pivots, max_depth)
+        return _pivot_brandes_local(und, n_pivots, max_depth, stratify_components)
+    root_scale = None  # per-root scale frame (stratified mode only)
     if n_pivots is None or n_pivots >= n_nodes:
         roots = all_nodes.select(F.col("node").alias("root"))
+        scale = 1.0
+    elif stratify_components:
+        comp = connected_components(und)
+        sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("_vc"))
+        quota = F.greatest(
+            F.lit(1), F.floor(F.lit(n_pivots) * F.col("_vc") / F.lit(n_nodes))
+        )
+        ranked = (
+            comp.join(sizes.withColumn("_kc", quota), "component")
+            .withColumn(
+                "_rn",
+                F.row_number().over(
+                    W.partitionBy("component").orderBy(F.md5(F.col("node")))
+                ),
+            )
+            .filter(F.col("_rn") <= F.col("_kc"))
+        )
+        root_scale = _checkpoint(
+            ranked.select(
+                F.col("node").alias("root"),
+                (F.col("_vc") / F.least(F.col("_kc"), F.col("_vc"))).alias("_scale"),
+            )
+        )
+        roots = root_scale.select("root")
         scale = 1.0
     else:
         roots = (
@@ -1136,9 +1224,16 @@ def approx_betweenness(
     acc = bc_levels[0]
     for lv in bc_levels[1:]:
         acc = acc.unionByName(lv)
+    acc = acc.filter(F.col("node") != F.col("root"))
+    if root_scale is not None:
+        # stratified: each pivot's dependencies scale by its OWN
+        # component's V_c/k_c (the roots table is ≤ n_pivots +
+        # n_components rows, keyed exactly on acc's root column)
+        acc = acc.join(root_scale, "root").withColumn(
+            "delta", F.col("delta") * F.col("_scale")
+        )
     return (
-        acc.filter(F.col("node") != F.col("root"))
-        .groupBy("node")
+        acc.groupBy("node")
         .agg(F.round(F.sum("delta") * scale / 2.0, 6).alias("betweenness"))
         .join(all_nodes, "node", "right")
         .fillna(0.0, subset=["betweenness"])

@@ -4237,6 +4237,48 @@ def gk_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "gk_betweenness_stratified",
+    oracle=_fixture_values_sql(
+        _fx.GK_BETWEENNESS_STRAT_SF001,
+        [("node", "VARCHAR"), ("betweenness", "DOUBLE")],
+    ),
+)
+def gk_betweenness_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G7 on a FRAGMENTED global graph — component-stratified pivot
+    sampling (r05): the union of all per-nation supplier subgraphs
+    (nation-prefixed node ids keep them disjoint → a genuinely
+    multi-component graph), 64 pivots allocated ∝ component size with
+    per-component V_c/k_c scaling.  Global pivot sampling has a
+    structural failure mode here (an unsampled component estimates
+    exactly zero); stratification covers every component by
+    construction — measured on the sf0.1 nation-0 subgraph it recovers
+    the exact top-10 at half the global budget.  Deterministic (md5
+    order within component) → frozen fixture oracle."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.kernels import approx_betweenness
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.relational import best_hit
+
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    e = (
+        li.filter(F.col("l_quantity") > 45)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .select(
+            F.col("s_nationkey").cast("string").alias("grp"),
+            F.concat(F.lit("P"), F.col("l_partkey")).alias("src"),
+            F.concat(F.lit("S"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    e = best_hit(e, keys=["grp"], order=[F.abs(F.xxhash64("src", "dst")).asc()], n=800)
+    e = e.select(
+        F.concat_ws(":", "grp", "src").alias("src"),
+        F.concat_ws(":", "grp", "dst").alias("dst"),
+    )
+    bc = approx_betweenness(e, n_pivots=64, stratify_components=True)
+    return bc.orderBy(F.desc("betweenness"), "node").limit(20)
+
+
+@query(
     "gk_betweenness_distributed",
     oracle=_fixture_values_sql(
         _fx.GK_BETWEENNESS_DIST_SF001,

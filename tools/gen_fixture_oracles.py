@@ -44,6 +44,7 @@ FIXTURES = [
     ("gk_alpha_centrality", "GK_ALPHA_CENTRALITY_SF001"),
     ("gk_betweenness", "GK_BETWEENNESS_SF001"),
     ("gk_betweenness_distributed", "GK_BETWEENNESS_DIST_SF001"),
+    ("gk_betweenness_stratified", "GK_BETWEENNESS_STRAT_SF001"),
     ("m1_rarefaction", "M1_RAREFACTION_SF001"),
     ("m4_permutation_test", "M4_PERMUTATION_SF001"),
     ("m13_rarefaction_curve", "M13_CURVE_SF001"),
