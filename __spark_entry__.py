@@ -31,8 +31,8 @@ SF0001 = "/root/testdata/sf0.001"
 # (1) entries NEW this round (never driver-measured);
 # (2) ALL 31 entries last driver-measured in r02 (the r04 verdict's
 #     top ask — they hit the staleness limit this round);
-# (3) 16 of the 47 r03-measured entries (fixture/pipeline-heavy picks
-#     first; the remaining 31 rotate in r06 together with the oldest
+# (3) 15 of the 47 r03-measured entries (fixture/pipeline-heavy picks
+#     first; the remaining 32 rotate in r06 together with the oldest
 #     r04 entries).
 # All entries pass the identical local gate (tools/check_oracle.py).
 _PRIORITY = [
@@ -40,6 +40,7 @@ _PRIORITY = [
     "ss_pq_rerank_topk",
     "pipeline_pretrain_pack_spancut",
     "gk_betweenness_stratified",
+    "ss_sq8_topk",
     # -- (2) last measured in r02 (all 31) --
     "a11_cube_rollup",
     "dd_chunk_dedup",
@@ -88,7 +89,6 @@ _PRIORITY = [
     "j3_feature_merge",
     "ml_quality_classifier",
     "ml_roc_portable",
-    "mm_video_frames",
 ]
 
 

@@ -9,6 +9,9 @@ oracle-replayable:
 - ivf_topk              coarse cells: each query SCANS n_probe/n_cells
                         of the corpus (md5-sampled or trained-KMeans
                         centroids — ivf_train_centroids)
+- sq8_topk              8-bit scalar quantization: one uint8 per
+                        dimension (4x smaller residency, near-exact),
+                        asymmetric reconstructed-L2 search
 - pq_topk               product quantization: each item is READ as m
                         small codes (32x smaller residency); per-pair
                         distance = m ADC table lookups, no vector math
@@ -1065,4 +1068,122 @@ def embedding_health(
         F.round(F.avg("_norm"), 6).alias("mean_norm"),
         F.round(F.min("_norm"), 6).alias("min_norm"),
         F.round(F.max("_norm"), 6).alias("max_norm"),
+    )
+
+
+def _sq8_params(
+    items: DataFrame, dim: int, vec_col: str
+) -> tuple[list[float], list[float]]:
+    """Per-dimension (min, step) for 8-bit scalar quantization, from
+    ONE aggregation pass over the usable vectors.  2·dim doubles come
+    back to the driver (bounded by construction — dim is a schema
+    constant) and re-enter the plan as two array literals, the same
+    bounded-collect contract as _resolve_centroids/_pq_codebooks.
+    step = (max−min)/255; a constant dimension gets step 0 (its codes
+    collapse to 0 and reconstruct to the constant)."""
+    sel = items.filter(_pq_usable(vec_col, dim))
+    aggs = []
+    for j in range(dim):
+        x = F.col(vec_col)[j].cast("double")
+        aggs.append(F.min(x).alias(f"_mn{j}"))
+        aggs.append(F.max(x).alias(f"_mx{j}"))
+    row = sel.agg(*aggs).first()
+    if row is None or row["_mn0"] is None:
+        raise ValueError("SQ8: no usable vectors to fit min/max")
+    mins = [float(row[f"_mn{j}"]) for j in range(dim)]
+    steps = [(float(row[f"_mx{j}"]) - mins[j]) / 255.0 for j in range(dim)]
+    return mins, steps
+
+
+def sq8_topk(
+    items: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """8-bit scalar-quantization approximate top-k (FAISS SQ8) — the
+    MID tier of the compression ladder: raw floats (1x) → SQ8 (4x,
+    near-exact) → PQ codes (32x, coarser) → IVF-PQ (32x + sublinear
+    scan).  Each item stores one uint8 per dimension: code_j =
+    round((v_j − min_j)/step_j) against corpus-wide per-dimension
+    min/step (one aggregation pass; plan literals, oracle-replayable).
+    Search is ASYMMETRIC: the query stays full-precision, items
+    reconstruct as min_j + code_j·step_j on the fly — one
+    index-transform per scanned row, then an ordinary zip_with L2² per
+    pair.  Quantization error is bounded by step/2 per dimension
+    (uniform grid), so SQ8 ranking is near-exact wherever neighbors
+    aren't step/2-close — unlike PQ there is no subspace coupling.
+
+    At 100 TB: persist the code table (4x smaller residency and scan
+    bytes than raw float32, 8x than float64); decode cost is linear in
+    scanned rows, NOT pairs beyond the zip_with.  This is the flat
+    exhaustive scan (every code row per query batch, broadcast
+    nested-loop like pq_topk) — compose with IVF cells exactly as
+    ivf_pq_topk does when the scan itself must be sublinear.
+
+    Returns (query_id, neighbor_id, sq_dist, rank): L2² against the
+    reconstructed items, rank asc (ties by neighbor id)."""
+    mins, steps = _sq8_params(items, dim, vec_col)
+    mins_l = _lit_vec(mins)
+    steps_l = _lit_vec(steps)
+    items = items.filter(_pq_usable(vec_col, dim))
+    queries = queries.filter(_pq_usable(vec_col, dim))
+
+    def code_expr(v):
+        # round HALF_UP to the grid, clamped to [0, 255] (FP noise at
+        # the extremes can land a hair outside); constant dims → 0
+        return F.transform(
+            v,
+            lambda x, i: F.when(
+                F.get(steps_l, i) > 0,
+                F.least(
+                    F.lit(255),
+                    F.greatest(
+                        F.lit(0),
+                        F.round(
+                            (x.cast("double") - F.get(mins_l, i)) / F.get(steps_l, i),
+                            0,
+                        ).cast("int"),
+                    ),
+                ),
+            ).otherwise(F.lit(0)),
+        )
+
+    def recon_expr(codes):
+        return F.transform(
+            codes,
+            lambda c, i: F.get(mins_l, i) + c.cast("double") * F.get(steps_l, i),
+        )
+
+    n = items.select(
+        F.col(id_col).alias("n_id"),
+        recon_expr(code_expr(F.col(vec_col))).alias("recon"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    l2sq = F.aggregate(
+        F.zip_with(
+            F.col("recon"),
+            F.col("q_vec"),
+            lambda x, y: (x - y.cast("double")) * (x - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        n.crossJoin(F.broadcast(q))
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("n_id").alias("neighbor_id"),
+            F.round(l2sq, round_to).alias("sq_dist"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("sq_dist"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
     )

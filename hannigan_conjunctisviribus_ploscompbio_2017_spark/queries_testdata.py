@@ -2803,6 +2803,65 @@ def ss_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sq8_oracle(dim: int = 64, k: int = 5) -> str:
+    """DuckDB twin of sq8_topk: per-dimension min/step from the usable
+    vectors, HALF-rounded clamped codes, asymmetric reconstructed-L2
+    against the raw query, rank asc with id tie-break."""
+    return f"""
+    WITH vecs AS MATERIALIZED (
+      SELECT vec_id AS id, embedding AS v FROM embeddings
+      WHERE embedding IS NOT NULL
+        AND NOT list_contains(list_transform(embedding, x -> x IS NULL), true)
+        AND len(embedding) = {dim}
+    ), idx AS (SELECT unnest(generate_series(1, {dim})) AS j
+    ), prm AS MATERIALIZED (
+      SELECT j, MIN(CAST(v[j] AS DOUBLE)) AS mn,
+             (MAX(CAST(v[j] AS DOUBLE)) - MIN(CAST(v[j] AS DOUBLE))) / 255.0 AS st
+      FROM vecs CROSS JOIN idx GROUP BY j
+    ), recon AS MATERIALIZED (
+      SELECT t.id, p.j,
+             p.mn + CASE WHEN p.st > 0
+                         THEN LEAST(255, GREATEST(0,
+                           CAST(ROUND((CAST(t.v[p.j] AS DOUBLE) - p.mn) / p.st, 0)
+                                AS INTEGER)))
+                         ELSE 0 END * p.st AS r
+      FROM vecs t CROSS JOIN prm p
+    ), dists AS (
+      SELECT q.id AS query_id, n.id AS neighbor_id,
+             ROUND(SUM((CAST(q.v[n.j] AS DOUBLE) - n.r)
+                       * (CAST(q.v[n.j] AS DOUBLE) - n.r)), 6) AS sq_dist
+      FROM recon n JOIN vecs q ON q.id < 20 AND q.id <> n.id
+      GROUP BY q.id, n.id
+    )
+    SELECT query_id, neighbor_id, sq_dist, CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT query_id, neighbor_id, sq_dist,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY sq_dist, neighbor_id
+             ) AS rank
+      FROM dists
+    ) WHERE rank <= {k}
+    """
+
+
+@query("ss_sq8_topk", oracle=_sq8_oracle())
+def ss_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-bit scalar-quantization top-k (FAISS SQ8) — the mid tier of
+    the compression ladder (raw 1x → SQ8 4x near-exact → PQ 32x →
+    IVF-PQ sublinear): corpus-wide per-dimension min/step (one
+    aggregation pass, plan literals), uint8 codes, asymmetric
+    reconstructed-L2 search with the query at full precision.  The
+    oracle replays fit, encode, reconstruction, and ranking
+    end-to-end."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.similarity import sq8_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 20)
+    return sq8_topk(emb, queries_df, dim=64, k=5).withColumn(
+        "rank", F.col("rank").cast("long")
+    )
+
+
 @query("ss_pq_rerank_topk", oracle=_pq_rerank_oracle())
 def ss_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ ADC shortlist + exact-cosine rerank — the standard recall

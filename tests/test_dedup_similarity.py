@@ -1256,3 +1256,86 @@ def test_pq_codebooks_bounded_collect_guard(spark):
     q = emb.filter(F.col("vec_id") < 5)
     with _pytest.raises(ValueError, match="codebook literal"):
         pq_topk(emb, q, dim=64, k=5, m=8, n_codes=65536)
+
+
+def test_sq8_topk_grid_exact_and_invariance(spark):
+    """Two sharp SQ8 properties: (1) vectors whose coordinates lie
+    exactly on the 256-point grid reconstruct with ZERO quantization
+    error, so sq_dist equals the true 6dp-rounded L2² — the whole
+    fit→encode→reconstruct→score path is exact there; (2) the ranking
+    is partition-invariant (min/step are plan literals, everything else
+    is a pure row function)."""
+    import itertools
+
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.similarity import sq8_topk
+
+    # integer coords with anchor rows pinning EVERY dim to [0, 255]:
+    # min=0, max=255, step=1 -> every integer coordinate is a grid
+    # point and reconstructs exactly
+    rows = [
+        (0, [0.0] * 8),
+        (1, [255.0] * 8),
+        (2, [100.0, 100.0, 10.0, 20.0, 30.0, 40.0, 50.0, 60.0]),
+        (3, [101.0, 99.0, 11.0, 21.0, 31.0, 41.0, 51.0, 61.0]),
+        (4, [5.0, 250.0, 15.0, 25.0, 35.0, 45.0, 55.0, 65.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") < 2)
+    got = {
+        (r.query_id, r.neighbor_id): (r.sq_dist, r.rank)
+        for r in sq8_topk(df, q, dim=8, k=4).collect()
+    }
+    vecs = dict(rows)
+    for (qi, ni), (d, _rk) in got.items():
+        true = round(sum((a - b) ** 2 for a, b in zip(vecs[qi], vecs[ni])), 6)
+        assert d == true, (qi, ni, d, true)
+    again = {
+        (r.query_id, r.neighbor_id): (r.sq_dist, r.rank)
+        for r in sq8_topk(df.repartition(7), q, dim=8, k=4).collect()
+    }
+    assert again == got
+
+
+def test_sq8_topk_near_exact_on_real_embeddings(spark):
+    """On the real embeddings table SQ8's top-1 must match the exact
+    L2 top-1 for (nearly) every query — step/2 per-dim error is tiny
+    against real neighbor gaps — and degenerate vectors are filtered,
+    not scored."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.similarity import (
+        _pq_usable,
+        sq8_topk,
+    )
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.schemas import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    sq = {r.query_id: r.neighbor_id for r in sq8_topk(emb, q, dim=64, k=1).collect()}
+    # exact L2 top-1 via the same pair construction at full precision
+    n = emb.filter(_pq_usable("embedding", 64)).select(
+        F.col("vec_id").alias("n_id"), F.col("embedding").alias("nv")
+    )
+    qq = q.filter(_pq_usable("embedding", 64)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    l2 = F.aggregate(
+        F.zip_with("nv", "qv", lambda x, y: (x.cast("double") - y.cast("double")) ** 2),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    from pyspark.sql import Window as W
+
+    pairs = (
+        n.crossJoin(F.broadcast(qq))
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id", l2.alias("d"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.asc("d"), F.asc("n_id"))
+    exact = {
+        r.q_id: r.n_id
+        for r in pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .collect()
+    }
+    assert sq.keys() == exact.keys()
+    agree = sum(sq[k] == exact[k] for k in sq)
+    assert agree >= len(sq) - 1, (agree, len(sq))
