@@ -31,8 +31,8 @@ SF0001 = "/root/testdata/sf0.001"
 # (1) entries NEW this round (never driver-measured);
 # (2) ALL 31 entries last driver-measured in r02 (the r04 verdict's
 #     top ask — they hit the staleness limit this round);
-# (3) 15 of the 47 r03-measured entries (fixture/pipeline-heavy picks
-#     first; the remaining 32 rotate in r06 together with the oldest
+# (3) 14 of the 47 r03-measured entries (fixture/pipeline-heavy picks
+#     first; the remaining 33 rotate in r06 together with the oldest
 #     r04 entries).
 # All entries pass the identical local gate (tools/check_oracle.py).
 _PRIORITY = [
@@ -41,6 +41,7 @@ _PRIORITY = [
     "pipeline_pretrain_pack_spancut",
     "gk_betweenness_stratified",
     "ss_sq8_topk",
+    "dd_ingest_dedup",
     # -- (2) last measured in r02 (all 31) --
     "a11_cube_rollup",
     "dd_chunk_dedup",
@@ -88,7 +89,6 @@ _PRIORITY = [
     "j11_asof_join",
     "j3_feature_merge",
     "ml_quality_classifier",
-    "ml_roc_portable",
 ]
 
 

@@ -769,3 +769,64 @@ def remove_duplicate_spans(
         F.size("_t").cast("long").alias("n_tokens"),
         (F.size("_t") - F.size(kept_idx)).cast("long").alias("n_removed"),
     )
+
+
+def fingerprint_store(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The persisted corpus artifact incremental ingest joins against:
+    one row per DISTINCT document fingerprint (fingerprint_expr — the
+    same definition exact_dedup and text.fingerprint share, so ingest
+    and batch dedup can never disagree about what 'duplicate' means).
+    At 100 TB write this bucketed by fingerprint and append each
+    accepted delta's new fingerprints to it."""
+    return df.select(fingerprint_expr(text_col).alias("fingerprint")).distinct()
+
+
+def ingest_dedup(
+    incoming: DataFrame,
+    store_fps: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental (delta-batch) dedup against a persisted fingerprint
+    store — the maintenance loop of a production corpus: each new crawl
+    batch lands, is deduped against EVERYTHING already accepted without
+    recomputing the corpus, and only its 'new' rows (plus their
+    fingerprints) append to the store.
+
+    Returns one row per incoming doc: (id, fingerprint, status) with
+    status ∈ {'new', 'dup_store', 'dup_batch'} — dup_store: the text
+    already exists in the corpus (even if the batch also repeats it);
+    dup_batch: first seen inside THIS batch under a smaller id.
+
+    Scale shape — the store NEVER shuffles: the delta's distinct
+    fingerprints (small by definition of a delta) broadcast onto ONE
+    store scan (left-semi) producing the matched set, which is at most
+    delta-sized and broadcasts back onto the delta rows.  Within-batch
+    keepers cost one delta-sized fingerprint shuffle.  Total: one pass
+    over the store, two broadcast joins, one small exchange."""
+    from pyspark.sql import Window as W
+
+    fp = incoming.select(
+        F.col(id_col).alias("id"), fingerprint_expr(text_col).alias("fingerprint")
+    ).localCheckpoint(eager=False)
+    matched = store_fps.join(
+        F.broadcast(fp.select("fingerprint").distinct()), "fingerprint", "semi"
+    ).select("fingerprint", F.lit(1).alias("_in_store"))
+    # within-batch keeper as a window min, NOT a groupBy+self-join: the
+    # window's fingerprint exchange is the plan's only shuffle (a
+    # keeper join would re-derive fp and sort-merge delta x delta)
+    keeper = F.min("id").over(W.partitionBy("fingerprint"))
+    return (
+        fp.withColumn("_keeper", keeper)
+        .join(F.broadcast(matched), "fingerprint", "left")
+        .select(
+            "id",
+            "fingerprint",
+            F.when(F.col("_in_store") == 1, F.lit("dup_store"))
+            .when(F.col("id") != F.col("_keeper"), F.lit("dup_batch"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+        )
+    )

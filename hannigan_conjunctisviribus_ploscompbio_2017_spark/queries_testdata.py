@@ -1610,6 +1610,69 @@ def dd_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(_t(spark, sf_dir, "documents"))
 
 
+_INGEST_FP = (
+    "MD5(CASE WHEN TRIM(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]+', ' ', 'g')) <> '' "
+    "THEN TRIM(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]+', ' ', 'g')) "
+    "ELSE chr(0) || 'raw' || chr(0) || COALESCE(text, '') END)"
+)
+
+
+@query(
+    "dd_ingest_dedup",
+    oracle=f"""
+    WITH store AS (
+      SELECT DISTINCT {_INGEST_FP} AS fingerprint
+      FROM documents WHERE doc_id % 10 < 8
+    ), inc AS (
+      SELECT doc_id AS id, text FROM documents WHERE doc_id % 10 >= 8
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents
+      WHERE doc_id % 10 < 8 AND doc_id % 37 = 0
+      UNION ALL
+      SELECT doc_id + 2000000, text FROM documents
+      WHERE doc_id % 10 >= 8 AND doc_id % 23 = 0
+    ), fp AS (
+      SELECT id, {_INGEST_FP} AS fingerprint FROM inc
+    ), keep AS (
+      SELECT fingerprint, MIN(id) AS k FROM fp GROUP BY fingerprint
+    )
+    SELECT fp.id, fp.fingerprint,
+           CASE WHEN fp.fingerprint IN (SELECT fingerprint FROM store)
+                THEN 'dup_store'
+                WHEN fp.id <> keep.k THEN 'dup_batch'
+                ELSE 'new' END AS status
+    FROM fp JOIN keep USING (fingerprint)
+    """,
+)
+def dd_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (delta-batch) dedup against a persisted fingerprint
+    store — the corpus maintenance loop: 80% of documents form the
+    store, the remaining 20% arrive as a batch salted with re-idded
+    clones of store docs (→ dup_store) and of in-batch docs
+    (→ dup_batch).  The store never shuffles: delta fingerprints
+    broadcast onto one store scan, the matched set broadcasts back."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.dedup import (
+        fingerprint_store,
+        ingest_dedup,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    store_docs = docs.filter(d % 10 < 8)
+    fresh = docs.filter(d % 10 >= 8)
+    incoming = (
+        fresh.unionByName(
+            store_docs.filter(d % 37 == 0).select(
+                (d + 1000000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            fresh.filter(d % 23 == 0).select((d + 2000000).alias("doc_id"), "text")
+        )
+    )
+    return ingest_dedup(incoming, fingerprint_store(store_docs))
+
+
 @query(
     "dd_jaccard_pairs",
     oracle="""

@@ -1339,3 +1339,55 @@ def test_sq8_topk_near_exact_on_real_embeddings(spark):
     assert sq.keys() == exact.keys()
     agree = sum(sq[k] == exact[k] for k in sq)
     assert agree >= len(sq) - 1, (agree, len(sq))
+
+
+def test_ingest_dedup_statuses_and_store_never_shuffles(spark):
+    """Incremental ingest semantics: a batch doc whose text already
+    exists in the store is dup_store (even if the batch repeats it
+    too); a batch-internal repeat keeps its min-id row as 'new' and
+    marks the rest dup_batch; NULL/non-Latin texts ride the same
+    fingerprint fallback as exact_dedup.  Plan: the store side joins
+    via broadcast (one scan, no store shuffle) — the only exchange is
+    the delta-sized keeper groupBy."""
+    import re
+
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.dedup import (
+        fingerprint_store,
+        ingest_dedup,
+    )
+    from tests.test_plan_shapes import plan_of
+
+    store_docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta"), (3, None)],
+        "doc_id long, text string",
+    )
+    incoming = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma"),   # in store -> dup_store
+            (11, "ALPHA, beta GAMMA!"), # normalizes to the same -> dup_store
+            (12, "brand new text here"),
+            (13, "brand new text here"),  # batch repeat -> dup_batch
+            (14, None),                  # raw-fallback fp, matches store NULL
+            (15, "another fresh doc"),
+        ],
+        "doc_id long, text string",
+    )
+    # materialize the store, as the persisted artifact would be — its
+    # construction-time distinct() is not a per-ingest cost
+    store = fingerprint_store(store_docs).localCheckpoint()
+    out = {r.id: r.status for r in ingest_dedup(incoming, store).collect()}
+    assert out == {
+        10: "dup_store",
+        11: "dup_store",
+        12: "new",
+        13: "dup_batch",
+        14: "dup_store",
+        15: "new",
+    }
+    p = plan_of(ingest_dedup(incoming, store))
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in p
+    # both wide exchanges are DELTA-sized (the distinct feeding the
+    # broadcast build + the keeper window); the store contributes one
+    # scan and zero shuffles
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 2
