@@ -31,8 +31,8 @@ SF0001 = "/root/testdata/sf0.001"
 # (1) entries NEW this round (never driver-measured);
 # (2) ALL 31 entries last driver-measured in r02 (the r04 verdict's
 #     top ask — they hit the staleness limit this round);
-# (3) 14 of the 47 r03-measured entries (fixture/pipeline-heavy picks
-#     first; the remaining 33 rotate in r06 together with the oldest
+# (3) 12 of the 47 r03-measured entries (fixture/pipeline-heavy picks
+#     first; the remaining 35 rotate in r06 together with the oldest
 #     r04 entries).
 # All entries pass the identical local gate (tools/check_oracle.py).
 _PRIORITY = [
@@ -42,6 +42,8 @@ _PRIORITY = [
     "gk_betweenness_stratified",
     "ss_sq8_topk",
     "dd_ingest_dedup",
+    "tx_tfidf_top_terms",
+    "tx_chunk_windows",
     # -- (2) last measured in r02 (all 31) --
     "a11_cube_rollup",
     "dd_chunk_dedup",
@@ -86,8 +88,6 @@ _PRIORITY = [
     "gq1_interaction_scores",
     "gq3_triadic_closure",
     "gq5_sample_network",
-    "j11_asof_join",
-    "j3_feature_merge",
     "ml_quality_classifier",
 ]
 

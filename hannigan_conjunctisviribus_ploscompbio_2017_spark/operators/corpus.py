@@ -853,3 +853,109 @@ def dsir_sample(
         .orderBy(F.desc("gumbel_key"), F.asc("id"))
         .limit(k)
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    round_to: int = 6,
+    broadcast_idf: bool = True,
+) -> DataFrame:
+    """TF-IDF keyword extraction: the top-k most characteristic terms
+    per document, tf·idf-scored with the smooth idf
+    ln((1+N)/(1+df)) + 1 (the sklearn TfidfVectorizer form — never
+    zero, never divides by zero) over _doc_tokens' shared tokenizer.
+
+    Returns (id, term, tf, score, rank): tf = raw in-doc count, score
+    = round(tf·idf, round_to), rank by (score desc, term asc).
+
+    Scale shape mirrors unigram_logprob: one (id, term) shuffle for tf
+    (map-side partial), a Zipf-bounded document-frequency table derived
+    FROM the tf table (no second pass over the corpus) broadcast back
+    onto it, the corpus-size scalar as a 1-row crossJoin, and the final
+    per-doc top-k window re-uses the tf shuffle's hash partitioning on
+    id... (the window partitions by id alone — a strict prefix of the
+    (id, term) groupBy keys, so no second corpus-wide exchange of the
+    scored rows).  `broadcast_idf=False` falls back to a shuffle join
+    when a pathological vocabulary outgrows the broadcast limit."""
+    from pyspark.sql import Window as W
+
+    toks = _doc_tokens(df, id_col, text_col).select(
+        "id", F.explode("_t").alias("term")
+    )
+    # tf feeds BOTH the df aggregation and the scoring join
+    tf = (
+        toks.groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    totals = df.agg(F.count(F.lit(1)).alias("_n"))  # 1 row, stays in-plan
+    idf_tbl = dfreq.crossJoin(F.broadcast(totals)).select(
+        "term",
+        (
+            F.log((F.lit(1.0) + F.col("_n")) / (F.lit(1.0) + F.col("_df")))
+            + F.lit(1.0)
+        ).alias("_idf"),
+    )
+    scored = tf.join(
+        F.broadcast(idf_tbl) if broadcast_idf else idf_tbl, "term"
+    ).select(
+        "id", "term", "tf", F.round(F.col("tf") * F.col("_idf"), round_to).alias("score")
+    )
+    w = W.partitionBy("id").orderBy(F.desc("score"), F.asc("term"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def chunk_windows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window_tokens: int = 64,
+    stride: int = 32,
+) -> DataFrame:
+    """Sliding-window chunking of the normalized token stream — the
+    context-window prep step of a training/RAG pipeline: each doc
+    yields overlapping windows of `window_tokens` tokens every `stride`
+    tokens.  Window starts run 1, 1+stride, … and the LAST start is
+    pulled back to max(1, n−window+1) when the stride grid overshoots
+    it (the HF-tokenizer overflow convention): every token is covered,
+    every window is full-width — the tail window overlaps its
+    predecessor more instead of coming up short — and only a doc
+    shorter than the window yields a (single) short window.
+
+    Returns (id, chunk_idx, start_tok, n_tok, chunk_text): chunk_idx
+    0-based per doc in start order, start_tok 1-based token offset.
+    Pure Catalyst (sequence with step + slice inside one transform) —
+    no shuffle at all; at 100 TB this is a map-only expansion of
+    ~n/stride rows per doc that downstream operators (dedup, pack,
+    embed) consume directly."""
+    if window_tokens < 1 or stride < 1:
+        raise ValueError("chunk_windows: window_tokens and stride must be >= 1")
+    toked = _doc_tokens(df, id_col, text_col)
+    last_start = F.greatest(F.lit(1), F.size("_t") - F.lit(window_tokens - 1))
+    # stride grid + the pulled-back final start; array_distinct keeps
+    # first-occurrence order, and last_start >= every grid element, so
+    # when new it lands (sorted) at the end
+    starts = F.array_distinct(
+        F.concat(
+            F.sequence(F.lit(1), last_start, F.lit(stride)),
+            F.array(last_start),
+        )
+    )
+    wins = F.transform(
+        starts,
+        lambda s, i: F.struct(
+            i.cast("long").alias("chunk_idx"),
+            s.cast("long").alias("start_tok"),
+            F.size(F.slice("_t", s, window_tokens)).cast("long").alias("n_tok"),
+            F.array_join(F.slice("_t", s, window_tokens), " ").alias("chunk_text"),
+        ),
+    )
+    return toked.select("id", F.explode(wins).alias("w")).select(
+        "id", "w.chunk_idx", "w.start_tok", "w.n_tok", "w.chunk_text"
+    )

@@ -5458,6 +5458,79 @@ _BACKOFF_SQL = f"""
     """
 
 
+@query(
+    "tx_chunk_windows",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id AS id, string_split({_NORM_SQL}, ' ') AS t FROM documents
+    ), st AS (
+      SELECT id, t, s,
+             ROW_NUMBER() OVER (PARTITION BY id ORDER BY s) - 1 AS ci
+      FROM (
+        SELECT DISTINCT id, t, s FROM (
+          SELECT id, t,
+                 unnest(generate_series(1, greatest(1, len(t) - 15), 8)) AS s
+          FROM toks
+          UNION ALL
+          SELECT id, t, greatest(1, len(t) - 15) AS s FROM toks
+        )
+      )
+    )
+    SELECT id, CAST(ci AS BIGINT) AS chunk_idx,
+           CAST(s AS BIGINT) AS start_tok,
+           CAST(len(list_slice(t, s, s + 15)) AS BIGINT) AS n_tok,
+           array_to_string(list_slice(t, s, s + 15), ' ') AS chunk_text
+    FROM st
+    """,
+)
+def tx_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (16-token windows, stride 8 → 50%
+    overlap) — the context-window prep step for training/RAG pipelines;
+    the final start pulls back to n−15 so every token is covered by a
+    FULL window (HF overflow convention).  Map-only (sequence-with-step
+    + slice, no shuffle); the oracle replays starts, the pulled-back
+    tail, slices, and ordering exactly."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.corpus import chunk_windows
+
+    return chunk_windows(
+        _t(spark, sf_dir, "documents"), window_tokens=16, stride=8
+    )
+
+
+_TFIDF_SCORE = "ROUND(tf.tf * (LN((1.0 + tot.n) / (1.0 + dfq.df)) + 1.0), 6)"
+
+_TFIDF_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id AS id, unnest(string_split({_NORM_SQL}, ' ')) AS term
+      FROM documents
+    ), tf AS MATERIALIZED (
+      SELECT id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY id, term
+    ), dfq AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), tot AS (SELECT COUNT(*) AS n FROM documents)
+    SELECT id, term, tf, score, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT tf.id, tf.term, tf.tf, {_TFIDF_SCORE} AS score,
+             ROW_NUMBER() OVER (
+               PARTITION BY tf.id ORDER BY {_TFIDF_SCORE} DESC, tf.term
+             ) AS rank
+      FROM tf JOIN dfq USING (term) CROSS JOIN tot
+    ) WHERE rank <= 5
+    """
+
+
+@query("tx_tfidf_top_terms", oracle=_TFIDF_SQL)
+def tx_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: top-5 most characteristic terms per
+    doc, smooth-idf (sklearn form) over the shared LM tokenizer.  One
+    (id, term) shuffle; the document-frequency table derives from the
+    tf table and broadcasts back; the per-doc top-k window reuses the
+    tf partitioning.  The oracle replays counts, idf, rounding, and
+    tie-breaks."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.corpus import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=5)
+
+
 @query("tx_bigram_backoff", oracle=_BACKOFF_SQL)
 def tx_bigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stupid-Backoff bigram LM score per doc (Brants et al. 2007):

@@ -1391,3 +1391,79 @@ def test_ingest_dedup_statuses_and_store_never_shuffles(spark):
     # broadcast build + the keeper window); the store contributes one
     # scan and zero shuffles
     assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 2
+
+
+def test_tfidf_top_terms_closed_form(spark):
+    """TF-IDF on a 3-doc fixture where every value is hand-computable:
+    smooth idf ln((1+N)/(1+df))+1, raw tf, rounded-score ranking with
+    term tie-break; a corpus-ubiquitous term ranks below a distinctive
+    repeated one."""
+    import math
+
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.corpus import tfidf_top_terms
+
+    rows = [
+        (1, "common rare rare"),
+        (2, "common solo"),
+        (3, "common common other"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r.id, r.term): (r.tf, r.score, r.rank) for r in tfidf_top_terms(df, k=3).collect()}
+
+    def idf(dfreq):
+        return math.log((1 + 3) / (1 + dfreq)) + 1
+
+    # doc 1: rare tf=2 df=1 -> 2*idf(1); common tf=1 df=3 -> idf(3)
+    assert out[(1, "rare")] == (2, round(2 * idf(1), 6), 1)
+    assert out[(1, "common")] == (1, round(idf(3), 6), 2)
+    # doc 3: common tf=2 beats other tf=1 (2*idf(3) > idf(1))
+    assert out[(3, "common")][2] == 1 and out[(3, "other")][2] == 2
+    # doc 2: solo (distinctive) outranks common
+    assert out[(2, "solo")][2] == 1 and out[(2, "common")][2] == 2
+
+
+def test_chunk_windows_coverage_and_overlap(spark):
+    """Sliding-window contract: starts run 1, 1+stride, ... with the
+    final start pulled back to n-w+1 (full-width tail, HF overflow
+    convention); every token is covered; short docs yield exactly one
+    window; invalid params raise."""
+    import pytest as _pytest
+
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.corpus import chunk_windows
+
+    toks = [f"t{i}" for i in range(10)]
+    df = spark.createDataFrame(
+        [(1, " ".join(toks)), (2, "a b"), (3, None)],
+        "doc_id long, text string",
+    )
+    out = [
+        (r.id, r.chunk_idx, r.start_tok, r.n_tok, r.chunk_text)
+        for r in chunk_windows(df, window_tokens=4, stride=2)
+        .orderBy("id", "chunk_idx")
+        .collect()
+    ]
+    d1 = [r for r in out if r[0] == 1]
+    # n=10, w=4: starts 1,3,5,7 (max start = 10-4+1=7), all full
+    assert [(r[2], r[3]) for r in d1] == [(1, 4), (3, 4), (5, 4), (7, 4)]
+    assert d1[0][4] == "t0 t1 t2 t3" and d1[-1][4] == "t6 t7 t8 t9"
+    # every token covered
+    covered = set()
+    for _id, _ci, s, n, _tx in d1:
+        covered.update(range(s, s + n))
+    assert covered == set(range(1, 11))
+    # short doc -> one (short) window; NULL text -> one degenerate row
+    d2 = [r for r in out if r[0] == 2]
+    assert len(d2) == 1 and d2[0][3] == 2 and d2[0][4] == "a b"
+    assert len([r for r in out if r[0] == 3]) == 1
+    # stride == window, n=10: grid gives 1,5; the tail start pulls back
+    # to n-w+1=7 -> a full-width overlapping final window, tokens 9/10
+    # covered (the naive grid would silently drop them)
+    dis = [
+        (r.start_tok, r.n_tok)
+        for r in chunk_windows(df.filter("doc_id = 1"), window_tokens=4, stride=4)
+        .orderBy("chunk_idx")
+        .collect()
+    ]
+    assert dis == [(1, 4), (5, 4), (7, 4)]
+    with _pytest.raises(ValueError):
+        chunk_windows(df, window_tokens=0)
