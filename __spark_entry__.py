@@ -35,6 +35,11 @@ SF0001 = "/root/testdata/sf0.001"
 #     first; the remaining 35 rotate in r06 together with the oldest
 #     r04 entries).
 # All entries pass the identical local gate (tools/check_oracle.py).
+# Rotation arithmetic for future rounds: 135 entries / 3-round window
+# = 45 re-measures per round minimum, so the 50-cap sustains the
+# contract with ~5 slots/round of headroom for NEW entries.  r06 must
+# measure: the 35 r03-measured leftovers + newest additions first,
+# then the oldest r04 entries.
 _PRIORITY = [
     # -- (1) new in r05 --
     "ss_pq_rerank_topk",
