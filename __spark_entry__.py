@@ -31,14 +31,14 @@ SF0001 = "/root/testdata/sf0.001"
 # (1) entries NEW this round (never driver-measured);
 # (2) ALL 31 entries last driver-measured in r02 (the r04 verdict's
 #     top ask — they hit the staleness limit this round);
-# (3) 12 of the 47 r03-measured entries (fixture/pipeline-heavy picks
-#     first; the remaining 35 rotate in r06 together with the oldest
+# (3) 11 of the 47 r03-measured entries (fixture/pipeline-heavy picks
+#     first; the remaining 36 rotate in r06 together with the oldest
 #     r04 entries).
 # All entries pass the identical local gate (tools/check_oracle.py).
-# Rotation arithmetic for future rounds: 135 entries / 3-round window
+# Rotation arithmetic for future rounds: 136 entries / 3-round window
 # = 45 re-measures per round minimum, so the 50-cap sustains the
 # contract with ~5 slots/round of headroom for NEW entries.  r06 must
-# measure: the 35 r03-measured leftovers + newest additions first,
+# measure: the 36 r03-measured leftovers + newest additions first,
 # then the oldest r04 entries.
 _PRIORITY = [
     # -- (1) new in r05 --
@@ -49,6 +49,7 @@ _PRIORITY = [
     "dd_ingest_dedup",
     "tx_tfidf_top_terms",
     "tx_chunk_windows",
+    "ev_ingest_dedup_2batch",
     # -- (2) last measured in r02 (all 31) --
     "a11_cube_rollup",
     "dd_chunk_dedup",
@@ -90,7 +91,6 @@ _PRIORITY = [
     "gk_betweenness",
     "gk_betweenness_distributed",
     "gk_greedy_modularity",
-    "gq1_interaction_scores",
     "gq3_triadic_closure",
     "gq5_sample_network",
     "ml_quality_classifier",

@@ -3215,6 +3215,90 @@ _FIRST_SEEN_2BATCH_SQL = """
     """
 
 
+_INGEST_STREAM_SQL = f"""
+    WITH store AS (
+      SELECT DISTINCT {_INGEST_FP} AS fingerprint
+      FROM documents WHERE doc_id % 10 < 8
+    ), inc AS (
+      SELECT doc_id AS id, text FROM documents WHERE doc_id % 10 >= 8
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents
+      WHERE doc_id % 10 < 8 AND doc_id % 37 = 0
+      UNION ALL
+      SELECT doc_id + 2000000, text FROM documents
+      WHERE doc_id % 10 >= 8 AND doc_id % 23 = 0
+    ), fp AS (
+      SELECT id, {_INGEST_FP} AS fingerprint,
+             TIMESTAMP '2023-11-14 22:13:20' + to_seconds(CAST(id AS BIGINT)) AS ts,
+             CAST(id % 2 AS INTEGER) AS batch
+      FROM inc
+    ), fresh AS (
+      SELECT * FROM fp
+      WHERE fingerprint NOT IN (SELECT fingerprint FROM store)
+    ), fb AS (
+      SELECT fingerprint, MIN(batch) AS b0 FROM fresh GROUP BY fingerprint
+    ), ranked AS (
+      SELECT f.fingerprint, f.id, f.ts,
+             ROW_NUMBER() OVER (PARTITION BY f.fingerprint
+                                ORDER BY f.ts, f.id) AS rn,
+             COUNT(*) OVER (PARTITION BY f.fingerprint) AS cnt
+      FROM fresh f JOIN fb ON f.fingerprint = fb.fingerprint
+      WHERE f.batch = fb.b0
+    )
+    SELECT fingerprint AS key,
+           CAST(id AS BIGINT) AS first_event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS first_ts,
+           CAST(cnt - 1 AS BIGINT) AS n_dups
+    FROM ranked WHERE rn = 1
+    """
+
+
+@query("ev_ingest_dedup_2batch", oracle=_INGEST_STREAM_SQL)
+def ev_ingest_dedup_2batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming admission gate across TWO real micro-batches — the
+    streaming twin of dd_ingest_dedup: 80% of documents form the
+    static fingerprint store; the rest stream in (salted with re-idded
+    store clones, which the stream-static anti join must drop, and
+    in-batch clones, which first-seen state must suppress).  A
+    fingerprint admitted in batch 0 that reappears in batch 1 is
+    suppressed BY STATE; dropped state would re-emit it.  The oracle
+    replays store filter, per-batch routing, and first-seen ranking."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.dedup import fingerprint_store
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.streaming.events import streaming_ingest_dedup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    store = fingerprint_store(docs.filter(d % 10 < 8))
+    fresh = docs.filter(d % 10 >= 8)
+    incoming = (
+        fresh.unionByName(
+            docs.filter((d % 10 < 8) & (d % 37 == 0)).select(
+                (d + 1000000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            fresh.filter(d % 23 == 0).select((d + 2000000).alias("doc_id"), "text")
+        )
+        .withColumn(
+            "ts", F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id"))
+        )
+    )
+    b0 = incoming.filter(F.col("doc_id") % 2 == 0)
+    b1 = incoming.filter(F.col("doc_id") % 2 == 1)
+    out = streaming_ingest_dedup(
+        _bounded_stream_batches(spark, [b0, b1], "ingest2"),
+        store,
+        watermark="87600 hours",
+    )
+    res = _run_stream(spark, out, "ingest_dedup_2batch_gate")
+    return res.select(
+        "key",
+        "first_event_id",
+        F.date_format("first_ts", "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+        "n_dups",
+    )
+
+
 @query("ev_first_seen_2batch", oracle=_FIRST_SEEN_2BATCH_SQL)
 def ev_first_seen_2batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming first-seen dedup across TWO real micro-batches

@@ -559,3 +559,41 @@ def streaming_sequence_pack(
     return base.groupBy("bucket").applyInPandasWithState(
         pack, out_schema, state_schema, "append", "NoTimeout"
     )
+
+
+def streaming_ingest_dedup(
+    doc_stream: DataFrame,
+    store_fps: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+    retention_ms: int = 24 * 3600 * 1000,
+) -> DataFrame:
+    """Streaming admission gate — the streaming twin of
+    operators.dedup.ingest_dedup: documents arrive as a stream, each
+    micro-batch anti-joins against the PERSISTED fingerprint store
+    (stream-static left anti; the static side broadcasts, so the store
+    never shuffles the stream), and the survivors pass through
+    cross-batch first-seen state keyed on the fingerprint.  Every
+    genuinely new document is admitted exactly once; store duplicates
+    are never emitted; within-stream repeats are suppressed by state
+    (same or any later micro-batch) with the first batch's siblings
+    counted in n_dups.  Appending the admitted fingerprints back to the
+    store between runs closes the corpus-maintenance loop.
+
+    State cost is one boolean + timestamp per ADMITTED fingerprint,
+    evicted `retention_ms` past its event time — bounded on an
+    unbounded stream.  Output: (key=fingerprint, first_event_id,
+    first_ts, n_dups), as streaming_first_seen."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.dedup import fingerprint_expr
+
+    fp = doc_stream.select(
+        F.col(id_col).cast("long").alias("event_id"),
+        F.col(ts_col).alias("ts"),
+        fingerprint_expr(text_col).alias("fingerprint"),
+    )
+    fresh = fp.join(F.broadcast(store_fps), "fingerprint", "left_anti")
+    return streaming_first_seen(
+        fresh, key_col="fingerprint", watermark=watermark, retention_ms=retention_ms
+    )

@@ -1306,3 +1306,61 @@ def test_y4m_zero_denominator_and_sparse_sampling(spark):
     full = MM._video_feature(*MM.decode_y4m(blob), dim=8)
     assert codec == "y4m" and np.array_equal(sparse, full)
     assert sparse[1] == 30.0  # n_frames reports the CLIP length
+
+
+def test_streaming_ingest_dedup_store_and_state(spark, tmp_path):
+    """The streaming admission gate: a doc whose fingerprint is in the
+    static store is dropped by the stream-static anti join (never
+    emitted, from any batch); a new fingerprint admitted in batch 1 is
+    suppressed by state when it reappears in batch 2; same-batch
+    repeats count in n_dups."""
+    import time as _time
+    from datetime import datetime
+
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.dedup import fingerprint_store
+
+    src = tmp_path / "ingest_stream"
+    schema = "doc_id long, ts timestamp, text string"
+
+    def doc(did, minute, text):
+        return (did, datetime(2025, 1, 1, 12, minute), text)
+
+    store = fingerprint_store(
+        spark.createDataFrame([(100, "already in the corpus")], "doc_id long, text string")
+    ).localCheckpoint()
+    batch1 = spark.createDataFrame(
+        [
+            doc(1, 0, "already in the corpus"),   # store dup -> dropped
+            doc(2, 1, "fresh doc one"),
+            doc(3, 2, "fresh doc one"),           # same-batch dup -> n_dups
+            doc(4, 3, "fresh doc two"),
+        ],
+        schema,
+    )
+    batch2 = spark.createDataFrame(
+        [
+            doc(5, 10, "fresh doc one"),          # cross-batch dup -> state drop
+            doc(6, 11, "ALREADY -- in the corpus!"),  # normalizes to store dup
+            doc(7, 12, "fresh doc three"),
+        ],
+        schema,
+    )
+    batch1.coalesce(1).write.mode("append").parquet(str(src))
+    _time.sleep(1.2)
+    batch2.coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = SE.streaming_ingest_dedup(stream, store)
+    q = SE.run_to_memory(out, "ingest_gate_out")
+    try:
+        rows = {r.first_event_id: r for r in spark.sql("SELECT * FROM ingest_gate_out").collect()}
+        # admitted: doc 2 (one batch-1 sibling), doc 4, doc 7 — nothing else
+        assert set(rows) == {2, 4, 7}
+        assert rows[2].n_dups == 1
+        assert rows[4].n_dups == 0 and rows[7].n_dups == 0
+    finally:
+        q.stop()
