@@ -348,3 +348,52 @@ def test_pq_rerank_plan_shape(spark):
     assert "SortMergeJoin" not in p
     assert "CartesianProduct" not in p
     assert len(re.findall(r"\(\d+\) Exchange\b", p)) <= 2
+
+
+def test_ivf_pq_topk_plan_cell_join_not_cross(spark):
+    """The composed IVF-PQ pair stage must be a hash join ON THE CELL
+    (broadcast query probes), never a cross/nested-loop over all items
+    — cells bounding the scan is the operator's entire point — and the
+    per-pair work stays ADC lookups (no per-pair zip_with aggregates:
+    codes/dtable are computed once per row upstream)."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.similarity import ivf_pq_topk
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.schemas import load_table
+
+    emb = load_table(spark, SF0001, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    p = plan_of(ivf_pq_topk(emb, q, dim=64, k=5))
+    assert "BroadcastHashJoin" in p  # probe join keyed on cell
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+
+
+def test_sq8_topk_plan_flat_broadcast_scan(spark):
+    """SQ8's flat scan mirrors pq_topk's documented shape: queries
+    broadcast over the reconstructed-code stream (BNLJ by design — the
+    sublinear composition is IVF cells, as for PQ), no sort-merge, and
+    exactly one wide exchange (the final top-k window)."""
+    import re
+
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.similarity import sq8_topk
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.schemas import load_table
+
+    emb = load_table(spark, SF0001, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    p = plan_of(sq8_topk(emb, q, dim=64, k=5))
+    assert "BroadcastNestedLoopJoin" in p
+    assert "SortMergeJoin" not in p
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1
+
+
+def test_tfidf_top_terms_single_corpus_exchange_family(spark):
+    """TF-IDF's scored rows must reach the per-doc top-k window WITHOUT
+    a second corpus-wide shuffle: the window partitions on id, a strict
+    prefix of the tf groupBy keys; the idf table joins broadcast."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.corpus import tfidf_top_terms
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.schemas import load_table
+
+    docs = load_table(spark, SF0001, "documents")
+    p = plan_of(tfidf_top_terms(docs, k=5))
+    assert "BroadcastHashJoin" in p  # idf table onto tf
+    assert "SortMergeJoin" not in p
