@@ -874,12 +874,18 @@ def tfidf_top_terms(
     Scale shape mirrors unigram_logprob: one (id, term) shuffle for tf
     (map-side partial), a Zipf-bounded document-frequency table derived
     FROM the tf table (no second pass over the corpus) broadcast back
-    onto it, the corpus-size scalar as a 1-row crossJoin, and the final
-    per-doc top-k window re-uses the tf shuffle's hash partitioning on
-    id... (the window partitions by id alone — a strict prefix of the
-    (id, term) groupBy keys, so no second corpus-wide exchange of the
-    scored rows).  `broadcast_idf=False` falls back to a shuffle join
-    when a pathological vocabulary outgrows the broadcast limit."""
+    onto it, and the corpus-size scalar as a 1-row crossJoin.  The
+    per-doc top-k window DOES re-shuffle on id — HashPartitioning(id,
+    term) does not satisfy the window's required clustering on id alone
+    (the hash-subset rule runs the other way) — but Spark's rank-limit
+    pushdown inserts a Partial WindowGroupLimit BELOW that exchange, so
+    each task ships at most k rows per (id, partition): the second
+    exchange carries O(k · docs) pruned rows, never the tf table.
+    Plan guard: test_tfidf_top_terms_single_corpus_exchange_family pins
+    exactly three post-tf exchanges (vocab-bounded term agg, 1-row
+    scalar, k-pruned id window) and the pre-shuffle WindowGroupLimit.
+    `broadcast_idf=False` falls back to a shuffle join when a
+    pathological vocabulary outgrows the broadcast limit."""
     from pyspark.sql import Window as W
 
     toks = _doc_tokens(df, id_col, text_col).select(
@@ -921,7 +927,9 @@ def chunk_windows(
     """Sliding-window chunking of the normalized token stream — the
     context-window prep step of a training/RAG pipeline: each doc
     yields overlapping windows of `window_tokens` tokens every `stride`
-    tokens.  Window starts run 1, 1+stride, … and the LAST start is
+    tokens.  Requires stride <= window_tokens (ValueError otherwise —
+    a larger stride would leave uncovered gaps between windows).
+    Window starts run 1, 1+stride, … and the LAST start is
     pulled back to max(1, n−window+1) when the stride grid overshoots
     it (the HF-tokenizer overflow convention): every token is covered,
     every window is full-width — the tail window overlaps its
@@ -936,6 +944,15 @@ def chunk_windows(
     embed) consume directly."""
     if window_tokens < 1 or stride < 1:
         raise ValueError("chunk_windows: window_tokens and stride must be >= 1")
+    if stride > window_tokens:
+        # the start grid 1, 1+stride, ... would leave uncovered gaps of
+        # stride - window_tokens tokens between consecutive windows,
+        # breaking the every-token-covered contract documented above
+        raise ValueError(
+            "chunk_windows: stride must be <= window_tokens "
+            f"(got stride={stride} > window_tokens={window_tokens}); "
+            "a larger stride leaves token gaps between windows"
+        )
     toked = _doc_tokens(df, id_col, text_col)
     last_start = F.greatest(F.lit(1), F.size("_t") - F.lit(window_tokens - 1))
     # stride grid + the pulled-back final start; array_distinct keeps

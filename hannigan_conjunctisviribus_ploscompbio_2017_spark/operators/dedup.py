@@ -805,15 +805,27 @@ def ingest_dedup(
     store scan (left-semi) producing the matched set, which is at most
     delta-sized and broadcasts back onto the delta rows.  Within-batch
     keepers cost one delta-sized fingerprint shuffle.  Total: one pass
-    over the store, two broadcast joins, one small exchange."""
+    over the store, two broadcast joins, two delta-bounded exchanges
+    (the keeper window and the matched-set distinct)."""
     from pyspark.sql import Window as W
 
     fp = incoming.select(
         F.col(id_col).alias("id"), fingerprint_expr(text_col).alias("fingerprint")
     ).localCheckpoint(eager=False)
-    matched = store_fps.join(
-        F.broadcast(fp.select("fingerprint").distinct()), "fingerprint", "semi"
-    ).select("fingerprint", F.lit(1).alias("_in_store"))
+    # .distinct() guards the fan-out hazard: fingerprint_store output is
+    # already distinct, but a store with repeated fingerprint rows would
+    # otherwise duplicate `matched` and the left join below would emit
+    # duplicate (id, fingerprint, status) rows per incoming doc.  The
+    # dedup runs on the at-most-delta-sized matched set (pre-broadcast),
+    # never on the store.
+    matched = (
+        store_fps.join(
+            F.broadcast(fp.select("fingerprint").distinct()), "fingerprint", "semi"
+        )
+        .select("fingerprint")
+        .distinct()
+        .select("fingerprint", F.lit(1).alias("_in_store"))
+    )
     # within-batch keeper as a window min, NOT a groupBy+self-join: the
     # window's fingerprint exchange is the plan's only shuffle (a
     # keeper join would re-derive fp and sort-merge delta x delta)

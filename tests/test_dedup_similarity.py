@@ -1387,10 +1387,18 @@ def test_ingest_dedup_statuses_and_store_never_shuffles(spark):
     p = plan_of(ingest_dedup(incoming, store))
     assert p.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in p
-    # both wide exchanges are DELTA-sized (the distinct feeding the
-    # broadcast build + the keeper window); the store contributes one
-    # scan and zero shuffles
-    assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 2
+    # all three wide exchanges are DELTA-bounded (the distinct feeding
+    # the broadcast build, the matched-set distinct, and the keeper
+    # window); the store contributes one scan and zero shuffles
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 3
+
+    # fan-out regression (r06): a store with REPEATED fingerprint rows
+    # (anything other than fingerprint_store's distinct output) must not
+    # duplicate result rows through the matched-set left join
+    dirty_store = store.unionAll(store).unionAll(store).localCheckpoint()
+    rows = ingest_dedup(incoming, dirty_store).collect()
+    assert len(rows) == 6
+    assert {r.id: r.status for r in rows} == out
 
 
 def test_tfidf_top_terms_closed_form(spark):
@@ -1467,3 +1475,7 @@ def test_chunk_windows_coverage_and_overlap(spark):
     assert dis == [(1, 4), (5, 4), (7, 4)]
     with _pytest.raises(ValueError):
         chunk_windows(df, window_tokens=0)
+    # stride > window would leave uncovered token gaps between windows
+    # (e.g. w=4, stride=6 never emits tokens 5-6) -> explicit rejection
+    with _pytest.raises(ValueError, match="stride"):
+        chunk_windows(df, window_tokens=4, stride=6)

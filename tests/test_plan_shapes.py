@@ -387,9 +387,16 @@ def test_sq8_topk_plan_flat_broadcast_scan(spark):
 
 
 def test_tfidf_top_terms_single_corpus_exchange_family(spark):
-    """TF-IDF's scored rows must reach the per-doc top-k window WITHOUT
-    a second corpus-wide shuffle: the window partitions on id, a strict
-    prefix of the tf groupBy keys; the idf table joins broadcast."""
+    """TF-IDF's per-doc top-k window re-shuffles on id, but the shuffle
+    must be k-pruned: Spark's rank-limit pushdown places a Partial
+    WindowGroupLimit BELOW the id exchange, so each task ships at most
+    k rows per (id, partition) — O(k·docs), never the tf table.  The
+    idf table joins broadcast; beyond the tf shuffle (inside the lazy
+    localCheckpoint) the plan has exactly three exchanges: the
+    vocab-bounded term aggregation, the 1-row corpus-size scalar, and
+    the k-pruned id window shuffle."""
+    import re
+
     from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.corpus import tfidf_top_terms
     from hannigan_conjunctisviribus_ploscompbio_2017_spark.schemas import load_table
 
@@ -397,3 +404,48 @@ def test_tfidf_top_terms_single_corpus_exchange_family(spark):
     p = plan_of(tfidf_top_terms(docs, k=5))
     assert "BroadcastHashJoin" in p  # idf table onto tf
     assert "SortMergeJoin" not in p
+    # exactly three shuffle exchanges downstream of the tf checkpoint
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 3
+    # the id-window shuffle is preceded by a Partial WindowGroupLimit
+    # (rank-limit pushdown): the exchange ships pruned top-k candidates
+    partial_limit = p.find("WindowGroupLimit")
+    id_exchange = p.find("hashpartitioning(id")
+    assert partial_limit != -1 and id_exchange != -1
+    assert ", Partial" in p  # the pre-shuffle partial limit node
+    assert "row_number(), 5" in p  # pruned to exactly k=5 per id
+
+
+def test_ingest_dedup_store_scan_never_shuffles(spark, tmp_path):
+    """r06 guard for ingest_dedup's core 100 TB claim (dedup.py): when
+    the delta is small, the persisted fingerprint STORE contributes one
+    parquet scan and ZERO exchanges — the delta's distinct fingerprints
+    broadcast onto it as a LeftSemi probe.  A regression to a
+    sort-merge (store-shuffling) semi join must fail here."""
+    import re
+
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.dedup import (
+        fingerprint_store,
+        ingest_dedup,
+    )
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.schemas import load_table
+
+    docs = load_table(spark, SF0001, "documents")
+    store_path = str(tmp_path / "fp_store.parquet")
+    # the persisted artifact: construction-time distinct is NOT an
+    # ingest cost — ingest reads the already-distinct parquet
+    fingerprint_store(docs).write.parquet(store_path)
+    store = spark.read.parquet(store_path)
+    delta = docs.filter(F.col("doc_id") % 50 == 0)
+
+    p = plan_of(ingest_dedup(delta, store))
+    # the store's one pass: a single parquet scan of the store path
+    store_scans = [
+        line for line in p.splitlines() if "Scan parquet" in line or "Location" in line
+    ]
+    assert sum("fp_store.parquet" in line for line in store_scans) == 1
+    # the semi probe is broadcast (delta build side), never sort-merge
+    assert "BroadcastHashJoin LeftSemi BuildRight" in p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    # every wide exchange is delta-bounded: the distinct feeding the
+    # broadcast build, the matched-set distinct, the keeper window
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 3
