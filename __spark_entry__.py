@@ -25,75 +25,76 @@ from hannigan_conjunctisviribus_ploscompbio_2017_spark.queries_testdata import (
 SF0001 = "/root/testdata/sf0.001"
 
 # The driver gate executes the first ~50 registered entries, so
-# registration order decides what gets driver-gate credit.  r05 order
+# registration order decides what gets driver-gate credit.  r06 order
 # (oldest-measurement-first — the rotation contract: every entry's
 # newest green row stays within the last three measured rounds):
 # (1) entries NEW this round (never driver-measured);
-# (2) ALL 31 entries last driver-measured in r02 (the r04 verdict's
-#     top ask — they hit the staleness limit this round);
-# (3) 11 of the 47 r03-measured entries (fixture/pipeline-heavy picks
-#     first; the remaining 36 rotate in r06 together with the oldest
-#     r04 entries).
+# (2) ALL 36 entries last driver-measured in r03 (they hit the
+#     staleness limit this round — the r05 verdict's ask #2);
+# (3) oldest r04-measured entries backfilling the remaining slots
+#     (fixture/ML/kernel-heavy picks first), smoothing r07's load:
+#     after r06 the r04 cohort shrinks to 36, exactly next round's
+#     mandatory set.
 # All entries pass the identical local gate (tools/check_oracle.py).
 # Rotation arithmetic for future rounds: 136 entries / 3-round window
 # = 45 re-measures per round minimum, so the 50-cap sustains the
-# contract with ~5 slots/round of headroom for NEW entries.  r06 must
-# measure: the 36 r03-measured leftovers + newest additions first,
-# then the oldest r04 entries.
+# contract with ~5 slots/round of headroom for NEW entries.  r07 must
+# measure: the 36 r04-measured leftovers + newest additions first,
+# then the oldest r05 entries.
 _PRIORITY = [
-    # -- (1) new in r05 --
-    "ss_pq_rerank_topk",
-    "pipeline_pretrain_pack_spancut",
-    "gk_betweenness_stratified",
-    "ss_sq8_topk",
-    "dd_ingest_dedup",
-    "tx_tfidf_top_terms",
-    "tx_chunk_windows",
-    "ev_ingest_dedup_2batch",
-    # -- (2) last measured in r02 (all 31) --
-    "a11_cube_rollup",
-    "dd_chunk_dedup",
-    "dd_contamination",
-    "dd_semantic_dedup",
-    "f11_substring_extract",
-    "f12_json_props",
-    "g13_robustness",
-    "gq2_predicted_links",
-    "gq4_study_network",
-    "graph_build_e2e",
-    "m13_rarefaction_curve_portable",
-    "m4_permutation_portable",
-    "pipeline_corpus_curation",
-    "pipeline_pretrain_pack",
-    "r6_transpose",
-    "r7_column_subsample",
-    "ss_embedding_health",
-    "tx_bigram_backoff",
-    "tx_exact_k_sample",
-    "tx_line_filter",
-    "tx_mixture_weights",
-    "tx_pii_scrub",
-    "tx_quality_filter",
-    "tx_quality_score",
-    "tx_repetition_stats",
-    "tx_sequence_pack",
-    "tx_split_assign",
-    "tx_stratified_sample",
-    "tx_top_ngrams",
-    "tx_unigram_logprob",
-    "tx_vocab_growth",
-    # -- (3) oldest r03 entries (17 of 47; rest rotate in r06) --
-    "pipeline_interpersonal_diversity",
-    "pipeline_compare_skin",
-    "pipeline_altered_diet",
-    "pipeline_compare_twins",
-    "gk_alpha_centrality",
-    "gk_betweenness",
-    "gk_betweenness_distributed",
-    "gk_greedy_modularity",
-    "gq3_triadic_closure",
-    "gq5_sample_network",
-    "ml_quality_classifier",
+    # -- (1) new in r06 --
+    # -- (2) last measured in r03 (all 36) --
+    "a12_row_votes",
+    "a1_pricing_summary",
+    "a2_mean_score_per_pair",
+    "a3_min_score_per_pair",
+    "a4_degree_count",
+    "a5_count_distinct",
+    "a7_rarefaction_depth",
+    "a9_best_hit_dedup",
+    "ev_chunk_first_seen",
+    "ev_first_seen_dedup",
+    "ev_near_dup_stream",
+    "ev_stream_pack",
+    "f_scalar_chain",
+    "gq1_interaction_scores",
+    "j11_asof_join",
+    "j1_equi_join",
+    "j2_broadcast_annotate",
+    "j3_feature_merge",
+    "j7_cross_join",
+    "m13_rarefaction_curve",
+    "m1_rarefaction",
+    "m4_permutation_test",
+    "ml_roc_portable",
+    "mm_video_frames",
+    "o1_distinct_sorted",
+    "o4_union_all",
+    "o5_intersect",
+    "o6_except",
+    "p3_p4_predicate_filters",
+    "p6_any_positive",
+    "p7_length_range",
+    "p8_anti_filter",
+    "p9_semi_filter",
+    "r1_pivot_matrix",
+    "r4_melt",
+    "w1_top_per_group",
+    # -- (3) oldest r04 entries backfilling to the 50-cap --
+    "ml_rf_interactions",
+    "ml_nested_cv",
+    "ml_roc_points",
+    "m1_rarefaction_portable",
+    "m2_bray_curtis",
+    "gk_eigenvector_centrality",
+    "gk_katz_centrality",
+    "gk_pagerank",
+    "gk_communities_modularity",
+    "gk_diameter_radius",
+    "gk_connectivity",
+    "gk_connected_components",
+    "gk_eccentricity_closeness",
+    "gb_gene_network",
 ]
 
 

@@ -74,7 +74,44 @@ HEADLINE = [
     # production ANN regime (cells bound the scan, codes bound the
     # bytes); scale-tracked like q17-q19
     ("q20", "ss_ivf_pq_topk"),
+    # r06 addition (r05 verdict ask #5): TF-IDF keyword extraction —
+    # the corpus keyword scan is a new heavy shape (tf shuffle +
+    # broadcast idf + k-pruned window shuffle) not previously
+    # wall-clock-tracked
+    ("q21", "tx_tfidf_top_terms"),
 ]
+
+# Load sentinel (r05 verdict ask #1): BENCH_r05 was recorded on a loaded
+# box and its numbers contradicted the same round's own scale-check base.
+# The bench now defends itself: a fixed JVM-side calibration query (no
+# IO, no shuffle, no Python) is timed before and after each measurement
+# round; when it exceeds CALIB_BAND_SEC the round is considered
+# contaminated and re-run (up to MAX_ROUNDS), and the final JSON carries
+# the calibration samples + os.getloadavg() so the record is auditable.
+# Idle steady-state on the reference box is ~0.21-0.31s; the band is ~3x
+# that.  NOTE loadavg alone is NOT the gate: this host shows loadavg
+# spikes with nothing running locally (documented in the verify skill),
+# so the recorded loadavg is evidence, the calibration timing is the
+# decision signal.  Per-query values stay best-of-all-passes minima, so
+# extra (dirty) rounds can only tighten them, never loosen.
+CALIB_BAND_SEC = 0.8
+MAX_ROUNDS = 3
+CALIB_SLEEP_SEC = 45.0
+
+
+def calibration_sec(spark) -> float:
+    """Min-of-3 timing of a fixed 200M-row arithmetic aggregation across
+    32 fixed slices — pure whole-stage-codegen CPU, immune to parquet
+    cache state.  Caller must have warmed it once (first execution pays
+    codegen compilation)."""
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        spark.range(0, 200_000_000, 1, 32).selectExpr(
+            "sum(id % 7 + id * 3)"
+        ).collect()
+        best = min(best, time.time() - t0)
+    return round(best, 3)
 
 
 def main() -> None:
@@ -97,6 +134,9 @@ def main() -> None:
     for _, name in HEADLINE:
         QUERIES[name](spark, sf_dir).count()
 
+    # warm the calibration query's codegen before any timed use
+    calibration_sec(spark)
+
     # Best-of-3 INTERLEAVED passes: run the whole headline suite three
     # full times and take each query's min ACROSS passes.  Timing one
     # query's three runs consecutively correlates all three samples with
@@ -104,17 +144,58 @@ def main() -> None:
     # showed exactly that signature (q2-q5 spiked 2.7-4x while their
     # neighbors improved; idle re-runs reproduced r02-level numbers).
     # Interleaving decorrelates bursts from queries: a burst now poisons
-    # at most one of each query's three samples.
+    # at most one of each query's three samples.  Each measurement round
+    # is bracketed by the calibration sentinel; a dirty round re-runs
+    # (mins merge across rounds, so re-runs only tighten).
     best: dict[str, float] = {}
     rows_seen: dict[str, int] = {}
-    for pass_i in range(3):
+    calib_samples: list[dict] = []
+    contaminated = True
+    for round_i in range(MAX_ROUNDS):
+        calib_before = calibration_sec(spark)
+        load_before = list(os.getloadavg())
+        if calib_before > CALIB_BAND_SEC and round_i < MAX_ROUNDS - 1:
+            print(
+                f"# round {round_i + 1}: calibration {calib_before}s exceeds "
+                f"band {CALIB_BAND_SEC}s — sleeping {CALIB_SLEEP_SEC}s",
+                file=sys.stderr,
+            )
+            calib_samples.append(
+                {"before": calib_before, "load_before": load_before, "skipped": True}
+            )
+            time.sleep(CALIB_SLEEP_SEC)
+            continue
+        for pass_i in range(3):
+            for label, name in HEADLINE:
+                t0 = time.time()
+                rows_seen[label] = QUERIES[name](spark, sf_dir).count()
+                dt = time.time() - t0
+                if dt < best.get(label, float("inf")):
+                    best[label] = dt
+            print(f"# pass {pass_i + 1}/3 done", file=sys.stderr)
+        calib_after = calibration_sec(spark)
+        calib_samples.append(
+            {
+                "before": calib_before,
+                "after": calib_after,
+                "load_before": load_before,
+                "load_after": list(os.getloadavg()),
+            }
+        )
+        if calib_before <= CALIB_BAND_SEC and calib_after <= CALIB_BAND_SEC:
+            contaminated = False
+            break
+        print(
+            f"# round {round_i + 1} dirty (calib {calib_before}/{calib_after}s "
+            f"vs band {CALIB_BAND_SEC}s) — re-running",
+            file=sys.stderr,
+        )
+    if not best:
+        # every round skipped on a hot box: measure once, marked dirty
         for label, name in HEADLINE:
             t0 = time.time()
             rows_seen[label] = QUERIES[name](spark, sf_dir).count()
-            dt = time.time() - t0
-            if dt < best.get(label, float("inf")):
-                best[label] = dt
-        print(f"# pass {pass_i + 1}/3 done", file=sys.stderr)
+            best[label] = time.time() - t0
 
     timings: dict[str, float] = {}
     total = 0.0
@@ -150,6 +231,11 @@ def main() -> None:
                 "query_names": dict(HEADLINE),
                 "extras_sf001": extras,
                 "sf": sf,
+                "calibration": {
+                    "band_sec": CALIB_BAND_SEC,
+                    "samples": calib_samples,
+                    "contaminated": contaminated,
+                },
             }
         )
     )

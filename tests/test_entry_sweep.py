@@ -79,6 +79,7 @@ def test_bench_labels_frozen():
         "q18": "ss_srp_lsh_topk",
         "q19": "ss_pq_topk",
         "q20": "ss_ivf_pq_topk",
+        "q21": "tx_tfidf_top_terms",
     }
     got = dict(HEADLINE)
     labels = [label for label, _ in HEADLINE]

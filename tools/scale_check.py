@@ -9,6 +9,15 @@ driver-side collect, or an output-quadratic join. This caught the
 
 Usage: python tools/scale_check.py [K]   (default 8; writes the scaled
 dataset to .scratch/sfX once and reuses it)
+
+Subset mode (r05 verdict ask #4 — probe the next scale decade):
+    python tools/scale_check.py 64 --subset [name ...]
+times only the named queries (bench labels like q12 or raw registry
+names like dd_ingest_dedup) in-process with interleaved best-of-2
+passes, base vs K-replicated, and reports per-query factors.  Default
+subset: the corpus/ANN paths whose sublinearity claims matter most at
+scale (q8 LSH, q12 rarefaction, q17-q20 ANN tiers, q21 TF-IDF,
+dd_ingest_dedup store maintenance).
 """
 
 from __future__ import annotations
@@ -92,14 +101,70 @@ def bench(sf_dir: str) -> dict:
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
+SUBSET_DEFAULT = [
+    "q8", "q12", "q17", "q18", "q19", "q20", "q21", "dd_ingest_dedup",
+]
+
+
+def bench_subset(sf_dir: str, names: list[str]) -> dict:
+    """In-process timing of a named query subset at sf_dir: warm each
+    query once (codegen/broadcast spin-up), then two interleaved passes,
+    per-query min.  Accepts bench labels (q12) or registry names."""
+    from bench import HEADLINE
+
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.queries_testdata import QUERIES
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.session import get_spark
+
+    label_map = dict(HEADLINE)
+    resolved = [(n, label_map.get(n, n)) for n in names]
+    spark = get_spark("scale-subset")
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    for _lbl, qname in resolved:
+        QUERIES[qname](spark, sf_dir).count()
+    best: dict[str, float] = {}
+    for _ in range(2):
+        for lbl, qname in resolved:
+            t0 = time.time()
+            QUERIES[qname](spark, sf_dir).count()
+            best[lbl] = min(best.get(lbl, float("inf")), time.time() - t0)
+    spark.stop()
+    return {lbl: round(v, 3) for lbl, v in best.items()}
+
+
 def main() -> None:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    subset = None
+    if "--subset" in sys.argv:
+        i = sys.argv.index("--subset")
+        subset = sys.argv[i + 1 :] or SUBSET_DEFAULT
     dst = os.path.abspath(f".scratch/sf{k}x")
     if not os.path.exists(f"{dst}/lineitem.parquet"):
         print(f"# building {dst} (K={k})", file=sys.stderr)
         t0 = time.time()
         build(dst, k)
         print(f"# built in {time.time() - t0:.0f}s", file=sys.stderr)
+    if subset is not None:
+        base_q = bench_subset(SRC, subset)
+        big_q = bench_subset(dst, subset)
+        factors = {
+            q: round(big_q[q] / max(base_q[q], 1e-9), 2) for q in base_q
+        }
+        print(
+            json.dumps(
+                {
+                    "k": k,
+                    "subset": subset,
+                    "base_s": base_q,
+                    "scaled_s": big_q,
+                    "per_query_factor": factors,
+                    "verdict": {
+                        q: ("OK" if f <= k * 1.5 else "SUPERLINEAR — investigate")
+                        for q, f in factors.items()
+                    },
+                }
+            )
+        )
+        return
     base = bench(SRC)
     big = bench(dst)
     factors = {
