@@ -43,6 +43,7 @@ SF0001 = "/root/testdata/sf0.001"
 # then the oldest r05 entries.
 _PRIORITY = [
     # -- (1) new in r06 --
+    "ss_ivf_sq8_topk",
     # -- (2) last measured in r03 (all 36) --
     "a12_row_votes",
     "a1_pricing_summary",
@@ -94,7 +95,6 @@ _PRIORITY = [
     "gk_connectivity",
     "gk_connected_components",
     "gk_eccentricity_closeness",
-    "gb_gene_network",
 ]
 
 

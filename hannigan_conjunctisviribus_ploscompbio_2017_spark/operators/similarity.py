@@ -16,6 +16,8 @@ oracle-replayable:
                         small codes (32x smaller residency); per-pair
                         distance = m ADC table lookups, no vector math
 - ivf_pq_topk           both at once — the FAISS-style 100 TB regime
+- ivf_sq8_topk          cells + SQ8 codes — the near-exact sublinear
+                        tier (4x residency, no subspace coupling)
 - semantic_dedup        SemDeDup cells + within-cell cosine clumps
 - embedding_near_dup_pairs / embedding_health
 
@@ -1095,6 +1097,42 @@ def _sq8_params(
     return mins, steps
 
 
+def _sq8_exprs(mins: list[float], steps: list[float]):
+    """(code_expr, recon_expr) over the fitted per-dimension grid —
+    shared by the flat sq8_topk scan and the composed ivf_sq8_topk.
+    code: round HALF_UP to the grid, clamped to [0, 255] (FP noise at
+    the extremes can land a hair outside); constant dims → 0.
+    recon: min_j + code_j·step_j."""
+    mins_l = _lit_vec(mins)
+    steps_l = _lit_vec(steps)
+
+    def code_expr(v):
+        return F.transform(
+            v,
+            lambda x, i: F.when(
+                F.get(steps_l, i) > 0,
+                F.least(
+                    F.lit(255),
+                    F.greatest(
+                        F.lit(0),
+                        F.round(
+                            (x.cast("double") - F.get(mins_l, i)) / F.get(steps_l, i),
+                            0,
+                        ).cast("int"),
+                    ),
+                ),
+            ).otherwise(F.lit(0)),
+        )
+
+    def recon_expr(codes):
+        return F.transform(
+            codes,
+            lambda c, i: F.get(mins_l, i) + c.cast("double") * F.get(steps_l, i),
+        )
+
+    return code_expr, recon_expr
+
+
 def sq8_topk(
     items: DataFrame,
     queries: DataFrame,
@@ -1127,36 +1165,9 @@ def sq8_topk(
     Returns (query_id, neighbor_id, sq_dist, rank): L2² against the
     reconstructed items, rank asc (ties by neighbor id)."""
     mins, steps = _sq8_params(items, dim, vec_col)
-    mins_l = _lit_vec(mins)
-    steps_l = _lit_vec(steps)
+    code_expr, recon_expr = _sq8_exprs(mins, steps)
     items = items.filter(_pq_usable(vec_col, dim))
     queries = queries.filter(_pq_usable(vec_col, dim))
-
-    def code_expr(v):
-        # round HALF_UP to the grid, clamped to [0, 255] (FP noise at
-        # the extremes can land a hair outside); constant dims → 0
-        return F.transform(
-            v,
-            lambda x, i: F.when(
-                F.get(steps_l, i) > 0,
-                F.least(
-                    F.lit(255),
-                    F.greatest(
-                        F.lit(0),
-                        F.round(
-                            (x.cast("double") - F.get(mins_l, i)) / F.get(steps_l, i),
-                            0,
-                        ).cast("int"),
-                    ),
-                ),
-            ).otherwise(F.lit(0)),
-        )
-
-    def recon_expr(codes):
-        return F.transform(
-            codes,
-            lambda c, i: F.get(mins_l, i) + c.cast("double") * F.get(steps_l, i),
-        )
 
     n = items.select(
         F.col(id_col).alias("n_id"),
@@ -1176,6 +1187,84 @@ def sq8_topk(
     )
     scored = (
         n.crossJoin(F.broadcast(q))
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("n_id").alias("neighbor_id"),
+            F.round(l2sq, round_to).alias("sq_dist"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("sq_dist"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def ivf_sq8_topk(
+    items: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+    centroid_frac: float | None = None,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF-SQ8 approximate top-k — the near-exact sibling of ivf_pq_topk,
+    completing the tier matrix (flat/IVF × raw/SQ8/PQ): coarse IVF cells
+    bound WHICH items each query touches (n_probe/n_cells of the
+    corpus), SQ8 codes bound the BYTES per touched item to dim uint8s
+    (4x vs float32), and the per-pair distance is the asymmetric
+    reconstructed L2² (query full-precision).  Versus IVF-PQ this trades
+    4x residency (instead of 32x) for per-dimension error ≤ step/2 with
+    no subspace coupling — the right tier when recall matters more than
+    the last 8x of compression.  At 100 TB: persist (cell, codes)
+    bucketed by cell; raw vectors are never read at query time.
+
+    Both halves reuse the verified building blocks unchanged — coarse
+    cells from _resolve_centroids/_ranked_cells_expr (as ivf_topk),
+    per-dimension grid + codes from the sq8_topk machinery — so cell
+    assignment, codes, and distances are pure row functions over
+    one-pass-fitted literals: partition-invariant and end-to-end
+    DuckDB-replayable.  Probing all cells (n_probe == n_cells) makes
+    the candidate set the whole corpus, i.e. exactly sq8_topk's flat
+    scan — pinned as a parity test.  Returns (query_id, neighbor_id,
+    sq_dist, rank); rank asc by quantized distance, ties by id."""
+    cents = _resolve_centroids(items, n_cells, id_col, vec_col, centroid_frac, centroids)
+    ranked_cells = _ranked_cells_expr(cents, round_to)
+    mins, steps = _sq8_params(items, dim, vec_col)
+    code_expr, recon_expr = _sq8_exprs(mins, steps)
+    items = items.filter(_pq_usable(vec_col, dim))
+    queries = queries.filter(_pq_usable(vec_col, dim))
+
+    n = items.select(
+        F.col(id_col).alias("n_id"),
+        ranked_cells(F.col(vec_col))[0]["i"].alias("cell"),
+        recon_expr(code_expr(F.col(vec_col))).alias("recon"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(
+            F.transform(
+                F.slice(ranked_cells(F.col(vec_col)), 1, n_probe), lambda x: x["i"]
+            )
+        ).alias("cell"),
+    )
+    l2sq = F.aggregate(
+        F.zip_with(
+            F.col("recon"),
+            F.col("q_vec"),
+            lambda x, y: (x - y.cast("double")) * (x - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        n.join(F.broadcast(q), "cell")
         .filter(F.col("q_id") != F.col("n_id"))
         .select(
             F.col("q_id").alias("query_id"),

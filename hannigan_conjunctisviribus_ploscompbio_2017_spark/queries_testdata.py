@@ -2925,6 +2925,104 @@ def ss_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_sq8_oracle(
+    dim: int = 64, n_cells: int = 16, n_probe: int = 4, k: int = 5
+) -> str:
+    """DuckDB twin of ivf_sq8_topk: the _ivf_oracle cell/probe CTEs
+    composed with the _sq8_oracle fit/recon CTEs — candidates come only
+    from probed cells, distances only from reconstructed codes.  Cell
+    assignment replays over ALL vectors (as _resolve_centroids sees
+    them); the candidate/score sides restrict to the usable (non-null,
+    full-dim) rows the engine's _pq_usable filter keeps."""
+    cos = """SUM(CAST(t.v[j] AS DOUBLE) * CAST(c.cv[j] AS DOUBLE))
+               / (SQRT(SUM(CAST(t.v[j] AS DOUBLE) * CAST(t.v[j] AS DOUBLE)))
+                  * SQRT(SUM(CAST(c.cv[j] AS DOUBLE) * CAST(c.cv[j] AS DOUBLE))))"""
+    return f"""
+    WITH vecs AS MATERIALIZED (
+      SELECT vec_id AS id, embedding AS v FROM embeddings
+    ), usable AS MATERIALIZED (
+      SELECT id, v FROM vecs
+      WHERE v IS NOT NULL
+        AND NOT list_contains(list_transform(v, x -> x IS NULL), true)
+        AND len(v) = {dim}
+    ), cents AS MATERIALIZED (
+      SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(id AS VARCHAR))) - 1 AS ci,
+             v AS cv
+      FROM (SELECT id, v FROM vecs
+            WHERE v IS NOT NULL
+              AND NOT list_contains(list_transform(v, x -> x IS NULL), true)
+              AND list_sum(list_transform(v,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0
+            ORDER BY md5(CAST(id AS VARCHAR)) LIMIT {n_cells})
+    ), idx AS (SELECT unnest(generate_series(1, {dim})) AS j
+    ), celldists AS MATERIALIZED (
+      SELECT t.id, c.ci, ROUND(1.0 - {cos}, 6) AS d
+      FROM usable t CROSS JOIN cents c CROSS JOIN idx
+      GROUP BY t.id, c.ci
+    ), cells AS MATERIALIZED (
+      SELECT id, ci AS cell FROM (
+        SELECT id, ci, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, ci) AS rn
+        FROM celldists
+      ) WHERE rn = 1
+    ), probes AS (
+      SELECT id, ci AS cell FROM (
+        SELECT id, ci, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, ci) AS rn
+        FROM celldists WHERE id < 20
+      ) WHERE rn <= {n_probe}
+    ), prm AS MATERIALIZED (
+      SELECT j, MIN(CAST(v[j] AS DOUBLE)) AS mn,
+             (MAX(CAST(v[j] AS DOUBLE)) - MIN(CAST(v[j] AS DOUBLE))) / 255.0 AS st
+      FROM usable CROSS JOIN idx GROUP BY j
+    ), recon AS MATERIALIZED (
+      SELECT t.id, p.j,
+             p.mn + CASE WHEN p.st > 0
+                         THEN LEAST(255, GREATEST(0,
+                           CAST(ROUND((CAST(t.v[p.j] AS DOUBLE) - p.mn) / p.st, 0)
+                                AS INTEGER)))
+                         ELSE 0 END * p.st AS r
+      FROM usable t CROSS JOIN prm p
+    ), cand AS (
+      SELECT p.id AS query_id, n.id AS neighbor_id
+      FROM probes p JOIN cells n ON n.cell = p.cell
+      WHERE n.id <> p.id
+    ), dists AS (
+      SELECT cd.query_id, cd.neighbor_id,
+             ROUND(SUM((CAST(q.v[n.j] AS DOUBLE) - n.r)
+                       * (CAST(q.v[n.j] AS DOUBLE) - n.r)), 6) AS sq_dist
+      FROM cand cd
+      JOIN recon n ON n.id = cd.neighbor_id
+      JOIN usable q ON q.id = cd.query_id
+      GROUP BY cd.query_id, cd.neighbor_id
+    )
+    SELECT query_id, neighbor_id, sq_dist, CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT query_id, neighbor_id, sq_dist,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY sq_dist, neighbor_id
+             ) AS rank
+      FROM dists
+    ) WHERE rank <= {k}
+    """
+
+
+@query("ss_ivf_sq8_topk", oracle=_ivf_sq8_oracle())
+def ss_ivf_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-SQ8 composed top-k (r06) — the near-exact sublinear tier
+    completing the ANN matrix (flat/IVF × raw/SQ8/PQ): coarse cells
+    bound the SCAN to n_probe/n_cells of the corpus, SQ8 codes bound
+    the per-item BYTES to dim uint8s (4x), distances are asymmetric
+    reconstructed L2² with per-dimension error ≤ step/2 and no
+    subspace coupling.  End-to-end replayed: cells + probes from the
+    IVF oracle CTEs, fit + reconstruction from the SQ8 oracle CTEs."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.similarity import ivf_sq8_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 20)
+    return ivf_sq8_topk(emb, queries_df, dim=64, k=5).withColumn(
+        "rank", F.col("rank").cast("long")
+    )
+
+
 @query("ss_pq_rerank_topk", oracle=_pq_rerank_oracle())
 def ss_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ ADC shortlist + exact-cosine rerank — the standard recall

@@ -1341,6 +1341,52 @@ def test_sq8_topk_near_exact_on_real_embeddings(spark):
     assert agree >= len(sq) - 1, (agree, len(sq))
 
 
+def test_ivf_sq8_topk_full_probe_parity_and_recall(spark):
+    """IVF-SQ8 composition invariants: (1) probing ALL cells makes the
+    candidate set the whole corpus, so the result must equal sq8_topk's
+    flat scan row-for-row — the composition adds cells, never changes
+    the distance math; (2) at the default n_probe=4/16 the probed top-1
+    agrees with the flat SQ8 top-1 for most queries (cells are md5-
+    sampled, not trained, so the bar is recall, not equality); (3) the
+    ranking is partition-invariant (centroids and the SQ8 grid are plan
+    literals)."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.similarity import (
+        ivf_sq8_topk,
+        sq8_topk,
+    )
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.schemas import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+
+    flat = {
+        (r.query_id, r.neighbor_id): (r.sq_dist, r.rank)
+        for r in sq8_topk(emb, q, dim=64, k=3).collect()
+    }
+    full_probe = {
+        (r.query_id, r.neighbor_id): (r.sq_dist, r.rank)
+        for r in ivf_sq8_topk(
+            emb, q, dim=64, k=3, n_cells=16, n_probe=16
+        ).collect()
+    }
+    assert full_probe == flat
+
+    probed = {
+        r.query_id: r.neighbor_id
+        for r in ivf_sq8_topk(emb, q, dim=64, k=1).collect()
+    }
+    flat1 = {qi: ni for (qi, ni), (_d, rk) in flat.items() if rk == 1}
+    assert probed.keys() == flat1.keys()
+    agree = sum(probed[k] == flat1[k] for k in probed)
+    assert agree >= len(probed) * 0.5, (agree, len(probed))
+
+    again = {
+        r.query_id: r.neighbor_id
+        for r in ivf_sq8_topk(emb.repartition(7), q, dim=64, k=1).collect()
+    }
+    assert again == probed
+
+
 def test_ingest_dedup_statuses_and_store_never_shuffles(spark):
     """Incremental ingest semantics: a batch doc whose text already
     exists in the store is dup_store (even if the batch repeats it

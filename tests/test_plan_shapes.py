@@ -449,3 +449,20 @@ def test_ingest_dedup_store_scan_never_shuffles(spark, tmp_path):
     # every wide exchange is delta-bounded: the distinct feeding the
     # broadcast build, the matched-set distinct, the keeper window
     assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 3
+
+
+def test_ivf_sq8_topk_plan_cell_join_not_cross(spark):
+    """Like ivf_pq: the IVF-SQ8 pair stage must be a hash join ON THE
+    CELL (broadcast query probes), never a cross/nested-loop over all
+    items — cells bounding the scan is the composition's entire point;
+    reconstruction is a per-ROW transform upstream of the join."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.similarity import ivf_sq8_topk
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.schemas import load_table
+
+    emb = load_table(spark, SF0001, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    p = plan_of(ivf_sq8_topk(emb, q, dim=64, k=5))
+    assert "BroadcastHashJoin" in p  # probe join keyed on cell
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
