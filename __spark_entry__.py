@@ -31,10 +31,11 @@ SF0001 = "/root/testdata/sf0.001"
 # (1) entries NEW this round (never driver-measured);
 # (2) ALL 36 entries last driver-measured in r03 (they hit the
 #     staleness limit this round — the r05 verdict's ask #2);
-# (3) oldest r04-measured entries backfilling the remaining slots
+# (3) oldest r04-measured entries backfilling the remaining 13 slots
 #     (fixture/ML/kernel-heavy picks first), smoothing r07's load:
-#     after r06 the r04 cohort shrinks to 36, exactly next round's
-#     mandatory set.
+#     after r06 the r04 cohort shrinks to 37 — next round's mandatory
+#     set (the 36 r04 leftovers + gb_gene_network), which fits the
+#     50-cap with ~13 slots for r07 additions and r05 pre-rotation.
 # All entries pass the identical local gate (tools/check_oracle.py).
 # Rotation arithmetic for future rounds: 136 entries / 3-round window
 # = 45 re-measures per round minimum, so the 50-cap sustains the
