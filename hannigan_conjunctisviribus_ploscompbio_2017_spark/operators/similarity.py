@@ -1276,3 +1276,143 @@ def ivf_sq8_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def sampled_centroids(
+    df: DataFrame,
+    n_cells: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    frac: float | None = None,
+) -> list[list[float]]:
+    """Public handle on the deterministic md5-first coarse-centroid
+    sample (the derivational sibling of ivf_train_centroids): returns
+    the raw centroid vectors so one resolution can be SHARED between
+    semantic_store (which bakes cells into the persisted artifact) and
+    every later semantic_ingest_dedup delta against it — the two sides
+    must agree on the cell geometry or probes would miss."""
+    return [
+        cv for _, cv in _resolve_centroids(df, n_cells, id_col, vec_col, frac, None)
+    ]
+
+
+def semantic_store(
+    df: DataFrame,
+    dim: int,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+    centroid_frac: float | None = None,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """The persisted corpus artifact semantic ingest joins against:
+    (id, cell, vec, norm) for every usable (full-dim, non-null) vector —
+    IVF cell assignment over fixed centroids plus the precomputed L2
+    norm, so ingest-time pair scoring is one zip_with per pair and the
+    store's cell column is a PARTITION key.  At 100 TB write this
+    `.write.partitionBy("cell")`: semantic_ingest_dedup's broadcast
+    cell-probe join then triggers dynamic partition pruning and the
+    store SCAN itself is bounded to the probed cells (~n_probe/n_cells
+    of the corpus) — the vector twin of fingerprint_store's
+    never-shuffle contract, with the scan bounded too.
+
+    Pass the SAME centroids to semantic_ingest_dedup (or let both
+    default to the md5-sampled resolve over this df's vectors)."""
+    cents = _resolve_centroids(df, n_cells, id_col, vec_col, centroid_frac, centroids)
+    ranked_cells = _ranked_cells_expr(cents, round_to)
+    return df.filter(_pq_usable(vec_col, dim)).select(
+        F.col(id_col).alias("id"),
+        ranked_cells(F.col(vec_col))[0]["i"].alias("cell"),
+        F.col(vec_col).alias("vec"),
+        _norm(F.col(vec_col)).alias("norm"),
+    )
+
+
+def semantic_ingest_dedup(
+    incoming: DataFrame,
+    store: DataFrame,
+    centroids: list[list[float]],
+    dim: int,
+    tau: float = 0.9,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Incremental SEMANTIC dedup of a delta batch against a persisted
+    embedding store — the SemDeDup admission gate as a maintenance
+    loop: each new crawl batch is screened against everything already
+    accepted by cosine >= tau, without recomputing (or reshuffling) the
+    corpus.  The store is semantic_store's output; `centroids` must be
+    the ones the store was built with (they define its cells).
+
+    Returns one row per usable incoming doc:
+    (id, status ∈ {'dup_semantic', 'new'}, match_id, cosine) — match =
+    the store's highest-cosine neighbor among the probed cells (ties:
+    smallest store id), reported for 'new' rows too (it is the
+    evidence for tuning tau); NULL only when no probed cell held any
+    store row.
+
+    Scale shape — the store NEVER shuffles and (partitioned by cell)
+    is never fully scanned: the delta explodes to n_probe (cell, query)
+    probes and broadcasts onto the store's cell column — one
+    BroadcastHashJoin keyed on the partition column, so dynamic
+    partition pruning limits the scan to the probed cells; per-pair
+    work is one zip_with (both norms precomputed); the only exchange
+    is the delta-sized per-doc max aggregation (map-side combined).
+    Plan-guarded in test_plan_shapes."""
+    ranked_cells = _ranked_cells_expr(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)], round_to
+    )
+    # NO checkpoint here, deliberately: a localCheckpoint would replace
+    # the delta's filtered scan with a LogicalRDD and erase the
+    # selective predicate dynamic partition pruning needs to see on the
+    # probe side — the store-side scan pruning (the operator's core
+    # scale property) would silently vanish.  The delta subtree is a
+    # pushdown-filtered scan; computing it twice (probes + final
+    # rejoin) is noise next to that.
+    delta = incoming.filter(_pq_usable(vec_col, dim)).select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col)).alias("q_norm"),
+        F.slice(ranked_cells(F.col(vec_col)), 1, n_probe).alias("_cells"),
+    )
+    probes = delta.select(
+        "q_id", "q_vec", "q_norm",
+        F.explode(F.transform("_cells", lambda x: x["i"])).alias("cell"),
+    )
+    pairs = store.join(F.broadcast(probes), "cell").select(
+        "q_id",
+        F.col("id").alias("match_id"),
+        F.round(
+            cosine_pre(_dot(F.col("q_vec"), F.col("vec")), F.col("q_norm"), F.col("norm")),
+            round_to,
+        ).alias("cosine"),
+    ).filter(F.col("cosine").isNotNull())
+    # the NULL filter is load-bearing twice over: cosine is undefined
+    # against zero-norm rows (either side), and a NULL first field would
+    # sort FIRST in min_by's struct comparison — a degenerate store row
+    # would otherwise hijack every match_id while max(cosine) ignored it
+    # per-delta-doc best match: max cosine, ties to the smallest store
+    # id — a map-side-combined aggregation, not a window (the exchange
+    # ships one partial row per (q_id, partition), never the pair table)
+    best = pairs.groupBy("q_id").agg(
+        F.max("cosine").alias("cosine"),
+        F.min_by(
+            "match_id",
+            F.struct((-F.col("cosine")).alias("nc"), F.col("match_id").alias("mid")),
+        ).alias("match_id"),
+    )
+    return (
+        delta.select("q_id")
+        .join(F.broadcast(best), "q_id", "left")
+        .select(
+            F.col("q_id").alias("id"),
+            F.when(F.col("cosine") >= tau, F.lit("dup_semantic"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+            "match_id",
+            "cosine",
+        )
+    )

@@ -3023,6 +3023,116 @@ def ss_ivf_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _semantic_ingest_oracle(
+    dim: int = 64, n_cells: int = 16, n_probe: int = 4, tau: float = 0.38
+) -> str:
+    """DuckDB twin of semantic_ingest_dedup over semantic_store: store =
+    usable vectors with id >= 20 (cells from the md5-first centroid
+    sample of the store side), delta = usable id < 20; per delta doc the
+    probed-cell best match (max cosine, ties smallest store id) and the
+    tau admission flag, NULL-cosine pairs excluded exactly as the
+    engine's isNotNull filter does."""
+    cos = """SUM(CAST(t.v[j] AS DOUBLE) * CAST(c.cv[j] AS DOUBLE))
+               / (SQRT(SUM(CAST(t.v[j] AS DOUBLE) * CAST(t.v[j] AS DOUBLE)))
+                  * SQRT(SUM(CAST(c.cv[j] AS DOUBLE) * CAST(c.cv[j] AS DOUBLE))))"""
+    return f"""
+    WITH vecs AS MATERIALIZED (
+      SELECT vec_id AS id, embedding AS v FROM embeddings
+    ), usable AS MATERIALIZED (
+      SELECT id, v FROM vecs
+      WHERE v IS NOT NULL
+        AND NOT list_contains(list_transform(v, x -> x IS NULL), true)
+        AND len(v) = {dim}
+    ), storev AS MATERIALIZED (SELECT id, v FROM usable WHERE id >= 20
+    ), deltav AS MATERIALIZED (SELECT id, v FROM usable WHERE id < 20
+    ), cents AS MATERIALIZED (
+      SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(id AS VARCHAR))) - 1 AS ci,
+             v AS cv
+      FROM (SELECT id, v FROM vecs
+            WHERE id >= 20
+              AND v IS NOT NULL
+              AND NOT list_contains(list_transform(v, x -> x IS NULL), true)
+              AND list_sum(list_transform(v,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0
+            ORDER BY md5(CAST(id AS VARCHAR)) LIMIT {n_cells})
+    ), idx AS (SELECT unnest(generate_series(1, {dim})) AS j
+    ), sdists AS MATERIALIZED (
+      SELECT t.id, c.ci, ROUND(1.0 - {cos}, 6) AS d
+      FROM storev t CROSS JOIN cents c CROSS JOIN idx
+      GROUP BY t.id, c.ci
+    ), cells AS MATERIALIZED (
+      SELECT id, ci AS cell FROM (
+        SELECT id, ci, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, ci) AS rn
+        FROM sdists
+      ) WHERE rn = 1
+    ), ddists AS MATERIALIZED (
+      SELECT t.id, c.ci, ROUND(1.0 - {cos}, 6) AS d
+      FROM deltav t CROSS JOIN cents c CROSS JOIN idx
+      GROUP BY t.id, c.ci
+    ), probes AS (
+      SELECT id, ci AS cell FROM (
+        SELECT id, ci, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, ci) AS rn
+        FROM ddists
+      ) WHERE rn <= {n_probe}
+    ), pairs AS (
+      SELECT p.id AS qid, c.id AS mid,
+             ROUND(
+               SUM(CAST(qv.v[j] AS DOUBLE) * CAST(nv.v[j] AS DOUBLE))
+               / NULLIF(
+                   SQRT(SUM(CAST(qv.v[j] AS DOUBLE) * CAST(qv.v[j] AS DOUBLE)))
+                   * SQRT(SUM(CAST(nv.v[j] AS DOUBLE) * CAST(nv.v[j] AS DOUBLE))),
+                   0),
+               6) AS cosine
+      FROM probes p
+      JOIN cells c ON c.cell = p.cell
+      JOIN deltav qv ON qv.id = p.id
+      JOIN storev nv ON nv.id = c.id
+      CROSS JOIN idx
+      GROUP BY p.id, c.id
+      HAVING cosine IS NOT NULL
+    ), best AS (
+      SELECT qid, mid, cosine FROM (
+        SELECT qid, mid, cosine,
+               ROW_NUMBER() OVER (
+                 PARTITION BY qid ORDER BY cosine DESC, mid ASC
+               ) AS rn
+        FROM pairs
+      ) WHERE rn = 1
+    )
+    SELECT d.id AS id,
+           CASE WHEN b.cosine >= {tau} THEN 'dup_semantic'
+                ELSE 'new' END AS status,
+           b.mid AS match_id,
+           b.cosine AS cosine
+    FROM deltav d LEFT JOIN best b ON b.qid = d.id
+    """
+
+
+@query("ss_semantic_ingest", oracle=_semantic_ingest_oracle())
+def ss_semantic_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic admission gate as a maintenance loop (r06) — the
+    embedding twin of dd_ingest_dedup: each delta batch (vec_id < 20)
+    screens against the persisted semantic_store of everything already
+    accepted (vec_id >= 20) by cosine >= tau over IVF-cell-probed
+    candidates; the store never shuffles and — persisted
+    partitionBy(cell) — is never fully scanned (dynamic partition
+    pruning, plan-guarded in test_plan_shapes).  Oracle replays the
+    centroid sample, both cell assignments, the probed cosine pairs,
+    and the per-doc argmax end-to-end."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.similarity import (
+        sampled_centroids,
+        semantic_ingest_dedup,
+        semantic_store,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    delta = emb.filter(F.col("vec_id") < 20)
+    store_docs = emb.filter(F.col("vec_id") >= 20)
+    cents = sampled_centroids(store_docs, n_cells=16)
+    store = semantic_store(store_docs, dim=64, n_cells=16, centroids=cents)
+    return semantic_ingest_dedup(delta, store, cents, dim=64, tau=0.38)
+
+
 @query("ss_pq_rerank_topk", oracle=_pq_rerank_oracle())
 def ss_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ ADC shortlist + exact-cosine rerank — the standard recall

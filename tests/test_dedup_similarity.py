@@ -1525,3 +1525,60 @@ def test_chunk_windows_coverage_and_overlap(spark):
     # (e.g. w=4, stride=6 never emits tokens 5-6) -> explicit rejection
     with _pytest.raises(ValueError, match="stride"):
         chunk_windows(df, window_tokens=4, stride=6)
+
+
+def test_semantic_ingest_dedup_semantics(spark):
+    """Planted-fixture contract for the semantic admission gate: a
+    delta doc nearly colinear with a store doc flags dup_semantic with
+    that match; an orthogonal doc stays 'new' but still reports its
+    best (sub-tau) candidate; a zero-norm STORE row must never hijack
+    match_id (NULL-cosine pairs are filtered before the min_by — the
+    struct-ordering hazard documented in the operator); a zero-norm
+    DELTA doc gets status 'new' with NULL match.  Results are
+    partition-invariant."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.similarity import (
+        semantic_ingest_dedup,
+        semantic_store,
+    )
+
+    dim = 4
+    store_rows = [
+        (100, [1.0, 0.0, 0.0, 0.0]),
+        (101, [0.0, 1.0, 0.0, 0.0]),
+        (102, [0.0, 0.0, 0.0, 0.0]),  # zero-norm: cosine undefined
+        (103, [1.0, 0.1, 0.0, 0.0]),  # close to 100 (store-internal, fine)
+    ]
+    delta_rows = [
+        (1, [0.99, 0.05, 0.0, 0.0]),  # near 100/103 -> dup_semantic
+        (2, [0.0, 0.0, 0.7, 0.7]),    # orthogonal to all -> new
+        (3, [0.0, 0.0, 0.0, 0.0]),    # zero-norm delta -> new, NULL match
+    ]
+    store_df = spark.createDataFrame(store_rows, "vec_id long, embedding array<double>")
+    delta_df = spark.createDataFrame(delta_rows, "vec_id long, embedding array<double>")
+    # one cell -> every probe sees the whole store: semantics, not cells,
+    # under test here (cell behavior is pinned by the driver oracle)
+    cents = [[1.0, 1.0, 1.0, 1.0]]
+    store = semantic_store(store_df, dim=dim, n_cells=1, centroids=cents)
+    out = {
+        r.id: (r.status, r.match_id, r.cosine)
+        for r in semantic_ingest_dedup(
+            delta_df, store, cents, dim=dim, tau=0.9, n_probe=1
+        ).collect()
+    }
+    assert len(out) == 3
+    st1, m1, c1 = out[1]
+    assert st1 == "dup_semantic" and m1 in (100, 103) and c1 >= 0.9
+    st2, m2, c2 = out[2]
+    assert st2 == "new" and m2 is not None and c2 < 0.9  # best candidate reported
+    assert m2 != 102  # the zero-norm store row never matches
+    st3, m3, c3 = out[3]
+    assert st3 == "new" and m3 is None and c3 is None
+
+    again = {
+        r.id: (r.status, r.match_id, r.cosine)
+        for r in semantic_ingest_dedup(
+            delta_df.repartition(5), store.repartition(3), cents, dim=dim,
+            tau=0.9, n_probe=1,
+        ).collect()
+    }
+    assert again == out

@@ -466,3 +466,39 @@ def test_ivf_sq8_topk_plan_cell_join_not_cross(spark):
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
     assert "SortMergeJoin" not in p
+
+
+def test_semantic_ingest_store_dpp_and_single_exchange(spark, tmp_path):
+    """semantic_ingest_dedup's 100 TB contract: with the store persisted
+    partitionBy(cell), the broadcast cell-probe join must trigger
+    DYNAMIC PARTITION PRUNING on the store scan (only the probed cells
+    are read), no sort-merge join anywhere, and exactly ONE exchange
+    (the delta-sized per-doc max aggregation).  A regression that hides
+    the delta's selective predicate from the optimizer (e.g. a
+    checkpoint on the probe side) kills DPP silently — this pins it."""
+    import re
+
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.similarity import (
+        sampled_centroids,
+        semantic_ingest_dedup,
+        semantic_store,
+    )
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.schemas import load_table
+
+    emb = load_table(spark, SF0001, "embeddings")
+    delta = emb.filter(F.col("vec_id") < 10)
+    store_docs = emb.filter(F.col("vec_id") >= 10)
+    cents = sampled_centroids(store_docs, n_cells=8)
+    path = str(tmp_path / "sem_store.parquet")
+    semantic_store(store_docs, dim=64, n_cells=8, centroids=cents).write.partitionBy(
+        "cell"
+    ).parquet(path)
+    store = spark.read.parquet(path)
+
+    out = semantic_ingest_dedup(delta, store, cents, dim=64, tau=0.38, n_probe=2)
+    p = plan_of(out)
+    assert "dynamicpruning" in p.lower()  # store scan pruned to probed cells
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    assert p.count("BroadcastHashJoin") >= 2  # probe join + final rejoin
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1  # per-doc max agg
+    assert out.count() == delta.count()
