@@ -3024,14 +3024,22 @@ def ss_ivf_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _semantic_ingest_oracle(
-    dim: int = 64, n_cells: int = 16, n_probe: int = 4, tau: float = 0.38
+    dim: int = 64,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    tau: float = 0.38,
+    with_ts: bool = False,
 ) -> str:
     """DuckDB twin of semantic_ingest_dedup over semantic_store: store =
     usable vectors with id >= 20 (cells from the md5-first centroid
     sample of the store side), delta = usable id < 20; per delta doc the
     probed-cell best match (max cosine, ties smallest store id) and the
     tau admission flag, NULL-cosine pairs excluded exactly as the
-    engine's isNotNull filter does."""
+    engine's isNotNull filter does.  with_ts adds the synthetic
+    event-time column the STREAMING twin (ev_semantic_ingest_2batch)
+    emits — the streamed answer collapses to the batch one because a
+    doc's candidate pairs are identical in whichever micro-batch
+    delivers it first, and state suppresses every later delivery."""
     cos = """SUM(CAST(t.v[j] AS DOUBLE) * CAST(c.cv[j] AS DOUBLE))
                / (SQRT(SUM(CAST(t.v[j] AS DOUBLE) * CAST(t.v[j] AS DOUBLE)))
                   * SQRT(SUM(CAST(c.cv[j] AS DOUBLE) * CAST(c.cv[j] AS DOUBLE))))"""
@@ -3103,9 +3111,15 @@ def _semantic_ingest_oracle(
            CASE WHEN b.cosine >= {tau} THEN 'dup_semantic'
                 ELSE 'new' END AS status,
            b.mid AS match_id,
-           b.cosine AS cosine
+           b.cosine AS cosine{_SEM_TS if with_ts else ""}
     FROM deltav d LEFT JOIN best b ON b.qid = d.id
     """
+
+
+_SEM_TS = """,
+           strftime(TIMESTAMP '2023-11-14 22:13:20'
+                    + to_seconds(CAST(d.id AS BIGINT)),
+                    '%Y-%m-%d %H:%M:%S') AS first_ts"""
 
 
 @query("ss_semantic_ingest", oracle=_semantic_ingest_oracle())
@@ -3131,6 +3145,58 @@ def ss_semantic_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = sampled_centroids(store_docs, n_cells=16)
     store = semantic_store(store_docs, dim=64, n_cells=16, centroids=cents)
     return semantic_ingest_dedup(delta, store, cents, dim=64, tau=0.38)
+
+
+@query(
+    "ev_semantic_ingest_2batch",
+    oracle=_semantic_ingest_oracle(with_ts=True),
+)
+def ev_semantic_ingest_2batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming semantic admission gate across TWO real micro-batches —
+    the streaming twin of ss_semantic_ingest: the delta docs (vec_id <
+    20) arrive even-ids-first, with the five even ids < 10 RE-DELIVERED
+    in batch 1; first-seen state must suppress the re-deliveries (
+    dropped state would re-emit them and change the row count), while
+    each doc's first batch reproduces the batch operator's best-match
+    answer exactly (the candidate pairs against the static store are
+    identical whichever batch delivers the doc).  Store never shuffles
+    the stream (stream-static broadcast LEFT join on cell)."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.similarity import (
+        sampled_centroids,
+        semantic_store,
+    )
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.streaming.events import (
+        streaming_semantic_ingest,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.col("vec_id")
+    store_docs = emb.filter(v >= 20)
+    cents = sampled_centroids(store_docs, n_cells=16)
+    store = semantic_store(store_docs, dim=64, n_cells=16, centroids=cents)
+    delta = emb.filter(v < 20).select(
+        "vec_id",
+        F.timestamp_seconds(F.lit(1700000000) + v).alias("ts"),
+        "embedding",
+    )
+    b0 = delta.filter(v % 2 == 0)
+    b1 = delta.filter(v % 2 == 1).unionByName(delta.filter((v % 2 == 0) & (v < 10)))
+    out = streaming_semantic_ingest(
+        _bounded_stream_batches(spark, [b0, b1], "semingest2"),
+        store,
+        cents,
+        dim=64,
+        tau=0.38,
+        watermark="87600 hours",
+    )
+    res = _run_stream(spark, out, "semantic_ingest_2batch_gate")
+    return res.select(
+        "id",
+        "status",
+        "match_id",
+        "cosine",
+        F.date_format("first_ts", "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+    )
 
 
 @query("ss_pq_rerank_topk", oracle=_pq_rerank_oracle())

@@ -597,3 +597,138 @@ def streaming_ingest_dedup(
     return streaming_first_seen(
         fresh, key_col="fingerprint", watermark=watermark, retention_ms=retention_ms
     )
+
+
+def streaming_semantic_ingest(
+    emb_stream: DataFrame,
+    store: DataFrame,
+    centroids: list[list[float]],
+    dim: int,
+    tau: float = 0.9,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+    retention_ms: int = 24 * 3600 * 1000,
+    round_to: int = 6,
+) -> DataFrame:
+    """Streaming semantic admission gate — the streaming twin of
+    operators.similarity.semantic_ingest_dedup: embedded documents
+    arrive as a stream, each row probes its n_probe nearest IVF cells
+    and LEFT-joins the persisted semantic_store stream-static on cell
+    (static side broadcast, so the store never shuffles the stream; a
+    cell-partitioned store scan is partition-prunable per micro-batch),
+    probed candidates score by exact cosine (both norms precomputed),
+    and a per-doc stateful reduce (applyInPandasWithState) emits the
+    best match + tau admission status EXACTLY ONCE per doc id —
+    a duplicate delivery in the same or any later micro-batch is
+    suppressed by first-seen state, evicted `retention_ms` past the
+    doc's event time.
+
+    The LEFT join is load-bearing: a doc whose probed cells hold no
+    store rows must still reach the reduce (status 'new', NULL match),
+    not vanish from the output.  NULL-cosine candidates (zero-norm on
+    either side) are ignored by the reduce, mirroring the batch
+    operator's isNotNull filter.
+
+    Output: (id, status ∈ {'dup_semantic', 'new'}, match_id, cosine,
+    first_ts)."""
+    import pandas as pd
+
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.similarity import (
+        _dot,
+        _norm,
+        _pq_usable,
+        _ranked_cells_expr,
+        cosine_pre,
+    )
+
+    ranked_cells = _ranked_cells_expr(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)], round_to
+    )
+    probes = emb_stream.filter(_pq_usable(vec_col, dim)).select(
+        F.col(id_col).cast("long").alias("q_id"),
+        F.col(ts_col).alias("ts"),
+        F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col)).alias("q_norm"),
+        F.explode(
+            F.transform(
+                F.slice(ranked_cells(F.col(vec_col)), 1, n_probe), lambda x: x["i"]
+            )
+        ).alias("cell"),
+    )
+    pairs = probes.join(F.broadcast(store), "cell", "left").select(
+        "q_id",
+        "ts",
+        F.col("id").alias("match_id"),
+        F.round(
+            cosine_pre(
+                _dot(F.col("q_vec"), F.col("vec")), F.col("q_norm"), F.col("norm")
+            ),
+            round_to,
+        ).alias("cosine"),
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("status", T.StringType()),
+            T.StructField("match_id", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+            T.StructField("first_ts", T.TimestampType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("max_ms", T.LongType())])
+
+    def reduce_best(key, pdfs, state):
+        if state.hasTimedOut:
+            state.remove()
+        elif state.exists:
+            # duplicate delivery of an already-admitted doc id: emit
+            # nothing, extend retention (same arming discipline as
+            # streaming_first_seen — eviction must never move earlier)
+            state.update((_drain_max_ms(pdfs, "ts", int(state.get[0])),))
+            state.setTimeoutTimestamp(int(state.get[0]) + retention_ms)
+        else:
+            rows = pd.concat(list(pdfs), ignore_index=True)
+            max_ms = int(rows["ts"].max().timestamp() * 1000)
+            state.update((max_ms,))
+            state.setTimeoutTimestamp(max_ms + retention_ms)
+            cand = rows.dropna(subset=["cosine"])
+            if len(cand):
+                best = cand.sort_values(
+                    ["cosine", "match_id"], ascending=[False, True]
+                ).iloc[0]
+                cos = float(best["cosine"])
+                yield pd.DataFrame(
+                    [
+                        {
+                            "id": int(key[0]),
+                            "status": "dup_semantic" if cos >= tau else "new",
+                            "match_id": int(best["match_id"]),
+                            "cosine": cos,
+                            "first_ts": rows["ts"].min(),
+                        }
+                    ]
+                )
+            else:
+                yield pd.DataFrame(
+                    [
+                        {
+                            "id": int(key[0]),
+                            "status": "new",
+                            "match_id": None,
+                            "cosine": None,
+                            "first_ts": rows["ts"].min(),
+                        }
+                    ]
+                )
+
+    return (
+        pairs.withWatermark("ts", watermark)
+        .groupBy("q_id")
+        .applyInPandasWithState(
+            reduce_best, out_schema, state_schema, "append", "EventTimeTimeout"
+        )
+    )

@@ -1364,3 +1364,74 @@ def test_streaming_ingest_dedup_store_and_state(spark, tmp_path):
         assert rows[4].n_dups == 0 and rows[7].n_dups == 0
     finally:
         q.stop()
+
+
+def test_streaming_semantic_ingest_state_and_nulls(spark, tmp_path):
+    """The streaming SEMANTIC admission gate: a doc near-colinear with a
+    store vector flags dup_semantic with that match; an orthogonal doc
+    is 'new' but reports its best sub-tau candidate; a doc whose probed
+    cell holds no store rows still emits ('new', NULL match) via the
+    LEFT stream-static join; a doc id re-delivered in a later
+    micro-batch is suppressed BY STATE (dropped state would re-emit
+    it)."""
+    import time as _time
+    from datetime import datetime
+
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.similarity import semantic_store
+
+    dim = 4
+    store_df = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 0.0]), (101, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    # two centroids: store rows both land in cell 0's half-space; cell 1
+    # (the -x axis) stays EMPTY so a delta doc probing only it exercises
+    # the left-join NULL path with n_probe=1
+    cents = [[1.0, 1.0, 0.0, 0.0], [-1.0, 0.0, 0.0, 0.0]]
+    store = semantic_store(store_df, dim=dim, n_cells=2, centroids=cents).localCheckpoint()
+
+    schema = "vec_id long, ts timestamp, embedding array<double>"
+
+    def doc(vid, minute, vec):
+        return (vid, datetime(2025, 1, 1, 12, minute), vec)
+
+    b1 = spark.createDataFrame(
+        [
+            doc(1, 0, [0.99, 0.05, 0.0, 0.0]),   # near store 100 -> dup_semantic
+            doc(2, 1, [0.0, 0.1, 0.7, 0.7]),     # far from all -> new + candidate
+            doc(3, 2, [-1.0, -0.2, 0.0, 0.0]),   # probes empty cell 1 -> new, NULL
+        ],
+        schema,
+    )
+    b2 = spark.createDataFrame(
+        [
+            doc(1, 10, [0.99, 0.05, 0.0, 0.0]),  # re-delivery -> state suppresses
+            doc(4, 11, [0.0, 0.98, 0.01, 0.0]),  # near store 101 -> dup_semantic
+        ],
+        schema,
+    )
+    src = tmp_path / "sem_stream"
+    b1.coalesce(1).write.mode("append").parquet(str(src))
+    _time.sleep(1.2)
+    b2.coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = SE.streaming_semantic_ingest(
+        stream, store, cents, dim=dim, tau=0.9, n_probe=1
+    )
+    q = SE.run_to_memory(out, "sem_gate_out")
+    try:
+        rows = {r.id: r for r in spark.sql("SELECT * FROM sem_gate_out").collect()}
+        assert set(rows) == {1, 2, 3, 4}  # doc 1 emitted ONCE (state)
+        assert rows[1].status == "dup_semantic" and rows[1].match_id == 100
+        assert rows[2].status == "new" and rows[2].match_id is not None
+        assert rows[2].cosine < 0.9
+        assert rows[3].status == "new" and rows[3].match_id is None
+        assert rows[3].cosine is None
+        assert rows[4].status == "dup_semantic" and rows[4].match_id == 101
+    finally:
+        q.stop()
