@@ -79,6 +79,10 @@ HEADLINE = [
     # broadcast idf + k-pruned window shuffle) not previously
     # wall-clock-tracked
     ("q21", "tx_tfidf_top_terms"),
+    # r06 addition: the semantic admission gate (delta vs persisted
+    # vector store — broadcast cell probes, store never shuffles) so
+    # the store-maintenance shape is scale-tracked from birth
+    ("q22", "ss_semantic_ingest"),
 ]
 
 # Load sentinel (r05 verdict ask #1): BENCH_r05 was recorded on a loaded

@@ -80,6 +80,7 @@ def test_bench_labels_frozen():
         "q19": "ss_pq_topk",
         "q20": "ss_ivf_pq_topk",
         "q21": "tx_tfidf_top_terms",
+        "q22": "ss_semantic_ingest",
     }
     got = dict(HEADLINE)
     labels = [label for label, _ in HEADLINE]
