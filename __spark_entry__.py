@@ -31,12 +31,12 @@ SF0001 = "/root/testdata/sf0.001"
 # (1) entries NEW this round (never driver-measured);
 # (2) ALL 36 entries last driver-measured in r03 (they hit the
 #     staleness limit this round — the r05 verdict's ask #2);
-# (3) oldest r04-measured entries backfilling the remaining 11 slots
+# (3) oldest r04-measured entries backfilling the remaining 10 slots
 #     (fixture/ML/kernel-heavy picks first), smoothing r07's load:
-#     after r06 the r04 cohort shrinks to 39 — next round's mandatory
+#     after r06 the r04 cohort shrinks to 40 — next round's mandatory
 #     set (incl. gb_gene_network, gk_eccentricity_closeness,
-#     gk_connected_components), which fits the 50-cap with ~11 slots
-#     for r07 additions and r05 pre-rotation.
+#     gk_connected_components, gk_connectivity), which fits the 50-cap
+#     with ~10 slots for r07 additions and r05 pre-rotation.
 # All entries pass the identical local gate (tools/check_oracle.py).
 # Rotation arithmetic for future rounds: 136 entries / 3-round window
 # = 45 re-measures per round minimum, so the 50-cap sustains the
@@ -48,6 +48,7 @@ _PRIORITY = [
     "ss_ivf_sq8_topk",
     "ss_semantic_ingest",
     "ev_semantic_ingest_2batch",
+    "dd_minhash_ingest",
     # -- (2) last measured in r03 (all 36) --
     "a12_row_votes",
     "a1_pricing_summary",
@@ -96,7 +97,6 @@ _PRIORITY = [
     "gk_pagerank",
     "gk_communities_modularity",
     "gk_diameter_radius",
-    "gk_connectivity",
 ]
 
 

@@ -199,29 +199,21 @@ def _sig_from_shingles(
     return sig.select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
 
 
-def _lsh_pairs_from_sig(
+def _band_explode(
     sig: DataFrame, num_hashes: int, bands: int, bucket_by_hash: bool
 ) -> DataFrame:
-    """(id, sig) → banded LSH candidate pairs (id_a, id_b, est_jaccard).
-
-    Candidates = pairs agreeing on ≥1 whole band; the band-bucket
-    equality join is the scale path (candidates ∝ near-dups, never n²).
-    bucket_by_hash=False keys the join on the band's raw value array —
-    wider shuffle key, but collision-free and oracle-replayable."""
+    """(id, sig) → (id, sig, band, bucket): one row per band, the banded
+    LSH key layout shared by the pair self-join, the persisted
+    minhash_store artifact, and the ingest gate's delta probes.
+    bucket_by_hash=False keys on the band's raw value array — wider
+    key, but collision-free and oracle-replayable."""
     rows_per_band = validate_banding(num_hashes, bands, "MinHash banding")
-
-    # the signature build (shingle explode + num_hashes-way min groupBy)
-    # is the expensive half, and the band self-join below derives it once
-    # PER SIDE (Spark shares no plan subtrees). One materialized pass —
-    # the in-engine analog of persisting the bucketed signature table at
-    # scale; (id, num_hashes longs) per doc, far smaller than the text.
-    sig = sig.localCheckpoint(eager=False)
 
     def _bucket(i: int):
         band_vals = F.slice("sig", i * rows_per_band + 1, rows_per_band)
         return F.xxhash64(band_vals) if bucket_by_hash else band_vals
 
-    banded = sig.select(
+    return sig.select(
         "id",
         "sig",
         F.explode(
@@ -233,6 +225,25 @@ def _lsh_pairs_from_sig(
             )
         ).alias("bb"),
     ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def _lsh_pairs_from_sig(
+    sig: DataFrame, num_hashes: int, bands: int, bucket_by_hash: bool
+) -> DataFrame:
+    """(id, sig) → banded LSH candidate pairs (id_a, id_b, est_jaccard).
+
+    Candidates = pairs agreeing on ≥1 whole band; the band-bucket
+    equality join is the scale path (candidates ∝ near-dups, never n²).
+    bucket_by_hash=False keys the join on the band's raw value array —
+    wider shuffle key, but collision-free and oracle-replayable."""
+    # the signature build (shingle explode + num_hashes-way min groupBy)
+    # is the expensive half, and the band self-join below derives it once
+    # PER SIDE (Spark shares no plan subtrees). One materialized pass —
+    # the in-engine analog of persisting the bucketed signature table at
+    # scale; (id, num_hashes longs) per doc, far smaller than the text.
+    sig = sig.localCheckpoint(eager=False)
+
+    banded = _band_explode(sig, num_hashes, bands, bucket_by_hash)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(b, ["band", "bucket"])
@@ -840,5 +851,103 @@ def ingest_dedup(
             .when(F.col("id") != F.col("_keeper"), F.lit("dup_batch"))
             .otherwise(F.lit("new"))
             .alias("status"),
+        )
+    )
+
+
+def minhash_store(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+    hash_fn=None,
+    bucket_by_hash: bool = True,
+) -> DataFrame:
+    """The persisted NEAR-DUP artifact incremental ingest probes — the
+    lexical sibling of fingerprint_store (exact) and semantic_store
+    (embedding): one row per (band, bucket) per corpus doc, carrying the
+    doc's full MinHash signature: (id, sig, band, bucket).  At 100 TB
+    write this partitioned by band and bucketed by bucket; append each
+    accepted delta's banded signatures to it between runs.  The banding
+    parameters are the store's SCHEMA — every later
+    minhash_ingest_dedup must probe with the identical (k, num_hashes,
+    bands, seed, hash family) or buckets would never match."""
+    sig = minhash_signatures(df, id_col, text_col, k, num_hashes, seed, hash_fn)
+    return _band_explode(sig, num_hashes, bands, bucket_by_hash)
+
+
+def minhash_ingest_dedup(
+    incoming: DataFrame,
+    store_banded: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    seed: int = 42,
+    hash_fn=None,
+    bucket_by_hash: bool = True,
+) -> DataFrame:
+    """Incremental NEAR-DUP dedup of a delta batch against the persisted
+    banded-signature store — the third admission gate, completing the
+    trio: exact (ingest_dedup, fingerprints), near-dup lexical (this,
+    MinHash/LSH), semantic (semantic_ingest_dedup, embeddings).  Each
+    new crawl batch is screened against everything already accepted
+    WITHOUT recomputing (or reshuffling) the corpus signatures.
+
+    Returns one row per incoming doc: (id, status ∈ {'dup_near', 'new'},
+    match_id, est_jaccard) — match = the store doc with the highest
+    signature-agreement estimate among band-bucket collisions (ties:
+    smallest store id), reported for sub-threshold rows too; NULL when
+    no store bucket collided (including docs too short to shingle).
+
+    Scale shape — the store NEVER shuffles: the delta's banded
+    signatures (bands rows per delta doc) broadcast onto ONE store scan
+    as a hash join on (band, bucket); per-pair work is one zip_with
+    agreement count over num_hashes longs; a pair colliding in several
+    bands costs extra candidate rows, never a wrong answer (max/argmax
+    absorbs duplicates, so no dropDuplicates exchange is needed); the
+    only exchange is the delta-sized signature groupBy + per-doc max
+    (both map-side combined).  Plan-guarded in test_plan_shapes."""
+    sig = minhash_signatures(
+        incoming, id_col, text_col, k, num_hashes, seed, hash_fn
+    ).localCheckpoint(eager=False)
+    probes = _band_explode(sig, num_hashes, bands, bucket_by_hash).select(
+        F.col("id").alias("q_id"), F.col("sig").alias("q_sig"), "band", "bucket"
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("q_sig", "sig", lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    )
+    scored = store_banded.join(F.broadcast(probes), ["band", "bucket"]).select(
+        "q_id",
+        F.col("id").alias("match_id"),
+        F.round(agree / F.lit(num_hashes), 6).alias("est_jaccard"),
+    )
+    best = scored.groupBy("q_id").agg(
+        F.max("est_jaccard").alias("est_jaccard"),
+        F.min_by(
+            "match_id",
+            F.struct(
+                (-F.col("est_jaccard")).alias("ne"), F.col("match_id").alias("mid")
+            ),
+        ).alias("match_id"),
+    )
+    return (
+        incoming.select(F.col(id_col).alias("q_id"))
+        .join(F.broadcast(best), "q_id", "left")
+        .select(
+            F.col("q_id").alias("id"),
+            F.when(F.col("est_jaccard") >= threshold, F.lit("dup_near"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+            "match_id",
+            "est_jaccard",
         )
     )

@@ -1913,6 +1913,119 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("est_jaccard") >= 0.25)
 
 
+def _minhash_ingest_oracle(
+    num_hashes: int = 32, bands: int = 8, threshold: float = 0.25
+) -> str:
+    """DuckDB twin of minhash_ingest_dedup over minhash_store: store =
+    doc_id % 10 < 8; delta = the rest PLUS re-idded store clones (which
+    must flag dup_near at est 1.0).  Same affine md5-family signatures
+    as dd_minhash_lsh; candidates = delta×store pairs agreeing on ≥1
+    whole band; per delta doc the best match (max estimate, ties
+    smallest store id) and the threshold status; docs with no bucket
+    collision (or too short to shingle) stay 'new' with NULL match."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.dedup import (
+        _MERSENNE,
+        _hash_coeffs,
+    )
+
+    rpb = num_hashes // bands
+    mins = ",\n           ".join(
+        f"CAST(MIN((h * {a} + {b}) % {_MERSENNE}) AS BIGINT) AS h{i}"
+        for i, (a, b) in enumerate(_hash_coeffs(num_hashes, seed=42))
+    )
+    band_conds = "\n        OR ".join(
+        "("
+        + " AND ".join(f"a.h{b * rpb + j} = s.h{b * rpb + j}" for j in range(rpb))
+        + ")"
+        for b in range(bands)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN a.h{i} = s.h{i} THEN 1 ELSE 0 END)" for i in range(num_hashes)
+    )
+    return f"""
+    WITH alltx AS (
+      SELECT doc_id AS id, text, 0 AS side FROM documents WHERE doc_id % 10 < 8
+      UNION ALL
+      SELECT doc_id AS id, text, 1 AS side FROM documents WHERE doc_id % 10 >= 8
+      UNION ALL
+      SELECT doc_id + 1000000 AS id, text, 1 AS side FROM documents
+      WHERE doc_id % 10 < 8 AND doc_id % 37 = 0
+    ), toks AS (
+      SELECT id, side, string_split({_NORM_SQL}, ' ') AS t FROM alltx
+    ), pos AS (
+      SELECT id, side, t,
+             unnest(CASE WHEN len(t) >= 3 THEN generate_series(1, len(t) - 2)
+                         ELSE CAST([] AS BIGINT[]) END) AS i
+      FROM toks
+    ), sh AS (
+      SELECT DISTINCT id, side,
+             array_to_string(list_slice(t, i, i + 2), ' ') AS shingle
+      FROM pos
+    ), th AS (
+      SELECT id, side, {_MD5_60.format(c="shingle")} % {_MERSENNE} AS h FROM sh
+    ), sig AS MATERIALIZED (
+      SELECT id, side,
+           {mins}
+      FROM th GROUP BY id, side
+    ), cand AS (
+      SELECT a.id AS qid, s.id AS mid,
+             ROUND(({agree}) / {num_hashes}.0, 6) AS est
+      FROM (SELECT * FROM sig WHERE side = 1) a
+      JOIN (SELECT * FROM sig WHERE side = 0) s
+        ON ({band_conds})
+    ), best AS (
+      SELECT qid, mid, est FROM (
+        SELECT qid, mid, est,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY est DESC, mid ASC) AS rn
+        FROM cand
+      ) WHERE rn = 1
+    )
+    SELECT d.id AS id,
+           CASE WHEN b.est >= {threshold} THEN 'dup_near' ELSE 'new' END AS status,
+           b.mid AS match_id,
+           b.est AS est_jaccard
+    FROM (SELECT id FROM alltx WHERE side = 1) d
+    LEFT JOIN best b ON b.qid = d.id
+    """
+
+
+@query("dd_minhash_ingest", oracle=_minhash_ingest_oracle())
+def dd_minhash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup admission gate (r06) — the third of the trio (exact
+    fingerprints / MinHash near-dup / semantic embeddings): each delta
+    batch screens against the persisted banded-signature minhash_store
+    of everything already accepted; the delta is salted with re-idded
+    store clones which MUST flag dup_near at est 1.0.  Store never
+    shuffles (one scan, broadcast delta probes on (band, bucket));
+    multi-band collisions are absorbed by the max/argmax, no
+    dropDuplicates exchange.  Portable md5 family + band-content
+    buckets so the oracle replays signatures, banding, candidate join,
+    and best-match selection end-to-end."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.dedup import (
+        minhash_ingest_dedup,
+        minhash_store,
+        portable_token_hash,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    store = minhash_store(
+        docs.filter(d % 10 < 8), hash_fn=portable_token_hash, bucket_by_hash=False
+    )
+    incoming = docs.filter(d % 10 >= 8).unionByName(
+        docs.filter((d % 10 < 8) & (d % 37 == 0)).select(
+            (d + 1000000).alias("doc_id"), "text"
+        )
+    )
+    return minhash_ingest_dedup(
+        incoming,
+        store,
+        threshold=0.25,
+        hash_fn=portable_token_hash,
+        bucket_by_hash=False,
+    )
+
+
 def _dup_clusters_oracle() -> str:
     """Recursive-closure twin of dup_clusters over the portable-LSH pair
     graph (threshold 0.5): transitive closure via recursive CTE, MIN

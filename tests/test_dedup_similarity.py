@@ -1582,3 +1582,55 @@ def test_semantic_ingest_dedup_semantics(spark):
         ).collect()
     }
     assert again == out
+
+
+def test_minhash_ingest_dedup_semantics(spark):
+    """Near-dup admission gate contract: a verbatim clone of a store doc
+    flags dup_near at est 1.0 against that doc; a lightly-edited
+    near-copy flags dup_near sub-1.0; disjoint text stays 'new' (NULL
+    match when no band collides); a doc too short to shingle still
+    emits ('new', NULL).  Partition-invariant."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.dedup import (
+        minhash_ingest_dedup,
+        minhash_store,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill every single afternoon"
+    )
+    near = base.replace("warm windowsill", "cold doorstep")
+    store_docs = spark.createDataFrame(
+        [(100, base), (101, "completely different content about spark plans " * 3)],
+        "doc_id long, text string",
+    )
+    store = minhash_store(store_docs).localCheckpoint()
+    incoming = spark.createDataFrame(
+        [
+            (1, base),          # verbatim clone -> dup_near est 1.0
+            (2, near),          # near-copy -> dup_near < 1.0
+            (3, "entirely unrelated words nothing shared here at all "
+                "with zebras and quasars and tubas in a marching band"),
+            (4, "too short"),   # < k tokens -> no shingles -> new, NULL
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.id: (r.status, r.match_id, r.est_jaccard)
+        for r in minhash_ingest_dedup(incoming, store, threshold=0.5).collect()
+    }
+    assert len(out) == 4
+    assert out[1] == ("dup_near", 100, 1.0)
+    st2, m2, e2 = out[2]
+    assert st2 == "dup_near" and m2 == 100 and 0.5 <= e2 < 1.0
+    st3, m3, _e3 = out[3]
+    assert st3 == "new" and m3 != 100  # may bucket-collide with 101 only by chance
+    assert out[4][0] == "new" and out[4][1] is None and out[4][2] is None
+
+    again = {
+        r.id: (r.status, r.match_id, r.est_jaccard)
+        for r in minhash_ingest_dedup(
+            incoming.repartition(5), store.repartition(3), threshold=0.5
+        ).collect()
+    }
+    assert again == out

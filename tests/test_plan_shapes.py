@@ -502,3 +502,37 @@ def test_semantic_ingest_store_dpp_and_single_exchange(spark, tmp_path):
     assert p.count("BroadcastHashJoin") >= 2  # probe join + final rejoin
     assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1  # per-doc max agg
     assert out.count() == delta.count()
+
+
+def test_minhash_ingest_store_scan_never_shuffles(spark, tmp_path):
+    """minhash_ingest_dedup's store contract (the lexical sibling of the
+    fingerprint and semantic gate guards): the persisted banded-
+    signature store contributes one parquet scan and ZERO exchanges —
+    the delta's banded signatures broadcast onto it as a hash join on
+    (band, bucket); every wide exchange is delta-bounded (the delta
+    signature groupBy inside the checkpoint, plus the per-doc max)."""
+    import re
+
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.dedup import (
+        minhash_ingest_dedup,
+        minhash_store,
+    )
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.schemas import load_table
+
+    docs = load_table(spark, SF0001, "documents").select("doc_id", "text")
+    store_path = str(tmp_path / "mh_store.parquet")
+    minhash_store(docs.filter(F.col("doc_id") % 10 < 8)).write.parquet(store_path)
+    store = spark.read.parquet(store_path)
+    delta = docs.filter(F.col("doc_id") % 10 >= 8)
+
+    p = plan_of(minhash_ingest_dedup(delta, store))
+    store_scans = [
+        line for line in p.splitlines() if "Scan parquet" in line or "Location" in line
+    ]
+    assert sum("mh_store.parquet" in line for line in store_scans) == 1
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    assert "CartesianProduct" not in p
+    # delta-bounded exchanges only: the per-doc max aggregation (the
+    # delta signature groupBy lives inside the lazy localCheckpoint)
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) <= 2
