@@ -38,11 +38,14 @@ SF0001 = "/root/testdata/sf0.001"
 #     gk_connected_components, gk_connectivity), which fits the 50-cap
 #     with ~10 slots for r07 additions and r05 pre-rotation.
 # All entries pass the identical local gate (tools/check_oracle.py).
-# Rotation arithmetic for future rounds: 136 entries / 3-round window
-# = 45 re-measures per round minimum, so the 50-cap sustains the
-# contract with ~5 slots/round of headroom for NEW entries.  r07 must
-# measure: the 36 r04-measured leftovers + newest additions first,
-# then the oldest r05 entries.
+# Rotation arithmetic for future rounds: 140 entries / 3-round window
+# = 47 re-measures per round minimum, so the 50-cap sustains the
+# contract with ~3 slots/round of steady-state headroom.  SUSTAINABILITY
+# CEILING: at 150 entries the contract consumes the whole 50-cap — any
+# growth past ~146 should retire a redundant entry per addition (e.g.
+# fold near-duplicate shapes into their strongest representative).
+# r07 must measure: the 40 r04-measured leftovers + newest additions
+# first, then the oldest r05 entries.
 _PRIORITY = [
     # -- (1) new in r06 --
     "ss_ivf_sq8_topk",

@@ -191,15 +191,12 @@ def main() -> None:
             break
         print(
             f"# round {round_i + 1} dirty (calib {calib_before}/{calib_after}s "
-            f"vs band {CALIB_BAND_SEC}s) — re-running",
+            f"vs band {CALIB_BAND_SEC}s)"
+            + (" — re-running" if round_i < MAX_ROUNDS - 1 else " — out of rounds"),
             file=sys.stderr,
         )
-    if not best:
-        # every round skipped on a hot box: measure once, marked dirty
-        for label, name in HEADLINE:
-            t0 = time.time()
-            rows_seen[label] = QUERIES[name](spark, sf_dir).count()
-            best[label] = time.time() - t0
+    # `best` is always populated: the skip branch requires
+    # round_i < MAX_ROUNDS - 1, so the final round always measures
 
     timings: dict[str, float] = {}
     total = 0.0

@@ -617,8 +617,13 @@ def streaming_semantic_ingest(
     operators.similarity.semantic_ingest_dedup: embedded documents
     arrive as a stream, each row probes its n_probe nearest IVF cells
     and LEFT-joins the persisted semantic_store stream-static on cell
-    (static side broadcast, so the store never shuffles the stream; a
-    cell-partitioned store scan is partition-prunable per micro-batch),
+    (static side broadcast, so the store never shuffles the stream —
+    but note the store IS the broadcast build side here, scanned and
+    broadcast once per micro-batch: right for a store that fits the
+    broadcast budget; for a corpus-scale store, apply the BATCH
+    semantic_ingest_dedup per micro-batch via foreachBatch instead —
+    there the store is the probe side and dynamic partition pruning
+    bounds its scan to the probed cells),
     probed candidates score by exact cosine (both norms precomputed),
     and a per-doc stateful reduce (applyInPandasWithState) emits the
     best match + tau admission status EXACTLY ONCE per doc id —

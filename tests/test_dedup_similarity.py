@@ -1393,8 +1393,9 @@ def test_ingest_dedup_statuses_and_store_never_shuffles(spark):
     too); a batch-internal repeat keeps its min-id row as 'new' and
     marks the rest dup_batch; NULL/non-Latin texts ride the same
     fingerprint fallback as exact_dedup.  Plan: the store side joins
-    via broadcast (one scan, no store shuffle) — the only exchange is
-    the delta-sized keeper groupBy."""
+    via broadcast (one scan, no store shuffle) — every exchange is
+    delta-bounded (the distinct feeding the broadcast build, the
+    matched-set distinct, the keeper window)."""
     import re
 
     from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.dedup import (

@@ -132,11 +132,13 @@ def bench_subset(sf_dir: str, names: list[str]) -> dict:
 
 
 def main() -> None:
-    k = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    args = sys.argv[1:]
     subset = None
-    if "--subset" in sys.argv:
-        i = sys.argv.index("--subset")
-        subset = sys.argv[i + 1 :] or SUBSET_DEFAULT
+    if "--subset" in args:
+        i = args.index("--subset")
+        subset = args[i + 1 :] or SUBSET_DEFAULT
+        args = args[:i]
+    k = int(args[0]) if args else 8
     dst = os.path.abspath(f".scratch/sf{k}x")
     if not os.path.exists(f"{dst}/lineitem.parquet"):
         print(f"# building {dst} (K={k})", file=sys.stderr)
