@@ -870,8 +870,14 @@ def minhash_store(
     lexical sibling of fingerprint_store (exact) and semantic_store
     (embedding): one row per (band, bucket) per corpus doc, carrying the
     doc's full MinHash signature: (id, sig, band, bucket).  At 100 TB
-    write this partitioned by band and bucketed by bucket; append each
-    accepted delta's banded signatures to it between runs.  The banding
+    write this partitioned by band and bucketed by bucket — that layout
+    applies to the default bucket_by_hash=True, where the bucket is a
+    single xxhash64 long; with bucket_by_hash=False (the
+    oracle-replayable raw layout) the bucket column is the band's raw
+    array<bigint> slice, not a valid partitionBy/bucketBy column, so
+    derive a partitioning column from it (e.g. xxhash64 of the slice)
+    first.  Append each accepted delta's banded signatures to it
+    between runs.  The banding
     parameters are the store's SCHEMA — every later
     minhash_ingest_dedup must probe with the identical (k, num_hashes,
     bands, seed, hash family) or buckets would never match."""
@@ -913,6 +919,13 @@ def minhash_ingest_dedup(
     absorbs duplicates, so no dropDuplicates exchange is needed); the
     only exchange is the delta-sized signature groupBy + per-doc max
     (both map-side combined).  Plan-guarded in test_plan_shapes."""
+    # checkpointing the delta signatures is SAFE here, unlike in
+    # semantic_ingest_dedup: the store probe is a plain hash join on
+    # (band, bucket) — no partition-pruning to lose — whereas the
+    # semantic gate's store scan relies on dynamic partition pruning,
+    # which a probe-side localCheckpoint silently kills (it erases the
+    # selective predicate DPP needs).  Do NOT copy this checkpoint into
+    # the semantic gate for "consistency".
     sig = minhash_signatures(
         incoming, id_col, text_col, k, num_hashes, seed, hash_fn
     ).localCheckpoint(eager=False)

@@ -1347,12 +1347,18 @@ def semantic_ingest_dedup(
     corpus.  The store is semantic_store's output; `centroids` must be
     the ones the store was built with (they define its cells).
 
-    Returns one row per usable incoming doc:
-    (id, status ∈ {'dup_semantic', 'new'}, match_id, cosine) — match =
-    the store's highest-cosine neighbor among the probed cells (ties:
-    smallest store id), reported for 'new' rows too (it is the
-    evidence for tuning tau); NULL only when no probed cell held any
-    store row.
+    Returns one row per incoming doc — the same one-row-per-doc
+    contract as the exact (ingest_dedup) and lexical
+    (minhash_ingest_dedup) gates, so the three admission decisions
+    union cleanly: (id, status ∈ {'dup_semantic', 'new', 'unusable'},
+    match_id, cosine).  match = the store's highest-cosine neighbor
+    among the probed cells (ties: smallest store id), reported for
+    'new' rows too (it is the evidence for tuning tau); NULL when no
+    probed cell held any store row.  Docs whose embedding fails the
+    usability predicate (NULL vector, NULL element, wrong dim) are NOT
+    silently dropped: they get status 'unusable' with NULL
+    match/cosine — a malformed-embedding doc must surface in the
+    admission log, not vanish from it.
 
     Scale shape — the store NEVER shuffles and (partitioned by cell)
     is never fully scanned: the delta explodes to n_probe (cell, query)
@@ -1404,12 +1410,20 @@ def semantic_ingest_dedup(
             F.struct((-F.col("cosine")).alias("nc"), F.col("match_id").alias("mid")),
         ).alias("match_id"),
     )
+    # rejoin over ALL incoming ids (not the usable delta): unusable docs
+    # produced no probes, so `best` has no row for them and the left
+    # join leaves match/cosine NULL — the _usable flag routes them to a
+    # distinct status instead of a false 'new' admission
+    base = incoming.select(
+        F.col(id_col).alias("q_id"),
+        _pq_usable(vec_col, dim).alias("_usable"),
+    )
     return (
-        delta.select("q_id")
-        .join(F.broadcast(best), "q_id", "left")
+        base.join(F.broadcast(best), "q_id", "left")
         .select(
             F.col("q_id").alias("id"),
-            F.when(F.col("cosine") >= tau, F.lit("dup_semantic"))
+            F.when(~F.col("_usable"), F.lit("unusable"))
+            .when(F.col("cosine") >= tau, F.lit("dup_semantic"))
             .otherwise(F.lit("new"))
             .alias("status"),
             "match_id",

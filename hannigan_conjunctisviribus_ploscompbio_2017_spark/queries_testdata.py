@@ -3145,10 +3145,13 @@ def _semantic_ingest_oracle(
 ) -> str:
     """DuckDB twin of semantic_ingest_dedup over semantic_store: store =
     usable vectors with id >= 20 (cells from the md5-first centroid
-    sample of the store side), delta = usable id < 20; per delta doc the
-    probed-cell best match (max cosine, ties smallest store id) and the
-    tau admission flag, NULL-cosine pairs excluded exactly as the
-    engine's isNotNull filter does.  with_ts adds the synthetic
+    sample of the store side), delta = usable id < 20; EVERY incoming
+    id < 20 emits a row (status 'unusable' when its embedding fails
+    the usability predicate — the gates' one-row-per-incoming-doc
+    contract); per usable delta doc the probed-cell best match (max
+    cosine, ties smallest store id) and the tau admission flag,
+    NULL-cosine pairs excluded exactly as the engine's isNotNull
+    filter does.  with_ts adds the synthetic
     event-time column the STREAMING twin (ev_semantic_ingest_2batch)
     emits — the streamed answer collapses to the batch one because a
     doc's candidate pairs are identical in whichever micro-batch
@@ -3166,6 +3169,9 @@ def _semantic_ingest_oracle(
         AND len(v) = {dim}
     ), storev AS MATERIALIZED (SELECT id, v FROM usable WHERE id >= 20
     ), deltav AS MATERIALIZED (SELECT id, v FROM usable WHERE id < 20
+    ), incomingv AS MATERIALIZED (
+      SELECT id, (id IN (SELECT id FROM usable)) AS usable
+      FROM vecs WHERE id < 20
     ), cents AS MATERIALIZED (
       SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(id AS VARCHAR))) - 1 AS ci,
              v AS cv
@@ -3221,11 +3227,12 @@ def _semantic_ingest_oracle(
       ) WHERE rn = 1
     )
     SELECT d.id AS id,
-           CASE WHEN b.cosine >= {tau} THEN 'dup_semantic'
+           CASE WHEN NOT d.usable THEN 'unusable'
+                WHEN b.cosine >= {tau} THEN 'dup_semantic'
                 ELSE 'new' END AS status,
            b.mid AS match_id,
            b.cosine AS cosine{_SEM_TS if with_ts else ""}
-    FROM deltav d LEFT JOIN best b ON b.qid = d.id
+    FROM incomingv d LEFT JOIN best b ON b.qid = d.id
     """
 
 

@@ -635,10 +635,17 @@ def streaming_semantic_ingest(
     store rows must still reach the reduce (status 'new', NULL match),
     not vanish from the output.  NULL-cosine candidates (zero-norm on
     either side) are ignored by the reduce, mirroring the batch
-    operator's isNotNull filter.
+    operator's isNotNull filter.  Docs whose embedding fails the
+    usability predicate ride through with a NULL probe cell
+    (explode_outer) and emit status 'unusable' — the batch twin's
+    one-row-per-incoming-doc contract, not a silent drop.  The group
+    key keeps the stream's NATIVE id type (long ids stay long, string
+    ids stay string — a cast would NULL out non-numeric ids and
+    collapse every such doc into one state group).
 
-    Output: (id, status ∈ {'dup_semantic', 'new'}, match_id, cosine,
-    first_ts)."""
+    Output: (id, status ∈ {'dup_semantic', 'new', 'unusable'},
+    match_id, cosine, first_ts) — id typed as the input id column,
+    match_id as the store's id column."""
     import pandas as pd
 
     from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.similarity import (
@@ -652,20 +659,30 @@ def streaming_semantic_ingest(
     ranked_cells = _ranked_cells_expr(
         [(i, [float(x) for x in c]) for i, c in enumerate(centroids)], round_to
     )
-    probes = emb_stream.filter(_pq_usable(vec_col, dim)).select(
-        F.col(id_col).cast("long").alias("q_id"),
+    usable = _pq_usable(vec_col, dim)
+    probes = emb_stream.select(
+        F.col(id_col).alias("q_id"),
         F.col(ts_col).alias("ts"),
+        usable.alias("_usable"),
         F.col(vec_col).alias("q_vec"),
-        _norm(F.col(vec_col)).alias("q_norm"),
-        F.explode(
-            F.transform(
-                F.slice(ranked_cells(F.col(vec_col)), 1, n_probe), lambda x: x["i"]
+        F.when(usable, _norm(F.col(vec_col))).alias("q_norm"),
+        # explode_outer, not explode: an unusable doc has NULL probes
+        # and must keep exactly one (NULL-cell) row so it reaches the
+        # reduce — a plain explode would drop it from the stream
+        F.explode_outer(
+            F.when(
+                usable,
+                F.transform(
+                    F.slice(ranked_cells(F.col(vec_col)), 1, n_probe),
+                    lambda x: x["i"],
+                ),
             )
         ).alias("cell"),
     )
     pairs = probes.join(F.broadcast(store), "cell", "left").select(
         "q_id",
         "ts",
+        "_usable",
         F.col("id").alias("match_id"),
         F.round(
             cosine_pre(
@@ -675,11 +692,14 @@ def streaming_semantic_ingest(
         ).alias("cosine"),
     )
 
+    id_type = emb_stream.schema[id_col].dataType
+    match_type = store.schema["id"].dataType
+    int_types = (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
     out_schema = T.StructType(
         [
-            T.StructField("id", T.LongType()),
+            T.StructField("id", id_type),
             T.StructField("status", T.StringType()),
-            T.StructField("match_id", T.LongType()),
+            T.StructField("match_id", match_type),
             T.StructField("cosine", T.DoubleType()),
             T.StructField("first_ts", T.TimestampType()),
         ]
@@ -700,35 +720,32 @@ def streaming_semantic_ingest(
             max_ms = int(rows["ts"].max().timestamp() * 1000)
             state.update((max_ms,))
             state.setTimeoutTimestamp(max_ms + retention_ms)
-            cand = rows.dropna(subset=["cosine"])
-            if len(cand):
-                best = cand.sort_values(
-                    ["cosine", "match_id"], ascending=[False, True]
-                ).iloc[0]
-                cos = float(best["cosine"])
-                yield pd.DataFrame(
-                    [
-                        {
-                            "id": int(key[0]),
-                            "status": "dup_semantic" if cos >= tau else "new",
-                            "match_id": int(best["match_id"]),
-                            "cosine": cos,
-                            "first_ts": rows["ts"].min(),
-                        }
-                    ]
-                )
+            out = {
+                "id": key[0],
+                "status": "new",
+                "match_id": None,
+                "cosine": None,
+                "first_ts": rows["ts"].min(),
+            }
+            if not bool(rows["_usable"].iloc[0]):
+                out["status"] = "unusable"
             else:
-                yield pd.DataFrame(
-                    [
-                        {
-                            "id": int(key[0]),
-                            "status": "new",
-                            "match_id": None,
-                            "cosine": None,
-                            "first_ts": rows["ts"].min(),
-                        }
-                    ]
-                )
+                cand = rows.dropna(subset=["cosine"])
+                if len(cand):
+                    best = cand.sort_values(
+                        ["cosine", "match_id"], ascending=[False, True]
+                    ).iloc[0]
+                    cos = float(best["cosine"])
+                    out["status"] = "dup_semantic" if cos >= tau else "new"
+                    out["cosine"] = cos
+                    # the left join floats integer store ids (NULL
+                    # padding) — restore the declared integral type
+                    out["match_id"] = (
+                        int(best["match_id"])
+                        if isinstance(match_type, int_types)
+                        else best["match_id"]
+                    )
+            yield pd.DataFrame([out])
 
     return (
         pairs.withWatermark("ts", watermark)

@@ -1535,8 +1535,11 @@ def test_semantic_ingest_dedup_semantics(spark):
     best (sub-tau) candidate; a zero-norm STORE row must never hijack
     match_id (NULL-cosine pairs are filtered before the min_by — the
     struct-ordering hazard documented in the operator); a zero-norm
-    DELTA doc gets status 'new' with NULL match.  Results are
-    partition-invariant."""
+    DELTA doc gets status 'new' with NULL match; a MALFORMED delta
+    embedding (NULL vector / wrong dim / NULL element) is never
+    silently dropped — it emits status 'unusable' with NULL
+    match/cosine (r06 ADVICE: the gates' one-row-per-incoming-doc
+    contract).  Results are partition-invariant."""
     from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.similarity import (
         semantic_ingest_dedup,
         semantic_store,
@@ -1553,6 +1556,9 @@ def test_semantic_ingest_dedup_semantics(spark):
         (1, [0.99, 0.05, 0.0, 0.0]),  # near 100/103 -> dup_semantic
         (2, [0.0, 0.0, 0.7, 0.7]),    # orthogonal to all -> new
         (3, [0.0, 0.0, 0.0, 0.0]),    # zero-norm delta -> new, NULL match
+        (4, None),                    # NULL vector -> unusable
+        (5, [1.0, 0.0]),              # wrong dim -> unusable
+        (6, [1.0, None, 0.0, 0.0]),   # NULL element -> unusable
     ]
     store_df = spark.createDataFrame(store_rows, "vec_id long, embedding array<double>")
     delta_df = spark.createDataFrame(delta_rows, "vec_id long, embedding array<double>")
@@ -1566,7 +1572,7 @@ def test_semantic_ingest_dedup_semantics(spark):
             delta_df, store, cents, dim=dim, tau=0.9, n_probe=1
         ).collect()
     }
-    assert len(out) == 3
+    assert len(out) == 6
     st1, m1, c1 = out[1]
     assert st1 == "dup_semantic" and m1 in (100, 103) and c1 >= 0.9
     st2, m2, c2 = out[2]
@@ -1574,6 +1580,8 @@ def test_semantic_ingest_dedup_semantics(spark):
     assert m2 != 102  # the zero-norm store row never matches
     st3, m3, c3 = out[3]
     assert st3 == "new" and m3 is None and c3 is None
+    for bad in (4, 5, 6):
+        assert out[bad] == ("unusable", None, None), (bad, out[bad])
 
     again = {
         r.id: (r.status, r.match_id, r.cosine)

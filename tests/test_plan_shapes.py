@@ -504,13 +504,35 @@ def test_semantic_ingest_store_dpp_and_single_exchange(spark, tmp_path):
     assert out.count() == delta.count()
 
 
+def _tree_ancestors(plan: str, node_line_pred):
+    """Lines on the path from the first tree node matching
+    `node_line_pred` up to the root of the formatted-explain operator
+    tree (parents = the nearest preceding lines at strictly shallower
+    branch-art indentation)."""
+    tree = plan.split("\n\n")[0].splitlines()
+
+    def depth(line: str) -> int:
+        return len(line) - len(line.lstrip(" :+-"))
+
+    idx = next(i for i, l in enumerate(tree) if node_line_pred(l))
+    chain, d = [], depth(tree[idx])
+    for l in reversed(tree[:idx]):
+        if depth(l) < d:
+            chain.append(l)
+            d = depth(l)
+    return chain
+
+
 def test_minhash_ingest_store_scan_never_shuffles(spark, tmp_path):
     """minhash_ingest_dedup's store contract (the lexical sibling of the
     fingerprint and semantic gate guards): the persisted banded-
     signature store contributes one parquet scan and ZERO exchanges —
     the delta's banded signatures broadcast onto it as a hash join on
-    (band, bucket); every wide exchange is delta-bounded (the delta
-    signature groupBy inside the checkpoint, plus the per-doc max)."""
+    (band, bucket); the plan's SINGLE exchange is the delta-bounded
+    per-doc max aggregation (the delta signature groupBy lives inside
+    the lazy localCheckpoint), pinned exactly, and the path from the
+    store scan to its join is exchange-free (r06 ADVICE: the ≤2 bound
+    could hide a store-side exchange)."""
     import re
 
     from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.dedup import (
@@ -533,6 +555,20 @@ def test_minhash_ingest_store_scan_never_shuffles(spark, tmp_path):
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
     assert "CartesianProduct" not in p
-    # delta-bounded exchanges only: the per-doc max aggregation (the
-    # delta signature groupBy lives inside the lazy localCheckpoint)
-    assert len(re.findall(r"\(\d+\) Exchange\b", p)) <= 2
+    # exactly ONE wide exchange: the per-doc max aggregation
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1
+    # and it sits on the delta (post-join aggregate) side: walking up
+    # from the store's parquet scan to its consuming join crosses no
+    # Exchange — the store is the join's streamed side, never shuffled
+    m = re.search(r"\((\d+)\) Scan parquet[^\n]*\n(?:(?!\(\d+\) )[^\n]*\n){0,8}?"
+                  r"[^\n]*mh_store\.parquet", p)
+    assert m, "store scan node not found in plan details"
+    node = f"Scan parquet  ({m.group(1)})"
+    chain = _tree_ancestors(p, lambda l: node in l)
+    to_join = []
+    for line in chain:
+        to_join.append(line)
+        if "Join" in line:
+            break
+    assert any("Join" in l for l in to_join), to_join
+    assert not any("Exchange" in l for l in to_join), to_join

@@ -1373,7 +1373,8 @@ def test_streaming_semantic_ingest_state_and_nulls(spark, tmp_path):
     cell holds no store rows still emits ('new', NULL match) via the
     LEFT stream-static join; a doc id re-delivered in a later
     micro-batch is suppressed BY STATE (dropped state would re-emit
-    it)."""
+    it); a malformed embedding (wrong dim) emits status 'unusable'
+    instead of vanishing (r06 ADVICE: one row per incoming doc)."""
     import time as _time
     from datetime import datetime
 
@@ -1400,6 +1401,7 @@ def test_streaming_semantic_ingest_state_and_nulls(spark, tmp_path):
             doc(1, 0, [0.99, 0.05, 0.0, 0.0]),   # near store 100 -> dup_semantic
             doc(2, 1, [0.0, 0.1, 0.7, 0.7]),     # far from all -> new + candidate
             doc(3, 2, [-1.0, -0.2, 0.0, 0.0]),   # probes empty cell 1 -> new, NULL
+            doc(5, 3, [1.0, 0.0]),               # wrong dim -> unusable
         ],
         schema,
     )
@@ -1426,12 +1428,57 @@ def test_streaming_semantic_ingest_state_and_nulls(spark, tmp_path):
     q = SE.run_to_memory(out, "sem_gate_out")
     try:
         rows = {r.id: r for r in spark.sql("SELECT * FROM sem_gate_out").collect()}
-        assert set(rows) == {1, 2, 3, 4}  # doc 1 emitted ONCE (state)
+        assert set(rows) == {1, 2, 3, 4, 5}  # doc 1 emitted ONCE (state)
         assert rows[1].status == "dup_semantic" and rows[1].match_id == 100
         assert rows[2].status == "new" and rows[2].match_id is not None
         assert rows[2].cosine < 0.9
         assert rows[3].status == "new" and rows[3].match_id is None
         assert rows[3].cosine is None
         assert rows[4].status == "dup_semantic" and rows[4].match_id == 101
+        assert rows[5].status == "unusable" and rows[5].match_id is None
+        assert rows[5].cosine is None
+    finally:
+        q.stop()
+
+
+def test_streaming_semantic_ingest_string_ids(spark, tmp_path):
+    """The group key keeps the stream's NATIVE id type (r06 ADVICE: the
+    old cast-to-long NULLed every non-numeric id into ONE state group,
+    so only the first string-id doc ever emitted).  Three string-id
+    docs in one batch must each emit their own decision, id typed
+    string in the output."""
+    from datetime import datetime
+
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.similarity import semantic_store
+
+    dim = 4
+    store_df = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    cents = [[1.0, 1.0, 1.0, 1.0]]
+    store = semantic_store(store_df, dim=dim, n_cells=1, centroids=cents).localCheckpoint()
+
+    schema = "vec_id string, ts timestamp, embedding array<double>"
+    ts = datetime(2025, 1, 1, 12, 0)
+    batch = spark.createDataFrame(
+        [
+            ("doc-a", ts, [0.99, 0.05, 0.0, 0.0]),
+            ("doc-b", ts, [0.0, 0.0, 0.7, 0.7]),
+            ("doc-c", ts, None),
+        ],
+        schema,
+    )
+    src = tmp_path / "sem_stream_str"
+    batch.coalesce(1).write.parquet(str(src))
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    out = SE.streaming_semantic_ingest(stream, store, cents, dim=dim, tau=0.9, n_probe=1)
+    assert dict(out.dtypes)["id"] == "string"
+    q = SE.run_to_memory(out, "sem_gate_str_out")
+    try:
+        rows = {r.id: r for r in spark.sql("SELECT * FROM sem_gate_str_out").collect()}
+        assert set(rows) == {"doc-a", "doc-b", "doc-c"}
+        assert rows["doc-a"].status == "dup_semantic" and rows["doc-a"].match_id == 100
+        assert rows["doc-b"].status == "new"
+        assert rows["doc-c"].status == "unusable"
     finally:
         q.stop()
