@@ -25,81 +25,84 @@ from hannigan_conjunctisviribus_ploscompbio_2017_spark.queries_testdata import (
 SF0001 = "/root/testdata/sf0.001"
 
 # The driver gate executes the first ~50 registered entries, so
-# registration order decides what gets driver-gate credit.  r06 order
+# registration order decides what gets driver-gate credit.  r07 order
 # (oldest-measurement-first — the rotation contract: every entry's
 # newest green row stays within the last three measured rounds):
-# (1) entries NEW this round (never driver-measured);
-# (2) ALL 36 entries last driver-measured in r03 (they hit the
-#     staleness limit this round — the r05 verdict's ask #2);
-# (3) oldest r04-measured entries backfilling the remaining 10 slots
-#     (fixture/ML/kernel-heavy picks first), smoothing r07's load:
-#     after r06 the r04 cohort shrinks to 40 — next round's mandatory
-#     set (incl. gb_gene_network, gk_eccentricity_closeness,
-#     gk_connected_components, gk_connectivity), which fits the 50-cap
-#     with ~10 slots for r07 additions and r05 pre-rotation.
+# (1) entries NEW this round (never driver-measured):
+#     ev_semantic_ingest_foreach (the corpus-scale foreachBatch gate);
+# (2) the two r06-measured entries whose CONTRACT changed this round
+#     (semantic gate emits 'unusable' rows now) — outputs are identical
+#     on this testdata (no malformed embeddings), but a changed
+#     operator deserves a fresh driver row;
+# (3) ALL 39 entries last driver-measured in r04 (they hit the
+#     staleness limit this round — the r06 verdict's ask #1; the 40th,
+#     dd_minhash_sig, was retired into dd_minhash_lsh per ask #2);
+# (4) oldest r05-measured entries backfilling the remaining 8 slots
+#     (kernel/pipeline-heavy picks first), smoothing r08's load:
+#     after r07 the r05 cohort shrinks to 42 — r08's mandatory set,
+#     which fits the 50-cap with ~8 slots for r08 additions.
 # All entries pass the identical local gate (tools/check_oracle.py).
-# Rotation arithmetic for future rounds: 140 entries / 3-round window
-# = 47 re-measures per round minimum, so the 50-cap sustains the
-# contract with ~3 slots/round of steady-state headroom.  SUSTAINABILITY
-# CEILING: at 150 entries the contract consumes the whole 50-cap — any
-# growth past ~146 should retire a redundant entry per addition (e.g.
-# fold near-duplicate shapes into their strongest representative).
-# r07 must measure: the 40 r04-measured leftovers + newest additions
-# first, then the oldest r05 entries.
+# Rotation arithmetic: 140 entries / 3-round window = ~47 re-measures
+# per round minimum, so the 50-cap sustains the contract with ~3
+# slots/round of steady-state headroom.  SUSTAINABILITY CEILING: at 150
+# entries the contract consumes the whole 50-cap — any growth past ~146
+# must retire a redundant entry per addition (r07 did exactly this:
+# +ev_semantic_ingest_foreach, -dd_minhash_sig, net 140).
 _PRIORITY = [
-    # -- (1) new in r06 --
-    "ss_ivf_sq8_topk",
+    # -- (1) new in r07 --
+    "ev_semantic_ingest_foreach",
+    # -- (2) r06-measured, contract extended in r07 --
     "ss_semantic_ingest",
     "ev_semantic_ingest_2batch",
-    "dd_minhash_ingest",
-    # -- (2) last measured in r03 (all 36) --
-    "a12_row_votes",
-    "a1_pricing_summary",
-    "a2_mean_score_per_pair",
-    "a3_min_score_per_pair",
-    "a4_degree_count",
-    "a5_count_distinct",
-    "a7_rarefaction_depth",
-    "a9_best_hit_dedup",
-    "ev_chunk_first_seen",
-    "ev_first_seen_dedup",
-    "ev_near_dup_stream",
-    "ev_stream_pack",
-    "f_scalar_chain",
-    "gq1_interaction_scores",
-    "j11_asof_join",
-    "j1_equi_join",
-    "j2_broadcast_annotate",
-    "j3_feature_merge",
-    "j7_cross_join",
-    "m13_rarefaction_curve",
-    "m1_rarefaction",
-    "m4_permutation_test",
-    "ml_roc_portable",
-    "mm_video_frames",
-    "o1_distinct_sorted",
-    "o4_union_all",
-    "o5_intersect",
-    "o6_except",
-    "p3_p4_predicate_filters",
-    "p6_any_positive",
-    "p7_length_range",
-    "p8_anti_filter",
-    "p9_semi_filter",
-    "r1_pivot_matrix",
-    "r4_melt",
-    "w1_top_per_group",
-    # -- (3) oldest r04 entries backfilling to the 50-cap --
-    "ml_rf_interactions",
-    "ml_nested_cv",
-    "ml_roc_points",
-    "m1_rarefaction_portable",
-    "m2_bray_curtis",
-    "gk_eigenvector_centrality",
-    "gk_katz_centrality",
-    "gk_pagerank",
-    "gk_communities_modularity",
-    "gk_diameter_radius",
+    # -- (3) last measured in r04 (all 39 surviving) --
+    "a10_frequency_table",
+    "dd_cut_spans",
+    "dd_dup_clusters",
+    "dd_duplicate_spans",
+    "dd_embedding_near_dup",
+    "dd_exact_dedup",
+    "dd_jaccard_pairs",
+    "dd_kmer_minhash",
+    "dd_minhash_lsh",
+    "dd_simhash",
+    "ev_chunk_first_seen_2batch",
+    "ev_first_seen_2batch",
+    "ev_hourly_agg",
+    "ev_sessionize",
+    "ev_stream_pack_2batch",
+    "g10_node_entropy",
+    "g12_simplify",
+    "g1_degree_per_node",
+    "g5_degree_distribution",
+    "gb_gene_network",
+    "gk_connected_components",
+    "gk_connectivity",
+    "gk_eccentricity_closeness",
+    "gq6_label_scan",
+    "gq7_disease_scope",
+    "mm_blob_stats",
+    "ss_cosine_topk",
+    "ss_ivf_pq_topk",
+    "ss_ivf_topk",
+    "ss_ivf_trained_topk",
+    "ss_pq_topk",
+    "ss_srp_lsh_topk",
+    "tx_corpus_summary",
+    "tx_dsir_sample",
+    "tx_dsir_weights",
+    "tx_fingerprint",
+    "tx_quality_langid",
+    "tx_token_stats",
+    "w3_global_sort_limit",
+    # -- (4) oldest r05 entries backfilling to the 50-cap --
+    "gk_betweenness",
+    "gk_betweenness_distributed",
+    "gk_betweenness_stratified",
+    "gk_greedy_modularity",
+    "gk_alpha_centrality",
+    "graph_build_e2e",
+    "gq5_sample_network",
+    "pipeline_interpersonal_diversity",
 ]
 
 

@@ -1755,61 +1755,13 @@ def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_sig_oracle() -> str:
-    """Generate the DuckDB twin of the 16-perm portable minhash signature:
-    same affine coefficients (seeded identically), same Mersenne modulus,
-    same md5-60 base hash, min per doc over distinct 3-token shingles."""
-    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.dedup import (
-        _MERSENNE,
-        _hash_coeffs,
-    )
-
-    mins = ",\n           ".join(
-        f"CAST(MIN((h * {a} + {b}) % {_MERSENNE}) AS BIGINT) AS h{i}"
-        for i, (a, b) in enumerate(_hash_coeffs(16, seed=42))
-    )
-    return f"""
-    WITH toks AS (
-      SELECT doc_id AS id,
-             string_split({_NORM_SQL}, ' ') AS t
-      FROM documents
-    ), pos AS (
-      SELECT id, t,
-             unnest(CASE WHEN len(t) >= 3 THEN generate_series(1, len(t) - 2)
-                         ELSE CAST([] AS BIGINT[]) END) AS i
-      FROM toks
-    ), sh AS (
-      SELECT DISTINCT id, array_to_string(list_slice(t, i, i + 2), ' ') AS shingle
-      FROM pos
-    ), th AS (
-      SELECT id, {_MD5_60.format(c="shingle")} % {_MERSENNE} AS h FROM sh
-    )
-    SELECT id,
-           {mins}
-    FROM th GROUP BY id
-    """
-
-
-@query("dd_minhash_sig", oracle=_minhash_sig_oracle())
-def dd_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures (16 perms) with the portable md5 hash family:
-    the oracle recomputes every affine min-hash from the same seeded
-    coefficients, verifying the signature math exactly. The xxhash64
-    band/bucket configuration is the production default — its bucket hash
-    is engine-internal — and dd_minhash_lsh verifies the full
-    banding+estimation pipeline with the portable family."""
-    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.dedup import (
-        minhash_signatures,
-        portable_token_hash,
-    )
-
-    sig = minhash_signatures(
-        _t(spark, sf_dir, "documents"),
-        num_hashes=16,
-        seed=42,
-        hash_fn=portable_token_hash,
-    )
-    return sig.select("id", *[F.col("sig")[i].alias(f"h{i}") for i in range(16)])
+# dd_minhash_sig RETIRED in r07 (registry-ceiling management, r06
+# verdict ask #2): it verified the 16-perm portable signature math in
+# isolation, but dd_minhash_lsh's oracle recomputes the SAME affine
+# signatures (identical seeded coefficients, Mersenne modulus, md5-60
+# base hash) as the first CTEs of its banding+estimation replay — the
+# signature check is strictly contained in the surviving entry, so the
+# standalone row bought no extra coverage.  See _lsh_oracle_tail below.
 
 
 def _lsh_oracle_tail(
@@ -3311,6 +3263,75 @@ def ev_semantic_ingest_2batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     res = _run_stream(spark, out, "semantic_ingest_2batch_gate")
     return res.select(
+        "id",
+        "status",
+        "match_id",
+        "cosine",
+        F.date_format("first_ts", "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+    )
+
+
+@query(
+    "ev_semantic_ingest_foreach",
+    oracle=_semantic_ingest_oracle(with_ts=True),
+)
+def ev_semantic_ingest_foreach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORPUS-SCALE streaming semantic admission gate (r07) — the
+    foreachBatch twin of ev_semantic_ingest_2batch for stores too big
+    to broadcast: each of the TWO real micro-batches runs the BATCH
+    semantic_ingest_dedup with the parquet store (partitionBy(cell))
+    as the join's PROBE side, so dynamic partition pruning bounds the
+    store scan to the probed cells inside every epoch (plan-guarded in
+    test_sources_streaming_mm).  Cross-batch suppression comes from the
+    decisions log itself — batch 1's five re-delivered even ids < 10
+    semi-match batch 0's decisions (broadcast batch side; the log never
+    shuffles) and are dropped before the gate, so every doc keeps its
+    batch-0 answer and the streamed result collapses to the batch
+    oracle exactly."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.similarity import (
+        sampled_centroids,
+        semantic_store,
+    )
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.streaming.events import (
+        read_semantic_decisions,
+        streaming_semantic_ingest_foreach,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.col("vec_id")
+    store_docs = emb.filter(v >= 20)
+    cents = sampled_centroids(store_docs, n_cells=16)
+    d = tempfile.mkdtemp(prefix="sg_semforeach_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    semantic_store(store_docs, dim=64, n_cells=16, centroids=cents).write.partitionBy(
+        "cell"
+    ).parquet(f"{d}/store")
+    store = spark.read.parquet(f"{d}/store")
+    delta = emb.filter(v < 20).select(
+        "vec_id",
+        F.timestamp_seconds(F.lit(1700000000) + v).alias("ts"),
+        "embedding",
+    )
+    b0 = delta.filter(v % 2 == 0)
+    b1 = delta.filter(v % 2 == 1).unionByName(delta.filter((v % 2 == 0) & (v < 10)))
+    q = streaming_semantic_ingest_foreach(
+        _bounded_stream_batches(spark, [b0, b1], "semforeach"),
+        store,
+        cents,
+        dim=64,
+        decisions_path=f"{d}/decisions",
+        checkpoint=f"{d}/ckpt",
+        tau=0.38,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return read_semantic_decisions(spark, f"{d}/decisions").select(
         "id",
         "status",
         "match_id",

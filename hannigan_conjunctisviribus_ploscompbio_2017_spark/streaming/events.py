@@ -754,3 +754,123 @@ def streaming_semantic_ingest(
             reduce_best, out_schema, state_schema, "append", "EventTimeTimeout"
         )
     )
+
+
+def streaming_semantic_ingest_foreach(
+    emb_stream: DataFrame,
+    store: DataFrame,
+    centroids: list[list[float]],
+    dim: int,
+    decisions_path: str,
+    checkpoint: str,
+    tau: float = 0.9,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ts_col: str = "ts",
+    round_to: int = 6,
+    plan_probe: list | None = None,
+):
+    """CORPUS-SCALE streaming semantic admission gate — the foreachBatch
+    variant streaming_semantic_ingest's docstring points at: each
+    micro-batch runs the BATCH semantic_ingest_dedup against the
+    persisted semantic_store, so the store is the join's PROBE side and
+    dynamic partition pruning bounds its scan to the probed cells
+    (plan-guarded).  The stream-static stateful twin instead broadcasts
+    the store per micro-batch — right only while the store fits the
+    broadcast budget; this variant is the shape for a store that does
+    not (the reference analog: the Makefile's drop-and-rebuild graph
+    loads, Makefile:461-473 in /root/reference, done incrementally).
+
+    Cross-batch duplicate-delivery suppression uses the DECISIONS LOG
+    itself (parquet at `decisions_path`, the gate's output artifact)
+    instead of operator state: each batch's ids semi-probe the log with
+    the batch side broadcast — the log never shuffles, exactly the
+    fingerprint-store discipline — and already-decided ids are dropped
+    before the gate runs.  A doc id keeps its FIRST decision forever
+    ('unusable' included), matching the stateful twin's id-keyed state.
+
+    Exactly-once: rows carry the epoch id; a retried epoch re-appends
+    identical rows under the same _epoch, deduped by
+    read_semantic_decisions.  Within a batch, one row per id (first
+    event-time delivery wins; re-deliveries share the embedding).
+
+    `plan_probe`, if given a list, receives each epoch's formatted
+    physical plan of the gate query — the hook the DPP plan guard uses;
+    it costs one explainString per micro-batch, nothing at executor
+    side.
+
+    Output to `decisions_path`: (id, status ∈ {'dup_semantic', 'new',
+    'unusable'}, match_id, cosine, first_ts, _epoch).  Returns the
+    started StreamingQuery."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.similarity import (
+        semantic_ingest_dedup,
+    )
+
+    def _gate(batch: DataFrame, epoch_id: int) -> None:
+        spark_b = batch.sparkSession
+        # one row per id: first delivery by event time (re-deliveries of
+        # an id carry the same embedding, so min_by's tie-break on ts is
+        # immaterial); a delta-sized exchange, like every ingest gate
+        first = batch.groupBy(F.col(id_col)).agg(
+            F.min(ts_col).alias("first_ts"),
+            F.min_by(vec_col, F.col(ts_col)).alias(vec_col),
+        )
+        # existence probe through the Hadoop FS API (works on any DFS,
+        # no exception-as-control-flow noise): first epoch has no log
+        jpath = spark_b._jvm.org.apache.hadoop.fs.Path(decisions_path)
+        fs = jpath.getFileSystem(spark_b._jsc.hadoopConfiguration())
+        if fs.exists(jpath):
+            decided = spark_b.read.parquet(decisions_path).select("id")
+            # the log never shuffles: batch ids broadcast onto ONE log
+            # scan (semi), the at-most-batch-sized matched set
+            # broadcasts back as the anti filter
+            matched = decided.join(
+                F.broadcast(first.select(F.col(id_col).alias("id")).distinct()),
+                "id",
+                "semi",
+            ).distinct()
+            fresh = first.join(
+                F.broadcast(matched.withColumnRenamed("id", id_col)),
+                id_col,
+                "left_anti",
+            )
+        else:
+            fresh = first
+        out = semantic_ingest_dedup(
+            fresh, store, centroids, dim, tau, n_probe, id_col, vec_col, round_to
+        ).join(
+            F.broadcast(fresh.select(F.col(id_col).alias("id"), "first_ts")), "id"
+        ).withColumn("_epoch", F.lit(int(epoch_id)))
+        if plan_probe is not None:
+            plan_probe.append(
+                out._jdf.queryExecution().explainString(
+                    spark_b._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                        "formatted"
+                    )
+                )
+            )
+        out.write.mode("append").parquet(decisions_path)
+
+    return (
+        emb_stream.writeStream.foreachBatch(_gate)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
+def read_semantic_decisions(spark: SparkSession, decisions_path: str) -> DataFrame:
+    """Compact the semantic-gate decisions log: dedup epoch retries
+    (identical rows under the same _epoch), one row per doc id — its
+    first decision (smallest _epoch; suppression guarantees at most one
+    non-retry row per id)."""
+    log = spark.read.parquet(decisions_path)
+    cols = [c for c in log.columns if c not in ("id", "_epoch")]
+    return (
+        log.groupBy("id")
+        .agg(
+            F.min_by(F.struct(*cols), F.col("_epoch")).alias("_r"),
+            F.min("_epoch").alias("_epoch"),
+        )
+        .select("id", *[F.col(f"_r.{c}").alias(c) for c in cols], "_epoch")
+    )

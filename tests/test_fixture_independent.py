@@ -910,6 +910,39 @@ def test_ml_nested_cv_auc_from_frozen_fold_aucs(con):
         assert abs(max(means.values()) - frozen[it][1]) < 6e-7, it
 
 
+def test_ml_nested_fold_aucs_recomputed_from_frozen_scores():
+    """r06 verdict ask #3 — the LAST engine-attested statement in the
+    ML chain, closed exactly: every inner-CV fold AUC in
+    ML_NESTED_FOLD_AUCS_SF001 is recomputed here from the frozen
+    per-fold held-out SCORE MULTISET (ML_NESTED_FOLD_SCORES_SF001) by
+    the independent trapezoid — threshold-for-threshold, the same move
+    r05 made for ml_roc_points — replacing the former ±0.03
+    second-implementation bound as the only check on these values.
+    The multiset sizes must also reproduce each fold's n_validation,
+    so no score row can be dropped or double-counted.  After this,
+    only the RF fits themselves are engine-side (the adjudicated
+    second-implementation boundary; bin/CalculatePredModel.R:302-313
+    is the reference semantics)."""
+    import ml_frozen as MLF
+
+    multisets: dict[tuple[int, int, int], list[tuple[int, float]]] = {}
+    for it, mtry, fold, score, n_pos, n_neg in MLF.ML_NESTED_FOLD_SCORES_SF001:
+        rows = multisets.setdefault((it, mtry, fold), [])
+        rows.extend([(1, score)] * n_pos)
+        rows.extend([(0, score)] * n_neg)
+
+    frozen = {
+        (it, mtry, fold): (n_val, auc)
+        for it, mtry, fold, n_val, auc in MLF.ML_NESTED_FOLD_AUCS_SF001
+    }
+    assert sorted(multisets) == sorted(frozen)  # all 18 folds, no extras
+    for key, scored in multisets.items():
+        n_val, auc = frozen[key]
+        assert len(scored) == n_val, key
+        # 10dp-frozen AUC vs exact trapezoid: half-ulp of the rounding
+        assert abs(I.auc_trapezoid_py(scored) - auc) < 1e-9, key
+
+
 def test_ml_cv_auc_second_implementation_parity(con):
     """Magnitude-level second implementation for cv_auc: the numpy
     forest (rf_train_py) runs its OWN 3-fold CV over the same mtry grid

@@ -1482,3 +1482,92 @@ def test_streaming_semantic_ingest_string_ids(spark, tmp_path):
         assert rows["doc-c"].status == "unusable"
     finally:
         q.stop()
+
+
+def test_streaming_semantic_ingest_foreach_dpp_and_suppression(spark, tmp_path):
+    """The corpus-scale foreachBatch semantic gate (r06 verdict ask #5):
+    inside EVERY micro-batch the gate must run the batch operator with
+    the partitioned store as the join's PROBE side — dynamic partition
+    pruning visible in each epoch's physical plan (the stream-static
+    twin cannot have this: there the store is the broadcast build
+    side) — and a doc id re-delivered in a later micro-batch must be
+    suppressed by the decisions log, keeping its first decision.
+    Within-epoch plans must also never sort-merge (store never
+    shuffles)."""
+    from datetime import datetime
+
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.similarity import (
+        sampled_centroids,
+        semantic_store,
+    )
+
+    dim = 4
+    store_rows = [
+        (100 + i, [1.0 * (i % 3 == 0), 1.0 * (i % 3 == 1), 1.0 * (i % 3 == 2), 0.1])
+        for i in range(12)
+    ]
+    store_df = spark.createDataFrame(store_rows, "vec_id long, embedding array<double>")
+    cents = sampled_centroids(store_df, n_cells=3)
+    spath = str(tmp_path / "sem_store")
+    semantic_store(store_df, dim=dim, n_cells=3, centroids=cents).write.partitionBy(
+        "cell"
+    ).parquet(spath)
+    store = spark.read.parquet(spath)
+
+    schema = "vec_id long, ts timestamp, embedding array<double>"
+
+    def doc(vid, minute, vec):
+        return (vid, datetime(2025, 1, 1, 12, minute), vec)
+
+    b1 = spark.createDataFrame(
+        [
+            doc(1, 0, [0.99, 0.01, 0.0, 0.1]),  # near the x-axis store rows
+            doc(2, 1, [0.0, 0.0, 0.0, 1.0]),
+        ],
+        schema,
+    )
+    b2 = spark.createDataFrame(
+        [
+            doc(1, 10, [0.99, 0.01, 0.0, 0.1]),  # re-delivery -> log suppresses
+            doc(3, 11, [0.0, 0.99, 0.01, 0.1]),
+        ],
+        schema,
+    )
+    src = tmp_path / "sem_foreach_stream"
+    import time as _time
+
+    b1.coalesce(1).write.mode("append").parquet(str(src))
+    _time.sleep(1.2)
+    b2.coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(str(src))
+    )
+    plans: list[str] = []
+    q = SE.streaming_semantic_ingest_foreach(
+        stream,
+        store,
+        cents,
+        dim=dim,
+        decisions_path=str(tmp_path / "decisions"),
+        checkpoint=str(tmp_path / "ckpt"),
+        tau=0.9,
+        n_probe=1,
+        plan_probe=plans,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert len(plans) == 2  # one gate plan per micro-batch
+    for p in plans:
+        assert "dynamicpruning" in p.lower(), "store scan not DPP-pruned in epoch plan"
+        assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+
+    out = SE.read_semantic_decisions(spark, str(tmp_path / "decisions"))
+    rows = {r.id: r for r in out.collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1].status == "dup_semantic" and rows[1]._epoch == 0  # first decision kept
+    assert rows[2].status == "new"
+    assert rows[3].status == "dup_semantic" and rows[3]._epoch == 1
