@@ -319,3 +319,145 @@ def test_real_gene_corpus_duplicate_structure(spark):
     assert len({i for i, *_ in got_spans}) == 73
     assert sum(e - s + 1 for _i, s, e, _n in got_spans) == 631
     assert max(e - s + 1 for _i, s, e, _n in got_spans) == 38
+
+
+def test_real_gene_kmer_ann_tiers(spark):
+    """r07 (r06 verdict ask #7): the ANN ladder grounded in the
+    reference's own shipped sequence data, the way r06 grounded dedup —
+    4-mer-profile vectors (256 dims, raw counts) over the 3,736 real
+    gene calls of H100_2582581237.genes.fna, with every engine answer
+    re-derived by an independent numpy replay (no Spark expressions:
+    half-up rounding, cosine, SQ8 fit/encode/reconstruct all
+    reimplemented) and the headline structure pinned as goldens (the
+    input file is static).
+
+    Tiers: brute_force_topk must equal the numpy exact top-5 row for
+    row under the engine's (rounded sim desc, id asc) tie-break;
+    ivf_topk (md5 cells) is measured for recall@1/@5 against the exact
+    answer on real biology, pinned; sq8_topk must reproduce the numpy
+    SQ8 replay's distances (the quantization grid is data-derived, so
+    this exercises fit + encode + asymmetric distance end-to-end on a
+    heavy-tailed real count distribution); exact-duplicate genes (the
+    21 clones the dedup golden pins) must find their twin at cosine
+    1.0 through both the exact and the cell-probed path.
+
+    Measured goldens on this static file (deterministic operators, so
+    these are pins, not bands): exact tier bit-equal with the replay;
+    IVF (16 md5 cells, 4 probes) recall@1 = 0.8, recall@5 = 0.86; SQ8
+    distances reproduce the replay at every rank; 17 identical-vector
+    clone groups."""
+    import itertools
+    import math
+
+    import numpy as np
+
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        sq8_topk,
+    )
+
+    path = f"{REF}/data/SequencesFromDuhaime/H100_2582581237.genes.fna"
+    recs = sorted(
+        (r["id"], r["seq"].lower()) for r in R.read_fasta(spark, path).collect()
+    )
+    assert len(recs) == 3736
+    kmers = {"".join(p): i for i, p in enumerate(itertools.product("acgt", repeat=4))}
+    dim = len(kmers)  # 256
+    V = np.zeros((len(recs), dim))
+    for row, (_rid, seq) in enumerate(recs):
+        for p in range(len(seq) - 3):
+            j = kmers.get(seq[p : p + 4])
+            if j is not None:
+                V[row, j] += 1.0
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in V[i]]) for i in range(len(recs))],
+        "vec_id long, embedding array<double>",
+    ).localCheckpoint()
+
+    def half_up(x: float, nd: int = 6) -> float:
+        # Spark's F.round is BigDecimal HALF_UP (away from zero), NOT
+        # numpy's banker's rounding — the replay must match it
+        s = 10.0**nd
+        return math.copysign(math.floor(abs(x) * s + 0.5) / s, x)
+
+    norms = np.sqrt((V * V).sum(axis=1))
+    Q = list(range(10))
+    k = 5
+
+    # --- exact tier: engine == numpy replay, row for row ---
+    sims = (V[Q] @ V.T) / np.outer(norms[Q], norms)  # all positive counts
+    py_top = {}
+    for qi, q in enumerate(Q):
+        scored = [
+            (half_up(float(sims[qi, n])), n)
+            for n in range(len(recs))
+            if n != q
+        ]
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        py_top[q] = [(n, c) for c, n in scored[:k]]
+    got = brute_force_topk(emb, emb.filter(F.col("vec_id").isin(Q)), k=k).collect()
+    got_top: dict[int, list] = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], r["rank"])):
+        got_top.setdefault(r["query_id"], []).append(
+            (r["neighbor_id"], r["cosine_sim"])
+        )
+    assert got_top == py_top
+
+    # --- clone anchor: every exact-duplicate gene finds its twin at
+    # cosine 1.0 through the exact AND the cell-probed path ---
+    by_vec: dict[bytes, list[int]] = {}
+    for i in range(len(recs)):
+        by_vec.setdefault(V[i].tobytes(), []).append(i)
+    clone_groups = [ids for ids in by_vec.values() if len(ids) > 1]
+    assert len(clone_groups) == 17  # golden: identical 4-mer profiles
+    clone_q = sorted(ids[0] for ids in clone_groups)[:5]
+    twin = {
+        ids[0]: set(ids[1:]) for ids in clone_groups if ids[0] in clone_q
+    }
+    for df in (
+        brute_force_topk(emb, emb.filter(F.col("vec_id").isin(clone_q)), k=1),
+        ivf_topk(emb, emb.filter(F.col("vec_id").isin(clone_q)), dim=dim, k=1),
+    ):
+        for r in df.collect():
+            assert r["cosine_sim"] == 1.0, r
+            assert r["neighbor_id"] in twin[r["query_id"]] or half_up(
+                float(
+                    (V[r["query_id"]] @ V[r["neighbor_id"]])
+                    / (norms[r["query_id"]] * norms[r["neighbor_id"]])
+                )
+            ) == 1.0, r
+
+    # --- IVF tier: measured recall on real biology, pinned ---
+    ivf = ivf_topk(emb, emb.filter(F.col("vec_id").isin(Q)), dim=dim, k=k).collect()
+    ivf_top: dict[int, list[int]] = {}
+    for r in sorted(ivf, key=lambda r: (r["query_id"], r["rank"])):
+        ivf_top.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    exact_sets = {q: {n for n, _c in py_top[q]} for q in Q}
+    r_at_1 = sum(ivf_top[q][0] == py_top[q][0][0] for q in Q) / len(Q)
+    r_at_5 = sum(len(set(ivf_top[q]) & exact_sets[q]) for q in Q) / (len(Q) * k)
+    # deterministic pins (measured): cells cost exactly one top-1 and
+    # 0.14 of the top-5 mass on this real corpus at 4/16 probes
+    assert r_at_1 == 0.8 and r_at_5 == 0.86, (r_at_1, r_at_5)
+
+    # --- SQ8 tier: engine vs numpy fit/encode/reconstruct replay ---
+    mn = V.min(axis=0)
+    st = (V.max(axis=0) - mn) / 255.0
+    codes = np.zeros_like(V)
+    nz = st > 0
+    frac = (V[:, nz] - mn[nz]) / st[nz]
+    codes[:, nz] = np.clip(np.floor(frac + 0.5), 0, 255)  # half-up, like F.round
+    recon = mn + codes * st
+    sq = ((V[Q][:, None, :] - recon[None, :, :]) ** 2).sum(axis=2)
+    py_sq = {}
+    for qi, q in enumerate(Q):
+        scored = [
+            (half_up(float(sq[qi, n])), n) for n in range(len(recs)) if n != q
+        ]
+        scored.sort(key=lambda t: (t[0], t[1]))
+        py_sq[q] = scored[:k]
+    got_sq = sq8_topk(emb, emb.filter(F.col("vec_id").isin(Q)), dim=dim, k=k).collect()
+    for r in sorted(got_sq, key=lambda r: (r["query_id"], r["rank"])):
+        want_d, want_n = py_sq[r["query_id"]][r["rank"] - 1]
+        assert r["neighbor_id"] == want_n, (r, want_n)
+        assert abs(r["sq_dist"] - want_d) < 1e-4 * max(1.0, want_d), (r, want_d)
