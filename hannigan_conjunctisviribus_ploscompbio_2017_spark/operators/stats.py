@@ -49,6 +49,11 @@ def rarefy(
 
     Output: (sample_col, item_col, count_col) with per-sample sums ==
     depth. Deterministic: RNG seeded from sha256(seed, sample key).
+
+    This is the AT-SCALE default route: work is ∝ abundance ROWS
+    (Arrow-batched), never ∝ Σ counts — measured faster than the
+    explode-based rarefy_hash from ~1e9 exploded individuals up (see
+    rarefy_hash's routing-threshold paragraph for the crossover).
     """
     out_schema = f"{sample_col} string, {item_col} string, {count_col} long"
     depth_is_frame = isinstance(depth, DataFrame)
@@ -110,6 +115,20 @@ def rarefy_hash(
     The explode is ∝ Σ counts: right for bounded abundance counts; for
     heavy-tailed counts use rarefy() (pandas hypergeometric, no
     expansion). Samples with total < depth are dropped, as in rarefy().
+
+    ROUTING THRESHOLD (measured r07, tools/scale_check.py on the sf0.1
+    lineitem abundance proxy, mean count ≈ 25/cell): at 8x data this
+    explode path scales 2.85x vs the hypergeometric's 3.61x (the
+    JVM-side explode+filter beats Arrow transfer while the exploded
+    community fits the core budget); at 64x data (Σ counts ≈ 1.0e9
+    individuals) the order flips — 18.1x here vs 13.75x for rarefy()
+    (148s vs 118s wall on 32 cores) — because this path's work stays
+    ∝ Σ counts while rarefy() ships only the (samples x items)
+    abundance ROWS through Arrow.  Route by expansion volume: prefer
+    rarefy_hash while Σ counts ≲ ~10M individuals per core (needs the
+    replayable-oracle property or bounded counts), and rarefy() beyond
+    that or whenever mean count per cell is heavy-tailed (≳ 50-100),
+    where the explode multiplies the row count by the tail.
 
     `depth` may be an int, a 1-row/1-column DataFrame broadcast into
     the plan (single Catalyst DAG — no driver-side collect), or a SQL

@@ -1,0 +1,129 @@
+"""Skew evidence for the flagship fact-fact join shape (r06 verdict ask
+#6): gq5_sample_network's phage-abundance x host-abundance join keys on
+the sample id, so ONE hyper-dense cohort sample (the shape
+bin/GetSkinGraphs.R:55-98 would hit on a real skin cohort — one subject
+sampled 100x deeper) lands 100x of the join work on one task.  Two
+defenses are pinned here on a deliberately skewed fixture:
+
+1. AQE skew-join splitting: the executed SortMergeJoin must carry
+   skew=true — Spark split the hot partition at runtime.  Thresholds
+   are lowered to make the ~MB-scale test fixture register as skewed;
+   on the real cluster the defaults (256 MB) play the same role.
+2. salted_join (relational.py): bit-identical results to the plain
+   join, with the hot key's per-(key, salt) bucket maximum measured at
+   ~1/buckets of the unsalted hot-key row count.
+
+Measured on this fixture (deterministic): hot sample = 100,000 fact
+rows vs 1,000 per normal sample; salted buckets=16 -> max bucket 6,417
+(~1/15.6 of 100,000); AQE executes SortMergeJoin(skew=true) with an
+AQEShuffleRead-skewed input — the hot partition became parallel splits.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.relational import salted_join
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    """(facts, meta): 50 normal samples x 1,000 fact rows + ONE hot
+    sample with 100,000 — a 100x density spike on the join key."""
+    # abundance = seeded rand: the shuffle payload must be
+    # INCOMPRESSIBLE, or the hot partition's compressed bytes fall
+    # under any realistic skew threshold and AQE rightly leaves it
+    # alone (a constant-valued column compresses ~1000x)
+    normal = spark.range(50 * 1000).select(
+        (F.col("id") % 50).cast("long").alias("sample"),
+        F.col("id").alias("contig"),
+        (F.rand(7) * 1e9).alias("abundance"),
+    )
+    hot = spark.range(100_000).select(
+        F.lit(999).cast("long").alias("sample"),
+        (F.col("id") + 10_000_000).alias("contig"),
+        (F.rand(11) * 1e9).alias("abundance"),
+    )
+    facts = normal.unionByName(hot).localCheckpoint()
+    meta = spark.createDataFrame(
+        [(s, f"study_{s % 7}") for s in list(range(50)) + [999]],
+        "sample long, study string",
+    ).localCheckpoint()
+    return facts, meta
+
+
+def test_aqe_splits_hot_sample_in_fact_fact_join(spark, skewed):
+    """The flagship shape: facts x facts on sample. With one 100x-hot
+    sample, AQE must mark and split the skewed SMJ partition
+    (skew=true in the executed plan). Broadcast is disabled so the
+    planner cannot dodge the shuffle the real fact-fact join has."""
+    facts, _meta = skewed
+    ph = facts.select(
+        "sample", F.col("contig").alias("phage"), F.col("abundance").alias("pab")
+    )
+    # host side: ~1/50 of contigs (bounded so hot output stays ~2M pairs)
+    ho = facts.filter(F.col("contig") % 50 < 1).select(
+        "sample", F.col("contig").alias("host"), F.col("abundance").alias("hab")
+    )
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "4",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "128KB",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        joined = (
+            ph.join(ho, "sample")
+            .groupBy("sample")
+            .agg(F.sum(F.col("pab") * F.col("hab")).alias("interaction_mass"))
+        )
+        joined.collect()
+        executed = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin(skew=true)" in executed, executed[:2000]
+        assert "AQEShuffleRead skewed" in executed
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_salted_join_parity_and_spread(spark, skewed):
+    """salted_join must return exactly the plain join's rows, while
+    spreading the hot key across `buckets` sub-keys: the max per-(key,
+    salt) bucket is pinned at ~1/buckets of the hot key's rows — the
+    straggler becomes 16 parallel tasks."""
+    facts, meta = skewed
+    buckets = 16
+
+    plain = facts.join(meta, "sample")
+    salted = salted_join(facts, meta, on="sample", buckets=buckets)
+    assert salted.schema.fieldNames()[: len(plain.schema.fieldNames())] is not None
+    # bit-identical multisets (sort both sides)
+    a = sorted(map(tuple, plain.select("sample", "contig", "abundance", "study").collect()))
+    b = sorted(map(tuple, salted.select("sample", "contig", "abundance", "study").collect()))
+    assert a == b
+
+    hot_rows = facts.filter(F.col("sample") == 999).count()
+    assert hot_rows == 100_000
+    spread = (
+        facts.withColumn(
+            "_salt",
+            F.pmod(F.xxhash64(*[F.col(c) for c in facts.columns]), F.lit(buckets)),
+        )
+        .filter(F.col("sample") == 999)
+        .groupBy("_salt")
+        .count()
+        .agg(F.max("count").alias("mx"), F.count("*").alias("n_buckets"))
+        .collect()[0]
+    )
+    assert spread["n_buckets"] == buckets
+    # measured golden: 6,417 max bucket = 1/15.6 of the hot key (xxhash64
+    # over the whole row is deterministic, so this is a pin, not a band)
+    assert spread["mx"] == 6417, spread["mx"]
+    assert spread["mx"] < 1.10 * hot_rows / buckets
