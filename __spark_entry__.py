@@ -28,8 +28,9 @@ SF0001 = "/root/testdata/sf0.001"
 # registration order decides what gets driver-gate credit.  r07 order
 # (oldest-measurement-first — the rotation contract: every entry's
 # newest green row stays within the last three measured rounds):
-# (1) entries NEW this round (never driver-measured):
-#     ev_semantic_ingest_foreach (the corpus-scale foreachBatch gate);
+# (1) entries NEW this round (never driver-measured): the three
+#     corpus-scale foreachBatch admission gates (semantic/exact/
+#     near-dup — the trio's store-as-probe-side streaming tier);
 # (2) the two r06-measured entries whose CONTRACT changed this round
 #     (semantic gate emits 'unusable' rows now) — outputs are identical
 #     on this testdata (no malformed embeddings), but a changed
@@ -37,20 +38,24 @@ SF0001 = "/root/testdata/sf0.001"
 # (3) ALL 39 entries last driver-measured in r04 (they hit the
 #     staleness limit this round — the r06 verdict's ask #1; the 40th,
 #     dd_minhash_sig, was retired into dd_minhash_lsh per ask #2);
-# (4) oldest r05-measured entries backfilling the remaining 8 slots
-#     (kernel/pipeline-heavy picks first), smoothing r08's load:
-#     after r07 the r05 cohort shrinks to 42 — r08's mandatory set,
-#     which fits the 50-cap with ~8 slots for r08 additions.
+# (4) oldest r05-measured entries backfilling the remaining 6 slots
+#     (kernel-heavy picks first), smoothing r08's load: after r07 the
+#     r05 cohort shrinks to 44 — r08's mandatory set, which fits the
+#     50-cap with ~6 slots for r08 additions.
 # All entries pass the identical local gate (tools/check_oracle.py).
-# Rotation arithmetic: 140 entries / 3-round window = ~47 re-measures
+# Rotation arithmetic: 142 entries / 3-round window = ~47 re-measures
 # per round minimum, so the 50-cap sustains the contract with ~3
 # slots/round of steady-state headroom.  SUSTAINABILITY CEILING: at 150
 # entries the contract consumes the whole 50-cap — any growth past ~146
-# must retire a redundant entry per addition (r07 did exactly this:
-# +ev_semantic_ingest_foreach, -dd_minhash_sig, net 140).
+# must retire a redundant entry per addition.  r07: +3 foreachBatch
+# gate entries (completing the trio's corpus-scale streaming tier),
+# -dd_minhash_sig (folded into dd_minhash_lsh), net 142 — at the r06
+# verdict's ≤143 ceiling, so r08 additions must retire one-for-one.
 _PRIORITY = [
     # -- (1) new in r07 --
     "ev_semantic_ingest_foreach",
+    "ev_ingest_dedup_foreach",
+    "ev_minhash_ingest_foreach",
     # -- (2) r06-measured, contract extended in r07 --
     "ss_semantic_ingest",
     "ev_semantic_ingest_2batch",
@@ -101,8 +106,6 @@ _PRIORITY = [
     "gk_greedy_modularity",
     "gk_alpha_centrality",
     "graph_build_e2e",
-    "gq5_sample_network",
-    "pipeline_interpersonal_diversity",
 ]
 
 

@@ -1717,6 +1717,14 @@ _MD5_60 = (
     "* (CAST(1 AS BIGINT) << (4 * (15 - j)))))"
 )
 
+# Synthetic event-time the streaming-gate entries stamp on each doc
+# (epoch 1700000000 + id seconds) — the oracle replays first_ts as a
+# pure function of the id, so re-deliveries don't perturb it.
+_GATE_TS = """,
+           strftime(TIMESTAMP '2023-11-14 22:13:20'
+                    + to_seconds(CAST({id} AS BIGINT)),
+                    '%Y-%m-%d %H:%M:%S') AS first_ts"""
+
 
 @query(
     "dd_simhash",
@@ -1866,7 +1874,10 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_ingest_oracle(
-    num_hashes: int = 32, bands: int = 8, threshold: float = 0.25
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.25,
+    with_ts: bool = False,
 ) -> str:
     """DuckDB twin of minhash_ingest_dedup over minhash_store: store =
     doc_id % 10 < 8; delta = the rest PLUS re-idded store clones (which
@@ -1874,7 +1885,11 @@ def _minhash_ingest_oracle(
     as dd_minhash_lsh; candidates = delta×store pairs agreeing on ≥1
     whole band; per delta doc the best match (max estimate, ties
     smallest store id) and the threshold status; docs with no bucket
-    collision (or too short to shingle) stay 'new' with NULL match."""
+    collision (or too short to shingle) stay 'new' with NULL match.
+    with_ts adds the synthetic event-time the foreachBatch streaming
+    twin (ev_minhash_ingest_foreach) emits — a doc's decision depends
+    only on (doc, store), so the streamed answer collapses to this
+    batch one whichever micro-batch delivers the doc first."""
     from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.dedup import (
         _MERSENNE,
         _hash_coeffs,
@@ -1935,7 +1950,7 @@ def _minhash_ingest_oracle(
     SELECT d.id AS id,
            CASE WHEN b.est >= {threshold} THEN 'dup_near' ELSE 'new' END AS status,
            b.mid AS match_id,
-           b.est AS est_jaccard
+           b.est AS est_jaccard{_GATE_TS.format(id="d.id") if with_ts else ""}
     FROM (SELECT id FROM alltx WHERE side = 1) d
     LEFT JOIN best b ON b.qid = d.id
     """
@@ -3188,10 +3203,7 @@ def _semantic_ingest_oracle(
     """
 
 
-_SEM_TS = """,
-           strftime(TIMESTAMP '2023-11-14 22:13:20'
-                    + to_seconds(CAST(d.id AS BIGINT)),
-                    '%Y-%m-%d %H:%M:%S') AS first_ts"""
+_SEM_TS = _GATE_TS.format(id="d.id")
 
 
 @query("ss_semantic_ingest", oracle=_semantic_ingest_oracle())
@@ -3336,6 +3348,177 @@ def ev_semantic_ingest_foreach(spark: SparkSession, sf_dir: str) -> DataFrame:
         "status",
         "match_id",
         "cosine",
+        F.date_format("first_ts", "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+    )
+
+
+def _gate_2batch_run(spark, incoming, start_query, tag: str):
+    """Shared driver harness for the foreachBatch gate entries: stamp
+    the synthetic event time, split incoming into two mtime-ordered
+    micro-batches (evens first, then odds PLUS re-delivered evens with
+    id % 5 == 0 — the decisions log must suppress the re-deliveries or
+    the row count changes), run the gate to completion, and return the
+    compacted decisions frame."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.streaming.events import (
+        read_semantic_decisions,
+    )
+
+    v = F.col("doc_id")
+    stamped = incoming.select(
+        "doc_id",
+        F.timestamp_seconds(F.lit(1700000000) + v).alias("ts"),
+        "text",
+    )
+    b0 = stamped.filter(v % 2 == 0)
+    b1 = stamped.filter(v % 2 == 1).unionByName(
+        stamped.filter((v % 2 == 0) & (v % 5 == 0))
+    )
+    d = tempfile.mkdtemp(prefix=f"sg_gate_{tag}_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    q = start_query(
+        _bounded_stream_batches(spark, [b0, b1], tag),
+        f"{d}/decisions",
+        f"{d}/ckpt",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return read_semantic_decisions(spark, f"{d}/decisions")
+
+
+@query(
+    "ev_ingest_dedup_foreach",
+    oracle=f"""
+    WITH store AS (
+      SELECT DISTINCT {_INGEST_FP} AS fingerprint
+      FROM documents WHERE doc_id % 10 < 8
+    ), inc AS (
+      SELECT doc_id AS id, text FROM documents WHERE doc_id % 10 >= 8
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents
+      WHERE doc_id % 10 < 8 AND doc_id % 37 = 0
+      UNION ALL
+      SELECT doc_id + 2000000, text FROM documents
+      WHERE doc_id % 10 >= 8 AND doc_id % 23 = 0
+    ), fp AS (
+      SELECT id, {_INGEST_FP} AS fingerprint,
+             CAST(id % 2 AS INTEGER) AS batch
+      FROM inc
+    ), keep AS (
+      -- dup_batch is per EPOCH: the keeper is the min id per
+      -- (fingerprint, micro-batch), exactly the per-epoch batch gate
+      SELECT fingerprint, batch, MIN(id) AS k
+      FROM fp GROUP BY fingerprint, batch
+    )
+    SELECT fp.id, fp.fingerprint,
+           CASE WHEN fp.fingerprint IN (SELECT fingerprint FROM store)
+                THEN 'dup_store'
+                WHEN fp.id <> keep.k THEN 'dup_batch'
+                ELSE 'new' END AS status{_GATE_TS.format(id="fp.id")}
+    FROM fp JOIN keep USING (fingerprint, batch)
+    """,
+)
+def ev_ingest_dedup_foreach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORPUS-SCALE streaming EXACT admission gate (r07) — the
+    foreachBatch twin of ev_ingest_dedup_2batch for fingerprint stores
+    too big to broadcast: each of the TWO real micro-batches runs the
+    BATCH ingest_dedup (store scanned once per epoch, delta
+    fingerprints broadcast as a LeftSemi probe — the batch operator's
+    plan-guarded never-shuffle shape, inside every epoch).  dup_batch
+    keepers are per epoch; batch 1's re-delivered even ids (id % 5 ==
+    0) semi-match batch 0's decisions log and are dropped before the
+    gate — dropped suppression re-emits them and changes the row
+    count.  Oracle replays both epochs' keepers and the store probe."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.dedup import (
+        fingerprint_store,
+    )
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.streaming.events import (
+        streaming_ingest_dedup_foreach,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    store = fingerprint_store(docs.filter(d % 10 < 8)).localCheckpoint()
+    fresh = docs.filter(d % 10 >= 8)
+    incoming = fresh.unionByName(
+        docs.filter((d % 10 < 8) & (d % 37 == 0)).select(
+            (d + 1000000).alias("doc_id"), "text"
+        )
+    ).unionByName(
+        fresh.filter(d % 23 == 0).select((d + 2000000).alias("doc_id"), "text")
+    )
+    out = _gate_2batch_run(
+        spark,
+        incoming,
+        lambda stream, dec, ckpt: streaming_ingest_dedup_foreach(
+            stream, store, dec, ckpt
+        ),
+        "ingestforeach",
+    )
+    return out.select(
+        "id",
+        "fingerprint",
+        "status",
+        F.date_format("first_ts", "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+    )
+
+
+@query(
+    "ev_minhash_ingest_foreach",
+    oracle=_minhash_ingest_oracle(with_ts=True),
+)
+def ev_minhash_ingest_foreach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORPUS-SCALE streaming NEAR-DUP admission gate (r07) —
+    completing the trio's foreachBatch tier (exact r07 / near-dup r07 /
+    semantic r07): each of the TWO real micro-batches runs the BATCH
+    minhash_ingest_dedup, so the banded-signature store is scanned once
+    per epoch with the batch's signatures broadcast as (band, bucket)
+    probes — never broadcast as a whole, never shuffled.  A doc's
+    decision depends only on (doc, store), so the streamed answer
+    collapses to dd_minhash_ingest's batch oracle; batch 1's five-ish
+    re-delivered even ids are suppressed by the decisions log."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.dedup import (
+        minhash_store,
+        portable_token_hash,
+    )
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.streaming.events import (
+        streaming_minhash_ingest_foreach,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    store = minhash_store(
+        docs.filter(d % 10 < 8), hash_fn=portable_token_hash, bucket_by_hash=False
+    ).localCheckpoint()
+    incoming = docs.filter(d % 10 >= 8).unionByName(
+        docs.filter((d % 10 < 8) & (d % 37 == 0)).select(
+            (d + 1000000).alias("doc_id"), "text"
+        )
+    )
+    out = _gate_2batch_run(
+        spark,
+        incoming,
+        lambda stream, dec, ckpt: streaming_minhash_ingest_foreach(
+            stream,
+            store,
+            dec,
+            ckpt,
+            threshold=0.25,
+            hash_fn=portable_token_hash,
+            bucket_by_hash=False,
+        ),
+        "minhashforeach",
+    )
+    return out.select(
+        "id",
+        "status",
+        "match_id",
+        "est_jaccard",
         F.date_format("first_ts", "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
     )
 

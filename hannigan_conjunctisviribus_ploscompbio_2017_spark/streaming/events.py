@@ -756,6 +756,90 @@ def streaming_semantic_ingest(
     )
 
 
+def _admission_gate_foreach(
+    stream: DataFrame,
+    decisions_path: str,
+    checkpoint: str,
+    id_col: str,
+    ts_col: str,
+    payload_col: str,
+    gate_fn,
+    plan_probe: list | None = None,
+):
+    """The shared CORPUS-SCALE foreachBatch admission harness behind all
+    three streaming gates' scalable variants (exact / near-dup /
+    semantic): per micro-batch, collapse to one row per id (first
+    event-time delivery wins — re-deliveries of an id carry the same
+    payload), suppress ids the DECISIONS LOG already decided (batch ids
+    broadcast onto ONE log scan as a semi probe — the log never
+    shuffles, the fingerprint-store discipline), run the BATCH gate on
+    the survivors, and append the decisions (+ first_ts, _epoch) back
+    to the log.  The gates' persisted stores stay each batch plan's
+    PROBE side — scanned, never broadcast, never shuffled — so nothing
+    about the batch operators' scale story degrades in streaming mode.
+
+    `gate_fn(fresh) -> DataFrame` must emit one row per incoming doc
+    with an `id` column (every batch gate's contract).  Exactly-once: a
+    retried epoch re-appends identical rows under the same _epoch,
+    deduped by read_semantic_decisions.  `plan_probe`, if given a list,
+    receives each epoch's formatted physical plan of the gate query —
+    the hook the plan guards use; one explainString per micro-batch,
+    nothing executor-side."""
+
+    def _gate(batch: DataFrame, epoch_id: int) -> None:
+        spark_b = batch.sparkSession
+        # one row per id: first delivery by event time; a delta-sized
+        # exchange, like every ingest gate
+        first = batch.groupBy(F.col(id_col)).agg(
+            F.min(ts_col).alias("first_ts"),
+            F.min_by(payload_col, F.col(ts_col)).alias(payload_col),
+        )
+        # existence probe through the Hadoop FS API (works on any DFS,
+        # no exception-as-control-flow noise): first epoch has no log
+        jpath = spark_b._jvm.org.apache.hadoop.fs.Path(decisions_path)
+        fs = jpath.getFileSystem(spark_b._jsc.hadoopConfiguration())
+        if fs.exists(jpath):
+            decided = spark_b.read.parquet(decisions_path).select("id")
+            # the log never shuffles: batch ids broadcast onto ONE log
+            # scan (semi), the at-most-batch-sized matched set
+            # broadcasts back as the anti filter
+            matched = decided.join(
+                F.broadcast(first.select(F.col(id_col).alias("id")).distinct()),
+                "id",
+                "semi",
+            ).distinct()
+            fresh = first.join(
+                F.broadcast(matched.withColumnRenamed("id", id_col)),
+                id_col,
+                "left_anti",
+            )
+        else:
+            fresh = first
+        out = (
+            gate_fn(fresh)
+            .join(
+                F.broadcast(fresh.select(F.col(id_col).alias("id"), "first_ts")),
+                "id",
+            )
+            .withColumn("_epoch", F.lit(int(epoch_id)))
+        )
+        if plan_probe is not None:
+            plan_probe.append(
+                out._jdf.queryExecution().explainString(
+                    spark_b._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                        "formatted"
+                    )
+                )
+            )
+        out.write.mode("append").parquet(decisions_path)
+
+    return (
+        stream.writeStream.foreachBatch(_gate)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
 def streaming_semantic_ingest_foreach(
     emb_stream: DataFrame,
     store: DataFrame,
@@ -807,55 +891,126 @@ def streaming_semantic_ingest_foreach(
         semantic_ingest_dedup,
     )
 
-    def _gate(batch: DataFrame, epoch_id: int) -> None:
-        spark_b = batch.sparkSession
-        # one row per id: first delivery by event time (re-deliveries of
-        # an id carry the same embedding, so min_by's tie-break on ts is
-        # immaterial); a delta-sized exchange, like every ingest gate
-        first = batch.groupBy(F.col(id_col)).agg(
-            F.min(ts_col).alias("first_ts"),
-            F.min_by(vec_col, F.col(ts_col)).alias(vec_col),
-        )
-        # existence probe through the Hadoop FS API (works on any DFS,
-        # no exception-as-control-flow noise): first epoch has no log
-        jpath = spark_b._jvm.org.apache.hadoop.fs.Path(decisions_path)
-        fs = jpath.getFileSystem(spark_b._jsc.hadoopConfiguration())
-        if fs.exists(jpath):
-            decided = spark_b.read.parquet(decisions_path).select("id")
-            # the log never shuffles: batch ids broadcast onto ONE log
-            # scan (semi), the at-most-batch-sized matched set
-            # broadcasts back as the anti filter
-            matched = decided.join(
-                F.broadcast(first.select(F.col(id_col).alias("id")).distinct()),
-                "id",
-                "semi",
-            ).distinct()
-            fresh = first.join(
-                F.broadcast(matched.withColumnRenamed("id", id_col)),
-                id_col,
-                "left_anti",
-            )
-        else:
-            fresh = first
-        out = semantic_ingest_dedup(
+    return _admission_gate_foreach(
+        emb_stream,
+        decisions_path,
+        checkpoint,
+        id_col,
+        ts_col,
+        vec_col,
+        lambda fresh: semantic_ingest_dedup(
             fresh, store, centroids, dim, tau, n_probe, id_col, vec_col, round_to
-        ).join(
-            F.broadcast(fresh.select(F.col(id_col).alias("id"), "first_ts")), "id"
-        ).withColumn("_epoch", F.lit(int(epoch_id)))
-        if plan_probe is not None:
-            plan_probe.append(
-                out._jdf.queryExecution().explainString(
-                    spark_b._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-                        "formatted"
-                    )
-                )
-            )
-        out.write.mode("append").parquet(decisions_path)
+        ),
+        plan_probe,
+    )
 
-    return (
-        emb_stream.writeStream.foreachBatch(_gate)
-        .option("checkpointLocation", checkpoint)
-        .start()
+
+def streaming_ingest_dedup_foreach(
+    doc_stream: DataFrame,
+    store_fps: DataFrame,
+    decisions_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "ts",
+    plan_probe: list | None = None,
+):
+    """CORPUS-SCALE streaming EXACT admission gate — the foreachBatch
+    variant of streaming_ingest_dedup for fingerprint stores too big to
+    broadcast: the stateful twin broadcasts the store per micro-batch
+    (stream-static anti join, build side = store), right only within
+    the broadcast budget; here each micro-batch runs the BATCH
+    ingest_dedup, so the store is scanned ONCE per epoch with the
+    batch's distinct fingerprints broadcast onto it as a LeftSemi probe
+    — never broadcast, never shuffled (the batch operator's
+    plan-guarded shape, now inside every epoch).
+
+    Semantics per epoch are the batch gate's: status ∈ {'new',
+    'dup_store', 'dup_batch'} with dup_batch keyed per EPOCH (the
+    keeper is the epoch's min id per fingerprint).  Cross-batch
+    re-deliveries of an already-decided doc ID are suppressed by the
+    decisions log (see _admission_gate_foreach).  NOTE the store is
+    static across epochs, as in the batch loop: appending admitted
+    fingerprints back to the store between RUNS is the caller's
+    maintenance step, so a different-id clone of an epoch-0 admit is
+    'new' again in epoch 1 — exactly what the batch gate would answer
+    before the store append.
+
+    Output to `decisions_path`: (id, fingerprint, status, first_ts,
+    _epoch).  Returns the started StreamingQuery."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.dedup import ingest_dedup
+
+    return _admission_gate_foreach(
+        doc_stream,
+        decisions_path,
+        checkpoint,
+        id_col,
+        ts_col,
+        text_col,
+        lambda fresh: ingest_dedup(fresh, store_fps, id_col, text_col),
+        plan_probe,
+    )
+
+
+def streaming_minhash_ingest_foreach(
+    doc_stream: DataFrame,
+    store_banded: DataFrame,
+    decisions_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "ts",
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    seed: int = 42,
+    hash_fn=None,
+    bucket_by_hash: bool = True,
+    plan_probe: list | None = None,
+):
+    """CORPUS-SCALE streaming NEAR-DUP admission gate — the foreachBatch
+    variant completing the trio (exact / near-dup / semantic each have
+    a stateful fits-in-broadcast twin AND a corpus-scale foreachBatch
+    twin): each micro-batch runs the BATCH minhash_ingest_dedup, so the
+    banded-signature store is scanned once per epoch with the batch's
+    banded signatures broadcast onto it as a (band, bucket) hash join —
+    never broadcast as a whole, never shuffled.  Banding parameters
+    must match the store's (they are its schema).
+
+    A doc's decision depends only on (doc, store) — no within-batch
+    interaction — so each doc's answer equals the batch operator's
+    regardless of which epoch delivers it first; re-deliveries are
+    suppressed by the decisions log.
+
+    Output to `decisions_path`: (id, status ∈ {'dup_near', 'new'},
+    match_id, est_jaccard, first_ts, _epoch).  Returns the started
+    StreamingQuery."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.dedup import (
+        minhash_ingest_dedup,
+    )
+
+    return _admission_gate_foreach(
+        doc_stream,
+        decisions_path,
+        checkpoint,
+        id_col,
+        ts_col,
+        text_col,
+        lambda fresh: minhash_ingest_dedup(
+            fresh,
+            store_banded,
+            id_col,
+            text_col,
+            k,
+            num_hashes,
+            bands,
+            threshold,
+            seed,
+            hash_fn,
+            bucket_by_hash,
+        ),
+        plan_probe,
     )
 
 

@@ -1571,3 +1571,124 @@ def test_streaming_semantic_ingest_foreach_dpp_and_suppression(spark, tmp_path):
     assert rows[1].status == "dup_semantic" and rows[1]._epoch == 0  # first decision kept
     assert rows[2].status == "new"
     assert rows[3].status == "dup_semantic" and rows[3]._epoch == 1
+
+
+def test_streaming_exact_and_minhash_foreach_gates(spark, tmp_path):
+    """The two r07 foreachBatch gates completing the corpus-scale trio:
+    inside EVERY micro-batch the exact gate must keep the batch
+    operator's never-shuffle shape (store scanned once, delta
+    fingerprints broadcast as a LeftSemi probe, no sort-merge) and the
+    minhash gate its (band, bucket) broadcast hash join; cross-batch
+    re-delivered doc ids must be suppressed by the decisions log; and
+    per-epoch dup_batch keepers must be epoch-local (a text duplicated
+    across two docs in ONE batch flags dup_batch, the same text
+    arriving under a new id in a LATER batch is 'new' again — the
+    static-store semantics the operator documents)."""
+    from datetime import datetime
+
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.dedup import (
+        fingerprint_store,
+        minhash_store,
+    )
+
+    schema = "doc_id long, ts timestamp, text string"
+
+    def doc(did, minute, text):
+        return (did, datetime(2025, 1, 1, 12, minute), text)
+
+    corpus_text = "the quick brown fox jumps over the lazy dog again and again"
+    other = "completely different content about adaptive query execution plans"
+    third = "a third body of text that is not like the other two at all"
+    store_docs = spark.createDataFrame(
+        [(100, corpus_text)], "doc_id long, text string"
+    )
+    fpath = str(tmp_path / "fp_store")
+    fingerprint_store(store_docs).write.parquet(fpath)
+    fp_store = spark.read.parquet(fpath)
+    mpath = str(tmp_path / "mh_store")
+    minhash_store(store_docs).write.parquet(mpath)
+    mh_store = spark.read.parquet(mpath)
+
+    b1 = spark.createDataFrame(
+        [
+            doc(1, 0, corpus_text),  # store clone -> dup_store
+            doc(2, 1, other),        # new
+            doc(3, 2, other),        # same text, same batch -> dup_batch
+        ],
+        schema,
+    )
+    b2 = spark.createDataFrame(
+        [
+            doc(1, 10, corpus_text),  # re-delivered id -> suppressed
+            doc(4, 11, other),        # same text, LATER batch -> new again
+            doc(5, 12, third),        # new
+        ],
+        schema,
+    )
+    src = tmp_path / "doc_stream"
+    import time as _time
+
+    b1.coalesce(1).write.mode("append").parquet(str(src))
+    _time.sleep(1.2)
+    b2.coalesce(1).write.mode("append").parquet(str(src))
+
+    def stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+
+    # --- exact gate ---
+    plans: list[str] = []
+    q = SE.streaming_ingest_dedup_foreach(
+        stream(),
+        fp_store,
+        decisions_path=str(tmp_path / "dec_exact"),
+        checkpoint=str(tmp_path / "ckpt_exact"),
+        plan_probe=plans,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert len(plans) == 2
+    for p in plans:
+        assert "BroadcastHashJoin LeftSemi BuildRight" in p  # store probe
+        assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+        # the store contributes exactly ONE scan per epoch plan
+        assert sum("fp_store" in l for l in p.splitlines() if "Location" in l) == 1
+    rows = {
+        r.id: r for r in SE.read_semantic_decisions(spark, str(tmp_path / "dec_exact")).collect()
+    }
+    assert set(rows) == {1, 2, 3, 4, 5}
+    assert rows[1].status == "dup_store" and rows[1]._epoch == 0
+    assert rows[2].status == "new" and rows[3].status == "dup_batch"
+    assert rows[4].status == "new" and rows[4]._epoch == 1  # epoch-local keeper
+    assert rows[5].status == "new"
+
+    # --- minhash gate ---
+    plans2: list[str] = []
+    q2 = SE.streaming_minhash_ingest_foreach(
+        stream(),
+        mh_store,
+        decisions_path=str(tmp_path / "dec_mh"),
+        checkpoint=str(tmp_path / "ckpt_mh"),
+        plan_probe=plans2,
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert len(plans2) == 2
+    for p in plans2:
+        assert "BroadcastHashJoin" in p
+        assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+        assert "CartesianProduct" not in p
+    rows2 = {
+        r.id: r for r in SE.read_semantic_decisions(spark, str(tmp_path / "dec_mh")).collect()
+    }
+    assert set(rows2) == {1, 2, 3, 4, 5}  # id 1 decided once (log suppression)
+    assert rows2[1].status == "dup_near" and rows2[1].match_id == 100
+    assert rows2[1].est_jaccard == 1.0 and rows2[1]._epoch == 0
+    assert rows2[5].status == "new"
