@@ -222,6 +222,14 @@ def sample_columns(
     return df.select(*chosen)
 
 
+def salt_expr(cols: Sequence[str], buckets: int):
+    """The deterministic salt salted_join assigns each left row: xxhash64
+    over the WHOLE row mod `buckets`.  Exposed so tests (and callers
+    pre-bucketing a write) measure the spread of the exact expression
+    the join uses, not a private copy of it."""
+    return F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(buckets)).cast("int")
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,
@@ -236,11 +244,10 @@ def salted_join(
     Semantically identical to left.join(right, on, how) for inner/left
     joins. AQE's skew-join split handles most cases automatically; this
     is the explicit tool for super-hot keys (power-law host nodes) or
-    when AQE is unavailable. Salt is deterministic (hash of the whole
-    left row), so results are reproducible.
+    when AQE is unavailable. Salt is deterministic (salt_expr: hash of
+    the whole left row), so results are reproducible.
     """
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(buckets))
-    lsalted = left.withColumn("_salt", salt.cast("int"))
+    lsalted = left.withColumn("_salt", salt_expr(left.columns, buckets))
     rexpl = right.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(buckets)]))
     )

@@ -3309,7 +3309,6 @@ def ev_semantic_ingest_foreach(spark: SparkSession, sf_dir: str) -> DataFrame:
         semantic_store,
     )
     from hannigan_conjunctisviribus_ploscompbio_2017_spark.streaming.events import (
-        read_semantic_decisions,
         streaming_semantic_ingest_foreach,
     )
 
@@ -3323,27 +3322,18 @@ def ev_semantic_ingest_foreach(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cell"
     ).parquet(f"{d}/store")
     store = spark.read.parquet(f"{d}/store")
-    delta = emb.filter(v < 20).select(
-        "vec_id",
-        F.timestamp_seconds(F.lit(1700000000) + v).alias("ts"),
-        "embedding",
+    out = _gate_2batch_run(
+        spark,
+        emb.filter(v < 20).select("vec_id", "embedding"),
+        lambda stream, dec, ckpt: streaming_semantic_ingest_foreach(
+            stream, store, cents, dim=64, decisions_path=dec, checkpoint=ckpt, tau=0.38
+        ),
+        "semforeach",
+        id_col="vec_id",
+        payload_col="embedding",
+        redeliver=lambda vid: vid < 10,
     )
-    b0 = delta.filter(v % 2 == 0)
-    b1 = delta.filter(v % 2 == 1).unionByName(delta.filter((v % 2 == 0) & (v < 10)))
-    q = streaming_semantic_ingest_foreach(
-        _bounded_stream_batches(spark, [b0, b1], "semforeach"),
-        store,
-        cents,
-        dim=64,
-        decisions_path=f"{d}/decisions",
-        checkpoint=f"{d}/ckpt",
-        tau=0.38,
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return read_semantic_decisions(spark, f"{d}/decisions").select(
+    return out.select(
         "id",
         "status",
         "match_id",
@@ -3352,30 +3342,40 @@ def ev_semantic_ingest_foreach(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _gate_2batch_run(spark, incoming, start_query, tag: str):
-    """Shared driver harness for the foreachBatch gate entries: stamp
-    the synthetic event time, split incoming into two mtime-ordered
-    micro-batches (evens first, then odds PLUS re-delivered evens with
-    id % 5 == 0 — the decisions log must suppress the re-deliveries or
-    the row count changes), run the gate to completion, and return the
-    compacted decisions frame."""
+def _gate_2batch_run(
+    spark,
+    incoming,
+    start_query,
+    tag: str,
+    id_col: str = "doc_id",
+    payload_col: str = "text",
+    redeliver=None,
+):
+    """Shared driver harness for ALL foreachBatch gate entries: stamp
+    the synthetic event time (epoch 1700000000 + id seconds, matching
+    _GATE_TS), split incoming into two mtime-ordered micro-batches
+    (even ids first, then odd ids PLUS re-delivered evens chosen by
+    `redeliver(id_column)` — default id % 5 == 0; the decisions log
+    must suppress the re-deliveries or the row count changes), run the
+    gate to completion, and return the compacted decisions frame."""
     import atexit
     import shutil
     import tempfile
 
     from hannigan_conjunctisviribus_ploscompbio_2017_spark.streaming.events import (
-        read_semantic_decisions,
+        read_gate_decisions,
     )
 
-    v = F.col("doc_id")
+    v = F.col(id_col)
     stamped = incoming.select(
-        "doc_id",
+        id_col,
         F.timestamp_seconds(F.lit(1700000000) + v).alias("ts"),
-        "text",
+        payload_col,
     )
+    redelivered = redeliver(v) if redeliver is not None else (v % 5 == 0)
     b0 = stamped.filter(v % 2 == 0)
     b1 = stamped.filter(v % 2 == 1).unionByName(
-        stamped.filter((v % 2 == 0) & (v % 5 == 0))
+        stamped.filter((v % 2 == 0) & redelivered)
     )
     d = tempfile.mkdtemp(prefix=f"sg_gate_{tag}_")
     atexit.register(shutil.rmtree, d, ignore_errors=True)
@@ -3388,7 +3388,7 @@ def _gate_2batch_run(spark, incoming, start_query, tag: str):
         q.processAllAvailable()
     finally:
         q.stop()
-    return read_semantic_decisions(spark, f"{d}/decisions")
+    return read_gate_decisions(spark, f"{d}/decisions")
 
 
 @query(

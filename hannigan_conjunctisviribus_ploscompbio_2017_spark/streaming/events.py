@@ -781,7 +781,7 @@ def _admission_gate_foreach(
     `gate_fn(fresh) -> DataFrame` must emit one row per incoming doc
     with an `id` column (every batch gate's contract).  Exactly-once: a
     retried epoch re-appends identical rows under the same _epoch,
-    deduped by read_semantic_decisions.  `plan_probe`, if given a list,
+    deduped by read_gate_decisions.  `plan_probe`, if given a list,
     receives each epoch's formatted physical plan of the gate query —
     the hook the plan guards use; one explainString per micro-batch,
     nothing executor-side."""
@@ -876,7 +876,7 @@ def streaming_semantic_ingest_foreach(
 
     Exactly-once: rows carry the epoch id; a retried epoch re-appends
     identical rows under the same _epoch, deduped by
-    read_semantic_decisions.  Within a batch, one row per id (first
+    read_gate_decisions.  Within a batch, one row per id (first
     event-time delivery wins; re-deliveries share the embedding).
 
     `plan_probe`, if given a list, receives each epoch's formatted
@@ -1014,7 +1014,7 @@ def streaming_minhash_ingest_foreach(
     )
 
 
-def read_semantic_decisions(spark: SparkSession, decisions_path: str) -> DataFrame:
+def read_gate_decisions(spark: SparkSession, decisions_path: str) -> DataFrame:
     """Compact the semantic-gate decisions log: dedup epoch retries
     (identical rows under the same _epoch), one row per doc id — its
     first decision (smallest _epoch; suppression guarantees at most one

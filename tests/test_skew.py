@@ -60,8 +60,10 @@ def test_aqe_splits_hot_sample_in_fact_fact_join(spark, skewed):
     ph = facts.select(
         "sample", F.col("contig").alias("phage"), F.col("abundance").alias("pab")
     )
-    # host side: ~1/50 of contigs (bounded so hot output stays ~2M pairs)
-    ho = facts.filter(F.col("contig") % 50 < 1).select(
+    # host side: ~1/500 of contigs — the hot sample's pair output is then
+    # 100,000 x ~200 = ~20M rows, enough join work to measure while the
+    # skew signal itself comes from the ph SIDE's 100k-row hot partition
+    ho = facts.filter(F.col("contig") % 500 < 1).select(
         "sample", F.col("contig").alias("host"), F.col("abundance").alias("hab")
     )
     confs = {
@@ -103,7 +105,9 @@ def test_salted_join_parity_and_spread(spark, skewed):
 
     plain = facts.join(meta, "sample")
     salted = salted_join(facts, meta, on="sample", buckets=buckets)
-    assert salted.schema.fieldNames()[: len(plain.schema.fieldNames())] is not None
+    # column contract: the salt must not leak and no column may be
+    # dropped or reordered relative to the plain join
+    assert salted.schema.fieldNames() == plain.schema.fieldNames()
     # bit-identical multisets (sort both sides)
     a = sorted(map(tuple, plain.select("sample", "contig", "abundance", "study").collect()))
     b = sorted(map(tuple, salted.select("sample", "contig", "abundance", "study").collect()))
@@ -111,11 +115,12 @@ def test_salted_join_parity_and_spread(spark, skewed):
 
     hot_rows = facts.filter(F.col("sample") == 999).count()
     assert hot_rows == 100_000
+    # measure the spread of the SAME expression salted_join assigns
+    # (relational.salt_expr — not a private copy that could go stale)
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.relational import salt_expr
+
     spread = (
-        facts.withColumn(
-            "_salt",
-            F.pmod(F.xxhash64(*[F.col(c) for c in facts.columns]), F.lit(buckets)),
-        )
+        facts.withColumn("_salt", salt_expr(facts.columns, buckets))
         .filter(F.col("sample") == 999)
         .groupBy("_salt")
         .count()

@@ -1565,7 +1565,7 @@ def test_streaming_semantic_ingest_foreach_dpp_and_suppression(spark, tmp_path):
         assert "dynamicpruning" in p.lower(), "store scan not DPP-pruned in epoch plan"
         assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
 
-    out = SE.read_semantic_decisions(spark, str(tmp_path / "decisions"))
+    out = SE.read_gate_decisions(spark, str(tmp_path / "decisions"))
     rows = {r.id: r for r in out.collect()}
     assert set(rows) == {1, 2, 3}
     assert rows[1].status == "dup_semantic" and rows[1]._epoch == 0  # first decision kept
@@ -1659,7 +1659,7 @@ def test_streaming_exact_and_minhash_foreach_gates(spark, tmp_path):
         # the store contributes exactly ONE scan per epoch plan
         assert sum("fp_store" in l for l in p.splitlines() if "Location" in l) == 1
     rows = {
-        r.id: r for r in SE.read_semantic_decisions(spark, str(tmp_path / "dec_exact")).collect()
+        r.id: r for r in SE.read_gate_decisions(spark, str(tmp_path / "dec_exact")).collect()
     }
     assert set(rows) == {1, 2, 3, 4, 5}
     assert rows[1].status == "dup_store" and rows[1]._epoch == 0
@@ -1686,7 +1686,7 @@ def test_streaming_exact_and_minhash_foreach_gates(spark, tmp_path):
         assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
         assert "CartesianProduct" not in p
     rows2 = {
-        r.id: r for r in SE.read_semantic_decisions(spark, str(tmp_path / "dec_mh")).collect()
+        r.id: r for r in SE.read_gate_decisions(spark, str(tmp_path / "dec_mh")).collect()
     }
     assert set(rows2) == {1, 2, 3, 4, 5}  # id 1 decided once (log suppression)
     assert rows2[1].status == "dup_near" and rows2[1].match_id == 100
