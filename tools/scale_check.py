@@ -101,8 +101,13 @@ def bench(sf_dir: str) -> dict:
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
+# The corpus/ANN paths whose sublinearity claims matter most at scale,
+# plus (r07) the three batch admission gates — near-flat by design —
+# and the hypergeometric rarefaction route (m1_rarefaction, the
+# at-scale default measured against the explode-based q12 twin).
 SUBSET_DEFAULT = [
-    "q8", "q12", "q17", "q18", "q19", "q20", "q21", "dd_ingest_dedup",
+    "q8", "q12", "q17", "q18", "q19", "q20", "q21", "q22",
+    "dd_ingest_dedup", "dd_minhash_ingest", "m1_rarefaction",
 ]
 
 
