@@ -414,3 +414,40 @@ def test_y4m_truncation_always_valueerror(n, h2, w2, cut):
         assert dec.shape[0] < n
     except ValueError:
         pass
+
+
+@SLOW
+@given(
+    left=st.lists(
+        st.tuples(keys, st.integers(min_value=-50, max_value=50)),
+        min_size=0,
+        max_size=12,
+    ),
+    right=st.lists(
+        st.tuples(keys, cats),
+        min_size=0,
+        max_size=6,
+    ),
+    buckets=st.sampled_from([1, 3, 16]),
+    how=st.sampled_from(["inner", "left"]),
+)
+def test_salted_join_equals_plain_join(spark, left, right, buckets, how):
+    """salted_join(l, r, on, buckets, how) must return EXACTLY the plain
+    join's row multiset for any input — duplicate keys, missing keys,
+    duplicate right rows, bucket count 1..16, inner and left — because
+    the salt is an internal spreading device, never a semantic key.
+    (The skew fixture pins one instance; this pins the algebra.)"""
+    l = spark.createDataFrame(left, "k string, v long") if left else (
+        spark.createDataFrame([], "k string, v long")
+    )
+    r = spark.createDataFrame(right, "k string, c string") if right else (
+        spark.createDataFrame([], "k string, c string")
+    )
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.relational import salted_join
+
+    plain = l.join(r, "k", how)
+    salted = salted_join(l, r, on="k", buckets=buckets, how=how)
+    assert salted.schema.fieldNames() == plain.schema.fieldNames()
+    a = sorted(map(tuple, plain.collect()))
+    b = sorted(map(tuple, salted.collect()))
+    assert a == b
