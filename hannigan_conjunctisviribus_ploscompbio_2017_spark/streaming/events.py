@@ -773,18 +773,34 @@ def _admission_gate_foreach(
     payload), suppress ids the DECISIONS LOG already decided (batch ids
     broadcast onto ONE log scan as a semi probe — the log never
     shuffles, the fingerprint-store discipline), run the BATCH gate on
-    the survivors, and append the decisions (+ first_ts, _epoch) back
-    to the log.  The gates' persisted stores stay each batch plan's
-    PROBE side — scanned, never broadcast, never shuffled — so nothing
-    about the batch operators' scale story degrades in streaming mode.
+    the survivors, and write the decisions (+ first_ts) to the log.
+    The gates' persisted stores stay each batch plan's PROBE side —
+    scanned, never broadcast, never shuffled — so nothing about the
+    batch operators' scale story degrades in streaming mode.
 
     `gate_fn(fresh) -> DataFrame` must emit one row per incoming doc
-    with an `id` column (every batch gate's contract).  Exactly-once: a
-    retried epoch re-appends identical rows under the same _epoch,
-    deduped by read_gate_decisions.  `plan_probe`, if given a list,
-    receives each epoch's formatted physical plan of the gate query —
-    the hook the plan guards use; one explainString per micro-batch,
-    nothing executor-side."""
+    with an `id` column (every batch gate's contract).
+
+    Exactly-once, for ALL three gates including the batch-keyed exact
+    one: each epoch lands in its own `_epoch=<n>` partition directory
+    with mode("overwrite") — never appended — and the suppression probe
+    reads only STRICTLY PRIOR epochs (`_epoch < n`, partition-pruned).
+    A retried epoch therefore (a) recomputes its decisions from exactly
+    the immutable pre-epoch log state (every gate is a deterministic
+    function of (survivors, store), so the recomputed rows are
+    identical — including per-epoch dup_batch keepers), and (b)
+    atomically REPLACES whatever a partially committed first attempt
+    left in the epoch directory instead of appending divergent rows
+    next to it.  A plain parquet append could not give this: a partial
+    job commit leaks some task files, the retry's probe then sees its
+    own partial output, and a doc first decided 'dup_batch' could
+    re-land as 'new' (r07 ADVICE).  The streaming checkpoint commits
+    the batch only after the overwrite job commits, so a log whose
+    stream has advanced past epoch n holds epoch n complete and final.
+
+    `plan_probe`, if given a list, receives each epoch's formatted
+    physical plan of the gate query — the hook the plan guards use; one
+    explainString per micro-batch, nothing executor-side."""
 
     def _gate(batch: DataFrame, epoch_id: int) -> None:
         spark_b = batch.sparkSession
@@ -795,11 +811,24 @@ def _admission_gate_foreach(
             F.min_by(payload_col, F.col(ts_col)).alias(payload_col),
         )
         # existence probe through the Hadoop FS API (works on any DFS,
-        # no exception-as-control-flow noise): first epoch has no log
-        jpath = spark_b._jvm.org.apache.hadoop.fs.Path(decisions_path)
-        fs = jpath.getFileSystem(spark_b._jsc.hadoopConfiguration())
-        if fs.exists(jpath):
-            decided = spark_b.read.parquet(decisions_path).select("id")
+        # no exception-as-control-flow noise): glob for COMMITTED epoch
+        # data files, not the bare root — a crashed first epoch leaves
+        # `_temporary` task dirs that read.parquet cannot infer a
+        # schema from, and `_epoch=*` dirs survive Spark's hidden-path
+        # filter (leading `_` is only skipped when the name has no `=`)
+        jvm = spark_b._jvm
+        glob = jvm.org.apache.hadoop.fs.Path(f"{decisions_path}/_epoch=*/part-*")
+        fs = glob.getFileSystem(spark_b._jsc.hadoopConfiguration())
+        committed = fs.globStatus(glob)
+        if committed is not None and len(committed) > 0:
+            # strictly-prior epochs only (partition-pruned): a retry
+            # must not see its own partial first attempt, or a doc
+            # decided 'dup_batch' would re-enter as 'new'
+            decided = (
+                spark_b.read.parquet(decisions_path)
+                .filter(F.col("_epoch") < int(epoch_id))
+                .select("id")
+            )
             # the log never shuffles: batch ids broadcast onto ONE log
             # scan (semi), the at-most-batch-sized matched set
             # broadcasts back as the anti filter
@@ -815,13 +844,9 @@ def _admission_gate_foreach(
             )
         else:
             fresh = first
-        out = (
-            gate_fn(fresh)
-            .join(
-                F.broadcast(fresh.select(F.col(id_col).alias("id"), "first_ts")),
-                "id",
-            )
-            .withColumn("_epoch", F.lit(int(epoch_id)))
+        out = gate_fn(fresh).join(
+            F.broadcast(fresh.select(F.col(id_col).alias("id"), "first_ts")),
+            "id",
         )
         if plan_probe is not None:
             plan_probe.append(
@@ -831,7 +856,10 @@ def _admission_gate_foreach(
                     )
                 )
             )
-        out.write.mode("append").parquet(decisions_path)
+        # atomic epoch replacement: the _epoch value is the DIRECTORY,
+        # not a data column (a same-named data column would collide with
+        # the discovered partition column on read)
+        out.write.mode("overwrite").parquet(f"{decisions_path}/_epoch={int(epoch_id)}")
 
     return (
         stream.writeStream.foreachBatch(_gate)
@@ -874,10 +902,11 @@ def streaming_semantic_ingest_foreach(
     before the gate runs.  A doc id keeps its FIRST decision forever
     ('unusable' included), matching the stateful twin's id-keyed state.
 
-    Exactly-once: rows carry the epoch id; a retried epoch re-appends
-    identical rows under the same _epoch, deduped by
-    read_gate_decisions.  Within a batch, one row per id (first
-    event-time delivery wins; re-deliveries share the embedding).
+    Exactly-once: each epoch atomically overwrites its own `_epoch=<n>`
+    log directory and a retry recomputes from the immutable prior
+    epochs only (see _admission_gate_foreach).  Within a batch, one row
+    per id (first event-time delivery wins; re-deliveries share the
+    embedding).
 
     `plan_probe`, if given a list, receives each epoch's formatted
     physical plan of the gate query — the hook the DPP plan guard uses;
@@ -1015,16 +1044,29 @@ def streaming_minhash_ingest_foreach(
 
 
 def read_gate_decisions(spark: SparkSession, decisions_path: str) -> DataFrame:
-    """Compact the semantic-gate decisions log: dedup epoch retries
-    (identical rows under the same _epoch), one row per doc id — its
-    first decision (smallest _epoch; suppression guarantees at most one
-    non-retry row per id)."""
+    """Compact a foreachBatch gate decisions log — the shared reader
+    for ALL THREE admission gates (exact / near-dup / semantic): one
+    row per doc id, its first decision (smallest _epoch).
+
+    The r08 write protocol already makes the log exactly-once (each
+    epoch atomically overwrites its own `_epoch=<n>` directory and a
+    retry recomputes from strictly-prior epochs, so one id cannot carry
+    two divergent rows); the min_by here is defense-in-depth for logs
+    written by the pre-r08 append protocol, and its tie-break is a
+    DETERMINISTIC total order over (_epoch, payload columns) instead of
+    the old _epoch-only ordering, which picked arbitrarily between
+    divergent same-epoch rows.  For the exact gate — the one family
+    where a partially committed epoch could historically diverge — the
+    first payload column that can differ is `status`, and 'dup_batch' /
+    'dup_store' sort before 'new', so a legacy divergence resolves to
+    the conservative decision (never a double admit)."""
     log = spark.read.parquet(decisions_path)
     cols = [c for c in log.columns if c not in ("id", "_epoch")]
+    order = F.struct(F.col("_epoch"), *[F.col(c) for c in cols])
     return (
         log.groupBy("id")
         .agg(
-            F.min_by(F.struct(*cols), F.col("_epoch")).alias("_r"),
+            F.min_by(F.struct(*cols), order).alias("_r"),
             F.min("_epoch").alias("_epoch"),
         )
         .select("id", *[F.col(f"_r.{c}").alias(c) for c in cols], "_epoch")

@@ -1692,3 +1692,113 @@ def test_streaming_exact_and_minhash_foreach_gates(spark, tmp_path):
     assert rows2[1].status == "dup_near" and rows2[1].match_id == 100
     assert rows2[1].est_jaccard == 1.0 and rows2[1]._epoch == 0
     assert rows2[5].status == "new"
+
+
+def test_gate_log_epoch_dirs_atomic_retry(spark, tmp_path):
+    """The r08 exactly-once protocol (r07 ADVICE): each epoch lands in
+    its own _epoch=<n> directory via mode("overwrite"), and the
+    suppression probe reads strictly-prior epochs only.  Faithful retry
+    simulation: run epoch 0, then pollute _epoch=1 with a divergent
+    partial first attempt (a wrong 'new' row for a doc the real epoch 1
+    will deliver), restart the stream on the SAME checkpoint with a new
+    source file.  The restarted epoch 1 must (a) not let the partial
+    rows suppress its own docs — doc 7 still gets a decision — and (b)
+    atomically REPLACE the polluted directory, so the fabricated row is
+    gone from the final log."""
+    from datetime import datetime
+
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.dedup import fingerprint_store
+
+    schema = "doc_id long, ts timestamp, text string"
+
+    def doc(did, minute, text):
+        return (did, datetime(2025, 1, 1, 12, minute), text)
+
+    corpus_text = "the quick brown fox jumps over the lazy dog again and again"
+    other = "completely different content about adaptive query execution plans"
+    store_docs = spark.createDataFrame([(100, corpus_text)], "doc_id long, text string")
+    fpath = str(tmp_path / "fp_store")
+    fingerprint_store(store_docs).write.parquet(fpath)
+    fp_store = spark.read.parquet(fpath)
+
+    src = tmp_path / "retry_stream"
+    dec = str(tmp_path / "dec_retry")
+    ckpt = str(tmp_path / "ckpt_retry")
+
+    def start():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        return SE.streaming_ingest_dedup_foreach(stream, fp_store, dec, ckpt)
+
+    b1 = spark.createDataFrame([doc(1, 0, corpus_text), doc(2, 1, other)], schema)
+    b1.coalesce(1).write.mode("append").parquet(str(src))
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # epoch 0 committed into its own partition directory, no _epoch data column
+    assert os.path.isdir(f"{dec}/_epoch=0")
+    raw0 = spark.read.parquet(f"{dec}/_epoch=0")
+    assert "_epoch" not in raw0.columns
+
+    # fabricate a partially committed epoch 1: doc 7 wrongly decided
+    # 'new' with a bogus fingerprint, plus a duplicate-text doc 8 row
+    fake = spark.createDataFrame(
+        [(7, "deadbeef", "new", datetime(2025, 1, 1, 12, 9)),
+         (8, "deadbeef", "dup_batch", datetime(2025, 1, 1, 12, 9))],
+        "id long, fingerprint string, status string, first_ts timestamp",
+    )
+    fake.coalesce(1).write.parquet(f"{dec}/_epoch=1")
+
+    # the real epoch 1 arrives; restart on the same checkpoint
+    import time as _time
+
+    _time.sleep(1.2)
+    b2 = spark.createDataFrame(
+        [doc(7, 10, other), doc(8, 11, other), doc(1, 12, corpus_text)], schema
+    )
+    b2.coalesce(1).write.mode("append").parquet(str(src))
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = {r.id: r for r in SE.read_gate_decisions(spark, dec).collect()}
+    assert set(rows) == {1, 2, 7, 8}  # doc 1 suppressed by epoch 0, not re-decided
+    assert rows[1].status == "dup_store" and rows[1]._epoch == 0
+    # doc 7 was NOT suppressed by the polluted partial epoch: it got a
+    # real decision, and the fabricated fingerprint is gone (replaced)
+    assert rows[7].status == "new" and rows[7].fingerprint != "deadbeef"
+    assert rows[8].status == "dup_batch" and rows[8]._epoch == 1
+    raw1 = spark.read.parquet(f"{dec}/_epoch=1")
+    assert raw1.filter(F.col("fingerprint") == "deadbeef").count() == 0
+
+
+def test_read_gate_decisions_deterministic_on_legacy_divergence(spark, tmp_path):
+    """Defense-in-depth for PRE-r08 append-protocol logs: two divergent
+    rows for one id under the SAME epoch (the partial-commit artifact
+    the old protocol could leave) must compact deterministically to the
+    conservative decision — status 'dup_batch' sorts before 'new', so a
+    legacy divergence can never resolve into a double admit."""
+    from datetime import datetime
+
+    ts = datetime(2025, 1, 1, 12, 0)
+    legacy = spark.createDataFrame(
+        [
+            (9, "abc", "new", ts, 3),
+            (9, "abc", "dup_batch", ts, 3),
+            (4, "abc", "new", ts, 3),
+        ],
+        "id long, fingerprint string, status string, first_ts timestamp, _epoch int",
+    )
+    path = str(tmp_path / "legacy_log")
+    legacy.write.parquet(path)
+    for _ in range(3):  # stable across re-reads, not one lucky ordering
+        rows = {r.id: r for r in SE.read_gate_decisions(spark, path).collect()}
+        assert rows[9].status == "dup_batch" and rows[9]._epoch == 3
+        assert rows[4].status == "new"
