@@ -1,0 +1,233 @@
+"""Admission-gate store maintenance — the append step between runs.
+
+The three admission gates (exact: `ingest_dedup` over a fingerprint
+store, near-dup: `minhash_ingest_dedup` over a banded-signature store,
+semantic: `semantic_ingest_dedup` over a cell-partitioned vector store)
+all document the same contract: the persisted store is STATIC within a
+run, and appending the run's admitted ('new') rows back to the store is
+the caller's maintenance step, so run N+1's gate sees run N's admits.
+This module ships that step — the incremental replacement for the
+reference's drop-and-rebuild graph loads (Makefile:461-473 in
+/root/reference), wired so a user building a real crawl loop does not
+re-derive the layout subtleties by hand (most notably the band-array
+bucket layout warning in `minhash_store`'s docstring).
+
+Inputs are a DECISIONS frame — either a batch gate's direct output or a
+compacted streaming log from `read_gate_decisions` (extra columns like
+first_ts/_epoch are ignored) — plus, for the signature/vector stores,
+the run's SOURCE frame (the decisions log deliberately does not carry
+signatures or embeddings; they are recomputed for just the admitted
+rows, exactly as the store build computed them).
+
+Scale shape, shared by all three: the admitted-id set is a subset of
+one run's delta — small by definition — so it BROADCASTS onto a single
+scan of the source frame as a left-semi probe; store rows are then
+derived by the same store-builder the initial store used (identical
+schema and hash/cell geometry by construction), and the write is a pure
+parquet APPEND into the store path: the existing store is never read,
+never shuffled, never rewritten (plan-guarded in
+tests/test_gate_maintenance.py).  Only the derivation of the appended
+rows shuffles, and only delta-sized frames.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _admitted_ids(decisions: DataFrame, alias: str) -> DataFrame:
+    """Distinct admitted doc ids, renamed to the source frame's id
+    column so the semi probe joins without a cast."""
+    return decisions.filter(F.col("status") == "new").select(
+        F.col("id").alias(alias)
+    ).distinct()
+
+
+def _admitted_source_rows(
+    decisions: DataFrame, source: DataFrame, id_col: str
+) -> DataFrame:
+    """Source rows of this run's admits: admitted ids (delta-bounded)
+    broadcast onto ONE source scan as a left-semi probe."""
+    return source.join(F.broadcast(_admitted_ids(decisions, id_col)), id_col, "semi")
+
+
+# --------------------------------------------------------------------------
+# exact gate (fingerprint store)
+# --------------------------------------------------------------------------
+
+
+def admitted_fingerprints(decisions: DataFrame) -> DataFrame:
+    """Store rows for the EXACT gate's admits: the distinct fingerprints
+    of status='new' decisions — `fingerprint_store`'s exact schema (one
+    column, `fingerprint`).  The exact gate is the one family whose
+    decisions already carry the store row, so no source frame is
+    needed.  Distinct is delta-bounded (admits ⊆ one run's delta) and
+    each admitted fingerprint has exactly one 'new' keeper row, so the
+    distinct is belt-and-braces, not semantics."""
+    return (
+        decisions.filter(F.col("status") == "new").select("fingerprint").distinct()
+    )
+
+
+def append_admitted_fingerprints(decisions: DataFrame, store_path: str) -> None:
+    """Append the run's admitted fingerprints to the persisted
+    fingerprint store at `store_path` (parquet append — the existing
+    store files are untouched; `ingest_dedup` scans the store exactly
+    once per run regardless of file count, and a periodic compaction is
+    an orthogonal rewrite the gate never requires)."""
+    admitted_fingerprints(decisions).write.mode("append").parquet(store_path)
+
+
+# --------------------------------------------------------------------------
+# near-dup gate (banded MinHash signature store)
+# --------------------------------------------------------------------------
+
+
+def admitted_minhash_rows(
+    decisions: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+    hash_fn=None,
+    bucket_by_hash: bool = True,
+) -> DataFrame:
+    """Store rows for the NEAR-DUP gate's admits: the banded MinHash
+    signatures of status='new' docs, recomputed by `minhash_store` over
+    just the admitted source rows — so the appended rows carry exactly
+    the store's schema AND its hash geometry.  The banding parameters
+    are the store's schema (`minhash_store` docstring): pass the SAME
+    (k, num_hashes, bands, seed, hash family, bucket layout) the store
+    was built with, or the appended buckets would never collide with
+    probes."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.dedup import minhash_store
+
+    adm = _admitted_source_rows(decisions, docs, id_col)
+    return minhash_store(
+        adm, id_col, text_col, k, num_hashes, bands, seed, hash_fn, bucket_by_hash
+    )
+
+
+def append_admitted_minhash(
+    decisions: DataFrame,
+    docs: DataFrame,
+    store_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+    hash_fn=None,
+    bucket_by_hash: bool = True,
+    partition_by: tuple[str, ...] | None = None,
+    hash_partitions: int | None = None,
+) -> None:
+    """Append the run's admitted banded signatures to the persisted
+    store at `store_path`, matching the store's on-disk layout:
+
+    - flat store (written with plain .parquet()): leave `partition_by`
+      None — a plain append.
+    - partitioned store: pass the SAME `partition_by` the store was
+      written with (the at-scale layout is ("band",), or ("band",
+      "_part") — see below).
+    - band-array bucket layout (bucket_by_hash=False, the
+      oracle-replayable layout): the bucket column is an array<bigint>
+      and not a valid partition column (`minhash_store`'s documented
+      trap).  Pass `hash_partitions=N` and this derives the partition
+      column the docstring prescribes — `_part = pmod(xxhash64(bucket),
+      N)` — on the appended rows; include "_part" in `partition_by`.
+      The INITIAL store must have been written with the identical
+      derived column, or the append would create a second layout under
+      one root.
+
+    The existing store is never read or shuffled — the write is a pure
+    parquet append of delta-derived rows."""
+    rows = admitted_minhash_rows(
+        decisions, docs, id_col, text_col, k, num_hashes, bands, seed,
+        hash_fn, bucket_by_hash,
+    )
+    rows = derive_minhash_partition(rows, hash_partitions)
+    writer = rows.write.mode("append")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(store_path)
+
+
+def derive_minhash_partition(rows: DataFrame, hash_partitions: int | None) -> DataFrame:
+    """The partitioning column `minhash_store`'s docstring prescribes
+    for the band-array bucket layout: `_part = pmod(xxhash64(bucket),
+    N)`.  Exposed so the INITIAL store write and every later append use
+    one definition (two hand-rolled copies drifting apart would split
+    the layout under one store root)."""
+    if hash_partitions is None:
+        return rows
+    return rows.withColumn(
+        "_part", F.pmod(F.xxhash64("bucket"), F.lit(int(hash_partitions)))
+    )
+
+
+# --------------------------------------------------------------------------
+# semantic gate (cell-partitioned vector store)
+# --------------------------------------------------------------------------
+
+
+def admitted_semantic_rows(
+    decisions: DataFrame,
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Store rows for the SEMANTIC gate's admits: (id, cell, vec, norm)
+    for status='new' docs, recomputed by `semantic_store` over just the
+    admitted source rows.  `centroids` MUST be the ones the store was
+    built with — they define its cell geometry (`sampled_centroids` is
+    the shared resolution handle); an append under different centroids
+    would place vectors in cells the gate's probes never visit.  Note
+    'unusable' decisions never reach the store by construction: they
+    are not 'new', and semantic_store's usability filter would drop
+    them anyway."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.similarity import (
+        semantic_store,
+    )
+
+    adm = _admitted_source_rows(decisions, embeddings, id_col)
+    return semantic_store(
+        adm, dim, n_cells=len(centroids), id_col=id_col, vec_col=vec_col,
+        round_to=round_to, centroids=centroids,
+    )
+
+
+def append_admitted_semantic(
+    decisions: DataFrame,
+    embeddings: DataFrame,
+    store_path: str,
+    centroids: list[list[float]],
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+    partitioned: bool = True,
+) -> None:
+    """Append the run's admitted vectors to the persisted semantic
+    store at `store_path`.  `partitioned=True` (the documented at-scale
+    layout, and what `semantic_ingest_dedup`'s DPP pruning requires)
+    appends with partitionBy("cell") — new files land inside the
+    existing cell directories, existing files untouched, and the next
+    run's DPP-pruned probe sees them with zero layout work.  Set
+    partitioned=False only for a store that was written flat (where DPP
+    was never available to lose)."""
+    rows = admitted_semantic_rows(
+        decisions, embeddings, centroids, dim, id_col, vec_col, round_to
+    )
+    writer = rows.write.mode("append")
+    if partitioned:
+        writer = writer.partitionBy("cell")
+    writer.parquet(store_path)
