@@ -25,87 +25,89 @@ from hannigan_conjunctisviribus_ploscompbio_2017_spark.queries_testdata import (
 SF0001 = "/root/testdata/sf0.001"
 
 # The driver gate executes the first ~50 registered entries, so
-# registration order decides what gets driver-gate credit.  r07 order
+# registration order decides what gets driver-gate credit.  r08 order
 # (oldest-measurement-first — the rotation contract: every entry's
 # newest green row stays within the last three measured rounds):
-# (1) entries NEW this round (never driver-measured): the three
-#     corpus-scale foreachBatch admission gates (semantic/exact/
-#     near-dup — the trio's store-as-probe-side streaming tier);
-# (2) the two r06-measured entries whose CONTRACT changed this round
-#     (semantic gate emits 'unusable' rows now) — outputs are identical
-#     on this testdata (no malformed embeddings), but a changed
-#     operator deserves a fresh driver row;
-# (3) ALL 39 entries last driver-measured in r04 (they hit the
-#     staleness limit this round — the r06 verdict's ask #1; the 40th,
-#     dd_minhash_sig, was retired into dd_minhash_lsh per ask #2);
-# (4) oldest r05-measured entries backfilling the remaining 6 slots
-#     (kernel-heavy picks first), smoothing r08's load: after r07 the
-#     r05 cohort shrinks to 44 — r08's mandatory set, which fits the
-#     50-cap with ~6 slots for r08 additions.
+# (1) the entry NEW this round: dd_ingest_store_append, the admission-
+#     gate store maintenance loop end-to-end (run 1 gate → parquet
+#     append of admitted fingerprints → run 2 gate on the appended
+#     store);
+# (2) the three r07-measured foreachBatch gates whose WRITE PROTOCOL
+#     changed this round (atomic per-epoch overwrite directories +
+#     strictly-prior-epoch suppression; outputs identical on this
+#     testdata, but a changed operator deserves a fresh driver row —
+#     the r07 precedent);
+# (3) ALL 44 entries last driver-measured in r05 — the r07 verdict's
+#     ask #1 mandatory set (audited: exactly the newest-green==r05
+#     cohort);
+# (4) the 2 oldest r06-measured kernel-heavy entries backfilling to
+#     the 50-cap, smoothing r09's load.
 # All entries pass the identical local gate (tools/check_oracle.py).
 # Rotation arithmetic: 142 entries / 3-round window = ~47 re-measures
 # per round minimum, so the 50-cap sustains the contract with ~3
 # slots/round of steady-state headroom.  SUSTAINABILITY CEILING: at 150
 # entries the contract consumes the whole 50-cap — any growth past ~146
-# must retire a redundant entry per addition.  r07: +3 foreachBatch
-# gate entries (completing the trio's corpus-scale streaming tier),
-# -dd_minhash_sig (folded into dd_minhash_lsh), net 142 — at the r06
-# verdict's ≤143 ceiling, so r08 additions must retire one-for-one.
+# must retire a redundant entry per addition.  r08: +dd_ingest_store_
+# append, -m4_permutation_test (same statistic and derivation as
+# m4_permutation_portable, which keeps the oracle-bearing entry; hash-
+# family equivalence pinned in test_stats.py — the dd_minhash_sig
+# precedent), net 142.  After r08 the r06 cohort (46 after retirement
+# and backfills) is r09's mandatory set — inside the 50-cap.
 _PRIORITY = [
-    # -- (1) new in r07 --
+    # -- (1) new in r08 --
+    "dd_ingest_store_append",
+    # -- (2) r07-measured, write protocol changed in r08 --
     "ev_semantic_ingest_foreach",
     "ev_ingest_dedup_foreach",
     "ev_minhash_ingest_foreach",
-    # -- (2) r06-measured, contract extended in r07 --
-    "ss_semantic_ingest",
-    "ev_semantic_ingest_2batch",
-    # -- (3) last measured in r04 (all 39 surviving) --
-    "a10_frequency_table",
-    "dd_cut_spans",
-    "dd_dup_clusters",
-    "dd_duplicate_spans",
-    "dd_embedding_near_dup",
-    "dd_exact_dedup",
-    "dd_jaccard_pairs",
-    "dd_kmer_minhash",
-    "dd_minhash_lsh",
-    "dd_simhash",
-    "ev_chunk_first_seen_2batch",
-    "ev_first_seen_2batch",
-    "ev_hourly_agg",
-    "ev_sessionize",
-    "ev_stream_pack_2batch",
-    "g10_node_entropy",
-    "g12_simplify",
-    "g1_degree_per_node",
-    "g5_degree_distribution",
-    "gb_gene_network",
-    "gk_connected_components",
-    "gk_connectivity",
-    "gk_eccentricity_closeness",
-    "gq6_label_scan",
-    "gq7_disease_scope",
-    "mm_blob_stats",
-    "ss_cosine_topk",
-    "ss_ivf_pq_topk",
-    "ss_ivf_topk",
-    "ss_ivf_trained_topk",
-    "ss_pq_topk",
-    "ss_srp_lsh_topk",
-    "tx_corpus_summary",
-    "tx_dsir_sample",
-    "tx_dsir_weights",
-    "tx_fingerprint",
-    "tx_quality_langid",
-    "tx_token_stats",
-    "w3_global_sort_limit",
-    # -- (4) oldest r05 entries backfilling to the 50-cap --
-    "gk_betweenness",
-    "gk_betweenness_distributed",
-    "gk_betweenness_stratified",
-    "gk_greedy_modularity",
-    "gk_alpha_centrality",
-    "graph_build_e2e",
+    # -- (3) last measured in r05 (all 44 — the mandatory set) --
+    "a11_cube_rollup",
+    "dd_chunk_dedup",
+    "dd_contamination",
+    "dd_ingest_dedup",
+    "dd_semantic_dedup",
+    "ev_ingest_dedup_2batch",
+    "f11_substring_extract",
+    "f12_json_props",
+    "g13_robustness",
+    "gq2_predicted_links",
+    "gq3_triadic_closure",
+    "gq4_study_network",
+    "gq5_sample_network",
+    "m13_rarefaction_curve_portable",
+    "m4_permutation_portable",
+    "ml_quality_classifier",
+    "pipeline_altered_diet",
+    "pipeline_compare_skin",
+    "pipeline_compare_twins",
+    "pipeline_corpus_curation",
+    "pipeline_interpersonal_diversity",
+    "pipeline_pretrain_pack",
+    "pipeline_pretrain_pack_spancut",
+    "r6_transpose",
+    "r7_column_subsample",
+    "ss_embedding_health",
+    "ss_pq_rerank_topk",
+    "ss_sq8_topk",
+    "tx_bigram_backoff",
+    "tx_chunk_windows",
+    "tx_exact_k_sample",
+    "tx_line_filter",
+    "tx_mixture_weights",
+    "tx_pii_scrub",
+    "tx_quality_filter",
+    "tx_quality_score",
+    "tx_repetition_stats",
+    "tx_sequence_pack",
+    "tx_split_assign",
+    "tx_stratified_sample",
+    "tx_tfidf_top_terms",
+    "tx_top_ngrams",
+    "tx_unigram_logprob",
+    "tx_vocab_growth",
+    # -- (4) oldest r06 kernel-heavy entries backfilling to the 50-cap --
+    "gk_eigenvector_centrality",
+    "gk_diameter_radius",
 ]
 
 

@@ -1674,6 +1674,97 @@ def dd_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dd_ingest_store_append",
+    oracle=f"""
+    WITH store0 AS (
+      SELECT DISTINCT {_INGEST_FP} AS fingerprint
+      FROM documents WHERE doc_id % 10 < 6
+    ), r1 AS (
+      SELECT doc_id AS id, text FROM documents
+      WHERE doc_id % 10 IN (6, 7)
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents
+      WHERE doc_id % 10 < 6 AND doc_id % 37 = 0
+    ), fp1 AS (
+      SELECT id, {_INGEST_FP} AS fingerprint FROM r1
+    ), store1 AS (
+      -- run 1's admits are exactly the delta fingerprints absent from
+      -- the store (each has one 'new' keeper row); append = set union
+      SELECT fingerprint FROM store0
+      UNION
+      SELECT fingerprint FROM fp1
+    ), r2 AS (
+      SELECT doc_id AS id, text FROM documents WHERE doc_id % 10 >= 8
+      UNION ALL
+      SELECT doc_id + 2000000, text FROM documents
+      WHERE doc_id % 10 IN (6, 7) AND doc_id % 23 = 0
+      UNION ALL
+      SELECT doc_id + 3000000, text FROM documents
+      WHERE doc_id % 10 >= 8 AND doc_id % 31 = 0
+    ), fp2 AS (
+      SELECT id, {_INGEST_FP} AS fingerprint FROM r2
+    ), keep2 AS (
+      SELECT fingerprint, MIN(id) AS k FROM fp2 GROUP BY fingerprint
+    )
+    SELECT fp2.id, fp2.fingerprint,
+           CASE WHEN fp2.fingerprint IN (SELECT fingerprint FROM store1)
+                THEN 'dup_store'
+                WHEN fp2.id <> keep2.k THEN 'dup_batch'
+                ELSE 'new' END AS status
+    FROM fp2 JOIN keep2 USING (fingerprint)
+    """,
+)
+def dd_ingest_store_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The admission-gate store MAINTENANCE loop end-to-end (r08,
+    gate_maintenance.py — the incremental replacement for the
+    reference's drop-and-rebuild loads, Makefile:461-473): run 1 gates
+    a delta against the persisted fingerprint store (docs with doc_id%10
+    in {6,7} plus re-idded store clones), append_admitted_fingerprints
+    persists exactly its 'new' fingerprints back into the store path,
+    and run 2 (doc_id%10 >= 8, salted with re-idded clones of run-1
+    docs and of itself) gates against the APPENDED store read back from
+    parquet.  Returned: run 2's decisions — the run-1 clones flag
+    dup_store, which only happens through the append.  The oracle
+    replays both runs; run 1's admitted set is the delta fingerprints
+    minus store0, so store1 collapses to a set union."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.dedup import (
+        fingerprint_store,
+        ingest_dedup,
+    )
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.gate_maintenance import (
+        append_admitted_fingerprints,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    t = tempfile.mkdtemp(prefix="sg_storeappend_")
+    atexit.register(shutil.rmtree, t, ignore_errors=True)
+    store_path = f"{t}/fp_store"
+    fingerprint_store(docs.filter(d % 10 < 6)).write.parquet(store_path)
+
+    run1_fresh = docs.filter((d % 10 >= 6) & (d % 10 < 8))
+    run1 = run1_fresh.unionByName(
+        docs.filter((d % 10 < 6) & (d % 37 == 0)).select(
+            (d + 1000000).alias("doc_id"), "text"
+        )
+    )
+    dec1 = ingest_dedup(run1, spark.read.parquet(store_path))
+    append_admitted_fingerprints(dec1, store_path)
+
+    run2_fresh = docs.filter(d % 10 >= 8)
+    run2 = run2_fresh.unionByName(
+        run1_fresh.filter(d % 23 == 0).select((d + 2000000).alias("doc_id"), "text")
+    ).unionByName(
+        run2_fresh.filter(d % 31 == 0).select((d + 3000000).alias("doc_id"), "text")
+    )
+    return ingest_dedup(run2, spark.read.parquet(store_path))
+
+
+@query(
     "dd_jaccard_pairs",
     oracle="""
     WITH norm AS (
@@ -4786,19 +4877,21 @@ def m13_rarefaction_curve_portable(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-@query(
-    "m4_permutation_test",
-    oracle=_fixture_values_sql(
-        _fx.M4_PERMUTATION_SF001,
-        [("observed_diff", "DOUBLE"), ("p_value", "DOUBLE"), ("n_perm", "BIGINT")],
-    ),
-)
 def m4_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M4 — permutation test: does avg order value differ between two
     mktsegments? (ANOSIM/permutest family, bin/CompareSkin.R:336-423).
-    Hash-seeded permutations are deterministic, so the oracle is the
-    frozen sf0.01 expected table; m4_permutation_portable carries the
-    derivational (integer-exact) oracle."""
+
+    REGISTRY ENTRY RETIRED r08 (registry-ceiling management per the r07
+    verdict, the dd_minhash_sig precedent): this computes the same
+    statistic over the same derivation as m4_permutation_portable —
+    the two differ ONLY in the hash family generating the null
+    permutations (xxhash64 here, md5-60 there) — so the portable entry
+    carries the oracle-bearing driver row and the family equivalence is
+    pinned in pytest (tests/test_stats.py::
+    test_permutation_family_equivalence).  The builder stays
+    unregistered for tools/gen_fixture_oracles.py and the independent
+    xxhash-null replay (tests/test_fixture_independent.py), which keep
+    covering the xxhash64 family."""
     from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.stats import permutation_pvalue
 
     orders = _t(spark, sf_dir, "orders")

@@ -209,3 +209,31 @@ def test_rarefaction_curve_rejects_empty_depths(spark):
     for fn in (rarefaction_curve, rarefaction_curve_hash):
         with _pytest.raises(ValueError, match="non-empty"):
             fn(df, "sample", "item", "count", depths=[])
+
+
+def test_permutation_family_equivalence(spark):
+    """Adjudication for the r08 retirement of the m4_permutation_test
+    registry entry: permutation_pvalue (xxhash64 family) and
+    permutation_pvalue_portable (md5-60 family) compute THE SAME
+    statistic over the same margin-preserving derivation — on integer
+    data they must agree exactly on observed_diff and n_perm, and on
+    the two inputs where the null distribution is determined regardless
+    of which uniform permutation family generated it (all-tied: every
+    permuted diff is 0, and fully-separated: no permuted diff reaches
+    the observed one), the p-values must be bit-identical too.  Only
+    the intermediate permutation draws may differ between families."""
+    import pytest as _pt
+
+    sep = [("a", v) for v in range(0, 20)] + [("b", v) for v in range(1000, 1020)]
+    tied = [("a", 5)] * 20 + [("b", 5)] * 20
+    for rows, exp_p in ((sep, 1.0 / 200.0), (tied, 1.0)):
+        df_d = spark.createDataFrame(
+            [(g, float(v)) for g, v in rows], "grp string, val double"
+        )
+        df_l = spark.createDataFrame(rows, "grp string, val long")
+        a = stats.permutation_pvalue(df_d, "grp", "val", n_perm=199, seed=42).collect()[0]
+        b = stats.permutation_pvalue_portable(df_l, "grp", "val", n_perm=199, seed=42).collect()[0]
+        assert a.observed_diff == b.observed_diff
+        assert a.n_perm == b.n_perm == 199
+        assert a.p_value == _pt.approx(exp_p, abs=1e-9)
+        assert b.p_value == _pt.approx(exp_p, abs=1e-9)

@@ -46,6 +46,11 @@ FIXTURES = [
     ("gk_betweenness_distributed", "GK_BETWEENNESS_DIST_SF001"),
     ("gk_betweenness_stratified", "GK_BETWEENNESS_STRAT_SF001"),
     ("m1_rarefaction", "M1_RAREFACTION_SF001"),
+    # m4_permutation_test's REGISTRY entry was retired r08 (contained in
+    # m4_permutation_portable's oracle-bearing entry; family equivalence
+    # pinned in test_stats.py) — the fixture stays frozen because
+    # tests/test_fixture_independent.py replays the xxhash64 null
+    # against it; the builder resolves via the module fallback below.
     ("m4_permutation_test", "M4_PERMUTATION_SF001"),
     ("m13_rarefaction_curve", "M13_CURVE_SF001"),
     ("pipeline_interpersonal_diversity", "PIPE_INTERPERSONAL_SF001"),
@@ -87,16 +92,21 @@ def lit(v):
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark import queries_testdata as Q
     from hannigan_conjunctisviribus_ploscompbio_2017_spark.queries_testdata import QUERIES
     from hannigan_conjunctisviribus_ploscompbio_2017_spark.session import get_spark
 
     spark = get_spark("gen-fixture-oracles")
     blocks = [HEADER]
     for name, var in FIXTURES:
+        # registered entries first; retired-entry builders (kept as plain
+        # module functions for their independent fixture tests) fall back
+        # to module attribute lookup
+        fn = QUERIES.get(name) or getattr(Q, name)
         cols = None
         runs = []
         for _ in range(2):
-            pdf = QUERIES[name](spark, sf_dir).toPandas()
+            pdf = fn(spark, sf_dir).toPandas()
             cols = list(pdf.columns)
             runs.append(
                 sorted(tuple(lit(v) for v in row) for row in pdf.itertuples(index=False))
