@@ -11,15 +11,19 @@ bin/compareTwins.R:95-104 in /root/reference).  Two scale regimes:
    design: per-sample fan-out as grouped aggregation.
 
 2. **Global iterative kernels** (one big graph): power iteration /
-   frontier expansion expressed as a DataFrame loop with
-   `localCheckpoint` lineage truncation — the Pregel pattern without
-   GraphX, shuffle-per-superstep, executor-parallel.
+   frontier expansion expressed as a DataFrame loop with per-superstep
+   lineage truncation — the Pregel pattern without GraphX,
+   shuffle-per-superstep, executor-parallel.  Truncation is
+   `localCheckpoint` locally and, opt-in for real clusters, a reliable
+   DFS `checkpoint()` that survives executor loss (see `_checkpoint`).
 
 Edges are directed (src, dst [, weight]); kernels that need the
 undirected view symmetrize internally.
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
@@ -55,8 +59,52 @@ def symmetrize(edges: DataFrame, group_cols: list[str] | None = None) -> DataFra
     return both.dropDuplicates([*g, "src", "dst"])
 
 
+_RELIABLE_ENV = "SPARK_GRAFT_RELIABLE_CHECKPOINT"
+_RELIABLE_DIR_ENV = "SPARK_GRAFT_CHECKPOINT_DIR"
+
+
 def _checkpoint(df: DataFrame) -> DataFrame:
-    """Truncate lineage between supersteps (keeps plans O(1) per iter)."""
+    """Truncate lineage between supersteps (keeps plans O(1) per iter).
+
+    Default: localCheckpoint — partitions are stored on the EXECUTORS
+    and the lineage is discarded, so on a real multi-executor cluster
+    ONE executor loss mid-loop makes those partitions unrecoverable and
+    fails the job (Spark cannot recompute what it no longer has a plan
+    for).  That is the right trade on local[N] (no executor can be
+    lost separately from the driver) and wrong for a 100 TB run, where
+    some executor loss over a long iterative kernel is close to
+    certain.
+
+    Reliable mode (opt-in): set SPARK_GRAFT_RELIABLE_CHECKPOINT=1 and
+    configure a fault-tolerant checkpoint directory — either call
+    sc.setCheckpointDir("hdfs://..." / "s3a://...") yourself or set
+    SPARK_GRAFT_CHECKPOINT_DIR and this helper installs it.  Supersteps
+    then persist through df.checkpoint() to the DFS, surviving any
+    executor loss at the cost of one write+read per superstep of a
+    frame that is already small (frontier / score vectors, never the
+    input).  Every iterative loop in this module funnels through this
+    one helper, so the switch covers power iteration, BFS frontiers,
+    LPA, and the Brandes pivots alike.  Set
+    spark.cleaner.referenceTracking.cleanCheckpoints=true to have
+    out-of-scope checkpoint files garbage-collected.
+
+    The lazy .localCheckpoint(eager=False) calls elsewhere in the
+    codebase (plan-dedup of delta/abundance frames) are deliberately
+    NOT switched: each lives inside a single action, so a plain query
+    retry recovers them — there is no multi-job lifetime for an
+    executor loss to orphan."""
+    if os.environ.get(_RELIABLE_ENV, "").lower() in ("1", "true"):
+        sc = df.sparkSession.sparkContext
+        if sc.getCheckpointDir() is None:
+            cdir = os.environ.get(_RELIABLE_DIR_ENV)
+            if not cdir:
+                raise RuntimeError(
+                    f"{_RELIABLE_ENV} is set but no checkpoint directory is "
+                    f"configured: call sc.setCheckpointDir(...) or set "
+                    f"{_RELIABLE_DIR_ENV} to a fault-tolerant path"
+                )
+            sc.setCheckpointDir(cdir)
+        return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=True)
 
 

@@ -604,3 +604,52 @@ def test_stratified_betweenness_coverage_parity_exactness(spark):
         for r in approx_betweenness(e, n_pivots=99, stratify_components=True).collect()
     }
     assert full == exact
+
+
+def test_reliable_checkpoint_requires_dir(spark, monkeypatch):
+    """Fail fast, not fall back: reliable mode without any checkpoint
+    dir must raise the configuration error (a silent localCheckpoint
+    fallback would defeat the fault-tolerance opt-in) — unless the
+    session already has one installed by a previous reliable run."""
+    if spark.sparkContext.getCheckpointDir() is not None:
+        pytest.skip("session already has a checkpoint dir installed")
+    monkeypatch.setenv("SPARK_GRAFT_RELIABLE_CHECKPOINT", "1")
+    monkeypatch.delenv("SPARK_GRAFT_CHECKPOINT_DIR", raising=False)
+    with pytest.raises(RuntimeError, match="SPARK_GRAFT_CHECKPOINT_DIR"):
+        K.pagerank(edges_df(spark, P5)).collect()
+
+
+def test_reliable_checkpoint_mode_identical(spark, tmp_path, monkeypatch):
+    """Opt-in reliable checkpointing (r07 verdict ask #2): with
+    SPARK_GRAFT_RELIABLE_CHECKPOINT=1 and a configured checkpoint dir,
+    the iterative kernels must run their loops through df.checkpoint()
+    (files actually land in the DFS dir — the executor-loss-surviving
+    path) and produce results identical to the localCheckpoint default.
+    Covers a power-iteration kernel (pagerank) and a BFS kernel
+    (diameter/radius) end-to-end."""
+    e = edges_df(spark, P5)
+    base_pr = sorted(
+        (r.node, round(r.pagerank, 10)) for r in K.pagerank(e).collect()
+    )
+    base_dr = K.diameter_radius(K.bfs_distances(e)).collect()[0]
+
+    cdir = str(tmp_path / "reliable_ckpt")
+    monkeypatch.setenv("SPARK_GRAFT_RELIABLE_CHECKPOINT", "1")
+    monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT_DIR", cdir)
+    try:
+        rel_pr = sorted(
+            (r.node, round(r.pagerank, 10)) for r in K.pagerank(e).collect()
+        )
+        rel_dr = K.diameter_radius(K.bfs_distances(e)).collect()[0]
+    finally:
+        # session-scoped fixture: later tests must go back to the local
+        # default (env is restored by monkeypatch; the dir is harmless)
+        monkeypatch.undo()
+
+    assert rel_pr == base_pr
+    assert (rel_dr.diameter, rel_dr.radius) == (base_dr.diameter, base_dr.radius)
+    import os as _os
+
+    assert _os.path.isdir(cdir) and any(_os.scandir(cdir)), (
+        "reliable mode did not write DFS checkpoints"
+    )
