@@ -83,6 +83,12 @@ HEADLINE = [
     # vector store — broadcast cell probes, store never shuffles) so
     # the store-maintenance shape is scale-tracked from birth
     ("q22", "ss_semantic_ingest"),
+    # r08 addition (r07 verdict ask #4): the hypergeometric Arrow-route
+    # rarefaction — the AT-SCALE default (work ∝ abundance ROWS, never
+    # ∝ Σ counts).  q12 wall-clock-tracks only the explode path; this
+    # row tracks the route a 100 TB run would actually take, so an
+    # Arrow-path regression can't hide behind the explode path's number.
+    ("q23", "m1_rarefaction"),
 ]
 
 # Load sentinel (r05 verdict ask #1): BENCH_r05 was recorded on a loaded

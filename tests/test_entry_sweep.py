@@ -81,6 +81,7 @@ def test_bench_labels_frozen():
         "q20": "ss_ivf_pq_topk",
         "q21": "tx_tfidf_top_terms",
         "q22": "ss_semantic_ingest",
+        "q23": "m1_rarefaction",
     }
     got = dict(HEADLINE)
     labels = [label for label, _ in HEADLINE]

@@ -128,7 +128,10 @@ def test_salted_join_parity_and_spread(spark, skewed):
         .collect()[0]
     )
     assert spread["n_buckets"] == buckets
-    # measured golden: 6,417 max bucket = 1/15.6 of the hot key (xxhash64
-    # over the whole row is deterministic, so this is a pin, not a band)
-    assert spread["mx"] == 6417, spread["mx"]
+    # band, not a pin: the row VALUES hashed by salt_expr come from
+    # rand(seed), whose per-partition streams depend on the session's
+    # parallelism — an exact max-bucket count would break on any
+    # cpu-count or Spark-version change.  ~1/buckets spread (within 10%)
+    # is the property salting guarantees; measured 1/15.6 at buckets=16
+    # on the cpus=8 fixture.
     assert spread["mx"] < 1.10 * hot_rows / buckets

@@ -136,9 +136,78 @@ def bench_subset(sf_dir: str, names: list[str]) -> dict:
     return {lbl: round(v, 3) for lbl, v in best.items()}
 
 
+def bench_betweenness(k: int, dst: str) -> dict:
+    """Scale-probe the distributed pivot-Brandes paths (r07 verdict ask
+    #5): run approx_betweenness on the base vs K-replicated Infects
+    graph with the pivot budget held PROPORTIONAL to the data (32 →
+    32·K global; 64 → 64·K stratified).  Proportionality matters on the
+    replicated dataset specifically: a BFS never leaves its pivot's
+    component, and the K replicas are disjoint — fixed pivots would
+    keep per-pivot work constant and under-measure the engine.  With
+    k ∝ data the honest cost model O(k_pivots · E_component · diameter)
+    predicts factor ≈ K (pivot-work × K, edge scan per superstep × K,
+    supersteps constant).  The ERROR side of the trade-off moves the
+    other way: Brandes–Pich needs only k = O(ln(V/δ)/ε²) pivots for a
+    fixed relative error — logarithmic in V — so holding k ∝ V is
+    strictly conservative; a real 100 TB run would grow pivots far
+    slower than data and land well below this measured factor.
+
+    local_cutoff=0 forces the 2·diameter-superstep engine on BOTH
+    sides so the probe times the distributed path, not the small-graph
+    single-task short-circuit."""
+    from pyspark.sql import functions as F
+
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.kernels import (
+        approx_betweenness,
+    )
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.plans.testdata_graph import (
+        infects_edges,
+    )
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.session import get_spark
+
+    spark = get_spark("scale-betweenness")
+    out: dict = {"k": k, "probes": {}}
+    for name, strat, base_pivots in [
+        ("gk_betweenness_distributed", False, 32),
+        ("gk_betweenness_stratified", True, 64),
+    ]:
+        times = {}
+        for side, sf_dir, pivots in [
+            ("base", SRC, base_pivots),
+            ("scaled", dst, base_pivots * k),
+        ]:
+            e = infects_edges(spark, sf_dir).select("src", "dst")
+            t0 = time.time()
+            bc = approx_betweenness(
+                e,
+                n_pivots=pivots,
+                max_depth=8,
+                local_cutoff=0,
+                stratify_components=strat,
+            )
+            n = bc.agg(F.count(F.lit(1))).first()[0]
+            times[side] = round(time.time() - t0, 1)
+            print(
+                f"# {name} {side}: {times[side]}s ({n} nodes, "
+                f"{pivots} pivots)",
+                file=sys.stderr,
+            )
+        out["probes"][name] = {
+            "base_s": times["base"],
+            "scaled_s": times["scaled"],
+            "factor": round(times["scaled"] / max(times["base"], 1e-9), 2),
+            "pivots": f"{base_pivots} -> {base_pivots * k}",
+        }
+    spark.stop()
+    return out
+
+
 def main() -> None:
     args = sys.argv[1:]
     subset = None
+    betweenness = "--betweenness" in args
+    if betweenness:
+        args.remove("--betweenness")
     if "--subset" in args:
         i = args.index("--subset")
         subset = args[i + 1 :] or SUBSET_DEFAULT
@@ -150,6 +219,9 @@ def main() -> None:
         t0 = time.time()
         build(dst, k)
         print(f"# built in {time.time() - t0:.0f}s", file=sys.stderr)
+    if betweenness:
+        print(json.dumps(bench_betweenness(k, dst)))
+        return
     if subset is not None:
         base_q = bench_subset(SRC, subset)
         big_q = bench_subset(dst, subset)
