@@ -295,6 +295,60 @@ def _hash_ranked_kept(
     return sel_main.unionByName(sel_fallback)
 
 
+def rarefaction(
+    df: DataFrame,
+    sample_col: str,
+    item_col: str,
+    count_col: str,
+    depth: int | str | DataFrame,
+    seed: int = 42,
+    *,
+    total_individuals: int | None = None,
+    explode_budget_per_core: int = 10_000_000,
+) -> DataFrame:
+    """Auto-routing rarefaction facade: picks the explode path
+    (rarefy_hash) or the Arrow hypergeometric path (rarefy) by the
+    measured crossover — the explode path's work is ∝ Σ counts
+    (exploded individuals), the Arrow path's ∝ abundance ROWS, and on
+    32 cores the order flips around ~10M exploded individuals per core
+    (K=8/K=64 sweep, tools/scale_check.py; numbers in rarefy_hash's
+    routing-threshold paragraph).  Callers that don't want to pick a
+    route by hand get the right plan at any scale.
+
+    Routing input is Σ counts: pass `total_individuals` if the caller
+    already knows it (no extra job), else ONE tiny aggregate over the
+    abundance frame computes it — an adaptive, AQE-style decision that
+    costs a single pass over the (samples × items) table, orders of
+    magnitude smaller than the raw data at any scale.
+
+    Both routes draw exact multivariate-hypergeometric marginals and
+    return the same (sample, item, count) schema with per-sample sums
+    == depth, but the random REALIZATIONS differ (md5 individual ranks
+    vs seeded numpy): a workload that must stay bit-stable as its data
+    grows across the threshold should call one route directly.  The
+    explode route additionally keeps the DuckDB-replayable oracle
+    property; the facade preserves it exactly when it routes there.
+
+    `depth` accepts everything the routes accept: an int, a 1-row/
+    1-column DataFrame, or (SQL-expression form, e.g. "min(_t)") an
+    aggregate over the per-sample total column `_t` — translated for
+    the Arrow route into a broadcast depth frame over the same
+    per-sample totals."""
+    if total_individuals is None:
+        total_individuals = (
+            df.agg(F.sum(F.col(count_col).cast("long"))).first()[0] or 0
+        )
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    if total_individuals <= explode_budget_per_core * cores:
+        return rarefy_hash(df, sample_col, item_col, count_col, depth, seed)
+    if isinstance(depth, str):
+        totals = df.groupBy(sample_col).agg(
+            F.sum(F.col(count_col).cast("long")).alias("_t")
+        )
+        depth = totals.agg(F.expr(depth).cast("long").alias("_d"))
+    return rarefy(df, sample_col, item_col, count_col, depth, seed)
+
+
 def bray_curtis(
     df: DataFrame,
     sample_col: str,

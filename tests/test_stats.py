@@ -237,3 +237,49 @@ def test_permutation_family_equivalence(spark):
         assert a.n_perm == b.n_perm == 199
         assert a.p_value == _pt.approx(exp_p, abs=1e-9)
         assert b.p_value == _pt.approx(exp_p, abs=1e-9)
+
+
+def test_rarefaction_facade_routes_by_volume(spark):
+    """The auto-routing facade picks rarefy_hash below the per-core
+    explode budget and rarefy above it, and each route's output is
+    BIT-IDENTICAL to calling that route directly — route choice is
+    observable because the two draws use different RNG families."""
+    df = _abundance(spark)
+    via_hash = sorted(map(tuple, stats.rarefy_hash(df, "sample", "item", "count", 30).collect()))
+    via_arrow = sorted(map(tuple, stats.rarefy(df, "sample", "item", "count", 30).collect()))
+    assert via_hash != via_arrow  # distinguishable draws → route is observable
+
+    # Σ counts = 205 « budget → explode route
+    small = sorted(map(tuple, stats.rarefaction(df, "sample", "item", "count", 30).collect()))
+    assert small == via_hash
+    # budget forced to 0 per core → Arrow route
+    big = sorted(map(tuple, stats.rarefaction(
+        df, "sample", "item", "count", 30, explode_budget_per_core=0
+    ).collect()))
+    assert big == via_arrow
+
+
+def test_rarefaction_facade_hint_skips_the_counting_job(spark):
+    """`total_individuals` is trusted verbatim: a huge hint routes to
+    the Arrow path even though the actual Σ counts is tiny (and vice
+    versa), so callers that already know the volume pay zero extra
+    jobs and can pin a route."""
+    df = _abundance(spark)
+    via_arrow = sorted(map(tuple, stats.rarefy(df, "sample", "item", "count", 30).collect()))
+    hinted = sorted(map(tuple, stats.rarefaction(
+        df, "sample", "item", "count", 30, total_individuals=10**12
+    ).collect()))
+    assert hinted == via_arrow
+
+
+def test_rarefaction_facade_expression_depth_both_routes(spark):
+    """The "min(_t)" expression-depth form works on BOTH routes: the
+    facade translates it into a broadcast depth frame for the Arrow
+    route (which lacks the expression form natively).  min total here
+    is s3's 5, so every sample survives at depth 5."""
+    df = _abundance(spark)
+    for kw in ({}, {"explode_budget_per_core": 0}):
+        r = stats.rarefaction(df, "sample", "item", "count", "min(_t)", **kw)
+        sums = {x["sample"]: x["s"] for x in
+                r.groupBy("sample").agg(F.sum("count").alias("s")).collect()}
+        assert sums == {"s1": 5, "s2": 5, "s3": 5}
