@@ -93,8 +93,8 @@ def _checkpoint(df: DataFrame) -> DataFrame:
     NOT switched: each lives inside a single action, so a plain query
     retry recovers them — there is no multi-job lifetime for an
     executor loss to orphan."""
+    sc = df.sparkSession.sparkContext
     if os.environ.get(_RELIABLE_ENV, "").lower() in ("1", "true"):
-        sc = df.sparkSession.sparkContext
         if sc.getCheckpointDir() is None:
             cdir = os.environ.get(_RELIABLE_DIR_ENV)
             if not cdir:
@@ -104,8 +104,55 @@ def _checkpoint(df: DataFrame) -> DataFrame:
                     f"{_RELIABLE_DIR_ENV} to a fault-tolerant path"
                 )
             sc.setCheckpointDir(cdir)
+        # reliable checkpoints live as DFS files, not block-manager
+        # blocks — nothing to track for _release (file GC is the
+        # cleaner's job, see cleanCheckpoints above)
         return df.checkpoint(eager=True)
-    return df.localCheckpoint(eager=True)
+    before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+    out = df.localCheckpoint(eager=True)
+    out._sg_ckpt_ids = [
+        rid
+        for rid in sc._jsc.getPersistentRDDs().keySet().toArray()
+        if rid not in before
+    ]
+    return out
+
+
+def _release(*dfs: DataFrame | None) -> None:
+    """Free a SUPERSEDED superstep checkpoint's block-manager blocks.
+
+    Every eager localCheckpoint pins its partitions in the block
+    manager until the session ends — DataFrame.unpersist() cannot free
+    them (localCheckpoint caches at the RDD level, below the SQL
+    CacheManager), so a loop that checkpoints per superstep accumulates
+    EVERY iteration's blocks even though only the newest frame is ever
+    read again.  On one shared local[N] heap that accumulation is the
+    difference between completing and OOM: the K=64 betweenness scale
+    probe (1.34M nodes, 4096 joint pivots, ~5 GB per visited superstep)
+    exhausted a 48g heap purely on superseded forward-pass copies.  On
+    a real cluster the same growth evicts executor storage memory and
+    forces recomputation-by-eviction churn instead.
+
+    _checkpoint records the persistent-RDD ids each localCheckpoint
+    creates; this unpersists them (non-blocking) and blanks the record
+    so double-release is a no-op.  SAFETY: a released frame is
+    UNRECOVERABLE — its lineage is truncated and its blocks are gone —
+    so callers release a frame only after its successor is eagerly
+    materialized and no later plan reads it.  Frames without the
+    recorded attribute (never checkpointed, or reliable-mode DFS
+    checkpoints) are skipped."""
+    for df in dfs:
+        if df is None:
+            continue
+        ids = getattr(df, "_sg_ckpt_ids", None)
+        if not ids:
+            continue
+        jmap = df.sparkSession.sparkContext._jsc.getPersistentRDDs()
+        for rid in ids:
+            jrdd = jmap.get(rid)
+            if jrdd is not None:
+                jrdd.unpersist(False)
+        df._sg_ckpt_ids = []
 
 
 class _loop_shuffle_width:
@@ -263,11 +310,12 @@ def eigenvector_centrality(
             )
             # L2-normalize per group (power iteration stability)
             norm = msgs.groupBy(*g).agg(F.sqrt(F.sum(F.col("raw") ** 2)).alias("_n"))
-            scores = (
+            new_scores = (
                 (msgs.join(norm, g) if g else msgs.crossJoin(norm))
                 .select(*g, "node", (F.col("raw") / F.col("_n")).alias("score"))
             )
-            scores = _checkpoint(scores)
+            prev, scores = scores, _checkpoint(new_scores)
+            _release(prev)
     # igraph scale: max = 1 per group
     mx = scores.groupBy(*g).agg(F.max("score").alias("_mx")) if g else None
     if g:
@@ -339,7 +387,7 @@ def pagerank(
                 F.sum(F.col("p") * F.col("rank")).alias("_in")
             )
             base = nodes.join(counts, g) if g else nodes.crossJoin(counts)
-            ranks = (
+            new_ranks = (
                 base.join(contrib, [*g, "node"], "left")
                 .select(
                     *g,
@@ -350,7 +398,8 @@ def pagerank(
                     ).alias("rank"),
                 )
             )
-            ranks = _checkpoint(ranks)
+            prev, ranks = ranks, _checkpoint(new_ranks)
+            _release(prev)
     return ranks.select(*g, "node", F.round("rank", 8).alias("pagerank"))
 
 
@@ -396,7 +445,7 @@ def katz_centrality(
             ).groupBy(*g, F.col("dst").alias("node")).agg(
                 F.sum(F.col("w") * F.col("katz")).alias("_in")
             )
-            x = _checkpoint(
+            prev, x = x, _checkpoint(
                 nodes.join(msgs, [*g, "node"], "left").select(
                     *g,
                     "node",
@@ -407,6 +456,7 @@ def katz_centrality(
                     ).alias("katz"),
                 )
             )
+            _release(prev)
     return x.select(*g, "node", F.round("katz", 6).alias("katz"))
 
 
@@ -512,6 +562,8 @@ def connected_components(
                 .limit(1)
                 .count()
             )
+            # the convergence probe above is old labels' last reader
+            _release(labels)
             labels = new_labels
             if changed == 0:
                 break
@@ -642,7 +694,12 @@ def bfs_distances(
             new = _checkpoint(new)
             if new.limit(1).count() == 0:
                 break
+            prev_visited, prev_frontier = visited, frontier
             visited = _checkpoint(visited.unionByName(new))
+            # superseded: prev_visited is folded into the new union,
+            # prev_frontier's last reader was this superstep's
+            # neighbors join (both successors eagerly materialized)
+            _release(prev_visited, prev_frontier)
             frontier = new
         else:
             # cap reached with a live frontier: probe one more level —
@@ -748,7 +805,8 @@ def label_propagation(
                 .filter(F.col("_rn") == 1)
                 .select(*g, "node", "community")
             )
-            labels = _checkpoint(winner)
+            prev, labels = labels, _checkpoint(winner)
+            _release(prev)
     return labels
 
 
@@ -1217,6 +1275,7 @@ def approx_betweenness(
     frontier = visited
     with _loop_shuffle_width(und):
         # forward: BFS + σ accumulation (σ flows only level d-1 → d)
+        prev_new = None  # the checkpoint backing the current frontier
         for depth in range(1, max_depth + 1):
             contrib = (
                 frontier.join(und.withColumnRenamed("src", "node"), "node")
@@ -1230,7 +1289,14 @@ def approx_betweenness(
             )
             if new.limit(1).count() == 0:
                 break
+            prev_visited = visited
             visited = _checkpoint(visited.unionByName(new.select(*visited.columns)))
+            # superseded: prev_visited is folded into the new union, and
+            # the checkpoint backing the old frontier had its last read
+            # in this superstep's contrib join (the final visited is NOT
+            # released — the backward pass reads it level by level)
+            _release(prev_visited, prev_new)
+            prev_new = new
             frontier = new.select(*visited.columns)
 
         d_max = visited.agg(F.max("dist")).first()[0]

@@ -653,3 +653,34 @@ def test_reliable_checkpoint_mode_identical(spark, tmp_path, monkeypatch):
     assert _os.path.isdir(cdir) and any(_os.scandir(cdir)), (
         "reliable mode did not write DFS checkpoints"
     )
+
+
+def test_superstep_checkpoints_released(spark):
+    """Iterative loops must RELEASE superseded superstep checkpoints
+    (kernels._release): every eager localCheckpoint pins blocks in the
+    block manager until the session dies, so without the release a
+    max_iter-N loop retains N frames — at probe scale (K=64 stratified
+    betweenness: ~5 GB per forward superstep) that accumulation OOMed
+    a 48g single-JVM heap.  Pin the bound: after a 10-iteration
+    pagerank and a BFS sweep, the number of persistent RDDs grows by a
+    small constant (live inputs + final state), not per iteration."""
+    jsc = spark.sparkContext._jsc
+    before = jsc.getPersistentRDDs().size()
+
+    pr = K.pagerank(edges_df(spark, P5), max_iter=10)
+    assert pr.count() == 5
+    after_pr = jsc.getPersistentRDDs().size()
+    # retained: adj-style inputs + the final ranks checkpoint — NOT one
+    # frame per iteration (which would be >= 10 here)
+    assert after_pr - before <= 5, (
+        f"pagerank leaked {after_pr - before} persistent frames"
+    )
+
+    d = K.bfs_distances(edges_df(spark, P5))
+    assert d.count() > 0
+    after_bfs = jsc.getPersistentRDDs().size()
+    # P5 runs 4 expansion supersteps; retained: und + final visited +
+    # trailing frontier/empty-new — not visited+new per depth
+    assert after_bfs - after_pr <= 5, (
+        f"bfs_distances leaked {after_bfs - after_pr} persistent frames"
+    )
