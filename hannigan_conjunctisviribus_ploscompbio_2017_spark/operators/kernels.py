@@ -108,6 +108,16 @@ def _checkpoint(df: DataFrame) -> DataFrame:
         # blocks — nothing to track for _release (file GC is the
         # cleaner's job, see cleanCheckpoints above)
         return df.checkpoint(eager=True)
+    return _tracked_local_checkpoint(df)
+
+
+def _tracked_local_checkpoint(df: DataFrame) -> DataFrame:
+    """Eager localCheckpoint that records the persistent-RDD ids it
+    creates (on the returned frame, for _release).  Use directly for
+    NON-loop frames that want deterministic block release (e.g. a
+    foreachBatch epoch's scored batch); loops go through _checkpoint,
+    which adds the reliable-mode switch."""
+    sc = df.sparkSession.sparkContext
     before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
     out = df.localCheckpoint(eager=True)
     out._sg_ckpt_ids = [

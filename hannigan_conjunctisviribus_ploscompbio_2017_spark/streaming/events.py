@@ -460,13 +460,26 @@ def streaming_quality_router(
     r = reject_reasons(text_col, lang_col, **filter_kwargs)
 
     def _route(batch: DataFrame, epoch_id: int) -> None:
-        scored = batch.withColumn("reject_reasons", r).localCheckpoint(eager=True)
-        scored.filter(F.col("reject_reasons") == "").drop("reject_reasons").write.mode(
-            "append"
-        ).parquet(keep_path)
-        scored.filter(F.col("reject_reasons") != "").write.mode("append").parquet(
-            quarantine_path
+        from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.kernels import (
+            _release,
+            _tracked_local_checkpoint,
         )
+
+        # eager checkpoint: score once, feed BOTH filtered writes.
+        # Released deterministically after the epoch — a long-running
+        # ingest runs thousands of epochs, and waiting for the context
+        # cleaner's GC-driven unpersist would pin one batch-sized frame
+        # per epoch in the block manager in the meantime.
+        scored = _tracked_local_checkpoint(batch.withColumn("reject_reasons", r))
+        try:
+            scored.filter(F.col("reject_reasons") == "").drop(
+                "reject_reasons"
+            ).write.mode("append").parquet(keep_path)
+            scored.filter(F.col("reject_reasons") != "").write.mode("append").parquet(
+                quarantine_path
+            )
+        finally:
+            _release(scored)
 
     return (
         docs.writeStream.foreachBatch(_route)

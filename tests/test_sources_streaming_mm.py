@@ -992,6 +992,7 @@ def test_streaming_quality_router_splits_keep_and_quarantine(spark, tmp_path):
         spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(str(src))
     )
     keep, quar, ckpt = (str(tmp_path / d) for d in ("keep", "quarantine", "ckpt"))
+    persisted_before = spark.sparkContext._jsc.getPersistentRDDs().size()
     q = SE.streaming_quality_router(
         stream, keep, quar, ckpt,
         min_tokens=5, max_tokens=100, min_quality=0.2, allowed_langs=["en"],
@@ -1003,6 +1004,13 @@ def test_streaming_quality_router_splits_keep_and_quarantine(spark, tmp_path):
         assert kept == {1}
         assert set(rej) == {2, 3}
         assert "too_short" in rej[2] and "lang" in rej[3]
+        # each epoch's scored checkpoint must be RELEASED after its two
+        # writes — a long-running ingest would otherwise pin one
+        # batch-sized frame per epoch until a GC-timed cleaner pass
+        assert (
+            spark.sparkContext._jsc.getPersistentRDDs().size()
+            == persisted_before
+        ), "router leaked per-epoch checkpoint blocks"
     finally:
         q.stop()
 
