@@ -24,10 +24,20 @@ one run's delta — small by definition — so it BROADCASTS onto a single
 scan of the source frame as a left-semi probe; store rows are then
 derived by the same store-builder the initial store used (identical
 schema and hash/cell geometry by construction), and the write is a pure
-parquet APPEND into the store path: the existing store is never read,
-never shuffled, never rewritten (plan-guarded in
+parquet APPEND into the store path: the APPEND DERIVATION never reads,
+shuffles, or rewrites the existing store (plan-guarded in
 tests/test_gate_maintenance.py).  Only the derivation of the appended
 rows shuffles, and only delta-sized frames.
+
+One caveat keeps that claim honest: `decisions` is consumed lazily, so
+passing a batch gate's UN-materialized output re-executes the gate
+inside the append job — including the gate's own single store pass.
+That is not an extra pass if the append is the decisions' only
+consumer, but a caller that also acts on the decisions (the normal
+crawl loop: persist the log, then append) should hand this module an
+already-materialized frame — the compacted decisions log
+(`read_gate_decisions`) or a checkpointed gate output — so the append
+job touches only delta-sized inputs end-to-end.
 """
 
 from __future__ import annotations

@@ -106,25 +106,45 @@ def _checkpoint(df: DataFrame) -> DataFrame:
             sc.setCheckpointDir(cdir)
         # reliable checkpoints live as DFS files, not block-manager
         # blocks — nothing to track for _release (file GC is the
-        # cleaner's job, see cleanCheckpoints above)
-        return df.checkpoint(eager=True)
+        # cleaner's job, see cleanCheckpoints above).  Persist across
+        # the checkpoint's TWO jobs: RDD.checkpoint materializes the
+        # eager action first and then runs a separate job to write the
+        # DFS files, which would recompute the whole superstep plan a
+        # second time on an unpersisted frame (Spark's own
+        # RDD.checkpoint doc recommends persisting first).  The cache
+        # is dropped as soon as the files are written — the returned
+        # frame reads the DFS copy.
+        cached = df.persist()
+        try:
+            return cached.checkpoint(eager=True)
+        finally:
+            cached.unpersist()
     return _tracked_local_checkpoint(df)
 
 
 def _tracked_local_checkpoint(df: DataFrame) -> DataFrame:
-    """Eager localCheckpoint that records the persistent-RDD ids it
+    """Eager localCheckpoint that records the persistent-RDD id it
     creates (on the returned frame, for _release).  Use directly for
     NON-loop frames that want deterministic block release (e.g. a
     foreachBatch epoch's scored batch); loops go through _checkpoint,
-    which adds the reliable-mode switch."""
-    sc = df.sparkSession.sparkContext
-    before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+    which adds the reliable-mode switch.
+
+    The id is read straight off the returned frame's analyzed plan —
+    a checkpointed Dataset is a LogicalRDD over exactly the persisted
+    RDD — so attribution is exact even when other driver threads
+    (concurrent foreachBatch epochs, a kernel on another thread)
+    checkpoint at the same time.  A global before/after diff of the
+    persistent-RDD set would race there and could claim (and later
+    release) a concurrent job's live blocks."""
     out = df.localCheckpoint(eager=True)
-    out._sg_ckpt_ids = [
-        rid
-        for rid in sc._jsc.getPersistentRDDs().keySet().toArray()
-        if rid not in before
-    ]
+    try:
+        out._sg_ckpt_ids = [out._jdf.queryExecution().analyzed().rdd().id()]
+    except Exception:
+        # plan shape not LogicalRDD (unexpected for a localCheckpoint
+        # result) — leave untracked rather than guess: _release then
+        # no-ops and the context cleaner reclaims the blocks on GC,
+        # the pre-tracking behavior
+        out._sg_ckpt_ids = []
     return out
 
 

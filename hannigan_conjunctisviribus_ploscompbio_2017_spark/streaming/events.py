@@ -833,7 +833,51 @@ def _admission_gate_foreach(
         glob = jvm.org.apache.hadoop.fs.Path(f"{decisions_path}/_epoch=*/part-*")
         fs = glob.getFileSystem(spark_b._jsc.hadoopConfiguration())
         committed = fs.globStatus(glob)
+        # fail FAST on the two layouts this protocol cannot read,
+        # instead of silently treating them as an empty log (which
+        # would re-admit every previously decided doc):
+        # (a) a pre-epoch-dir log (root-level part files with _epoch as
+        #     a data column) — one-shot migrate it into epoch dirs;
+        # (b) a log from a DIFFERENT stream run: epoch counters come
+        #     from the streaming checkpoint, so a fresh checkpoint
+        #     restarts at 0 and mode(overwrite) would DESTROY the old
+        #     run's epoch dirs while the `_epoch < n` probe ignores
+        #     them.  The decisions log is a per-run artifact — fold a
+        #     finished run into the persisted store between runs
+        #     (gate_maintenance.append_admitted_*) and give the next
+        #     run a fresh decisions_path + checkpoint pair.
+        legacy = fs.globStatus(jvm.org.apache.hadoop.fs.Path(f"{decisions_path}/part-*"))
+        if legacy is not None and len(legacy) > 0:
+            raise RuntimeError(
+                f"decisions log at {decisions_path} uses the pre-epoch-dir "
+                "append layout (root-level part files); migrate it first: "
+                "read it, then write each _epoch group to "
+                f"{decisions_path}/_epoch=<n>/ and remove the root files"
+            )
         if committed is not None and len(committed) > 0:
+            # strictly greater only: the CURRENT epoch's dir may
+            # legitimately exist fully committed (stream died between
+            # the overwrite job and the checkpoint commit) — that is
+            # the retry the atomic overwrite is designed to replace
+            stale = [
+                s.getPath().getParent().getName()
+                for s in committed
+                if int(s.getPath().getParent().getName().split("=", 1)[1])
+                > int(epoch_id)
+            ]
+            if stale:
+                raise RuntimeError(
+                    f"decisions log at {decisions_path} already holds "
+                    f"epoch(s) {sorted(set(stale))} beyond this stream's "
+                    f"epoch {int(epoch_id)} — it belongs to a different "
+                    "stream run (a fresh checkpoint restarts the epoch "
+                    "counter at 0, so the probe would ignore those rows "
+                    "and the overwrite would destroy them). Resume from "
+                    "the original checkpoint, or fold the finished run "
+                    "into the store (gate_maintenance.append_admitted_*) "
+                    "and start this run with a fresh decisions_path + "
+                    "checkpoint pair"
+                )
             # strictly-prior epochs only (partition-pruned): a retry
             # must not see its own partial first attempt, or a doc
             # decided 'dup_batch' would re-enter as 'new'

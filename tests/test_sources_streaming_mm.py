@@ -1810,3 +1810,56 @@ def test_read_gate_decisions_deterministic_on_legacy_divergence(spark, tmp_path)
         rows = {r.id: r for r in SE.read_gate_decisions(spark, path).collect()}
         assert rows[9].status == "dup_batch" and rows[9]._epoch == 3
         assert rows[4].status == "new"
+
+
+def test_foreach_gate_refuses_foreign_run_and_legacy_logs(spark, tmp_path):
+    """The epoch-dir protocol fails FAST instead of silently corrupting:
+    (a) a decisions log holding epochs BEYOND this stream's counter
+    belongs to a different stream run (fresh checkpoint restarts at 0 —
+    the probe would ignore those rows and the overwrite would destroy
+    them); (b) a pre-epoch-dir log (root-level part files) is invisible
+    to the epoch glob.  Both must abort the stream with guidance, never
+    re-admit previously decided docs."""
+    from datetime import datetime
+
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.dedup import fingerprint_store
+
+    schema = "doc_id long, ts timestamp, text string"
+    store_docs = spark.createDataFrame([(100, "stored text")], "doc_id long, text string")
+    fpath = str(tmp_path / "fp_store")
+    fingerprint_store(store_docs).write.parquet(fpath)
+    fp_store = spark.read.parquet(fpath)
+    batch = spark.createDataFrame(
+        [(1, datetime(2025, 1, 1, 12, 0), "some new content")], schema
+    )
+    src = tmp_path / "docs"
+    batch.coalesce(1).write.parquet(str(src))
+
+    def run(dec_dir, ckpt_dir):
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = SE.streaming_ingest_dedup_foreach(
+            stream, fp_store,
+            decisions_path=str(tmp_path / dec_dir),
+            checkpoint=str(tmp_path / ckpt_dir),
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    # (a) foreign run: pre-plant an _epoch=3 dir, start with a FRESH
+    # checkpoint (this stream's first epoch is 0 < 3)
+    planted = spark.createDataFrame(
+        [(99, "dup_store", datetime(2025, 1, 1, 11, 0))],
+        "id long, status string, first_ts timestamp",
+    )
+    planted.write.parquet(str(tmp_path / "dec_foreign" / "_epoch=3"))
+    with pytest.raises(Exception, match="different stream run"):
+        run("dec_foreign", "ckpt_foreign")
+    # the planted epoch survived untouched (nothing overwrote it)
+    assert spark.read.parquet(str(tmp_path / "dec_foreign")).count() == 1
+
+    # (b) legacy layout: root-level part files (pre-epoch-dir protocol)
+    planted.withColumn("_epoch", F.lit(0)).write.parquet(str(tmp_path / "dec_legacy"))
+    with pytest.raises(Exception, match="pre-epoch-dir"):
+        run("dec_legacy", "ckpt_legacy")
