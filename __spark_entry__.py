@@ -25,89 +25,92 @@ from hannigan_conjunctisviribus_ploscompbio_2017_spark.queries_testdata import (
 SF0001 = "/root/testdata/sf0.001"
 
 # The driver gate executes the first ~50 registered entries, so
-# registration order decides what gets driver-gate credit.  r08 order
+# registration order decides what gets driver-gate credit.  r09 order
 # (oldest-measurement-first — the rotation contract: every entry's
 # newest green row stays within the last three measured rounds):
-# (1) the entry NEW this round: dd_ingest_store_append, the admission-
-#     gate store maintenance loop end-to-end (run 1 gate → parquet
-#     append of admitted fingerprints → run 2 gate on the appended
-#     store);
-# (2) the three r07-measured foreachBatch gates whose WRITE PROTOCOL
-#     changed this round (atomic per-epoch overwrite directories +
-#     strictly-prior-epoch suppression; outputs identical on this
-#     testdata, but a changed operator deserves a fresh driver row —
-#     the r07 precedent);
-# (3) ALL 44 entries last driver-measured in r05 — the r07 verdict's
-#     ask #1 mandatory set (audited: exactly the newest-green==r05
-#     cohort);
-# (4) the 2 oldest r06-measured kernel-heavy entries backfilling to
-#     the 50-cap, smoothing r09's load.
+# (1) the entry NEW this round: ss_semantic_store_append — the SEMANTIC
+#     admission-gate store maintenance loop end-to-end (run 1 gate →
+#     partitionBy("cell") append of admitted vectors → run 2 gate on
+#     the appended store, scan still DPP-pruned), promoted per the r08
+#     verdict ask #4 (it carries the DPP-preservation claim);
+# (2) the four r08-measured gate entries whose PROTOCOL changed this
+#     round and deserve a fresh driver row (the r08 precedent): the
+#     three foreachBatch gates gained the _run_id run-identity marker
+#     (r08 ADVICE medium — epoch-0 collision on a reused decisions
+#     path) and dd_ingest_store_append now materializes decisions
+#     before the append (the enforced require_materialized caveat);
+# (3) ALL 44 entries last driver-measured in r06 — the r08 verdict's
+#     ask #1 mandatory set (audited: exactly the newest-green==r06
+#     cohort, 45 minus the retired m13_rarefaction_curve);
+# (4) one oldest r07 entry backfilling to the 50-cap
+#     (ss_semantic_ingest — the one-run semantic gate whose store this
+#     round's append/compaction work extends), smoothing r10's load.
 # All entries pass the identical local gate (tools/check_oracle.py).
 # Rotation arithmetic: 142 entries / 3-round window = ~47 re-measures
 # per round minimum, so the 50-cap sustains the contract with ~3
 # slots/round of steady-state headroom.  SUSTAINABILITY CEILING: at 150
 # entries the contract consumes the whole 50-cap — any growth past ~146
-# must retire a redundant entry per addition.  r08: +dd_ingest_store_
-# append, -m4_permutation_test (same statistic and derivation as
-# m4_permutation_portable, which keeps the oracle-bearing entry; hash-
-# family equivalence pinned in test_stats.py — the dd_minhash_sig
-# precedent), net 142.  After r08 the r06 cohort (46 after retirement
-# and backfills) is r09's mandatory set — inside the 50-cap.
+# must retire a redundant entry per addition.  r09: +ss_semantic_store_
+# append, -m13_rarefaction_curve (same statistic and derivation as
+# m13_rarefaction_curve_portable, which keeps the oracle-bearing entry;
+# draw-family equivalence pinned in test_stats.py — the m4/dd_minhash_
+# sig precedent), net 142.  After r09 the r07 cohort (46 after the
+# backfill) is r10's mandatory set — inside the 50-cap.
 _PRIORITY = [
-    # -- (1) new in r08 --
-    "dd_ingest_store_append",
-    # -- (2) r07-measured, write protocol changed in r08 --
+    # -- (1) new in r09 --
+    "ss_semantic_store_append",
+    # -- (2) r08-measured, gate protocol changed in r09 --
     "ev_semantic_ingest_foreach",
     "ev_ingest_dedup_foreach",
     "ev_minhash_ingest_foreach",
-    # -- (3) last measured in r05 (all 44 — the mandatory set) --
-    "a11_cube_rollup",
-    "dd_chunk_dedup",
-    "dd_contamination",
-    "dd_ingest_dedup",
-    "dd_semantic_dedup",
-    "ev_ingest_dedup_2batch",
-    "f11_substring_extract",
-    "f12_json_props",
-    "g13_robustness",
-    "gq2_predicted_links",
-    "gq3_triadic_closure",
-    "gq4_study_network",
-    "gq5_sample_network",
-    "m13_rarefaction_curve_portable",
-    "m4_permutation_portable",
-    "ml_quality_classifier",
-    "pipeline_altered_diet",
-    "pipeline_compare_skin",
-    "pipeline_compare_twins",
-    "pipeline_corpus_curation",
-    "pipeline_interpersonal_diversity",
-    "pipeline_pretrain_pack",
-    "pipeline_pretrain_pack_spancut",
-    "r6_transpose",
-    "r7_column_subsample",
-    "ss_embedding_health",
-    "ss_pq_rerank_topk",
-    "ss_sq8_topk",
-    "tx_bigram_backoff",
-    "tx_chunk_windows",
-    "tx_exact_k_sample",
-    "tx_line_filter",
-    "tx_mixture_weights",
-    "tx_pii_scrub",
-    "tx_quality_filter",
-    "tx_quality_score",
-    "tx_repetition_stats",
-    "tx_sequence_pack",
-    "tx_split_assign",
-    "tx_stratified_sample",
-    "tx_tfidf_top_terms",
-    "tx_top_ngrams",
-    "tx_unigram_logprob",
-    "tx_vocab_growth",
-    # -- (4) oldest r06 kernel-heavy entries backfilling to the 50-cap --
-    "gk_eigenvector_centrality",
-    "gk_diameter_radius",
+    "dd_ingest_store_append",
+    # -- (3) last measured in r06 (all 44 — the mandatory set) --
+    "a12_row_votes",
+    "a1_pricing_summary",
+    "a2_mean_score_per_pair",
+    "a3_min_score_per_pair",
+    "a4_degree_count",
+    "a5_count_distinct",
+    "a7_rarefaction_depth",
+    "a9_best_hit_dedup",
+    "dd_minhash_ingest",
+    "ev_chunk_first_seen",
+    "ev_first_seen_dedup",
+    "ev_near_dup_stream",
+    "ev_stream_pack",
+    "f_scalar_chain",
+    "gk_communities_modularity",
+    "gk_katz_centrality",
+    "gk_pagerank",
+    "gq1_interaction_scores",
+    "j11_asof_join",
+    "j1_equi_join",
+    "j2_broadcast_annotate",
+    "j3_feature_merge",
+    "j7_cross_join",
+    "m1_rarefaction",
+    "m1_rarefaction_portable",
+    "m2_bray_curtis",
+    "ml_nested_cv",
+    "ml_rf_interactions",
+    "ml_roc_points",
+    "ml_roc_portable",
+    "mm_video_frames",
+    "o1_distinct_sorted",
+    "o4_union_all",
+    "o5_intersect",
+    "o6_except",
+    "p3_p4_predicate_filters",
+    "p6_any_positive",
+    "p7_length_range",
+    "p8_anti_filter",
+    "p9_semi_filter",
+    "r1_pivot_matrix",
+    "r4_melt",
+    "ss_ivf_sq8_topk",
+    "w1_top_per_group",
+    # -- (4) oldest r07 backfill to the 50-cap --
+    "ss_semantic_ingest",
 ]
 
 

@@ -37,13 +37,55 @@ consumer, but a caller that also acts on the decisions (the normal
 crawl loop: persist the log, then append) should hand this module an
 already-materialized frame — the compacted decisions log
 (`read_gate_decisions`) or a checkpointed gate output — so the append
-job touches only delta-sized inputs end-to-end.
+job touches only delta-sized inputs end-to-end.  Since r09 the
+append_* entry points ENFORCE that caveat by default
+(`require_materialized=True` raises on a plan that still contains the
+gate's joins); pass require_materialized=False to accept the
+re-execution knowingly (e.g. the append really is the only consumer).
+
+The other half of the lifecycle is `compact_store`: the appends are
+pure parquet appends by design, so a long crawl loop accumulates one
+small file set per run — compaction rewrites the store into few large
+files while PRESERVING its partition layout (partitionBy("cell") /
+("band", "_part")), so DPP and every plan guard survive.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import math
+import re
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from hannigan_conjunctisviribus_ploscompbio_2017_spark.streaming.events import _hadoop_fs
+
+_MATERIALIZED_CAVEAT = (
+    "the decisions frame passed to this append is an UN-materialized gate "
+    "output (its plan still contains the gate's joins): the append job "
+    "would re-execute the whole gate — including its store pass — instead "
+    "of touching only delta-sized inputs. Hand it a materialized frame "
+    "(read_gate_decisions over the persisted log, or the gate output "
+    "after .localCheckpoint()), or pass require_materialized=False to "
+    "accept the re-execution knowingly"
+)
+
+
+def _check_materialized(decisions: DataFrame, require_materialized: bool) -> None:
+    """The loud version of the module docstring's lazy-decisions caveat:
+    a gate output always contains joins (store probe + rejoin), while
+    every blessed input — a parquet read of the persisted log, a
+    read_gate_decisions resolution (aggregate over a scan), or a
+    checkpointed frame (LogicalRDD) — contains none, so a Join node in
+    the analyzed plan is the tell."""
+    if not require_materialized:
+        return
+    try:
+        plan = decisions._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return  # can't introspect the plan — don't block the append
+    if re.search(r"\bJoin\b", plan):
+        raise RuntimeError(_MATERIALIZED_CAVEAT)
 
 
 def _admitted_ids(decisions: DataFrame, alias: str) -> DataFrame:
@@ -80,12 +122,15 @@ def admitted_fingerprints(decisions: DataFrame) -> DataFrame:
     )
 
 
-def append_admitted_fingerprints(decisions: DataFrame, store_path: str) -> None:
+def append_admitted_fingerprints(
+    decisions: DataFrame, store_path: str, require_materialized: bool = True
+) -> None:
     """Append the run's admitted fingerprints to the persisted
     fingerprint store at `store_path` (parquet append — the existing
     store files are untouched; `ingest_dedup` scans the store exactly
-    once per run regardless of file count, and a periodic compaction is
-    an orthogonal rewrite the gate never requires)."""
+    once per run regardless of file count, and the periodic rewrite is
+    `compact_store`, which the gate never requires)."""
+    _check_materialized(decisions, require_materialized)
     admitted_fingerprints(decisions).write.mode("append").parquet(store_path)
 
 
@@ -136,6 +181,7 @@ def append_admitted_minhash(
     bucket_by_hash: bool = True,
     partition_by: tuple[str, ...] | None = None,
     hash_partitions: int | None = None,
+    require_materialized: bool = True,
 ) -> None:
     """Append the run's admitted banded signatures to the persisted
     store at `store_path`, matching the store's on-disk layout:
@@ -157,6 +203,7 @@ def append_admitted_minhash(
 
     The existing store is never read or shuffled — the write is a pure
     parquet append of delta-derived rows."""
+    _check_materialized(decisions, require_materialized)
     rows = admitted_minhash_rows(
         decisions, docs, id_col, text_col, k, num_hashes, bands, seed,
         hash_fn, bucket_by_hash,
@@ -225,6 +272,7 @@ def append_admitted_semantic(
     vec_col: str = "embedding",
     round_to: int = 6,
     partitioned: bool = True,
+    require_materialized: bool = True,
 ) -> None:
     """Append the run's admitted vectors to the persisted semantic
     store at `store_path`.  `partitioned=True` (the documented at-scale
@@ -234,6 +282,7 @@ def append_admitted_semantic(
     run's DPP-pruned probe sees them with zero layout work.  Set
     partitioned=False only for a store that was written flat (where DPP
     was never available to lose)."""
+    _check_materialized(decisions, require_materialized)
     rows = admitted_semantic_rows(
         decisions, embeddings, centroids, dim, id_col, vec_col, round_to
     )
@@ -241,3 +290,106 @@ def append_admitted_semantic(
     if partitioned:
         writer = writer.partitionBy("cell")
     writer.parquet(store_path)
+
+
+# --------------------------------------------------------------------------
+# store compaction — the rewrite the append-only lifecycle defers
+# --------------------------------------------------------------------------
+
+
+def _store_data_files(fs, jvm, path: str) -> tuple[int, int]:
+    """(file count, total bytes) of a store's DATA files — hidden files
+    (_SUCCESS, markers, dot-files) excluded, partition dirs recursed."""
+    it = fs.listFiles(jvm.org.apache.hadoop.fs.Path(path), True)
+    n = 0
+    total = 0
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.startswith("_") or name.startswith("."):
+            continue
+        n += 1
+        total += st.getLen()
+    return n, total
+
+
+def compact_store(
+    spark: SparkSession,
+    store_path: str,
+    partition_by: tuple[str, ...] | None = None,
+    target_file_bytes: int = 128 << 20,
+) -> tuple[int, int]:
+    """Rewrite an append-accumulated store into few large files, sized
+    to `target_file_bytes` — the orthogonal maintenance rewrite the
+    gates themselves never require, but a year-long crawl loop does:
+    every append_admitted_* run adds a small file set, and eventually
+    file listing + tiny row groups dominate the single store pass the
+    plan guards keep so carefully shuffle-free.
+
+    `partition_by` must be the store's on-disk layout, exactly as the
+    appends take it: None for a flat store, ("cell",) for the semantic
+    store, ("band",) or ("band", "_part") for the banded minhash store.
+    The rewrite preserves that layout — partition columns come back from
+    partition discovery and are written back with the same partitionBy —
+    so dynamic partition pruning and every probe-side plan guard hold on
+    the compacted store (asserted in tests/test_gate_maintenance.py).
+
+    Scale shape: a flat store coalesces (no shuffle); a partitioned
+    store repartitions on its partition columns so each partition
+    directory collapses to one file per holding task — one exchange of
+    the store itself, the one job class the gates' own plans never run,
+    which is exactly why compaction is a separate maintenance step.
+
+    The swap is rename-based and REFUSES to start over leftovers of an
+    interrupted compaction: the compacted copy is fully written to
+    `<store>.compact.tmp` first, the live store is renamed to
+    `<store>.precompact`, the tmp renamed in (rolled back on failure),
+    and the backup deleted last — an interruption therefore leaves
+    either the original store live, or (between the two renames —
+    detected and auto-rolled-back on the next call) the complete
+    original at `<store>.precompact`.  Run it only between runs, never
+    concurrently with a gate.
+
+    Returns (files_before, files_after)."""
+    path = store_path.rstrip("/")
+    fs, jpath, jvm = _hadoop_fs(spark, path)
+    tmp = jvm.org.apache.hadoop.fs.Path(path + ".compact.tmp")
+    bak = jvm.org.apache.hadoop.fs.Path(path + ".precompact")
+    if fs.exists(bak) and not fs.exists(jpath):
+        # interrupted between the two renames: the original is complete
+        # at .precompact — restore it and start over
+        if not fs.rename(bak, jpath):
+            raise RuntimeError(f"could not restore interrupted compaction from {bak}")
+    for leftover in (tmp, bak):
+        if fs.exists(leftover):
+            raise RuntimeError(
+                f"leftover from an interrupted compaction at {leftover} — "
+                "the live store is intact; delete the leftover and re-run"
+            )
+    files_before, total_bytes = _store_data_files(fs, jvm, path)
+    if files_before == 0:
+        return (0, 0)
+    n_files = max(1, math.ceil(total_bytes / target_file_bytes))
+    df = spark.read.parquet(path)
+    if partition_by:
+        missing = [c for c in partition_by if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"partition_by columns {missing} not in the store at {path} "
+                f"(columns: {df.columns}) — pass the store's actual layout"
+            )
+        (
+            df.repartition(n_files, *[F.col(c) for c in partition_by])
+            .write.partitionBy(*partition_by)
+            .parquet(str(tmp))
+        )
+    else:
+        df.coalesce(n_files).write.parquet(str(tmp))
+    if not fs.rename(jpath, bak):
+        raise RuntimeError(f"could not move the live store aside to {bak}")
+    if not fs.rename(tmp, jpath):
+        fs.rename(bak, jpath)  # roll back — the original store returns live
+        raise RuntimeError(f"could not move the compacted store into {path}")
+    fs.delete(bak, True)
+    files_after, _ = _store_data_files(fs, jvm, path)
+    return (files_before, files_after)

@@ -24,6 +24,7 @@ undirected view symmetrize internally.
 from __future__ import annotations
 
 import os
+import warnings
 
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
@@ -138,14 +139,42 @@ def _tracked_local_checkpoint(df: DataFrame) -> DataFrame:
     release) a concurrent job's live blocks."""
     out = df.localCheckpoint(eager=True)
     try:
-        out._sg_ckpt_ids = [out._jdf.queryExecution().analyzed().rdd().id()]
+        out._sg_ckpt_ids = [_ckpt_rdd_id(out)]
     except Exception:
         # plan shape not LogicalRDD (unexpected for a localCheckpoint
-        # result) — leave untracked rather than guess: _release then
-        # no-ops and the context cleaner reclaims the blocks on GC,
-        # the pre-tracking behavior
+        # result; the py4j path below is private API and may change
+        # shape across Spark versions) — leave untracked rather than
+        # guess: _release then no-ops and the context cleaner reclaims
+        # the blocks on GC, the pre-tracking behavior.  That silent
+        # degradation would quietly reintroduce the O(iterations)
+        # block retention the tracking exists to prevent, so make it
+        # VISIBLE once per process instead of only under a memory
+        # profiler.
+        global _ckpt_track_warned
+        if not _ckpt_track_warned:
+            _ckpt_track_warned = True
+            warnings.warn(
+                "checkpoint block tracking unavailable (could not read the "
+                "persisted RDD id off the localCheckpoint result — private "
+                "py4j plan path changed?); superseded superstep blocks will "
+                "only be reclaimed by GC, so long iterative kernels may "
+                "retain O(iterations) block-manager memory",
+                RuntimeWarning,
+                stacklevel=3,
+            )
         out._sg_ckpt_ids = []
     return out
+
+
+_ckpt_track_warned = False
+
+
+def _ckpt_rdd_id(out: DataFrame) -> int:
+    """The persisted RDD id of an eager localCheckpoint result, read
+    off its analyzed plan (a LogicalRDD over exactly the persisted
+    RDD).  Private py4j path, isolated here so the tracking fallback
+    in _tracked_local_checkpoint is testable."""
+    return out._jdf.queryExecution().analyzed().rdd().id()
 
 
 def _release(*dfs: DataFrame | None) -> None:

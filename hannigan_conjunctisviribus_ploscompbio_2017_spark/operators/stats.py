@@ -333,16 +333,35 @@ def rarefaction(
     1-column DataFrame, or (SQL-expression form, e.g. "min(_t)") an
     aggregate over the per-sample total column `_t` — translated for
     the Arrow route into a broadcast depth frame over the same
-    per-sample totals."""
+    per-sample totals.
+
+    The routing aggregate and the `_t`-expression translation both
+    apply the routes' count>0 filter (zero/negative rows draw no
+    individuals in either route, so they must not steer the route
+    choice or the depth), and whenever the facade must consume `df`
+    more than once (routing aggregate + route, or `_t` translation +
+    route) it lazily localCheckpoints the frame first — the
+    rarefy_hash plan-dedup discipline, so a caller's expensive
+    upstream plan is scanned once, not per consumer."""
+    pos = F.col(count_col).cast("long") > 0
+    checkpointed = False
     if total_individuals is None:
+        # df feeds BOTH the routing aggregate and the chosen route —
+        # materialize once instead of re-running the upstream plan
+        df = df.localCheckpoint(eager=False)
+        checkpointed = True
         total_individuals = (
-            df.agg(F.sum(F.col(count_col).cast("long"))).first()[0] or 0
+            df.filter(pos).agg(F.sum(F.col(count_col).cast("long"))).first()[0]
+            or 0
         )
     cores = df.sparkSession.sparkContext.defaultParallelism
     if total_individuals <= explode_budget_per_core * cores:
         return rarefy_hash(df, sample_col, item_col, count_col, depth, seed)
     if isinstance(depth, str):
-        totals = df.groupBy(sample_col).agg(
+        if not checkpointed:
+            # the depth translation is a second consumer of df too
+            df = df.localCheckpoint(eager=False)
+        totals = df.filter(pos).groupBy(sample_col).agg(
             F.sum(F.col(count_col).cast("long")).alias("_t")
         )
         depth = totals.agg(F.expr(depth).cast("long").alias("_d"))

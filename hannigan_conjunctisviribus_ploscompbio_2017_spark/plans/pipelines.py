@@ -99,6 +99,11 @@ def interpersonal_diversity(
         .agg(F.sum("phage_abundance").alias("t"))
         .agg(F.min("t").alias("depth"))
     )
+    # route PINNED to rarefy (the Arrow hypergeometric path), not the
+    # stats.rarefaction auto-routing facade: this pipeline's frozen
+    # oracle pins a specific draw REALIZATION, and the facade would
+    # switch realizations when the data crosses its volume threshold.
+    # The Arrow route is the at-scale default anyway.
     rarefied = rarefy(
         ab, "sample", "phage", "phage_abundance", depth=depth_df, seed=seed
     )
@@ -198,6 +203,8 @@ def compare_skin(
     totals = ab.groupBy("skey").agg(F.sum("phage_abundance").alias("t"))
     # A7 5th-percentile depth as an in-plan 1-row frame (no collect)
     depth_df = totals.selectExpr("CAST(percentile(t, 0.05) AS LONG) AS d")
+    # route pinned to rarefy, not the auto-routing facade — frozen-
+    # oracle realization stability (see pipeline_interpersonal_diversity)
     rarefied = rarefy(ab, "skey", "phage", "phage_abundance", depth=depth_df, seed=seed)
 
     weighted = (

@@ -1752,7 +1752,11 @@ def dd_ingest_store_append(spark: SparkSession, sf_dir: str) -> DataFrame:
             (d + 1000000).alias("doc_id"), "text"
         )
     )
-    dec1 = ingest_dedup(run1, spark.read.parquet(store_path))
+    # checkpoint before the append: the r09 require_materialized default
+    # enforces the gate-maintenance caveat (an un-materialized gate
+    # output would re-run the gate — store pass included — inside the
+    # append job); values are unchanged, the gate just runs once
+    dec1 = ingest_dedup(run1, spark.read.parquet(store_path)).localCheckpoint(eager=False)
     append_admitted_fingerprints(dec1, store_path)
 
     run2_fresh = docs.filter(d % 10 >= 8)
@@ -3433,6 +3437,195 @@ def ev_semantic_ingest_foreach(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _semantic_two_run_oracle(
+    dim: int = 64,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    tau: float = 0.38,
+) -> str:
+    """DuckDB twin of the SEMANTIC store-append maintenance loop (two
+    runs of semantic_ingest_dedup with append_admitted_semantic between
+    them): store0 = usable vectors id >= 40 (centroids sampled from the
+    SAME population — they define the cell geometry for both runs and
+    the append), run 1 = ids [20, 40), run 2 = ids < 20.  Run 1's
+    admits ('new' = usable with best probed cosine < tau or no match)
+    enter the store in their rank-1 cell — semantic_store's assignment
+    IS the first probed cell under one centroid resolution, so the
+    append replays from run 1's own probe ranking.  Run 2 then probes
+    cells0 ∪ appended cells and scores against store0 ∪ admitted
+    vectors.  Same cosine/rounding/tie conventions as
+    _semantic_ingest_oracle throughout."""
+    cos = """SUM(CAST(t.v[j] AS DOUBLE) * CAST(c.cv[j] AS DOUBLE))
+               / (SQRT(SUM(CAST(t.v[j] AS DOUBLE) * CAST(t.v[j] AS DOUBLE)))
+                  * SQRT(SUM(CAST(c.cv[j] AS DOUBLE) * CAST(c.cv[j] AS DOUBLE))))"""
+    pair_cos = """ROUND(
+               SUM(CAST(qv.v[j] AS DOUBLE) * CAST(nv.v[j] AS DOUBLE))
+               / NULLIF(
+                   SQRT(SUM(CAST(qv.v[j] AS DOUBLE) * CAST(qv.v[j] AS DOUBLE)))
+                   * SQRT(SUM(CAST(nv.v[j] AS DOUBLE) * CAST(nv.v[j] AS DOUBLE))),
+                   0),
+               6) AS cosine"""
+    return f"""
+    WITH vecs AS MATERIALIZED (
+      SELECT vec_id AS id, embedding AS v FROM embeddings
+    ), usable AS MATERIALIZED (
+      SELECT id, v FROM vecs
+      WHERE v IS NOT NULL
+        AND NOT list_contains(list_transform(v, x -> x IS NULL), true)
+        AND len(v) = {dim}
+    ), store0 AS MATERIALIZED (SELECT id, v FROM usable WHERE id >= 40
+    ), delta1 AS MATERIALIZED (SELECT id, v FROM usable WHERE id >= 20 AND id < 40
+    ), delta2 AS MATERIALIZED (SELECT id, v FROM usable WHERE id < 20
+    ), incoming2 AS MATERIALIZED (
+      SELECT id, (id IN (SELECT id FROM usable)) AS usable
+      FROM vecs WHERE id < 20
+    ), cents AS MATERIALIZED (
+      SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(id AS VARCHAR))) - 1 AS ci,
+             v AS cv
+      FROM (SELECT id, v FROM vecs
+            WHERE id >= 40
+              AND v IS NOT NULL
+              AND NOT list_contains(list_transform(v, x -> x IS NULL), true)
+              AND list_sum(list_transform(v,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0
+            ORDER BY md5(CAST(id AS VARCHAR)) LIMIT {n_cells})
+    ), idx AS (SELECT unnest(generate_series(1, {dim})) AS j
+    ), s0d AS MATERIALIZED (
+      SELECT t.id, c.ci, ROUND(1.0 - {cos}, 6) AS d
+      FROM store0 t CROSS JOIN cents c CROSS JOIN idx
+      GROUP BY t.id, c.ci
+    ), cells0 AS MATERIALIZED (
+      SELECT id, ci AS cell FROM (
+        SELECT id, ci, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, ci) AS rn
+        FROM s0d
+      ) WHERE rn = 1
+    ), d1d AS MATERIALIZED (
+      SELECT t.id, c.ci, ROUND(1.0 - {cos}, 6) AS d
+      FROM delta1 t CROSS JOIN cents c CROSS JOIN idx
+      GROUP BY t.id, c.ci
+    ), probes1 AS MATERIALIZED (
+      SELECT id, ci AS cell, rn FROM (
+        SELECT id, ci, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, ci) AS rn
+        FROM d1d
+      ) WHERE rn <= {n_probe}
+    ), pairs1 AS (
+      SELECT p.id AS qid, c.id AS mid, {pair_cos}
+      FROM probes1 p
+      JOIN cells0 c ON c.cell = p.cell
+      JOIN delta1 qv ON qv.id = p.id
+      JOIN store0 nv ON nv.id = c.id
+      CROSS JOIN idx
+      GROUP BY p.id, c.id
+      HAVING cosine IS NOT NULL
+    ), best1 AS (
+      SELECT qid, cosine FROM (
+        SELECT qid, cosine,
+               ROW_NUMBER() OVER (
+                 PARTITION BY qid ORDER BY cosine DESC, mid ASC
+               ) AS rn
+        FROM pairs1
+      ) WHERE rn = 1
+    ), admits1 AS MATERIALIZED (
+      SELECT d.id FROM delta1 d LEFT JOIN best1 b ON b.qid = d.id
+      WHERE b.cosine IS NULL OR b.cosine < {tau}
+    ), cells1 AS MATERIALIZED (
+      SELECT id, cell FROM cells0
+      UNION ALL
+      SELECT p.id, p.cell FROM probes1 p JOIN admits1 a ON a.id = p.id
+      WHERE p.rn = 1
+    ), allv AS MATERIALIZED (
+      SELECT id, v FROM store0
+      UNION ALL
+      SELECT d.id, d.v FROM delta1 d JOIN admits1 a ON a.id = d.id
+    ), d2d AS MATERIALIZED (
+      SELECT t.id, c.ci, ROUND(1.0 - {cos}, 6) AS d
+      FROM delta2 t CROSS JOIN cents c CROSS JOIN idx
+      GROUP BY t.id, c.ci
+    ), probes2 AS (
+      SELECT id, ci AS cell FROM (
+        SELECT id, ci, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, ci) AS rn
+        FROM d2d
+      ) WHERE rn <= {n_probe}
+    ), pairs2 AS (
+      SELECT p.id AS qid, c.id AS mid, {pair_cos}
+      FROM probes2 p
+      JOIN cells1 c ON c.cell = p.cell
+      JOIN delta2 qv ON qv.id = p.id
+      JOIN allv nv ON nv.id = c.id
+      CROSS JOIN idx
+      GROUP BY p.id, c.id
+      HAVING cosine IS NOT NULL
+    ), best2 AS (
+      SELECT qid, mid, cosine FROM (
+        SELECT qid, mid, cosine,
+               ROW_NUMBER() OVER (
+                 PARTITION BY qid ORDER BY cosine DESC, mid ASC
+               ) AS rn
+        FROM pairs2
+      ) WHERE rn = 1
+    )
+    SELECT d.id AS id,
+           CASE WHEN NOT d.usable THEN 'unusable'
+                WHEN b.cosine >= {tau} THEN 'dup_semantic'
+                ELSE 'new' END AS status,
+           b.mid AS match_id,
+           b.cosine AS cosine
+    FROM incoming2 d LEFT JOIN best2 b ON b.qid = d.id
+    """
+
+
+@query("ss_semantic_store_append", oracle=_semantic_two_run_oracle())
+def ss_semantic_store_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SEMANTIC admission-gate store MAINTENANCE loop end-to-end
+    (r09 — the embedding twin of dd_ingest_store_append, promoted to a
+    driver entry per the r08 verdict ask #4 because it carries the
+    DPP-preservation claim): run 1 gates ids [20, 40) against the
+    persisted cell-partitioned store of ids >= 40,
+    append_admitted_semantic recomputes store rows for exactly its
+    'new' ids (same centroids → same cell geometry) and appends them
+    WITH partitionBy("cell") — new files land inside the existing cell
+    directories — and run 2 (ids < 20) gates against the appended
+    store read back from parquet, its scan still DPP-bounded to the
+    probed cells (plan guard: test_gate_maintenance).  The oracle
+    replays both runs, deriving the appended rows from run 1's own
+    probe ranking (semantic_store's cell assignment is the rank-1
+    probe cell under one centroid resolution).  Decisions are
+    materialized (localCheckpoint) before the append per the enforced
+    gate-maintenance caveat."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.gate_maintenance import (
+        append_admitted_semantic,
+    )
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.similarity import (
+        sampled_centroids,
+        semantic_ingest_dedup,
+        semantic_store,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.col("vec_id")
+    store0 = emb.filter(v >= 40)
+    cents = sampled_centroids(store0, n_cells=16)
+    d = tempfile.mkdtemp(prefix="sg_semappend_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    path = f"{d}/store"
+    semantic_store(store0, dim=64, n_cells=16, centroids=cents).write.partitionBy(
+        "cell"
+    ).parquet(path)
+
+    run1 = emb.filter((v >= 20) & (v < 40))
+    dec1 = semantic_ingest_dedup(
+        run1, spark.read.parquet(path), cents, dim=64, tau=0.38
+    ).localCheckpoint(eager=False)
+    append_admitted_semantic(dec1, emb, path, cents, dim=64)
+
+    run2 = emb.filter(v < 20)
+    return semantic_ingest_dedup(run2, spark.read.parquet(path), cents, dim=64, tau=0.38)
+
+
 def _gate_2batch_run(
     spark,
     incoming,
@@ -4787,18 +4980,22 @@ def g13_robustness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-@query(
-    "m13_rarefaction_curve",
-    oracle=_fixture_values_sql(
-        _fx.M13_CURVE_SF001,
-        [("depth", "BIGINT"), ("n_samples", "BIGINT"), ("mean_richness", "DOUBLE")],
-    ),
-)
 def m13_rarefaction_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M13 — rarefaction/accumulation curve (bin/OpfRarefaction.R:12-18):
-    per-sample richness at increasing depths, seeded deterministic draw
-    → frozen sf0.01 fixture oracle; m13_rarefaction_curve_portable
-    carries the derivational oracle."""
+    per-sample richness at increasing depths, seeded deterministic draw.
+
+    REGISTRY ENTRY RETIRED r09 (registry-ceiling management per the r08
+    verdict ask #4, the m4_permutation_test precedent): this computes
+    the same statistic over the same derivation as
+    m13_rarefaction_curve_portable — the two differ ONLY in the draw
+    family realizing the exact multivariate-hypergeometric subsample
+    (seeded numpy via rarefy here, md5 hash-rank there) — so the
+    portable entry carries the oracle-bearing driver row and the family
+    equivalence is pinned in pytest (tests/test_stats.py::
+    test_rarefaction_curve_family_equivalence).  The builder stays
+    unregistered for tools/gen_fixture_oracles.py and the independent
+    hypergeometric replay (tests/test_fixture_independent.py), which
+    keep covering the numpy draw family against M13_CURVE_SF001."""
     from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.stats import rarefaction_curve
 
     li = _t(spark, sf_dir, "lineitem")

@@ -848,23 +848,88 @@ def _admission_gate_foreach(
         #     run a fresh decisions_path + checkpoint pair.
         legacy = fs.globStatus(jvm.org.apache.hadoop.fs.Path(f"{decisions_path}/part-*"))
         if legacy is not None and len(legacy) > 0:
+            if _fs_read_text(spark_b, f"{decisions_path}/{_COMPACTED_MARKER}") is not None:
+                raise RuntimeError(
+                    f"decisions log at {decisions_path} was COMPACTED "
+                    "(compact_gate_decisions) — its run is finished and a "
+                    "finished run cannot be resumed. Fold it into the "
+                    "persisted store (gate_maintenance.append_admitted_*) "
+                    "and start this run with a fresh decisions_path + "
+                    "checkpoint pair"
+                )
             raise RuntimeError(
                 f"decisions log at {decisions_path} uses the pre-epoch-dir "
-                "append layout (root-level part files); migrate it first: "
-                "read it, then write each _epoch group to "
-                f"{decisions_path}/_epoch=<n>/ and remove the root files"
+                "append layout (root-level part files); migrate it first "
+                "with migrate_gate_decisions_log(spark, decisions_path, "
+                "checkpoint=...) — it rewrites each _epoch group into "
+                f"{decisions_path}/_epoch=<n>/, removes the root files and "
+                "stamps the run marker"
             )
-        if committed is not None and len(committed) > 0:
+        # epoch-dir names must parse as integers for the exactly-once
+        # protocol (the suppression probe and the stale-run guard both
+        # compare epoch NUMBERS); fold unparseable dirs into the
+        # fail-fast guidance instead of leaking a bare ValueError
+        parsed: list[int] = []
+        unreadable: set[str] = set()
+        for s in committed if committed is not None else []:
+            name = s.getPath().getParent().getName()
+            try:
+                parsed.append(int(name.split("=", 1)[1]))
+            except ValueError:
+                unreadable.add(name)
+        if unreadable:
+            raise RuntimeError(
+                f"decisions log at {decisions_path} holds non-integer epoch "
+                f"directorie(s) {sorted(unreadable)} — an unreadable layout "
+                "for the exactly-once protocol (hand-migrated data or stray "
+                "tooling output?). Remove or rename them, or migrate a "
+                "legacy log with migrate_gate_decisions_log, before "
+                "resuming this stream"
+            )
+        # run-identity guard: the epoch counter comes from the streaming
+        # checkpoint, so TWO different runs sharing one decisions_path
+        # collide — and when the old log holds only epochs <= this
+        # stream's first epoch (e.g. a lone _epoch=0 against a fresh
+        # checkpoint restarting at 0) the stale-epoch probe below sees
+        # nothing and mode('overwrite') would silently destroy the old
+        # run's decisions.  The _run_id marker (the checkpoint's
+        # persisted query id — stable across restarts from the SAME
+        # checkpoint, fresh for a new one) distinguishes a same-run
+        # retry from a foreign run at ANY epoch, including 0.
+        qid = streaming_query_id(spark_b, checkpoint)
+        marked = _fs_read_text(spark_b, f"{decisions_path}/{_RUN_MARKER}")
+        if marked is not None:
+            if marked.strip() != qid:
+                raise RuntimeError(
+                    f"decisions log at {decisions_path} is stamped for "
+                    f"stream run {marked.strip()} but this query is {qid} "
+                    "— it belongs to a different stream run and resuming "
+                    "would overwrite its epochs. Resume from the original "
+                    "checkpoint, or fold the finished run into the store "
+                    "(gate_maintenance.append_admitted_*) and start this "
+                    "run with a fresh decisions_path + checkpoint pair"
+                )
+        elif committed is not None and len(committed) > 0:
+            raise RuntimeError(
+                f"decisions log at {decisions_path} holds committed epoch "
+                "directorie(s) but no _run_id marker — a pre-marker (r08) "
+                "log or a different stream run. If it IS this query's own "
+                "log, adopt it explicitly with stamp_gate_decisions_run("
+                "spark, decisions_path, checkpoint=...); otherwise fold "
+                "the finished run into the store (gate_maintenance."
+                "append_admitted_*) and start this run with a fresh "
+                "decisions_path + checkpoint pair"
+            )
+        else:
+            _fs_write_text(spark_b, f"{decisions_path}/{_RUN_MARKER}", qid)
+        if parsed:
             # strictly greater only: the CURRENT epoch's dir may
             # legitimately exist fully committed (stream died between
             # the overwrite job and the checkpoint commit) — that is
-            # the retry the atomic overwrite is designed to replace
-            stale = [
-                s.getPath().getParent().getName()
-                for s in committed
-                if int(s.getPath().getParent().getName().split("=", 1)[1])
-                > int(epoch_id)
-            ]
+            # the retry the atomic overwrite is designed to replace.
+            # Defense-in-depth behind the marker (a deleted marker
+            # must not silently re-enable the collision).
+            stale = [n for n in parsed if n > int(epoch_id)]
             if stale:
                 raise RuntimeError(
                     f"decisions log at {decisions_path} already holds "
@@ -1128,3 +1193,208 @@ def read_gate_decisions(spark: SparkSession, decisions_path: str) -> DataFrame:
         )
         .select("id", *[F.col(f"_r.{c}").alias(c) for c in cols], "_epoch")
     )
+
+
+# --------------------------------------------------------------------------
+# decisions-log lifecycle: run markers, legacy migration, compaction
+# --------------------------------------------------------------------------
+
+_RUN_MARKER = "_run_id"
+_COMPACTED_MARKER = "_compacted"
+
+
+def _hadoop_fs(spark: SparkSession, path_str: str):
+    """(FileSystem, Path, jvm) for any Hadoop-FS path — local, HDFS, s3a."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path_str)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath, jvm
+
+
+def _fs_read_text(spark: SparkSession, path_str: str) -> str | None:
+    """Contents of a small text file via the Hadoop FS API (None when
+    absent) — the decisions-log markers are one-line files."""
+    fs, jpath, jvm = _hadoop_fs(spark, path_str)
+    if not fs.exists(jpath):
+        return None
+    inp = fs.open(jpath)
+    try:
+        reader = jvm.java.io.BufferedReader(jvm.java.io.InputStreamReader(inp, "UTF-8"))
+        lines = []
+        while True:
+            line = reader.readLine()
+            if line is None:
+                break
+            lines.append(line)
+        return "\n".join(lines)
+    finally:
+        inp.close()
+
+
+def _fs_write_text(spark: SparkSession, path_str: str, text: str) -> None:
+    """Write (overwrite) a small text file via the Hadoop FS API."""
+    fs, jpath, _ = _hadoop_fs(spark, path_str)
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def streaming_query_id(spark: SparkSession, checkpoint: str) -> str:
+    """The structured-streaming QUERY id persisted at
+    `<checkpoint>/metadata` — stable across every restart from that
+    checkpoint, fresh for a new one: exactly the run identity the
+    decisions-log `_run_id` marker needs (runId, by contrast, changes
+    on every start and would flag a legitimate resume as foreign)."""
+    import json
+
+    raw = _fs_read_text(spark, f"{checkpoint.rstrip('/')}/metadata")
+    if raw is None:
+        raise RuntimeError(
+            f"no streaming-query metadata at {checkpoint}/metadata — the "
+            "checkpoint location has not been initialized by a started "
+            "query (or is not a structured-streaming checkpoint)"
+        )
+    qid = json.loads(raw).get("id")
+    if not qid:
+        raise RuntimeError(f"streaming-query metadata at {checkpoint} has no id")
+    return str(qid)
+
+
+def stamp_gate_decisions_run(
+    spark: SparkSession,
+    decisions_path: str,
+    checkpoint: str | None = None,
+    run_id: str | None = None,
+) -> str:
+    """Write the decisions log's `_run_id` marker — the explicit
+    adoption step for a PRE-MARKER (r08) epoch-dir log that should
+    resume under its original checkpoint: derive the id from the
+    checkpoint's persisted query metadata (the normal case) or pass it
+    verbatim.  Overwrites any existing marker (adoption is a deliberate
+    operator action, so the helper does not second-guess it).  Returns
+    the stamped id."""
+    if run_id is None:
+        if checkpoint is None:
+            raise ValueError("pass checkpoint= or run_id=")
+        run_id = streaming_query_id(spark, checkpoint)
+    _fs_write_text(spark, f"{decisions_path.rstrip('/')}/{_RUN_MARKER}", run_id)
+    return run_id
+
+
+def migrate_gate_decisions_log(
+    spark: SparkSession,
+    decisions_path: str,
+    checkpoint: str | None = None,
+    run_id: str | None = None,
+) -> int:
+    """One-shot migration of a PRE-r08 append-layout decisions log
+    (root-level part files carrying `_epoch` as a data column) into the
+    exactly-once epoch-directory layout the foreachBatch gates require —
+    the rewrite the gate's fail-fast error names.  Each `_epoch` group
+    lands in its own `_epoch=<n>/` directory (one file per epoch — the
+    repartition below co-locates each epoch in one task), the root part
+    files are removed, and when `checkpoint` (or `run_id`) is given the
+    `_run_id` marker is stamped so the original stream resumes cleanly.
+
+    IDEMPOTENT under interruption: epoch dirs are rewritten with
+    overwrite semantics and the root files are deleted LAST, so a crash
+    at any point leaves the root files in place, the gate still failing
+    fast, and a re-run completing the migration.  Returns the number of
+    epoch directories written (0 when there are no root part files —
+    nothing to migrate)."""
+    path = decisions_path.rstrip("/")
+    fs, _, jvm = _hadoop_fs(spark, path)
+    legacy = fs.globStatus(jvm.org.apache.hadoop.fs.Path(f"{path}/part-*"))
+    if legacy is None or len(legacy) == 0:
+        return 0
+    root_files = [s.getPath().toString() for s in legacy]
+    log = spark.read.parquet(*root_files)
+    if "_epoch" not in log.columns:
+        raise RuntimeError(
+            f"decisions log at {path} has no _epoch column — not a "
+            "pre-epoch-dir gate decisions log"
+        )
+    epochs = [r[0] for r in log.select("_epoch").distinct().collect()]
+    # one shuffle, one file per epoch dir: partitionBy writes the
+    # protocol's exact layout (_epoch value in the DIRECTORY name, not
+    # the data files)
+    tmp = f"{path}/_migrate_tmp"
+    fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
+    log.repartition("_epoch").write.partitionBy("_epoch").parquet(tmp)
+    for n in epochs:
+        src = jvm.org.apache.hadoop.fs.Path(f"{tmp}/_epoch={int(n)}")
+        dst = jvm.org.apache.hadoop.fs.Path(f"{path}/_epoch={int(n)}")
+        fs.delete(dst, True)
+        if not fs.rename(src, dst):
+            raise RuntimeError(f"could not move migrated epoch dir into {dst}")
+    fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
+    if checkpoint is not None or run_id is not None:
+        stamp_gate_decisions_run(spark, path, checkpoint, run_id)
+    for f in root_files:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f), False)
+    return len(epochs)
+
+
+def compact_gate_decisions(
+    spark: SparkSession,
+    decisions_path: str,
+    target_file_bytes: int = 128 << 20,
+) -> tuple[int, int]:
+    """Fold a FINISHED run's `_epoch=<n>` directory tree into a compacted
+    resolved log — the operational closer for the append-only epoch-dir
+    protocol: a year-long crawl loop leaves tens of thousands of tiny
+    epoch directories whose file listing eventually dominates every
+    consumer's scan.  Compaction rewrites the log as read_gate_decisions'
+    RESOLUTION — one row per doc id, its first decision, `_epoch` kept as
+    a data column — in a few large root-level files sized to
+    `target_file_bytes`, plus a `_compacted` marker.
+
+    Every consumer is preserved: read_gate_decisions returns identical
+    rows on both layouts (the resolution is idempotent), and
+    gate_maintenance.append_admitted_* take either form.  The one
+    consumer deliberately BROKEN is the gate itself: a compacted log is
+    a finished run, so the foreachBatch guard fails fast on it with a
+    compaction-specific message instead of resuming into a layout whose
+    epoch dirs are gone.
+
+    Crash-safe in the no-data-loss sense, not atomically: the resolved
+    copy is fully written to the hidden `_compact_tmp` subdirectory
+    BEFORE anything is deleted, so an interruption leaves either the
+    original epoch dirs intact (re-run to finish) or the complete
+    resolved log in `_compact_tmp` (move its part files to the root to
+    finish).  Run it only after the stream is stopped — it is a
+    maintenance step, not a concurrent operation.
+
+    Returns (files_before, files_after) — the test-visible proof the
+    listing shrank."""
+    import math
+
+    path = decisions_path.rstrip("/")
+    fs, jpath, jvm = _hadoop_fs(spark, path)
+    epoch_glob = jvm.org.apache.hadoop.fs.Path(f"{path}/_epoch=*/part-*")
+    before = fs.globStatus(epoch_glob)
+    if before is None or len(before) == 0:
+        return (0, 0)
+    files_before = len(before)
+    total_bytes = sum(s.getLen() for s in before)
+    n_files = max(1, math.ceil(total_bytes / target_file_bytes))
+    resolved = read_gate_decisions(spark, path)
+    tmp = f"{path}/_compact_tmp"
+    fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
+    resolved.coalesce(n_files).write.parquet(tmp)
+    # the resolved copy is durable; now retire the epoch dirs and move
+    # the compacted files up (dedup dirs by STRING path — py4j proxies
+    # don't hash by Java equality)
+    dirs = {s.getPath().getParent().toString() for s in before}
+    for d in dirs:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(d), True)
+    moved = 0
+    for s in fs.globStatus(jvm.org.apache.hadoop.fs.Path(f"{tmp}/part-*")):
+        src = s.getPath()
+        if not fs.rename(src, jvm.org.apache.hadoop.fs.Path(f"{path}/{src.getName()}")):
+            raise RuntimeError(f"could not move compacted file {src} into {path}")
+        moved += 1
+    fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
+    _fs_write_text(spark, f"{path}/{_COMPACTED_MARKER}", "1")
+    return (files_before, moved)

@@ -38,7 +38,7 @@ def test_exact_gate_two_run_append(spark, tmp_path):
     fingerprint_store(_docs(spark, [(100, TEXT_A)])).write.parquet(store_path)
 
     run1 = _docs(spark, [(1, TEXT_B), (2, TEXT_A)])
-    dec1 = ingest_dedup(run1, spark.read.parquet(store_path))
+    dec1 = ingest_dedup(run1, spark.read.parquet(store_path)).localCheckpoint()
     d1 = {r.id: r.status for r in dec1.collect()}
     assert d1 == {1: "new", 2: "dup_store"}
 
@@ -62,7 +62,7 @@ def test_minhash_gate_two_run_append_flat(spark, tmp_path):
     minhash_store(_docs(spark, [(100, TEXT_A)])).write.parquet(store_path)
 
     run1 = _docs(spark, [(1, TEXT_B)])
-    dec1 = minhash_ingest_dedup(run1, spark.read.parquet(store_path))
+    dec1 = minhash_ingest_dedup(run1, spark.read.parquet(store_path)).localCheckpoint()
     assert {r.id: r.status for r in dec1.collect()} == {1: "new"}
 
     GM.append_admitted_minhash(dec1, run1, store_path)
@@ -93,7 +93,7 @@ def test_minhash_gate_two_run_append_array_layout(spark, tmp_path):
     ).write.partitionBy("band", "_part").parquet(store_path)
 
     run1 = _docs(spark, [(1, TEXT_B)])
-    dec1 = minhash_ingest_dedup(run1, spark.read.parquet(store_path), **kw)
+    dec1 = minhash_ingest_dedup(run1, spark.read.parquet(store_path), **kw).localCheckpoint()
     assert {r.id: r.status for r in dec1.collect()} == {1: "new"}
 
     GM.append_admitted_minhash(
@@ -129,7 +129,7 @@ def test_semantic_gate_two_run_append_keeps_dpp(spark, tmp_path):
     )
     dec1 = semantic_ingest_dedup(
         run1, spark.read.parquet(store_path), cents, dim, tau=0.95, n_probe=1
-    )
+    ).localCheckpoint()
     assert {r.id: r.status for r in dec1.collect()} == {1: "new"}
 
     GM.append_admitted_semantic(dec1, run1, store_path, cents, dim)
@@ -175,3 +175,173 @@ def test_append_derivation_never_reads_store(spark, tmp_path):
     assert "guard_store" not in sem_plan
     assert "BroadcastHashJoin LeftSemi" in sem_plan
     assert "SortMergeJoin" not in sem_plan
+
+
+def test_append_refuses_lazy_gate_output(spark, tmp_path):
+    """The module docstring's lazy-decisions caveat is now ENFORCED
+    (r08 verdict nit #2): an un-materialized gate output (its plan
+    still holds the gate's joins, so the append would re-run the whole
+    gate including its store pass) raises loudly with the caveat as
+    the error text; require_materialized=False is the explicit
+    opt-out, and the blessed inputs (checkpointed frame, parquet read,
+    read_gate_decisions resolution) all pass."""
+    import pytest
+
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.streaming.events import (
+        read_gate_decisions,
+    )
+
+    store_path = str(tmp_path / "fp_store")
+    fingerprint_store(_docs(spark, [(100, TEXT_A)])).write.parquet(store_path)
+    lazy = ingest_dedup(_docs(spark, [(1, TEXT_B)]), spark.read.parquet(store_path))
+    with pytest.raises(RuntimeError, match="UN-materialized"):
+        GM.append_admitted_fingerprints(lazy, store_path)
+    with pytest.raises(RuntimeError, match="UN-materialized"):
+        GM.append_admitted_minhash(lazy, _docs(spark, [(1, TEXT_B)]), store_path)
+    with pytest.raises(RuntimeError, match="UN-materialized"):
+        GM.append_admitted_semantic(
+            lazy,
+            spark.createDataFrame([(1, [1.0])], "vec_id long, embedding array<double>"),
+            str(tmp_path / "sem"),
+            [[1.0]],
+            dim=1,
+        )
+    # explicit opt-out accepts the re-execution
+    GM.append_admitted_fingerprints(lazy, store_path, require_materialized=False)
+    assert spark.read.parquet(store_path).count() == 2
+    # blessed inputs pass the default: a checkpointed gate output...
+    ck = ingest_dedup(_docs(spark, [(2, TEXT_C)]), spark.read.parquet(store_path)).localCheckpoint()
+    GM.append_admitted_fingerprints(ck, store_path)
+    assert spark.read.parquet(store_path).count() == 3
+    # ...and a decisions-log resolution (aggregate over a scan, no join)
+    log_path = str(tmp_path / "dec_log")
+    ck.withColumn("_epoch", F.lit(0)).write.parquet(log_path)
+    GM.append_admitted_fingerprints(
+        read_gate_decisions(spark, log_path), str(tmp_path / "fp_store2")
+    )
+
+
+def test_compact_store_flat_fingerprints(spark, tmp_path):
+    """Flat-store compaction: after several appends the fingerprint
+    store holds many small file sets; compact_store folds them into
+    few files with IDENTICAL content, and the exact gate answers the
+    same decisions on the compacted store."""
+    store_path = str(tmp_path / "fp_store")
+    fingerprint_store(_docs(spark, [(100, TEXT_A)])).write.parquet(store_path)
+    for i, txt in enumerate((TEXT_B, TEXT_C, TEXT_A + " extra")):
+        dec = ingest_dedup(
+            _docs(spark, [(i + 1, txt)]), spark.read.parquet(store_path)
+        ).localCheckpoint()
+        GM.append_admitted_fingerprints(dec, store_path)
+
+    probe = _docs(spark, [(50, TEXT_B), (51, "never seen before text")])
+    pre_rows = sorted(map(tuple, spark.read.parquet(store_path).collect()))
+    pre_dec = {r.id: r.status for r in ingest_dedup(probe, spark.read.parquet(store_path)).collect()}
+
+    before, after = GM.compact_store(spark, store_path)
+    assert before > after >= 1  # the listing actually shrank
+
+    assert sorted(map(tuple, spark.read.parquet(store_path).collect())) == pre_rows
+    post_dec = {r.id: r.status for r in ingest_dedup(probe, spark.read.parquet(store_path)).collect()}
+    assert post_dec == pre_dec == {50: "dup_store", 51: "new"}
+
+
+def test_compact_store_semantic_keeps_dpp(spark, tmp_path):
+    """Partitioned-store compaction preserves the partitionBy("cell")
+    layout: rows identical, file listing reduced, and the semantic
+    gate's store scan is STILL dynamic-partition-pruned on the
+    compacted store — the plan property the layout exists for."""
+    dim = 4
+    base = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 0.1]), (101, [0.0, 1.0, 0.0, 0.1]),
+         (102, [0.0, 0.0, 1.0, 0.1])],
+        "vec_id long, embedding array<double>",
+    )
+    cents = sampled_centroids(base, n_cells=3)
+    store_path = str(tmp_path / "sem_store")
+    semantic_store(base, dim=dim, n_cells=3, centroids=cents).write.partitionBy(
+        "cell"
+    ).parquet(store_path)
+    # three append rounds → three extra file sets inside the cell dirs
+    for i, vec in enumerate(
+        ([0.7, 0.7, 0.0, 0.1], [0.1, 0.9, 0.3, 0.0], [0.9, 0.1, 0.2, 0.0])
+    ):
+        run = spark.createDataFrame(
+            [(i + 1, vec)], "vec_id long, embedding array<double>"
+        )
+        dec = semantic_ingest_dedup(
+            run, spark.read.parquet(store_path), cents, dim, tau=0.999, n_probe=1
+        ).localCheckpoint()
+        GM.append_admitted_semantic(dec, run, store_path, cents, dim)
+
+    pre_rows = sorted(map(tuple, spark.read.parquet(store_path).collect()))
+    before, after = GM.compact_store(spark, store_path, partition_by=("cell",))
+    assert before > after >= 1
+
+    store = spark.read.parquet(store_path)
+    assert sorted(map(tuple, store.collect())) == pre_rows
+    probe = spark.createDataFrame(
+        [(9, [0.7, 0.7, 0.0, 0.1])], "vec_id long, embedding array<double>"
+    )
+    gate = semantic_ingest_dedup(probe, store, cents, dim, tau=0.95, n_probe=1)
+    plan = plan_of(gate)
+    assert "dynamicpruning" in plan.lower()  # DPP survived the rewrite
+    rows = {r.id: r for r in gate.collect()}
+    assert rows[9].status == "dup_semantic" and rows[9].match_id == 1
+
+
+def test_compact_store_array_layout(spark, tmp_path):
+    """Band-array minhash layout ("band", "_part"): compaction keeps
+    the derived partition columns and the near-dup gate still matches
+    the appended admit on the compacted store."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.dedup import (
+        portable_token_hash,
+    )
+
+    kw = dict(hash_fn=portable_token_hash, bucket_by_hash=False)
+    store_path = str(tmp_path / "mh_store_arr")
+    GM.derive_minhash_partition(
+        minhash_store(_docs(spark, [(100, TEXT_A)]), **kw), hash_partitions=4
+    ).write.partitionBy("band", "_part").parquet(store_path)
+    dec1 = minhash_ingest_dedup(
+        _docs(spark, [(1, TEXT_B)]), spark.read.parquet(store_path), **kw
+    ).localCheckpoint()
+    GM.append_admitted_minhash(
+        dec1, _docs(spark, [(1, TEXT_B)]), store_path,
+        partition_by=("band", "_part"), hash_partitions=4, **kw,
+    )
+    pre_rows = sorted(map(tuple, spark.read.parquet(store_path).collect()))
+    before, after = GM.compact_store(spark, store_path, partition_by=("band", "_part"))
+    assert before > after >= 1
+    assert sorted(map(tuple, spark.read.parquet(store_path).collect())) == pre_rows
+    rows = {
+        r.id: r
+        for r in minhash_ingest_dedup(
+            _docs(spark, [(2, TEXT_B)]), spark.read.parquet(store_path), **kw
+        ).collect()
+    }
+    assert rows[2].status == "dup_near" and rows[2].match_id == 1
+
+
+def test_compact_store_leftover_and_restore(spark, tmp_path):
+    """Interrupted-compaction handling: a leftover .precompact beside a
+    LIVE store refuses loudly (the live store is intact); a .precompact
+    with the store MISSING (crash between the two renames) is restored
+    automatically and the compaction completes."""
+    import os
+    import pytest
+
+    store_path = str(tmp_path / "fp_store")
+    fingerprint_store(_docs(spark, [(100, TEXT_A), (101, TEXT_B)])).write.parquet(store_path)
+    rows = sorted(map(tuple, spark.read.parquet(store_path).collect()))
+
+    os.makedirs(store_path + ".precompact")
+    with pytest.raises(RuntimeError, match="interrupted compaction"):
+        GM.compact_store(spark, store_path)
+    os.rmdir(store_path + ".precompact")
+
+    # simulate the crash window: store renamed aside, tmp vanished
+    os.rename(store_path, store_path + ".precompact")
+    before, after = GM.compact_store(spark, store_path)
+    assert after >= 1
+    assert sorted(map(tuple, spark.read.parquet(store_path).collect())) == rows

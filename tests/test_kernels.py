@@ -684,3 +684,29 @@ def test_superstep_checkpoints_released(spark):
     assert after_bfs - after_pr <= 5, (
         f"bfs_distances leaked {after_bfs - after_pr} persistent frames"
     )
+
+
+def test_tracking_fallback_warns_once(spark, monkeypatch):
+    """The r08 ADVICE item: if the private py4j plan path behind
+    checkpoint block tracking changes shape, the fallback must stay
+    functional (untracked frame, _release no-ops) but WARN once per
+    process — a silent regression to leak-until-GC block retention
+    would otherwise only surface under a memory profiler."""
+    import warnings
+
+    def boom(out):
+        raise AttributeError("plan path changed shape")
+
+    monkeypatch.setattr(K, "_ckpt_rdd_id", boom)
+    monkeypatch.setattr(K, "_ckpt_track_warned", False)
+    df = edges_df(spark, P5)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        first = K._tracked_local_checkpoint(df)
+        second = K._tracked_local_checkpoint(df)
+    msgs = [x for x in w if "block tracking unavailable" in str(x.message)]
+    assert len(msgs) == 1 and issubclass(msgs[0].category, RuntimeWarning)
+    # untracked frames still work end-to-end and _release no-ops on them
+    assert first._sg_ckpt_ids == [] and second._sg_ckpt_ids == []
+    assert first.count() == second.count()
+    K._release(first, second)  # must not raise

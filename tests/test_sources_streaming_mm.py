@@ -1863,3 +1863,175 @@ def test_foreach_gate_refuses_foreign_run_and_legacy_logs(spark, tmp_path):
     planted.withColumn("_epoch", F.lit(0)).write.parquet(str(tmp_path / "dec_legacy"))
     with pytest.raises(Exception, match="pre-epoch-dir"):
         run("dec_legacy", "ckpt_legacy")
+
+
+def _gate_runner(spark, tmp_path, src_name="marker_docs"):
+    """Shared harness for the decisions-log lifecycle tests: a file
+    source the tests append batches to, plus a starter that runs the
+    exact foreachBatch gate against a (decisions, checkpoint) pair."""
+    from datetime import datetime
+
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.dedup import fingerprint_store
+
+    schema = "doc_id long, ts timestamp, text string"
+    store_docs = spark.createDataFrame([(100, "stored text")], "doc_id long, text string")
+    fpath = str(tmp_path / f"{src_name}_fp_store")
+    fingerprint_store(store_docs).write.parquet(fpath)
+    fp_store = spark.read.parquet(fpath)
+    src = tmp_path / src_name
+
+    def feed(*docs):
+        import time as _time
+
+        _time.sleep(1.2)  # distinct file mtimes → distinct micro-batches
+        rows = [(d, datetime(2025, 1, 1, 12, m), t) for d, m, t in docs]
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(str(src))
+
+    def run(dec, ckpt, max_files=None):
+        reader = spark.readStream.schema(schema)
+        if max_files:
+            reader = reader.option("maxFilesPerTrigger", max_files)
+        q = SE.streaming_ingest_dedup_foreach(
+            reader.parquet(str(src)), fp_store,
+            decisions_path=str(tmp_path / dec), checkpoint=str(tmp_path / ckpt),
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    return feed, run
+
+
+def test_foreach_gate_run_marker_blocks_epoch0_collision(spark, tmp_path):
+    """The r08 ADVICE medium defect: a reused decisions_path whose old
+    log holds ONLY epoch(s) <= the new stream's first epoch (the lone
+    _epoch=0 case) used to slip past the strictly-greater stale probe,
+    and mode('overwrite') destroyed the old run's epoch-0 decisions.
+    The _run_id marker (persisted query id) now distinguishes runs at
+    ANY epoch: run A writes epoch 0 + marker; run B on a FRESH
+    checkpoint but the SAME decisions_path must fail fast BEFORE
+    writing, with run A's decisions intact — while run A itself resumes
+    cleanly (same checkpoint → same query id)."""
+    feed, run = _gate_runner(spark, tmp_path)
+    feed((1, 0, "first batch text"))
+    run("dec_marker", "ckpt_a")
+    dec_path = str(tmp_path / "dec_marker")
+    assert os.path.isfile(f"{dec_path}/_run_id")
+    a_rows = sorted(map(tuple, spark.read.parquet(dec_path).collect()))
+    assert len(a_rows) == 1
+
+    # foreign run: fresh checkpoint, same decisions path, epoch 0 vs 0
+    feed((2, 1, "second batch text"))
+    with pytest.raises(Exception, match="different stream run"):
+        run("dec_marker", "ckpt_b")
+    # run A's epoch-0 decisions survived the collision attempt
+    assert sorted(map(tuple, spark.read.parquet(dec_path).collect())) == a_rows
+
+    # the legitimate owner resumes: same checkpoint → same query id
+    run("dec_marker", "ckpt_a")
+    rows = {r.id: r.status for r in SE.read_gate_decisions(spark, dec_path).collect()}
+    assert rows == {1: "new", 2: "new"}
+
+
+def test_foreach_gate_refuses_unmarked_and_misnamed_epoch_dirs(spark, tmp_path):
+    """Two more fail-fast layers: (a) committed epoch dirs WITHOUT a
+    _run_id marker (a pre-marker r08 log, or a foreign run) refuse with
+    the stamp_gate_decisions_run guidance, and adopting the log with
+    that helper lets the run proceed; (b) a non-integer _epoch= dir
+    folds into the protocol's guidance error instead of leaking a bare
+    ValueError (r08 ADVICE)."""
+    from datetime import datetime
+
+    feed, run = _gate_runner(spark, tmp_path, src_name="unmarked_docs")
+    feed((1, 0, "batch zero text"))
+    run("dec_unmarked", "ckpt_u")
+    dec_path = str(tmp_path / "dec_unmarked")
+    os.remove(f"{dec_path}/_run_id")  # simulate a pre-marker (r08) log
+
+    feed((2, 1, "batch one text"))
+    with pytest.raises(Exception, match="stamp_gate_decisions_run"):
+        run("dec_unmarked", "ckpt_u")
+    # explicit adoption: derive the marker from the run's own checkpoint
+    SE.stamp_gate_decisions_run(spark, dec_path, checkpoint=str(tmp_path / "ckpt_u"))
+    run("dec_unmarked", "ckpt_u")
+    rows = {r.id: r.status for r in SE.read_gate_decisions(spark, dec_path).collect()}
+    assert rows == {1: "new", 2: "new"}
+
+    # (b) a stray non-integer epoch dir fails with guidance, not ValueError
+    stray = spark.createDataFrame(
+        [(9, "x", "new", datetime(2025, 1, 1, 12, 0))],
+        "id long, fingerprint string, status string, first_ts timestamp",
+    )
+    stray.coalesce(1).write.parquet(f"{dec_path}/_epoch=__HIVE_DEFAULT_PARTITION__")
+    feed((3, 2, "batch two text"))
+    with pytest.raises(Exception, match="non-integer epoch"):
+        run("dec_unmarked", "ckpt_u")
+
+
+def test_migrate_gate_decisions_log(spark, tmp_path):
+    """The one-shot migration the legacy fail-fast error names (r08
+    verdict ask): plant a pre-epoch-dir log (root part files, _epoch as
+    a data column), verify the gate refuses it, migrate, and the SAME
+    stream resumes green on the migrated log — prior decisions
+    preserved (suppression works across the migration boundary) and the
+    new epoch appended."""
+    feed, run = _gate_runner(spark, tmp_path, src_name="mig_docs")
+    feed((1, 0, "alpha text"), (2, 1, "beta text"))
+    run("dec_orig", "ckpt_m")
+    orig = str(tmp_path / "dec_orig")
+    legacy = str(tmp_path / "dec_legacy_mig")
+    # flatten the epoch-dir log into the pre-r08 append layout
+    spark.read.parquet(orig).write.parquet(legacy)
+    assert SE.read_gate_decisions(spark, legacy).count() == 2
+
+    feed((1, 2, "alpha text"), (3, 3, "gamma text"))  # re-delivery + new doc
+    with pytest.raises(Exception, match="migrate_gate_decisions_log"):
+        run("dec_legacy_mig", "ckpt_m")
+
+    n = SE.migrate_gate_decisions_log(
+        spark, legacy, checkpoint=str(tmp_path / "ckpt_m")
+    )
+    assert n == 1  # one epoch group in the legacy log
+    assert os.path.isdir(f"{legacy}/_epoch=0") and os.path.isfile(f"{legacy}/_run_id")
+    assert SE.migrate_gate_decisions_log(spark, legacy) == 0  # idempotent no-op
+
+    run("dec_legacy_mig", "ckpt_m")
+    rows = {r.id: r for r in SE.read_gate_decisions(spark, legacy).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1]._epoch == 0  # suppressed re-delivery kept its first decision
+    assert rows[3].status == "new" and rows[3]._epoch == 1
+
+
+def test_compact_gate_decisions(spark, tmp_path):
+    """Decisions-log compaction (r08 verdict ask #2): folding the
+    per-epoch directory tree into a resolved root-level log must keep
+    read_gate_decisions' answer IDENTICAL, shrink the file listing, and
+    turn any resume attempt into the compaction-specific fail-fast (a
+    finished run cannot be resumed)."""
+    feed, run = _gate_runner(spark, tmp_path, src_name="cmp_docs")
+    feed((1, 0, "one text"))
+    feed((2, 1, "two text"))
+    feed((1, 2, "one text"), (3, 3, "three text"))
+    run("dec_cmp", "ckpt_c", max_files=1)
+    dec_path = str(tmp_path / "dec_cmp")
+    epoch_dirs = [d for d in os.listdir(dec_path) if d.startswith("_epoch=")]
+    assert len(epoch_dirs) == 3
+    pre = sorted(map(tuple, SE.read_gate_decisions(spark, dec_path).collect()))
+
+    before, after = SE.compact_gate_decisions(spark, dec_path)
+    assert before >= 3 and 1 <= after < before
+    assert not any(d.startswith("_epoch=") for d in os.listdir(dec_path))
+    post = sorted(map(tuple, SE.read_gate_decisions(spark, dec_path).collect()))
+    assert post == pre  # identical decisions through the rewrite
+    # gate_maintenance accepts the compacted log as a materialized input
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators import gate_maintenance as GM
+
+    GM.append_admitted_fingerprints(
+        SE.read_gate_decisions(spark, dec_path), str(tmp_path / "cmp_fp_store")
+    )
+    assert spark.read.parquet(str(tmp_path / "cmp_fp_store")).count() == 3
+
+    feed((4, 4, "four text"))
+    with pytest.raises(Exception, match="COMPACTED"):
+        run("dec_cmp", "ckpt_c")

@@ -283,3 +283,118 @@ def test_rarefaction_facade_expression_depth_both_routes(spark):
         sums = {x["sample"]: x["s"] for x in
                 r.groupBy("sample").agg(F.sum("count").alias("s")).collect()}
         assert sums == {"s1": 5, "s2": 5, "s3": 5}
+
+
+def test_rarefaction_facade_single_scan_and_filtered_routing(spark):
+    """The r08 ADVICE item: when the facade must consume `df` more than
+    once (routing aggregate + route, or the `_t` depth translation), it
+    lazily localCheckpoints the frame FIRST, so a caller's expensive
+    upstream plan is scanned once — the returned plan must not
+    re-derive the upstream join.  And the routing aggregate + `_t`
+    totals apply the routes' count>0 filter, closing the
+    routing/depth asymmetry (zero/negative rows draw no individuals in
+    either route, so they must not steer route choice or depth)."""
+    df = _abundance(spark)
+    # an upstream plan with a join the facade must not re-run per consumer
+    dim = spark.createDataFrame(
+        [("s1",), ("s2",), ("s3",)], "sample string"
+    )
+    joined = df.join(dim, "sample")
+
+    # unhinted → routing aggregate + Arrow route: plan is checkpoint-fed
+    out = stats.rarefaction(joined, "sample", "item", "count", 5,
+                            explode_budget_per_core=0)
+    plan = out._jdf.queryExecution().explainString(
+        out._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "Join" not in plan, "facade re-derived the upstream join per consumer"
+    sums = {r["sample"]: r["s"] for r in
+            out.groupBy("sample").agg(F.sum("count").alias("s")).collect()}
+    assert sums == {"s1": 5, "s2": 5, "s3": 5}
+
+    # hinted + str depth on the Arrow route → the translation is the
+    # second consumer; same single-scan property
+    out2 = stats.rarefaction(joined, "sample", "item", "count", "min(_t)",
+                             total_individuals=10**12)
+    plan2 = out2._jdf.queryExecution().explainString(
+        out2._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    # the depth frame's broadcast crossJoin is part of the route; the
+    # UPSTREAM equi-join must not reappear (checkpoint-fed both times)
+    assert "BroadcastHashJoin" not in plan2 and "SortMergeJoin" not in plan2
+    sums2 = {r["sample"]: r["s"] for r in
+             out2.groupBy("sample").agg(F.sum("count").alias("s")).collect()}
+    assert sums2 == {"s1": 5, "s2": 5, "s3": 5}
+
+    # count<=0 rows must not steer the ROUTE: zeros and negatives are
+    # invisible to the routing sum, so the draw equals the clean
+    # frame's draw on the explode route (which filters them itself)
+    noisy = df.unionByName(spark.createDataFrame(
+        [("s1", "zzz", 0), ("s2", "yyy", -7)],
+        "sample string, item string, count long",
+    ))
+    clean = sorted(map(tuple, stats.rarefaction(
+        df, "sample", "item", "count", 5).collect()))
+    got = sorted(map(tuple, stats.rarefaction(
+        noisy, "sample", "item", "count", 5).collect()))
+    assert got == clean
+
+    # ...and not distort the `_t` totals behind an expression depth:
+    # with the negative row included s2's total would undercount and
+    # "min(_t)" would pick the wrong global depth
+    got_expr = sorted(map(tuple, stats.rarefaction(
+        noisy, "sample", "item", "count", "min(_t)").collect()))
+    clean_expr = sorted(map(tuple, stats.rarefaction(
+        df, "sample", "item", "count", "min(_t)").collect()))
+    assert got_expr == clean_expr
+
+
+def test_rarefaction_curve_family_equivalence(spark):
+    """Adjudication for the r09 retirement of the m13_rarefaction_curve
+    registry entry: rarefaction_curve (seeded-numpy draws via rarefy)
+    and rarefaction_curve_hash (md5 hash-rank draws) compute THE SAME
+    statistic — per-sample richness after an exact multivariate-
+    hypergeometric subsample to each depth, short samples dropped —
+    differing ONLY in the random draw family.  They must agree exactly
+    wherever the statistic is determined regardless of which uniform
+    draw realized it: (a) depth == community size keeps every
+    individual (richness = item count), (b) depth > community size
+    drops the sample, (c) a single-item community has richness 1 at
+    any feasible depth; and on a general frame the ELIGIBLE (sample,
+    depth) key set is draw-independent, as is the schema."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.stats import (
+        rarefaction_curve,
+        rarefaction_curve_hash,
+    )
+
+    det = spark.createDataFrame(
+        [
+            # s_full: total 10 → fully determined at depth 10, dropped at 12
+            ("s_full", "a", 4), ("s_full", "b", 5), ("s_full", "c", 1),
+            # s_one: single item, richness 1 at any depth <= 20
+            ("s_one", "x", 20),
+        ],
+        "sample string, item string, count long",
+    )
+    depths = [10, 12, 20]
+    a = {(r["sample"], r.depth): r.richness
+         for r in rarefaction_curve(det, "sample", "item", "count", depths).collect()}
+    b = {(r["sample"], r.depth): r.richness
+         for r in rarefaction_curve_hash(det, "sample", "item", "count", depths).collect()}
+    expected = {
+        ("s_full", 10): 3,           # every individual kept
+        ("s_one", 10): 1, ("s_one", 12): 1, ("s_one", 20): 1,
+    }                                # s_full dropped at 12 and 20
+    assert a == b == expected
+
+    gen = _abundance(spark)
+    ga = rarefaction_curve(gen, "sample", "item", "count", [5, 40]).collect()
+    gb = rarefaction_curve_hash(gen, "sample", "item", "count", [5, 40]).collect()
+    assert {(r["sample"], r.depth) for r in ga} == {(r["sample"], r.depth) for r in gb}
+    assert ga[0].asDict().keys() == gb[0].asDict().keys()
+    # only the intermediate draws may differ; richness stays in-bounds
+    n_items = {r["sample"]: r.n for r in
+               gen.groupBy("sample").agg(F.countDistinct("item").alias("n")).collect()}
+    for rows in (ga, gb):
+        for r in rows:
+            assert 1 <= r.richness <= n_items[r["sample"]]

@@ -52,6 +52,12 @@ FIXTURES = [
     # tests/test_fixture_independent.py replays the xxhash64 null
     # against it; the builder resolves via the module fallback below.
     ("m4_permutation_test", "M4_PERMUTATION_SF001"),
+    # m13_rarefaction_curve's REGISTRY entry was retired r09 (same
+    # statistic and derivation as m13_rarefaction_curve_portable, which
+    # keeps the oracle-bearing entry; draw-family equivalence pinned in
+    # test_stats.py) — the fixture stays frozen because
+    # tests/test_fixture_independent.py replays the numpy
+    # hypergeometric draw against it; builder via the module fallback.
     ("m13_rarefaction_curve", "M13_CURVE_SF001"),
     ("pipeline_interpersonal_diversity", "PIPE_INTERPERSONAL_SF001"),
     ("pipeline_compare_skin", "PIPE_COMPARE_SKIN_SF001"),
