@@ -2035,3 +2035,16 @@ def test_compact_gate_decisions(spark, tmp_path):
     feed((4, 4, "four text"))
     with pytest.raises(Exception, match="COMPACTED"):
         run("dec_cmp", "ckpt_c")
+
+
+def test_streaming_query_id_and_compaction_edge_cases(spark, tmp_path):
+    """Lifecycle helper edges: streaming_query_id fails loudly on an
+    uninitialized checkpoint (the marker guard must never silently skip
+    verification); compact_gate_decisions and migrate_gate_decisions_log
+    are no-ops on paths with nothing to fold/migrate."""
+    with pytest.raises(RuntimeError, match="metadata"):
+        SE.streaming_query_id(spark, str(tmp_path / "no_such_ckpt"))
+    assert SE.compact_gate_decisions(spark, str(tmp_path / "empty_log")) == (0, 0)
+    assert SE.migrate_gate_decisions_log(spark, str(tmp_path / "empty_log")) == 0
+    with pytest.raises(ValueError, match="checkpoint= or run_id="):
+        SE.stamp_gate_decisions_run(spark, str(tmp_path / "log"))

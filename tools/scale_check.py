@@ -202,12 +202,81 @@ def bench_betweenness(k: int, dst: str) -> dict:
     return out
 
 
+def bench_compaction(n_appends: int = 64) -> dict:
+    """Measure what compact_store buys back after a long append-only
+    crawl loop (r08 verdict ask #2): accumulate a fingerprint store
+    over n_appends maintenance runs — each a pure parquet append of a
+    small file set, exactly what append_admitted_fingerprints writes —
+    then time the exact admission gate against the FRAGMENTED store,
+    compact, and re-time against the compacted store.  The gate's plan
+    is identical both times (one store pass, delta broadcast LeftSemi);
+    the delta is footer resolution + per-file scan overhead, i.e. the
+    cost class the append-only lifecycle defers to compaction.  Store
+    content is identical pre/post (asserted), so the ratio isolates
+    the file-count effect."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.dedup import (
+        fingerprint_store,
+        ingest_dedup,
+    )
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.gate_maintenance import (
+        compact_store,
+    )
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.session import get_spark
+
+    spark = get_spark("scale-compaction")
+    tmp = tempfile.mkdtemp(prefix="sg_compact_probe_")
+    store = f"{tmp}/fp_store"
+    docs = spark.read.parquet(f"{SRC}/documents.parquet").select("doc_id", "text")
+    d = F.col("doc_id")
+    for i in range(n_appends):
+        fingerprint_store(docs.filter(d % n_appends == i)).write.mode(
+            "append"
+        ).parquet(store)
+    delta = docs.filter(d % 7 == 3).select((d + 10_000_000).alias("doc_id"), "text")
+
+    def gate_pass() -> float:
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            ingest_dedup(delta, spark.read.parquet(store)).agg(
+                F.count(F.lit(1))
+            ).first()
+            best = min(best, time.time() - t0)
+        return round(best, 3)
+
+    pre_rows = spark.read.parquet(store).count()
+    frag_s = gate_pass()
+    files_before, files_after = compact_store(spark, store)
+    assert spark.read.parquet(store).count() == pre_rows, "compaction changed rows"
+    compact_s = gate_pass()
+    shutil.rmtree(tmp, ignore_errors=True)
+    spark.stop()
+    return {
+        "n_appends": n_appends,
+        "files_before": files_before,
+        "files_after": files_after,
+        "gate_fragmented_s": frag_s,
+        "gate_compacted_s": compact_s,
+        "speedup": round(frag_s / max(compact_s, 1e-9), 2),
+    }
+
+
 def main() -> None:
     args = sys.argv[1:]
     subset = None
     betweenness = "--betweenness" in args
     if betweenness:
         args.remove("--betweenness")
+    if "--compaction" in args:
+        i = args.index("--compaction")
+        n = int(args[i + 1]) if len(args) > i + 1 and args[i + 1].isdigit() else 64
+        print(json.dumps(bench_compaction(n)))
+        return
     if "--subset" in args:
         i = args.index("--subset")
         subset = args[i + 1 :] or SUBSET_DEFAULT
