@@ -297,6 +297,26 @@ def append_admitted_semantic(
 # --------------------------------------------------------------------------
 
 
+def _discovered_partition_cols(fs, jvm, path: str) -> set[str]:
+    """Partition column names discovered from the store's own directory
+    layout: the `name=value` directories Spark's partition discovery
+    would turn into columns, walked to the bottom of the first branch
+    (one branch suffices — partitionBy layouts are uniform)."""
+    cols: set[str] = set()
+    cur = jvm.org.apache.hadoop.fs.Path(path)
+    while True:
+        nxt = None
+        for st in fs.listStatus(cur):
+            name = st.getPath().getName()
+            if st.isDirectory() and "=" in name and not name.startswith("."):
+                cols.add(name.split("=", 1)[0])
+                nxt = st.getPath()
+                break
+        if nxt is None:
+            return cols
+        cur = nxt
+
+
 def _store_data_files(fs, jvm, path: str) -> tuple[int, int]:
     """(file count, total bytes) of a store's DATA files — hidden files
     (_SUCCESS, markers, dot-files) excluded, partition dirs recursed."""
@@ -366,6 +386,20 @@ def compact_store(
                 f"leftover from an interrupted compaction at {leftover} — "
                 "the live store is intact; delete the leftover and re-run"
             )
+    # refuse to silently FLATTEN a partitioned store: discover the
+    # on-disk `name=value` directory columns and demand partition_by
+    # covers them — rows would survive a flattening rewrite (every
+    # content check passes) but the partition dirs, and with them DPP,
+    # would be gone, a silent full-store-scan regression in production
+    discovered = _discovered_partition_cols(fs, jvm, path)
+    missing_layout = [c for c in discovered if c not in (partition_by or ())]
+    if missing_layout:
+        raise ValueError(
+            f"store at {path} is partitioned on {sorted(discovered)} but "
+            f"partition_by={partition_by} omits {missing_layout} — "
+            "compacting would flatten the layout and destroy dynamic "
+            "partition pruning; pass the store's actual layout"
+        )
     files_before, total_bytes = _store_data_files(fs, jvm, path)
     if files_before == 0:
         return (0, 0)

@@ -29,6 +29,24 @@ def _seed_for(key: str, base_seed: int) -> int:
     return int.from_bytes(h[:4], "big")
 
 
+def _cheap_replay(df: DataFrame) -> bool:
+    """True when re-computing `df` costs only projections/filters over
+    an already-materialized checkpoint (every node of the analyzed plan
+    is Project/Filter/LogicalRDD) — the case where an extra
+    localCheckpoint would pin a second full copy for no saved work.
+    Conservative: any parse surprise returns False (→ checkpoint)."""
+    import re
+
+    try:
+        s = df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return False
+    nodes = re.findall(r"^[\s:+-]*'?([A-Za-z]+)", s, flags=re.M)
+    return bool(nodes) and set(nodes) <= {"Project", "Filter", "LogicalRDD"} and (
+        "LogicalRDD" in nodes
+    )
+
+
 def rarefy(
     df: DataFrame,
     sample_col: str,
@@ -170,7 +188,13 @@ def rarefy_hash(
     # checkpointed frame is the aggregated abundance table (samples ×
     # items) — orders of magnitude smaller than the raw data at any
     # scale, so materializing it once is the right call at 100 TB too.
-    typed = typed.localCheckpoint(eager=False)
+    # SKIPPED when the input already replays cheaply (a checkpointed
+    # LogicalRDD under only projections/filters — e.g. the rarefaction
+    # facade's own materialization): re-checkpointing would pin a
+    # second full copy of the abundance table in block-manager storage
+    # for the plan's lifetime to save two trivial re-projections.
+    if not _cheap_replay(typed):
+        typed = typed.localCheckpoint(eager=False)
     # attach the depth to the per-SAMPLE aggregate, not the base table:
     # a crossJoin on the pre-aggregation rows re-derives the (possibly
     # expensive) upstream plan once more per consumer — measured ~40% of
@@ -335,37 +359,46 @@ def rarefaction(
     the Arrow route into a broadcast depth frame over the same
     per-sample totals.
 
-    The routing aggregate and the `_t`-expression translation both
-    apply the routes' count>0 filter (zero/negative rows draw no
-    individuals in either route, so they must not steer the route
-    choice or the depth), and whenever the facade must consume `df`
-    more than once (routing aggregate + route, or `_t` translation +
-    route) it lazily localCheckpoints the frame first — the
-    rarefy_hash plan-dedup discipline, so a caller's expensive
-    upstream plan is scanned once, not per consumer."""
-    pos = F.col(count_col).cast("long") > 0
+    The facade normalizes the frame to count>0 rows ONCE, for
+    everything downstream — the routing aggregate, the `_t`-expression
+    translation and both routes (zero/negative rows draw no
+    individuals: the explode route has always filtered them itself,
+    and handing them to the Arrow route would crash numpy's
+    hypergeometric on negatives and skew its total-vs-depth
+    eligibility check).  On a frame that already satisfies count>0
+    this is a no-op and both routes stay bit-identical to calling them
+    directly; with such rows present, the Arrow route's realization
+    equals rarefy(df.filter(count>0)) — a caller pinning a specific
+    realization should call one route directly anyway.  Whenever the
+    facade must consume the frame more than once (routing aggregate +
+    route, or `_t` translation + route) it lazily localCheckpoints it
+    first — the rarefy_hash plan-dedup discipline, so a caller's
+    expensive upstream plan is scanned once, not per consumer; the
+    explode route recognizes the already-materialized input
+    (_cheap_replay) and skips its own internal checkpoint, so exactly
+    ONE copy of the abundance table is ever pinned."""
+    base = df.filter(F.col(count_col).cast("long") > 0)
     checkpointed = False
     if total_individuals is None:
-        # df feeds BOTH the routing aggregate and the chosen route —
+        # base feeds BOTH the routing aggregate and the chosen route —
         # materialize once instead of re-running the upstream plan
-        df = df.localCheckpoint(eager=False)
+        base = base.localCheckpoint(eager=False)
         checkpointed = True
         total_individuals = (
-            df.filter(pos).agg(F.sum(F.col(count_col).cast("long"))).first()[0]
-            or 0
+            base.agg(F.sum(F.col(count_col).cast("long"))).first()[0] or 0
         )
     cores = df.sparkSession.sparkContext.defaultParallelism
     if total_individuals <= explode_budget_per_core * cores:
-        return rarefy_hash(df, sample_col, item_col, count_col, depth, seed)
+        return rarefy_hash(base, sample_col, item_col, count_col, depth, seed)
     if isinstance(depth, str):
         if not checkpointed:
-            # the depth translation is a second consumer of df too
-            df = df.localCheckpoint(eager=False)
-        totals = df.filter(pos).groupBy(sample_col).agg(
+            # the depth translation is a second consumer of base too
+            base = base.localCheckpoint(eager=False)
+        totals = base.groupBy(sample_col).agg(
             F.sum(F.col(count_col).cast("long")).alias("_t")
         )
         depth = totals.agg(F.expr(depth).cast("long").alias("_d"))
-    return rarefy(df, sample_col, item_col, count_col, depth, seed)
+    return rarefy(base, sample_col, item_col, count_col, depth, seed)
 
 
 def bray_curtis(

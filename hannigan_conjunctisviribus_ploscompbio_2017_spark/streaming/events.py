@@ -846,17 +846,21 @@ def _admission_gate_foreach(
         #     finished run into the persisted store between runs
         #     (gate_maintenance.append_admitted_*) and give the next
         #     run a fresh decisions_path + checkpoint pair.
+        # the compacted marker is checked UNCONDITIONALLY (not only when
+        # root part files exist): an interrupted fold can momentarily
+        # hold neither epoch dirs nor root files — without this check
+        # that state would read as an EMPTY log and re-admit everything
+        if _fs_read_text(spark_b, f"{decisions_path}/{_COMPACTED_MARKER}") is not None:
+            raise RuntimeError(
+                f"decisions log at {decisions_path} was COMPACTED "
+                "(compact_gate_decisions) — its run is finished and a "
+                "finished run cannot be resumed. Fold it into the "
+                "persisted store (gate_maintenance.append_admitted_*) "
+                "and start this run with a fresh decisions_path + "
+                "checkpoint pair"
+            )
         legacy = fs.globStatus(jvm.org.apache.hadoop.fs.Path(f"{decisions_path}/part-*"))
         if legacy is not None and len(legacy) > 0:
-            if _fs_read_text(spark_b, f"{decisions_path}/{_COMPACTED_MARKER}") is not None:
-                raise RuntimeError(
-                    f"decisions log at {decisions_path} was COMPACTED "
-                    "(compact_gate_decisions) — its run is finished and a "
-                    "finished run cannot be resumed. Fold it into the "
-                    "persisted store (gate_maintenance.append_admitted_*) "
-                    "and start this run with a fresh decisions_path + "
-                    "checkpoint pair"
-                )
             raise RuntimeError(
                 f"decisions log at {decisions_path} uses the pre-epoch-dir "
                 "append layout (root-level part files); migrate it first "
@@ -921,7 +925,20 @@ def _admission_gate_foreach(
                 "decisions_path + checkpoint pair"
             )
         else:
-            _fs_write_text(spark_b, f"{decisions_path}/{_RUN_MARKER}", qid)
+            # compare-and-set, not overwrite: two fresh streams racing
+            # to claim one decisions_path must not BOTH pass — the
+            # loser re-reads and hits the foreign-run error (the exact
+            # collision the marker exists to prevent)
+            if not _fs_create_text(spark_b, f"{decisions_path}/{_RUN_MARKER}", qid):
+                raced = _fs_read_text(spark_b, f"{decisions_path}/{_RUN_MARKER}")
+                if raced is None or raced.strip() != qid:
+                    raise RuntimeError(
+                        f"decisions log at {decisions_path} was claimed by "
+                        f"stream run {raced} while this query ({qid}) was "
+                        "starting — two streams share one decisions_path. "
+                        "Give each run its own decisions_path + checkpoint "
+                        "pair"
+                    )
         if parsed:
             # strictly greater only: the CURRENT epoch's dir may
             # legitimately exist fully committed (stream died between
@@ -1240,6 +1257,23 @@ def _fs_write_text(spark: SparkSession, path_str: str, text: str) -> None:
         out.close()
 
 
+def _fs_create_text(spark: SparkSession, path_str: str, text: str) -> bool:
+    """Create a small text file FAILING IF IT EXISTS (the Hadoop FS
+    create(overwrite=false) contract — atomic claim on HDFS and local
+    FS).  Returns False when the path already exists (lost the race);
+    True when this caller created it."""
+    fs, jpath, _ = _hadoop_fs(spark, path_str)
+    try:
+        out = fs.create(jpath, False)
+    except Exception:
+        return False
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+    return True
+
+
 def streaming_query_id(spark: SparkSession, checkpoint: str) -> str:
     """The structured-streaming QUERY id persisted at
     `<checkpoint>/metadata` — stable across every restart from that
@@ -1297,43 +1331,59 @@ def migrate_gate_decisions_log(
     files are removed, and when `checkpoint` (or `run_id`) is given the
     `_run_id` marker is stamped so the original stream resumes cleanly.
 
-    IDEMPOTENT under interruption: epoch dirs are rewritten with
-    overwrite semantics and the root files are deleted LAST, so a crash
-    at any point leaves the root files in place, the gate still failing
-    fast, and a re-run completing the migration.  Returns the number of
-    epoch directories written (0 when there are no root part files —
-    nothing to migrate)."""
+    IDEMPOTENT under interruption, in two guarded phases: (1) rewrite —
+    every epoch dir is written from ALL root files, then a
+    `_migrate_dirs_done` marker commits the phase; (2) cleanup — root
+    part files are deleted only AFTER the marker exists, and the marker
+    is removed last.  A crash in phase 1 leaves every root file intact
+    (re-run rewrites from scratch); a crash in phase 2 leaves the
+    marker, so a re-run SKIPS the rewrite — it must not rebuild the
+    complete epoch dirs from the surviving subset of root files — and
+    just finishes the deletion.  Returns the number of epoch
+    directories written (0 when there are no root part files — nothing
+    to migrate)."""
     path = decisions_path.rstrip("/")
     fs, _, jvm = _hadoop_fs(spark, path)
+    done_marker = f"{path}/_migrate_dirs_done"
     legacy = fs.globStatus(jvm.org.apache.hadoop.fs.Path(f"{path}/part-*"))
     if legacy is None or len(legacy) == 0:
+        # nothing left to migrate; clear a phase-2 marker left by a
+        # crash between the last root-file delete and the marker delete
+        fs.delete(jvm.org.apache.hadoop.fs.Path(done_marker), False)
         return 0
     root_files = [s.getPath().toString() for s in legacy]
-    log = spark.read.parquet(*root_files)
-    if "_epoch" not in log.columns:
-        raise RuntimeError(
-            f"decisions log at {path} has no _epoch column — not a "
-            "pre-epoch-dir gate decisions log"
-        )
-    epochs = [r[0] for r in log.select("_epoch").distinct().collect()]
-    # one shuffle, one file per epoch dir: partitionBy writes the
-    # protocol's exact layout (_epoch value in the DIRECTORY name, not
-    # the data files)
-    tmp = f"{path}/_migrate_tmp"
-    fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
-    log.repartition("_epoch").write.partitionBy("_epoch").parquet(tmp)
-    for n in epochs:
-        src = jvm.org.apache.hadoop.fs.Path(f"{tmp}/_epoch={int(n)}")
-        dst = jvm.org.apache.hadoop.fs.Path(f"{path}/_epoch={int(n)}")
-        fs.delete(dst, True)
-        if not fs.rename(src, dst):
-            raise RuntimeError(f"could not move migrated epoch dir into {dst}")
-    fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
+    n_epochs = 0
+    if _fs_read_text(spark, done_marker) is None:
+        log = spark.read.parquet(*root_files)
+        if "_epoch" not in log.columns:
+            raise RuntimeError(
+                f"decisions log at {path} has no _epoch column — not a "
+                "pre-epoch-dir gate decisions log"
+            )
+        epochs = [r[0] for r in log.select("_epoch").distinct().collect()]
+        # one shuffle, one file per epoch dir: partitionBy writes the
+        # protocol's exact layout (_epoch value in the DIRECTORY name,
+        # not the data files)
+        tmp = f"{path}/_migrate_tmp"
+        fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
+        log.repartition("_epoch").write.partitionBy("_epoch").parquet(tmp)
+        for n in epochs:
+            src = jvm.org.apache.hadoop.fs.Path(f"{tmp}/_epoch={int(n)}")
+            dst = jvm.org.apache.hadoop.fs.Path(f"{path}/_epoch={int(n)}")
+            fs.delete(dst, True)
+            if not fs.rename(src, dst):
+                raise RuntimeError(f"could not move migrated epoch dir into {dst}")
+        fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
+        n_epochs = len(epochs)
+        _fs_write_text(spark, done_marker, "1")
+    # phase 2: the epoch dirs are complete and committed — retire the
+    # root files, marker last
     if checkpoint is not None or run_id is not None:
         stamp_gate_decisions_run(spark, path, checkpoint, run_id)
     for f in root_files:
         fs.delete(jvm.org.apache.hadoop.fs.Path(f), False)
-    return len(epochs)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(done_marker), False)
+    return n_epochs
 
 
 def compact_gate_decisions(
@@ -1358,43 +1408,60 @@ def compact_gate_decisions(
     compaction-specific message instead of resuming into a layout whose
     epoch dirs are gone.
 
-    Crash-safe in the no-data-loss sense, not atomically: the resolved
-    copy is fully written to the hidden `_compact_tmp` subdirectory
-    BEFORE anything is deleted, so an interruption leaves either the
-    original epoch dirs intact (re-run to finish) or the complete
-    resolved log in `_compact_tmp` (move its part files to the root to
-    finish).  Run it only after the stream is stopped — it is a
+    Crash-safe in the no-data-loss AND no-silent-empty sense: the
+    resolved copy is fully written to the hidden `_compact_tmp`
+    subdirectory and the `_compacted` marker is committed BEFORE any
+    epoch dir is deleted — so an interruption leaves either (a) the
+    original epoch dirs intact and no marker (re-run restarts from
+    scratch), or (b) the marker + the complete resolved copy, from
+    which a re-run FINISHES the fold (delete remaining epoch dirs, move
+    the tmp files up).  The gate checks the marker unconditionally, so
+    even the mid-fold state — marker present, epoch dirs gone, root
+    files not yet moved — fails fast as a finished run instead of
+    reading as an EMPTY log and silently re-admitting every previously
+    decided doc.  Run it only after the stream is stopped — it is a
     maintenance step, not a concurrent operation.
 
     Returns (files_before, files_after) — the test-visible proof the
-    listing shrank."""
+    listing shrank ((0, n) when resuming an interrupted fold: the
+    original epoch-file count is no longer known)."""
     import math
 
     path = decisions_path.rstrip("/")
     fs, jpath, jvm = _hadoop_fs(spark, path)
     epoch_glob = jvm.org.apache.hadoop.fs.Path(f"{path}/_epoch=*/part-*")
-    before = fs.globStatus(epoch_glob)
-    if before is None or len(before) == 0:
-        return (0, 0)
-    files_before = len(before)
-    total_bytes = sum(s.getLen() for s in before)
-    n_files = max(1, math.ceil(total_bytes / target_file_bytes))
-    resolved = read_gate_decisions(spark, path)
     tmp = f"{path}/_compact_tmp"
-    fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
-    resolved.coalesce(n_files).write.parquet(tmp)
-    # the resolved copy is durable; now retire the epoch dirs and move
-    # the compacted files up (dedup dirs by STRING path — py4j proxies
-    # don't hash by Java equality)
-    dirs = {s.getPath().getParent().toString() for s in before}
+    before = fs.globStatus(epoch_glob)
+    files_before = 0 if before is None else len(before)
+    already_marked = _fs_read_text(spark, f"{path}/{_COMPACTED_MARKER}") is not None
+    if not already_marked:
+        if files_before == 0:
+            return (0, 0)
+        total_bytes = sum(s.getLen() for s in before)
+        n_files = max(1, math.ceil(total_bytes / target_file_bytes))
+        resolved = read_gate_decisions(spark, path)
+        fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
+        resolved.coalesce(n_files).write.parquet(tmp)
+        # the resolved copy is durable — COMMIT the fold before deleting
+        # anything, so a crash below can never present an empty log
+        _fs_write_text(spark, f"{path}/{_COMPACTED_MARKER}", "1")
+    elif fs.globStatus(jvm.org.apache.hadoop.fs.Path(f"{tmp}/part-*")) is None:
+        # marker present, no tmp data: a COMPLETED compaction
+        # (idempotent re-call) — nothing to fold
+        fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
+        return (0, 0)
+    # else: resuming an interrupted fold — files_before already counts
+    # whatever epoch files survive (0 if the deletion had finished)
+    # retire the epoch dirs and move the compacted files up (dedup dirs
+    # by STRING path — py4j proxies don't hash by Java equality)
+    dirs = {s.getPath().getParent().toString() for s in (before or [])}
     for d in dirs:
         fs.delete(jvm.org.apache.hadoop.fs.Path(d), True)
     moved = 0
-    for s in fs.globStatus(jvm.org.apache.hadoop.fs.Path(f"{tmp}/part-*")):
+    for s in fs.globStatus(jvm.org.apache.hadoop.fs.Path(f"{tmp}/part-*")) or []:
         src = s.getPath()
         if not fs.rename(src, jvm.org.apache.hadoop.fs.Path(f"{path}/{src.getName()}")):
             raise RuntimeError(f"could not move compacted file {src} into {path}")
         moved += 1
     fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
-    _fs_write_text(spark, f"{path}/{_COMPACTED_MARKER}", "1")
     return (files_before, moved)

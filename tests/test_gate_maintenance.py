@@ -345,3 +345,29 @@ def test_compact_store_leftover_and_restore(spark, tmp_path):
     before, after = GM.compact_store(spark, store_path)
     assert after >= 1
     assert sorted(map(tuple, spark.read.parquet(store_path).collect())) == rows
+
+
+def test_compact_store_refuses_silent_flattening(spark, tmp_path):
+    """Review fix: compacting a partitioned store WITHOUT its layout
+    must refuse loudly — the flat rewrite would keep every row (all
+    content checks pass) while silently destroying the cell directories
+    and with them dynamic partition pruning."""
+    import pytest
+
+    dim = 4
+    base = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 0.1]), (101, [0.0, 1.0, 0.0, 0.1])],
+        "vec_id long, embedding array<double>",
+    )
+    cents = sampled_centroids(base, n_cells=2)
+    store_path = str(tmp_path / "sem_store_flatten")
+    semantic_store(base, dim=dim, n_cells=2, centroids=cents).write.partitionBy(
+        "cell"
+    ).parquet(store_path)
+    with pytest.raises(ValueError, match="flatten"):
+        GM.compact_store(spark, store_path)  # forgot partition_by
+    with pytest.raises(ValueError, match="flatten"):
+        GM.compact_store(spark, store_path, partition_by=("band",))  # wrong layout
+    # correct layout still compacts
+    before, after = GM.compact_store(spark, store_path, partition_by=("cell",))
+    assert after >= 1

@@ -2048,3 +2048,94 @@ def test_streaming_query_id_and_compaction_edge_cases(spark, tmp_path):
     assert SE.migrate_gate_decisions_log(spark, str(tmp_path / "empty_log")) == 0
     with pytest.raises(ValueError, match="checkpoint= or run_id="):
         SE.stamp_gate_decisions_run(spark, str(tmp_path / "log"))
+
+
+def test_migrate_phase2_crash_never_rebuilds_from_subset(spark, tmp_path):
+    """Review fix: migration is two guarded phases.  A crash mid
+    root-file deletion (phase 2) leaves the _migrate_dirs_done marker;
+    the re-run must NOT rebuild the complete epoch dirs from the
+    SURVIVING SUBSET of root files (that silently lost the deleted
+    files' decisions) — it skips the rewrite and only finishes the
+    cleanup."""
+    from datetime import datetime
+
+    legacy = str(tmp_path / "legacy2")
+    rows = spark.createDataFrame(
+        [(i, f"fp{i}", "new", datetime(2025, 1, 1, 12, i), 0) for i in range(6)],
+        "id long, fingerprint string, status string, first_ts timestamp, _epoch int",
+    )
+    rows.repartition(2).write.parquet(legacy)  # >= 2 root part files
+    assert SE.migrate_gate_decisions_log(spark, legacy) == 1
+    full = sorted(map(tuple, SE.read_gate_decisions(spark, legacy).collect()))
+    assert len(full) == 6
+
+    # simulate the phase-2 crash: marker present, only a SUBSET of the
+    # root files surviving (one part file re-planted with 2 of the 6)
+    subset = spark.createDataFrame(
+        [(0, "fp0", "new", datetime(2025, 1, 1, 12, 0), 0),
+         (1, "fp1", "new", datetime(2025, 1, 1, 12, 1), 0)],
+        "id long, fingerprint string, status string, first_ts timestamp, _epoch int",
+    )
+    subset.coalesce(1).write.mode("append").parquet(legacy)
+    # the append wrote into the root; mark phase 1 as committed
+    with open(f"{legacy}/_migrate_dirs_done", "w") as f:
+        f.write("1")
+    assert SE.migrate_gate_decisions_log(spark, legacy) == 0  # no rewrite
+    assert sorted(map(tuple, SE.read_gate_decisions(spark, legacy).collect())) == full
+    assert not any(n.startswith("part-") for n in os.listdir(legacy))
+    assert not os.path.exists(f"{legacy}/_migrate_dirs_done")
+
+
+def test_compact_gate_decisions_crash_window_is_not_empty(spark, tmp_path):
+    """Review fix: the fold commits its _compacted marker BEFORE any
+    epoch dir is deleted, and the gate checks the marker
+    UNCONDITIONALLY — so the mid-fold state (marker + tmp copy, epoch
+    dirs gone, root files not yet moved) fails fast as a finished run
+    instead of reading as an EMPTY log, and a compact re-run FINISHES
+    the fold with identical decisions."""
+    import shutil
+
+    feed, run = _gate_runner(spark, tmp_path, src_name="crash_docs")
+    feed((1, 0, "crash one"))
+    feed((2, 1, "crash two"))
+    run("dec_crash", "ckpt_cr", max_files=1)
+    dec_path = str(tmp_path / "dec_crash")
+    pre = sorted(map(tuple, SE.read_gate_decisions(spark, dec_path).collect()))
+
+    # hand-build the crash window: resolved copy in _compact_tmp +
+    # marker written, every epoch dir already deleted, nothing moved yet
+    SE.read_gate_decisions(spark, dec_path).coalesce(1).write.parquet(
+        f"{dec_path}/_compact_tmp"
+    )
+    with open(f"{dec_path}/_compacted", "w") as f:
+        f.write("1")
+    for d in list(os.listdir(dec_path)):
+        if d.startswith("_epoch="):
+            shutil.rmtree(f"{dec_path}/{d}")
+
+    # (a) resuming the stream in this state must fail fast, not re-admit
+    feed((3, 2, "crash three"))
+    with pytest.raises(Exception, match="COMPACTED"):
+        run("dec_crash", "ckpt_cr")
+
+    # (b) a compact re-run finishes the fold; decisions identical
+    before, after = SE.compact_gate_decisions(spark, dec_path)
+    assert before == 0 and after >= 1
+    assert sorted(map(tuple, SE.read_gate_decisions(spark, dec_path).collect())) == pre
+    # idempotent once complete
+    assert SE.compact_gate_decisions(spark, dec_path) == (0, 0)
+
+
+def test_run_marker_create_is_compare_and_set(spark, tmp_path):
+    """Review fix: the run-marker claim uses create(overwrite=false) —
+    the second creator LOSES and must see the first claimant's id, so
+    two fresh streams racing on one decisions_path cannot both pass."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.streaming.events import (
+        _fs_create_text,
+        _fs_read_text,
+    )
+
+    p = str(tmp_path / "claim" / "_run_id")
+    assert _fs_create_text(spark, p, "run-A") is True
+    assert _fs_create_text(spark, p, "run-B") is False  # lost the race
+    assert _fs_read_text(spark, p) == "run-A"  # loser reads the winner

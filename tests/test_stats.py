@@ -398,3 +398,36 @@ def test_rarefaction_curve_family_equivalence(spark):
     for rows in (ga, gb):
         for r in rows:
             assert 1 <= r.richness <= n_items[r["sample"]]
+
+
+def test_rarefaction_facade_filters_routes_and_pins_one_copy(spark):
+    """Review fixes on the facade: (a) count<=0 rows are filtered out
+    of the frame handed to BOTH routes — previously a negative count
+    reached numpy's hypergeometric on the Arrow route and crashed the
+    task; (b) when the facade materializes the frame for routing, the
+    explode route recognizes the checkpointed input (_cheap_replay)
+    and skips its own internal checkpoint, so at most the facade copy
+    + the candidate pool are ever pinned — not a second full copy of
+    the abundance table."""
+    df = _abundance(spark)
+    noisy = df.unionByName(spark.createDataFrame(
+        [("s1", "zz", 0), ("s2", "neg", -7)],
+        "sample string, item string, count long",
+    ))
+    # Arrow route on the noisy frame: no crash, realization equals
+    # rarefy over the clean frame (the filter is the only difference)
+    got = sorted(map(tuple, stats.rarefaction(
+        noisy, "sample", "item", "count", 5, explode_budget_per_core=0
+    ).collect()))
+    want = sorted(map(tuple, stats.rarefy(df, "sample", "item", "count", 5).collect()))
+    assert got == want
+
+    # pinned-copy bound on the explode route (unhinted → facade
+    # checkpoint): materializing the result adds the facade frame + the
+    # candidate pool, NOT a third copy from rarefy_hash's internal
+    # checkpoint
+    jsc = spark.sparkContext._jsc
+    before = jsc.getPersistentRDDs().size()
+    out = stats.rarefaction(df, "sample", "item", "count", 5)
+    assert out.count() > 0
+    assert jsc.getPersistentRDDs().size() - before <= 2
