@@ -884,7 +884,7 @@ def _admission_gate_foreach(
         if unreadable:
             raise RuntimeError(
                 f"decisions log at {decisions_path} holds non-integer epoch "
-                f"directorie(s) {sorted(unreadable)} — an unreadable layout "
+                f"director(y/ies) {sorted(unreadable)} — an unreadable layout "
                 "for the exactly-once protocol (hand-migrated data or stray "
                 "tooling output?). Remove or rename them, or migrate a "
                 "legacy log with migrate_gate_decisions_log, before "
@@ -916,7 +916,7 @@ def _admission_gate_foreach(
         elif committed is not None and len(committed) > 0:
             raise RuntimeError(
                 f"decisions log at {decisions_path} holds committed epoch "
-                "directorie(s) but no _run_id marker — a pre-marker (r08) "
+                "director(y/ies) but no _run_id marker — a pre-marker (r08) "
                 "log or a different stream run. If it IS this query's own "
                 "log, adopt it explicitly with stamp_gate_decisions_run("
                 "spark, decisions_path, checkpoint=...); otherwise fold "
