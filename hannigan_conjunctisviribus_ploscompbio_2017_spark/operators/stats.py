@@ -298,7 +298,12 @@ def _hash_ranked_kept(
     cand_counts = cand.groupBy(sample_col).agg(F.count(F.lit(1)).alias("_cc"))
     short = (
         stats.select(sample_col, "_d")
-        .join(cand_counts, sample_col, "left")
+        # broadcast the per-sample candidate counts: both sides are
+        # n_samples-row aggregates (bounded at any corpus scale — the
+        # same argument as broadcasting `stats` below), but the planner
+        # can't see that through the aggregation and would SMJ them,
+        # shuffling + sorting two tiny frames across extra stages
+        .join(F.broadcast(cand_counts), sample_col, "left")
         .filter(F.coalesce(F.col("_cc"), F.lit(0)) < F.col("_d"))
         .select(sample_col)
     )

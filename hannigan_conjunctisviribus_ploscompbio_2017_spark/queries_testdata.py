@@ -4487,6 +4487,11 @@ def m1_rarefaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_partkey").cast("string").alias("item"),
         )
         .agg(F.sum("l_quantity").cast("long").alias("count"))
+        # ab feeds BOTH the depth aggregate and the draw, and Catalyst
+        # does not dedupe the subtree — without this the join+groupBy
+        # runs twice (once inside the broadcast depth branch); values
+        # are unchanged, the draw depends only on (seed, sample, items)
+        .localCheckpoint(eager=False)
     )
     depth_df = ab.groupBy("sample").agg(F.sum("count").alias("t")).agg(F.min("t").alias("d"))
     r = rarefy(ab, "sample", "item", "count", depth=depth_df, seed=42)
