@@ -90,10 +90,15 @@ def interpersonal_diversity(
     # partition layout
     ab = e.groupBy("sample", "phage").agg(
         F.max("phage_abundance").alias("phage_abundance")
-    )
+    # ab feeds BOTH the depth aggregate and the draw, and Catalyst does
+    # not dedupe the subtree — dedup it or the whole upstream edge
+    # expansion re-runs inside the broadcast depth branch (measured
+    # 1.32x on the m1_rarefaction twin of this exact shape); values
+    # are unchanged, the draw depends only on (seed, sample, items)
+    ).localCheckpoint(eager=False)
     # A7 min depth stays IN the plan: the 1-row aggregate is broadcast
-    # into the rarefaction (relational.py:129 pattern) — one Catalyst
-    # DAG, no driver-side collect between the stages.
+    # into the rarefaction (relational.py:129 pattern) — one lazy plan,
+    # no driver-side collect between the stages.
     depth_df = (
         ab.groupBy("sample")
         .agg(F.sum("phage_abundance").alias("t"))
@@ -199,7 +204,9 @@ def compare_skin(
     # 12- and 32-core sessions)
     ab = e.groupBy("skey", "phage").agg(
         F.max("phage_abundance").alias("phage_abundance")
-    )
+    # dedup the subtree: ab feeds the depth percentile AND the draw
+    # (see pipeline_interpersonal_diversity); values unchanged
+    ).localCheckpoint(eager=False)
     totals = ab.groupBy("skey").agg(F.sum("phage_abundance").alias("t"))
     # A7 5th-percentile depth as an in-plan 1-row frame (no collect)
     depth_df = totals.selectExpr("CAST(percentile(t, 0.05) AS LONG) AS d")
