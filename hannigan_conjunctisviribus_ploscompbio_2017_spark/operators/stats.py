@@ -426,6 +426,16 @@ def bray_curtis(
         F.col(item_col).alias("_i"),
         F.col(value_col).cast("double").alias("_v"),
     )
+    # v feeds THREE consumers (the per-sample totals and both sides of
+    # the item self-join) and Catalyst re-derives the subtree per
+    # consumer — DELIBERATELY left un-checkpointed: the derivations
+    # pipeline in parallel inside one job, and an interleaved A/B at
+    # sf0.1 measured the materialize-then-read variant 2x SLOWER
+    # (2.02s vs 1.10s).  This is the opposite trade from rarefy's depth
+    # branch, whose duplicate subtree sits under a BROADCAST exchange
+    # that serializes before the main job (checkpoint measured 1.32x
+    # faster there).  A caller whose upstream is genuinely expensive
+    # should hand this operator a checkpointed frame.
     totals = v.groupBy("_s").agg(F.sum("_v").alias("_tot"))
     a, b = v.alias("a"), v.alias("b")
     shared_min = (
