@@ -451,3 +451,65 @@ def test_salted_join_equals_plain_join(spark, left, right, buckets, how):
     a = sorted(map(tuple, plain.collect()))
     b = sorted(map(tuple, salted.collect()))
     assert a == b
+
+
+@SLOW
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),          # id
+            st.integers(min_value=0, max_value=4),          # _epoch
+            st.sampled_from(["new", "dup_store", "dup_batch"]),
+            st.sampled_from(["f1", "f2", "f3"]),            # fingerprint
+        ),
+        min_size=1,
+        max_size=16,
+    )
+)
+def test_read_gate_decisions_resolution_properties(spark, rows):
+    """The decisions-log resolution must hold on ANY log — including
+    the legacy divergences the pre-r08 append protocol could leave
+    (two different rows for one id under one epoch): (a) one row per
+    id; (b) _epoch == the id's smallest logged epoch; (c) the chosen
+    payload is the DETERMINISTIC minimum over (epoch, payload) — so
+    re-resolving, repartitioning, or resolving the RESOLUTION itself
+    can never flip a decision (idempotence); (d) within an id's
+    earliest epoch, divergent statuses resolve to the lexicographic
+    minimum — 'dup_batch'/'dup_store' before 'new', the conservative
+    never-double-admit order."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.streaming.events import (
+        read_gate_decisions,
+    )
+
+    df = spark.createDataFrame(rows, "id long, _epoch int, status string, fingerprint string")
+
+    class _FakeReader:
+        def __init__(self, frame):
+            self._f = frame
+        def parquet(self, _):
+            return self._f
+
+    class _FakeSession:
+        def __init__(self, frame):
+            self.read = _FakeReader(frame)
+
+    out = {r.id: r for r in read_gate_decisions(_FakeSession(df), "ignored").collect()}
+    by_id = {}
+    for i, e, s, f in rows:
+        by_id.setdefault(i, []).append((e, s, f))
+    assert set(out) == set(by_id)                      # (a)
+    for i, logged in by_id.items():
+        min_epoch = min(e for e, _, _ in logged)
+        assert out[i]._epoch == min_epoch              # (b)
+        # (c)+(d): min over (epoch, payload-tuple) in column order
+        exp_s, exp_f = min((s, f) for e, s, f in logged if e == min_epoch)
+        assert (out[i].status, out[i].fingerprint) == (exp_s, exp_f)
+    # idempotence: resolving the resolution (reordered) is a fixpoint
+    resolved = spark.createDataFrame(
+        [(r.id, r._epoch, r.status, r.fingerprint) for r in out.values()],
+        "id long, _epoch int, status string, fingerprint string",
+    ).repartition(5)
+    again = {r.id: r for r in read_gate_decisions(_FakeSession(resolved), "x").collect()}
+    assert {(r.id, r._epoch, r.status, r.fingerprint) for r in again.values()} == {
+        (r.id, r._epoch, r.status, r.fingerprint) for r in out.values()
+    }
