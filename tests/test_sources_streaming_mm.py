@@ -2139,3 +2139,27 @@ def test_run_marker_create_is_compare_and_set(spark, tmp_path):
     assert _fs_create_text(spark, p, "run-A") is True
     assert _fs_create_text(spark, p, "run-B") is False  # lost the race
     assert _fs_read_text(spark, p) == "run-A"  # loser reads the winner
+
+
+def test_foreach_gate_fully_suppressed_epoch(spark, tmp_path):
+    """An epoch consisting ONLY of re-deliveries (every id already in
+    the decisions log) must run green end-to-end: the suppression
+    leaves an empty fresh frame, the gate runs on it without error, the
+    epoch commits (possibly empty), and the log's decisions are
+    unchanged — no row loss, no double decisions, stream resumable
+    afterwards."""
+    feed, run = _gate_runner(spark, tmp_path, src_name="suppressed_docs")
+    feed((1, 0, "sup one"), (2, 1, "sup two"))
+    run("dec_sup", "ckpt_s")
+    dec_path = str(tmp_path / "dec_sup")
+    pre = sorted(map(tuple, SE.read_gate_decisions(spark, dec_path).collect()))
+    assert len(pre) == 2
+
+    feed((1, 2, "sup one"), (2, 3, "sup two"))  # pure re-delivery epoch
+    run("dec_sup", "ckpt_s")
+    assert sorted(map(tuple, SE.read_gate_decisions(spark, dec_path).collect())) == pre
+
+    feed((3, 4, "sup three"))  # stream still healthy afterwards
+    run("dec_sup", "ckpt_s")
+    rows = {r.id: r.status for r in SE.read_gate_decisions(spark, dec_path).collect()}
+    assert rows == {1: "new", 2: "new", 3: "new"}
