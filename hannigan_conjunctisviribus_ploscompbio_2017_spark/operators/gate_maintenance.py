@@ -48,6 +48,18 @@ pure parquet appends by design, so a long crawl loop accumulates one
 small file set per run — compaction rewrites the store into few large
 files while PRESERVING its partition layout (partitionBy("cell") /
 ("band", "_part")), so DPP and every plan guard survive.
+
+COLD START (run 1 of a brand-new crawl, no store on disk): the exact
+and near-dup gates bootstrap trivially — gate against an empty store
+frame (`fingerprint_store`/`minhash_store` over zero docs) and every
+doc admits.  The semantic gate also needs its CELL GEOMETRY, which
+normally comes from the store: sample it from the first delta itself
+(`cents = sampled_centroids(first_delta, n_cells)` — that resolution
+then defines the store for its whole lifetime), gate against
+`semantic_store(first_delta.limit(0), dim, centroids=cents)`, and let
+the first `append_admitted_semantic` CREATE the store path (parquet
+append creates missing paths).  Pinned end-to-end in
+tests/test_gate_maintenance.py::test_semantic_gate_cold_start_bootstrap.
 """
 
 from __future__ import annotations

@@ -371,3 +371,47 @@ def test_compact_store_refuses_silent_flattening(spark, tmp_path):
     # correct layout still compacts
     before, after = GM.compact_store(spark, store_path, partition_by=("cell",))
     assert after >= 1
+
+
+def test_semantic_gate_cold_start_bootstrap(spark, tmp_path):
+    """A brand-new crawl has NO store and NO centroids. The bootstrap
+    flow: sample the cell geometry from the FIRST delta itself, gate it
+    against an empty (schema-only) store — every usable doc admits —
+    and let the first append_admitted_semantic CREATE the store path;
+    run 2 then reads the real store back and sees run 1's admits as
+    dup_semantic with DPP intact.  (The exact and near-dup gates
+    bootstrap trivially — an empty store frame admits everything —
+    asserted here too for the record.)"""
+    dim = 4
+    run1 = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.1]), (2, [0.0, 1.0, 0.0, 0.1])],
+        "vec_id long, embedding array<double>",
+    )
+    cents = sampled_centroids(run1, n_cells=2)  # geometry from the first crawl
+    empty_store = semantic_store(run1.limit(0), dim=dim, n_cells=2, centroids=cents)
+    dec1 = semantic_ingest_dedup(
+        run1, empty_store, cents, dim, tau=0.95, n_probe=1
+    ).localCheckpoint()
+    assert {r.id: r.status for r in dec1.collect()} == {1: "new", 2: "new"}
+
+    store_path = str(tmp_path / "cold_store")  # does not exist yet
+    GM.append_admitted_semantic(dec1, run1, store_path, cents, dim)
+
+    run2 = spark.createDataFrame(
+        [(3, [1.0, 0.0, 0.0, 0.1])], "vec_id long, embedding array<double>"
+    )
+    gate2 = semantic_ingest_dedup(
+        run2, spark.read.parquet(store_path), cents, dim, tau=0.95, n_probe=1
+    )
+    assert "dynamicpruning" in plan_of(gate2).lower()
+    rows = {r.id: r for r in gate2.collect()}
+    assert rows[3].status == "dup_semantic" and rows[3].match_id == 1
+
+    # exact + near-dup gates bootstrap against empty store frames
+    empty_docs = _docs(spark, [])
+    d = {r.id: r.status for r in ingest_dedup(
+        _docs(spark, [(1, TEXT_A)]), fingerprint_store(empty_docs)).collect()}
+    assert d == {1: "new"}
+    m = {r.id: r.status for r in minhash_ingest_dedup(
+        _docs(spark, [(1, TEXT_A)]), minhash_store(empty_docs)).collect()}
+    assert m == {1: "new"}
