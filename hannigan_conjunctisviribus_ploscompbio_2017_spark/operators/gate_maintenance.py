@@ -383,6 +383,78 @@ def compact_store(
     concurrently with a gate.
 
     Returns (files_before, files_after)."""
+    return _guarded_rewrite(spark, store_path, partition_by, target_file_bytes, None)
+
+
+def retire_from_store(
+    spark: SparkSession,
+    store_path: str,
+    retired,
+    key_col: str,
+    partition_by: tuple[str, ...] | None = None,
+    target_file_bytes: int = 128 << 20,
+) -> tuple[int, int]:
+    """Remove retired documents from a persisted store — the TAKEDOWN
+    inverse of append_admitted_* that an append-only crawl loop
+    eventually needs (robots retractions, licensing/PII takedowns; the
+    reference handles removal implicitly by dropping and rebuilding the
+    whole graph per run, Makefile:461-473 — this is the targeted
+    replacement).  `retired` is the keys to drop: a small list or a
+    1-column DataFrame of `key_col` values (the store's own key —
+    `fingerprint` for the exact store, `id` for the signature and
+    vector stores).
+
+    The rewrite anti-joins with the retired set BROADCAST (takedown
+    lists are small by nature — the store itself never shuffles) inside
+    the same guarded layout-preserving swap as compact_store, so the
+    partition dirs and with them DPP survive, and interruption
+    semantics are identical (original intact, or complete at
+    .precompact and auto-restored).  One retire pass also compacts as a
+    side effect (it is a full rewrite — batch takedowns, don't drip).
+
+    Scope note: this edits the STORE, i.e. future admission decisions
+    — a clone of a retired doc is 'new' again next run.  Past decisions
+    logs are history and are deliberately not rewritten.  Retiring
+    EVERY row leaves an empty store directory parquet cannot re-read;
+    the next run then bootstraps via the documented cold-start flow.
+
+    Returns (rows_before, rows_after) — rows_after computed exactly as
+    rows_before minus the semi-join match count (the anti-join removes
+    precisely the matched rows), so no read of the rewritten store is
+    needed."""
+    path = store_path.rstrip("/")
+    if isinstance(retired, DataFrame):
+        rset = retired.select(F.col(retired.columns[0]).alias(key_col)).distinct()
+    else:
+        retired = list(retired)
+        if not retired:
+            n = spark.read.parquet(path).count()
+            return (n, n)
+        rset = spark.createDataFrame([(k,) for k in retired]).toDF(key_col).distinct()
+    store = spark.read.parquet(path)
+    rows_before = store.count()
+    removed = store.join(F.broadcast(rset), key_col, "semi").count()
+    _guarded_rewrite(
+        spark,
+        path,
+        partition_by,
+        target_file_bytes,
+        lambda df: df.join(F.broadcast(rset), key_col, "left_anti"),
+    )
+    return (rows_before, rows_before - removed)
+
+
+def _guarded_rewrite(
+    spark: SparkSession,
+    store_path: str,
+    partition_by: tuple[str, ...] | None,
+    target_file_bytes: int,
+    transform,
+) -> tuple[int, int]:
+    """The shared layout-preserving store rewrite behind compact_store
+    and retire_from_store: leftover/flattening guards, optional row
+    transform, sized output files, rename-based swap with rollback.
+    Returns (files_before, files_after)."""
     path = store_path.rstrip("/")
     fs, jpath, jvm = _hadoop_fs(spark, path)
     tmp = jvm.org.apache.hadoop.fs.Path(path + ".compact.tmp")
@@ -409,7 +481,7 @@ def compact_store(
         raise ValueError(
             f"store at {path} is partitioned on {sorted(discovered)} but "
             f"partition_by={partition_by} omits {missing_layout} — "
-            "compacting would flatten the layout and destroy dynamic "
+            "rewriting would flatten the layout and destroy dynamic "
             "partition pruning; pass the store's actual layout"
         )
     files_before, total_bytes = _store_data_files(fs, jvm, path)
@@ -424,6 +496,9 @@ def compact_store(
                 f"partition_by columns {missing} not in the store at {path} "
                 f"(columns: {df.columns}) — pass the store's actual layout"
             )
+    if transform is not None:
+        df = transform(df)
+    if partition_by:
         (
             df.repartition(n_files, *[F.col(c) for c in partition_by])
             .write.partitionBy(*partition_by)

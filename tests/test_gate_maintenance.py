@@ -415,3 +415,62 @@ def test_semantic_gate_cold_start_bootstrap(spark, tmp_path):
     m = {r.id: r.status for r in minhash_ingest_dedup(
         _docs(spark, [(1, TEXT_A)]), minhash_store(empty_docs)).collect()}
     assert m == {1: "new"}
+
+
+def test_retire_from_store_exact_and_semantic(spark, tmp_path):
+    """retire_from_store — the takedown inverse of the appends: the
+    retired keys vanish from the store (future gating re-admits their
+    clones), everything else survives byte-for-byte, the partition
+    layout (and DPP) survives on the vector store, and the rewrite
+    inherits the flatten-refusal guard."""
+    import pytest
+
+    # exact store: retire one fingerprint, its clone is 'new' again
+    store_path = str(tmp_path / "fp_store")
+    fingerprint_store(_docs(spark, [(100, TEXT_A), (101, TEXT_B)])).write.parquet(store_path)
+    pre = {r.id: r.status for r in ingest_dedup(
+        _docs(spark, [(1, TEXT_A), (2, TEXT_B)]), spark.read.parquet(store_path)).collect()}
+    assert pre == {1: "dup_store", 2: "dup_store"}
+    gone_fp = fingerprint_store(_docs(spark, [(0, TEXT_A)])).collect()[0].fingerprint
+    before, after = GM.retire_from_store(spark, store_path, [gone_fp], "fingerprint")
+    assert (before, after) == (2, 1)
+    post = {r.id: r.status for r in ingest_dedup(
+        _docs(spark, [(1, TEXT_A), (2, TEXT_B)]), spark.read.parquet(store_path)).collect()}
+    assert post == {1: "new", 2: "dup_store"}
+
+    # semantic store: retire by id, layout + DPP survive
+    dim = 4
+    base = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 0.1]), (101, [0.0, 1.0, 0.0, 0.1]),
+         (102, [0.0, 0.0, 1.0, 0.1])],
+        "vec_id long, embedding array<double>",
+    )
+    cents = sampled_centroids(base, n_cells=3)
+    sem_path = str(tmp_path / "sem_store")
+    semantic_store(base, dim=dim, n_cells=3, centroids=cents).write.partitionBy(
+        "cell"
+    ).parquet(sem_path)
+    with pytest.raises(ValueError, match="flatten"):
+        GM.retire_from_store(spark, sem_path, [100], "id")  # forgot layout
+    before, after = GM.retire_from_store(
+        spark, sem_path, [100], "id", partition_by=("cell",)
+    )
+    assert (before, after) == (3, 2)
+    probe = spark.createDataFrame(
+        [(9, [1.0, 0.0, 0.0, 0.1]), (10, [0.0, 1.0, 0.0, 0.1])],
+        "vec_id long, embedding array<double>",
+    )
+    gate = semantic_ingest_dedup(
+        probe, spark.read.parquet(sem_path), cents, dim, tau=0.95, n_probe=1
+    )
+    assert "dynamicpruning" in plan_of(gate).lower()
+    rows = {r.id: r for r in gate.collect()}
+    assert rows[9].status == "new"            # retired doc no longer matches
+    assert rows[10].status == "dup_semantic" and rows[10].match_id == 101
+
+    # DataFrame form + no-op retire
+    b2, a2 = GM.retire_from_store(
+        spark, sem_path,
+        spark.createDataFrame([(999,)], "id long"), "id", partition_by=("cell",),
+    )
+    assert (b2, a2) == (2, 2)
