@@ -124,6 +124,25 @@ def calibration_sec(spark) -> float:
     return round(best, 3)
 
 
+def calibration_io_sec(spark, sf_dir: str) -> float:
+    """Min-of-3 timing of a fixed parquet scan+aggregate (lineitem, two
+    columns) — the I/O + scheduling drift class the CPU sentinel is
+    blind to.  The r09 host-drift episode motivated recording BOTH: a
+    window where every real query ran 1.2-1.8x slow while the pure-CPU
+    calibration came out FASTER than its documented idle band, so
+    cross-round bench comparisons need an I/O-class reference too.
+    Not a gate (the band applies to the CPU sentinel only); recorded
+    per round so a later reader can normalize totals across rounds."""
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet").selectExpr(
+            "sum(l_quantity)", "count(distinct l_partkey)"
+        ).collect()
+        best = min(best, time.time() - t0)
+    return round(best, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -144,8 +163,9 @@ def main() -> None:
     for _, name in HEADLINE:
         QUERIES[name](spark, sf_dir).count()
 
-    # warm the calibration query's codegen before any timed use
+    # warm both calibration queries' codegen before any timed use
     calibration_sec(spark)
+    calibration_io_sec(spark, sf_dir)
 
     # Best-of-3 INTERLEAVED passes: run the whole headline suite three
     # full times and take each query's min ACROSS passes.  Timing one
@@ -188,6 +208,7 @@ def main() -> None:
             {
                 "before": calib_before,
                 "after": calib_after,
+                "io_after": calibration_io_sec(spark, sf_dir),
                 "load_before": load_before,
                 "load_after": list(os.getloadavg()),
             }
