@@ -49,6 +49,21 @@ small file set per run — compaction rewrites the store into few large
 files while PRESERVING its partition layout (partitionBy("cell") /
 ("band", "_part")), so DPP and every plan guard survive.
 
+CONCURRENCY (r10): "run maintenance only between runs" is enforced,
+not advisory.  `compact_store`/`retire_from_store` claim a
+`<store>.maintenance` marker (compare-and-set on the atomic
+create-if-absent primitive) for the duration of their rename-swap
+rewrite; `check_store_maintenance` — run by every append_admitted_*
+writer and, when the foreachBatch gates are given `store_path=`, at
+every gate epoch start — fails fast with a guidance error while the
+marker is held.  Whichever side loses the race gets the protocol's
+designed message instead of a raw FileNotFound from a scan of the
+momentarily-renamed store; two racing maintenance passes resolve the
+same way (the CAS loser raises).  A crashed rewrite leaves the marker
+deliberately — the documented adjudication is: verify nothing is
+running, delete the marker, re-run the helper (its crash-window
+auto-restore repairs the store).
+
 COLD START (run 1 of a brand-new crawl, no store on disk): the exact
 and near-dup gates bootstrap trivially — gate against an empty store
 frame (`fingerprint_store`/`minhash_store` over zero docs) and every
@@ -70,7 +85,11 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hannigan_conjunctisviribus_ploscompbio_2017_spark.streaming.events import _hadoop_fs
+from hannigan_conjunctisviribus_ploscompbio_2017_spark.streaming.events import (
+    _fs_create_text,
+    _fs_read_text,
+    _hadoop_fs,
+)
 
 _MATERIALIZED_CAVEAT = (
     "the decisions frame passed to this append is an UN-materialized gate "
@@ -79,7 +98,10 @@ _MATERIALIZED_CAVEAT = (
     "of touching only delta-sized inputs. Hand it a materialized frame "
     "(read_gate_decisions over the persisted log, or the gate output "
     "after .localCheckpoint()), or pass require_materialized=False to "
-    "accept the re-execution knowingly"
+    "accept the re-execution knowingly. (If the join this check found is "
+    "NOT a gate's — e.g. your decisions frame legitimately joins an "
+    "unrelated allowlist — the same two outs apply: checkpoint the frame, "
+    "or pass require_materialized=False.)"
 )
 
 
@@ -89,15 +111,74 @@ def _check_materialized(decisions: DataFrame, require_materialized: bool) -> Non
     every blessed input — a parquet read of the persisted log, a
     read_gate_decisions resolution (aggregate over a scan), or a
     checkpointed frame (LogicalRDD) — contains none, so a Join node in
-    the analyzed plan is the tell."""
+    the analyzed plan is the tell.  Detection is anchored to plan NODE
+    names (the leading identifier of each plan line, the _cheap_replay
+    idiom) — a string literal or column name containing 'Join' inside a
+    node's argument list cannot false-positive."""
     if not require_materialized:
         return
     try:
         plan = decisions._jdf.queryExecution().analyzed().toString()
     except Exception:
         return  # can't introspect the plan — don't block the append
-    if re.search(r"\bJoin\b", plan):
+    nodes = re.findall(r"^[\s:+-]*'?([A-Za-z]+)", plan, flags=re.M)
+    if any("Join" in n for n in nodes):
         raise RuntimeError(_MATERIALIZED_CAVEAT)
+
+
+# --------------------------------------------------------------------------
+# maintenance concurrency marker — the CAS lock that makes the "run it
+# only between runs" rule loud instead of a docstring
+# --------------------------------------------------------------------------
+
+_MAINTENANCE_SUFFIX = ".maintenance"
+
+
+def _maintenance_marker(store_path: str) -> str:
+    """The store's maintenance-marker path: a SIBLING of the store root
+    (`<store>.maintenance`), like `.compact.tmp` / `.precompact` — it
+    must survive the rename swap that momentarily moves the store root
+    itself aside, so it cannot live inside the store."""
+    return store_path.rstrip("/") + _MAINTENANCE_SUFFIX
+
+
+def check_store_maintenance(spark: SparkSession, store_path: str) -> None:
+    """Fail fast when a maintenance rewrite holds the store's marker —
+    the check every gate scan and append_admitted_* writer runs, so a
+    gate racing compact_store/retire_from_store dies with THIS guidance
+    instead of a raw FileNotFound inside the rewrite's rename window
+    (where the live store path momentarily does not exist)."""
+    marker = _maintenance_marker(store_path)
+    holder = _fs_read_text(spark, marker)
+    if holder is not None:
+        raise RuntimeError(
+            f"store at {store_path} is under maintenance "
+            f"(compact_store/retire_from_store hold {marker}): the rewrite "
+            "momentarily renames the live store aside, so scanning or "
+            "appending now would fail mid-plan or see a half-swapped "
+            "store. Wait for the maintenance pass to finish. If it "
+            "CRASHED (no maintenance process is running), the store is "
+            "intact or auto-restorable — delete the marker and re-run "
+            "the maintenance helper, THEN resume the gate"
+        )
+
+
+def _take_maintenance_marker(spark: SparkSession, store_path: str, what: str) -> str:
+    """Claim the store's maintenance marker (compare-and-set via the
+    atomic create-if-absent primitive).  Raises when another maintenance
+    pass — or a crashed one — already holds it; two concurrent rewrites
+    racing the rename swap would otherwise corrupt the store."""
+    marker = _maintenance_marker(store_path)
+    if not _fs_create_text(spark, marker, what):
+        holder = _fs_read_text(spark, marker)
+        raise RuntimeError(
+            f"another maintenance pass ({holder}) already holds {marker} — "
+            "either it is still running (wait for it), or it crashed and "
+            "left the marker (the store is intact or auto-restorable: "
+            "verify no maintenance process is running, delete the marker, "
+            "and re-run)"
+        )
+    return marker
 
 
 def _admitted_ids(decisions: DataFrame, alias: str) -> DataFrame:
@@ -143,6 +224,7 @@ def append_admitted_fingerprints(
     once per run regardless of file count, and the periodic rewrite is
     `compact_store`, which the gate never requires)."""
     _check_materialized(decisions, require_materialized)
+    check_store_maintenance(decisions.sparkSession, store_path)
     admitted_fingerprints(decisions).write.mode("append").parquet(store_path)
 
 
@@ -216,6 +298,7 @@ def append_admitted_minhash(
     The existing store is never read or shuffled — the write is a pure
     parquet append of delta-derived rows."""
     _check_materialized(decisions, require_materialized)
+    check_store_maintenance(decisions.sparkSession, store_path)
     rows = admitted_minhash_rows(
         decisions, docs, id_col, text_col, k, num_hashes, bands, seed,
         hash_fn, bucket_by_hash,
@@ -295,6 +378,7 @@ def append_admitted_semantic(
     partitioned=False only for a store that was written flat (where DPP
     was never available to lose)."""
     _check_materialized(decisions, require_materialized)
+    check_store_maintenance(decisions.sparkSession, store_path)
     rows = admitted_semantic_rows(
         decisions, embeddings, centroids, dim, id_col, vec_col, round_to
     )
@@ -378,9 +462,18 @@ def compact_store(
     `<store>.precompact`, the tmp renamed in (rolled back on failure),
     and the backup deleted last — an interruption therefore leaves
     either the original store live, or (between the two renames —
-    detected and auto-rolled-back on the next call) the complete
-    original at `<store>.precompact`.  Run it only between runs, never
-    concurrently with a gate.
+    detected, auto-rolled-back, and its superseded tmp cleared on the
+    next call) the complete original at `<store>.precompact`.
+
+    Run it only between runs, never concurrently with a gate — and
+    since r10 that rule is ENFORCED, not advisory: the rewrite claims
+    the `<store>.maintenance` marker (compare-and-set), the gates' scans
+    and the append_admitted_* writers check it, so whichever side loses
+    the race dies with the protocol's guidance error instead of a raw
+    FileNotFound inside the rename window.  A CRASHED rewrite leaves
+    the marker in place deliberately (the store may need the
+    auto-restore); deleting it and re-running is the documented manual
+    adjudication step.
 
     Returns (files_before, files_after)."""
     return _guarded_rewrite(spark, store_path, partition_by, target_file_bytes, None)
@@ -407,10 +500,12 @@ def retire_from_store(
     The rewrite anti-joins with the retired set BROADCAST (takedown
     lists are small by nature — the store itself never shuffles) inside
     the same guarded layout-preserving swap as compact_store, so the
-    partition dirs and with them DPP survive, and interruption
-    semantics are identical (original intact, or complete at
-    .precompact and auto-restored).  One retire pass also compacts as a
-    side effect (it is a full rewrite — batch takedowns, don't drip).
+    partition dirs and with them DPP survive, and interruption and
+    concurrency semantics are identical (original intact, or complete
+    at .precompact and auto-restored; the `<store>.maintenance` CAS
+    marker is claimed for the pass, so racing gates/appends fail fast
+    with guidance).  One retire pass also compacts as a side effect (it
+    is a full rewrite — batch takedowns, don't drip).
 
     Scope note: this edits the STORE, i.e. future admission decisions
     — a clone of a retired doc is 'new' again next run.  Past decisions
@@ -418,13 +513,26 @@ def retire_from_store(
     EVERY row leaves an empty store directory parquet cannot re-read;
     the next run then bootstraps via the documented cold-start flow.
 
-    Returns (rows_before, rows_after) — rows_after computed exactly as
-    rows_before minus the semi-join match count (the anti-join removes
-    precisely the matched rows), so no read of the rewritten store is
-    needed."""
+    Returns (rows_before, rows_after) — both derived from ONE counting
+    pass over the store (a broadcast left join against the retired set,
+    counting total and matched rows in one aggregate), so the
+    bookkeeping costs one store scan, not two, on top of the rewrite's
+    own.  The retired set is pinned with an eager localCheckpoint
+    first, so a non-deterministic `retired` plan (a sampled frame, a
+    limit without order) cannot make the counts and the rewrite see
+    different key sets."""
     path = store_path.rstrip("/")
+    # fail fast BEFORE the counting scan when another maintenance pass
+    # holds the store (its swap could yank the path mid-count); the
+    # rewrite itself still takes the CAS claim, which is what protects
+    # the swap
+    check_store_maintenance(spark, path)
     if isinstance(retired, DataFrame):
-        rset = retired.select(F.col(retired.columns[0]).alias(key_col)).distinct()
+        rset = (
+            retired.select(F.col(retired.columns[0]).alias(key_col))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
     else:
         retired = list(retired)
         if not retired:
@@ -432,8 +540,17 @@ def retire_from_store(
             return (n, n)
         rset = spark.createDataFrame([(k,) for k in retired]).toDF(key_col).distinct()
     store = spark.read.parquet(path)
-    rows_before = store.count()
-    removed = store.join(F.broadcast(rset), key_col, "semi").count()
+    counts = (
+        store.join(
+            F.broadcast(rset.withColumn("_retired", F.lit(1))), key_col, "left"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            F.count("_retired").alias("removed"),
+        )
+        .first()
+    )
+    rows_before, removed = counts["total"], counts["removed"]
     _guarded_rewrite(
         spark,
         path,
@@ -452,18 +569,46 @@ def _guarded_rewrite(
     transform,
 ) -> tuple[int, int]:
     """The shared layout-preserving store rewrite behind compact_store
-    and retire_from_store: leftover/flattening guards, optional row
-    transform, sized output files, rename-based swap with rollback.
-    Returns (files_before, files_after)."""
+    and retire_from_store: maintenance-marker claim, leftover/flattening
+    guards, optional row transform, sized output files, rename-based
+    swap with rollback.  Returns (files_before, files_after).
+
+    The `<store>.maintenance` marker is claimed FIRST (compare-and-set)
+    and released on every non-crash exit — success or raised guard —
+    because every raise below leaves the live store intact.  A process
+    CRASH leaves the marker deliberately: the store may be mid-swap, so
+    gates must keep failing fast until an operator deletes the marker
+    and re-runs (the auto-restore then repairs the crash window)."""
     path = store_path.rstrip("/")
+    marker = _take_maintenance_marker(spark, path, "compact/retire rewrite")
+    try:
+        return _guarded_rewrite_locked(
+            spark, path, partition_by, target_file_bytes, transform
+        )
+    finally:
+        mfs, mpath, _ = _hadoop_fs(spark, marker)
+        mfs.delete(mpath, False)
+
+
+def _guarded_rewrite_locked(
+    spark: SparkSession,
+    path: str,
+    partition_by: tuple[str, ...] | None,
+    target_file_bytes: int,
+    transform,
+) -> tuple[int, int]:
     fs, jpath, jvm = _hadoop_fs(spark, path)
     tmp = jvm.org.apache.hadoop.fs.Path(path + ".compact.tmp")
     bak = jvm.org.apache.hadoop.fs.Path(path + ".precompact")
     if fs.exists(bak) and not fs.exists(jpath):
         # interrupted between the two renames: the original is complete
-        # at .precompact — restore it and start over
+        # at .precompact — restore it, clear the superseded tmp (it is
+        # the interrupted pass's helper output, never the live store —
+        # in this window it necessarily still exists and would
+        # otherwise trip the leftover refusal below), and start over
         if not fs.rename(bak, jpath):
             raise RuntimeError(f"could not restore interrupted compaction from {bak}")
+        fs.delete(tmp, True)
     for leftover in (tmp, bak):
         if fs.exists(leftover):
             raise RuntimeError(

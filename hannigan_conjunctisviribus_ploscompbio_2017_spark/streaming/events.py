@@ -778,6 +778,7 @@ def _admission_gate_foreach(
     payload_col: str,
     gate_fn,
     plan_probe: list | None = None,
+    store_path: str | None = None,
 ):
     """The shared CORPUS-SCALE foreachBatch admission harness behind all
     three streaming gates' scalable variants (exact / near-dup /
@@ -813,10 +814,24 @@ def _admission_gate_foreach(
 
     `plan_probe`, if given a list, receives each epoch's formatted
     physical plan of the gate query — the hook the plan guards use; one
-    explainString per micro-batch, nothing executor-side."""
+    explainString per micro-batch, nothing executor-side.
+
+    `store_path`, if given, is the persisted store's root: each epoch
+    then starts by checking the store's `<store>.maintenance` marker
+    (claimed by compact_store/retire_from_store for their rename-swap
+    rewrite), so a gate racing a maintenance pass dies at the epoch
+    boundary with the protocol's guidance error instead of a raw
+    FileNotFound from a scan of the momentarily-renamed store.  Pass it
+    whenever the gate's store frame was read from a path."""
 
     def _gate(batch: DataFrame, epoch_id: int) -> None:
         spark_b = batch.sparkSession
+        if store_path is not None:
+            from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.gate_maintenance import (
+                check_store_maintenance,
+            )
+
+            check_store_maintenance(spark_b, store_path)
         # one row per id: first delivery by event time; a delta-sized
         # exchange, like every ingest gate
         first = batch.groupBy(F.col(id_col)).agg(
@@ -850,6 +865,21 @@ def _admission_gate_foreach(
         # root part files exist): an interrupted fold can momentarily
         # hold neither epoch dirs nor root files — without this check
         # that state would read as an EMPTY log and re-admit everything
+        # maintenance guard: compact_gate_decisions claims _maintenance
+        # for the whole fold, including the pre-commit window where the
+        # epoch dirs still look live — a gate epoch admitted THERE would
+        # write new epoch dirs the fold then deletes without folding
+        # (silent decision loss); fail fast with guidance instead
+        if _fs_read_text(spark_b, f"{decisions_path}/{_MAINTENANCE_MARKER}") is not None:
+            raise RuntimeError(
+                f"decisions log at {decisions_path} is under maintenance "
+                "(compact_gate_decisions holds its _maintenance marker) — "
+                "a gate epoch committed mid-fold would be silently "
+                "deleted by the fold. Stop the maintenance pass or wait "
+                "for it; if it CRASHED, delete the marker and re-run "
+                "compact_gate_decisions to completion, then start the "
+                "next run with a fresh decisions_path + checkpoint pair"
+            )
         if _fs_read_text(spark_b, f"{decisions_path}/{_COMPACTED_MARKER}") is not None:
             raise RuntimeError(
                 f"decisions log at {decisions_path} was COMPACTED "
@@ -1021,6 +1051,7 @@ def streaming_semantic_ingest_foreach(
     ts_col: str = "ts",
     round_to: int = 6,
     plan_probe: list | None = None,
+    store_path: str | None = None,
 ):
     """CORPUS-SCALE streaming semantic admission gate — the foreachBatch
     variant streaming_semantic_ingest's docstring points at: each
@@ -1070,6 +1101,7 @@ def streaming_semantic_ingest_foreach(
             fresh, store, centroids, dim, tau, n_probe, id_col, vec_col, round_to
         ),
         plan_probe,
+        store_path,
     )
 
 
@@ -1082,6 +1114,7 @@ def streaming_ingest_dedup_foreach(
     text_col: str = "text",
     ts_col: str = "ts",
     plan_probe: list | None = None,
+    store_path: str | None = None,
 ):
     """CORPUS-SCALE streaming EXACT admission gate — the foreachBatch
     variant of streaming_ingest_dedup for fingerprint stores too big to
@@ -1117,6 +1150,7 @@ def streaming_ingest_dedup_foreach(
         text_col,
         lambda fresh: ingest_dedup(fresh, store_fps, id_col, text_col),
         plan_probe,
+        store_path,
     )
 
 
@@ -1136,6 +1170,7 @@ def streaming_minhash_ingest_foreach(
     hash_fn=None,
     bucket_by_hash: bool = True,
     plan_probe: list | None = None,
+    store_path: str | None = None,
 ):
     """CORPUS-SCALE streaming NEAR-DUP admission gate — the foreachBatch
     variant completing the trio (exact / near-dup / semantic each have
@@ -1179,6 +1214,7 @@ def streaming_minhash_ingest_foreach(
             bucket_by_hash,
         ),
         plan_probe,
+        store_path,
     )
 
 
@@ -1218,6 +1254,7 @@ def read_gate_decisions(spark: SparkSession, decisions_path: str) -> DataFrame:
 
 _RUN_MARKER = "_run_id"
 _COMPACTED_MARKER = "_compacted"
+_MAINTENANCE_MARKER = "_maintenance"
 
 
 def _hadoop_fs(spark: SparkSession, path_str: str):
@@ -1261,12 +1298,19 @@ def _fs_create_text(spark: SparkSession, path_str: str, text: str) -> bool:
     """Create a small text file FAILING IF IT EXISTS (the Hadoop FS
     create(overwrite=false) contract — atomic claim on HDFS and local
     FS).  Returns False when the path already exists (lost the race);
-    True when this caller created it."""
+    True when this caller created it.  Any OTHER create failure — a
+    transient FS error, a permission problem — re-raises instead of
+    reading as a lost race (which would surface as a misleading
+    'claimed by another run' diagnosis downstream): after the
+    exception, the path existing is the one signal that someone else
+    actually won."""
     fs, jpath, _ = _hadoop_fs(spark, path_str)
     try:
         out = fs.create(jpath, False)
     except Exception:
-        return False
+        if fs.exists(jpath):
+            return False  # genuinely lost the race — the claim exists
+        raise
     try:
         out.write(bytearray(text.encode("utf-8")))
     finally:
@@ -1361,6 +1405,27 @@ def migrate_gate_decisions_log(
                 "pre-epoch-dir gate decisions log"
             )
         epochs = [r[0] for r in log.select("_epoch").distinct().collect()]
+        # validate the epochs BEFORE the partitionBy rewrite: a null or
+        # non-integer _epoch would otherwise first land as an
+        # _epoch=__HIVE_DEFAULT_PARTITION__ (or stringly-named) dir the
+        # gate then permanently refuses, and only THEN raise a bare
+        # TypeError at int() below — fail with the guided error first
+        bad = []
+        for n in epochs:
+            try:
+                if n is None or int(n) != n:
+                    bad.append(n)
+            except (TypeError, ValueError):
+                bad.append(n)
+        if bad:
+            raise RuntimeError(
+                f"decisions log at {path} holds rows with null or "
+                f"non-integer _epoch values {sorted(bad, key=repr)[:10]} — "
+                "not a valid pre-epoch-dir gate decisions log (the "
+                "exactly-once protocol needs integer epochs for its "
+                "directory names). Repair or drop those rows, then re-run "
+                "the migration; no epoch directory has been written"
+            )
         # one shuffle, one file per epoch dir: partitionBy writes the
         # protocol's exact layout (_epoch value in the DIRECTORY name,
         # not the data files)
@@ -1419,15 +1484,46 @@ def compact_gate_decisions(
     even the mid-fold state — marker present, epoch dirs gone, root
     files not yet moved — fails fast as a finished run instead of
     reading as an EMPTY log and silently re-admitting every previously
-    decided doc.  Run it only after the stream is stopped — it is a
-    maintenance step, not a concurrent operation.
+    decided doc.
+
+    Run it only after the stream is stopped — and since r10 that rule
+    is ENFORCED: the fold claims the log's `_maintenance` marker
+    (compare-and-set) for its whole duration and the gate checks it at
+    every epoch start, closing the PRE-commit window the `_compacted`
+    marker cannot cover (epoch dirs still look live while the resolved
+    copy is being written; a gate epoch committed there would be
+    deleted by the fold without being folded).  The marker is released
+    on every non-crash exit; a CRASHED fold leaves it, and the
+    documented adjudication is: verify no fold is running, delete the
+    marker, re-run this helper to completion (the `_compacted`
+    marker — not the lock — is what makes the resume data-safe).
 
     Returns (files_before, files_after) — the test-visible proof the
     listing shrank ((0, n) when resuming an interrupted fold: the
     original epoch-file count is no longer known)."""
+    path = decisions_path.rstrip("/")
+    if not _fs_create_text(spark, f"{path}/{_MAINTENANCE_MARKER}", "compact_gate_decisions"):
+        raise RuntimeError(
+            f"decisions log at {path} already holds a _maintenance marker "
+            "— another compact_gate_decisions pass is running (wait for "
+            "it), or a crashed one left the marker (verify nothing is "
+            "running, delete the marker, and re-run; the fold resumes "
+            "safely from its _compacted commit point)"
+        )
+    try:
+        return _compact_gate_decisions_locked(spark, path, target_file_bytes)
+    finally:
+        mfs, mpath, _ = _hadoop_fs(spark, f"{path}/{_MAINTENANCE_MARKER}")
+        mfs.delete(mpath, False)
+
+
+def _compact_gate_decisions_locked(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int,
+) -> tuple[int, int]:
     import math
 
-    path = decisions_path.rstrip("/")
     fs, jpath, jvm = _hadoop_fs(spark, path)
     epoch_glob = jvm.org.apache.hadoop.fs.Path(f"{path}/_epoch=*/part-*")
     tmp = f"{path}/_compact_tmp"

@@ -2141,6 +2141,67 @@ def test_run_marker_create_is_compare_and_set(spark, tmp_path):
     assert _fs_read_text(spark, p) == "run-A"  # loser reads the winner
 
 
+def test_fs_create_text_reraises_non_race_failures(spark, tmp_path):
+    """r09 ADVICE: only an actual lost race (the claim path exists)
+    reads as False — a REAL create failure (here: the parent is a
+    regular file, standing in for transient FS/permission errors)
+    re-raises instead of surfacing downstream as a misleading 'claimed
+    by another run' diagnosis."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.streaming.events import (
+        _fs_create_text,
+    )
+
+    parent = tmp_path / "not_a_dir"
+    parent.write_text("a regular file where a directory must be")
+    with pytest.raises(Exception):
+        _fs_create_text(spark, str(parent / "_run_id"), "run-A")
+
+
+def test_migrate_rejects_null_epoch_before_writing(spark, tmp_path):
+    """r09 ADVICE: a legacy log holding a null _epoch row must fail the
+    migration UP FRONT with the guided error — before the partitionBy
+    rewrite writes an _epoch=__HIVE_DEFAULT_PARTITION__ directory the
+    gate would then permanently refuse.  Root files stay intact and no
+    epoch directory appears."""
+    legacy = str(tmp_path / "legacy_null")
+    spark.createDataFrame(
+        [(1, "fpA", "new", 0), (2, "fpB", "new", None)],
+        "id long, fingerprint string, status string, _epoch int",
+    ).coalesce(1).write.parquet(legacy)
+    with pytest.raises(RuntimeError, match="null or non-integer _epoch"):
+        SE.migrate_gate_decisions_log(spark, legacy)
+    names = os.listdir(legacy)
+    assert not any(n.startswith("_epoch=") for n in names)  # nothing written
+    assert any(n.startswith("part-") for n in names)  # root files intact
+    assert not os.path.exists(f"{legacy}/_migrate_dirs_done")
+
+
+def test_compact_gate_decisions_maintenance_marker(spark, tmp_path):
+    """r09 verdict ask #2, decisions-log side: compact_gate_decisions
+    claims the log's _maintenance marker for the whole fold — a second
+    pass racing it loses the compare-and-set with the designed error —
+    and releases it on completion, so the resolved log reads normally
+    afterwards."""
+    feed, run = _gate_runner(spark, tmp_path, src_name="mx_docs")
+    feed((1, 0, "marker one"))
+    feed((2, 1, "marker two"))
+    run("dec_mx", "ckpt_mx", max_files=1)
+    dec_path = str(tmp_path / "dec_mx")
+    pre = sorted(map(tuple, SE.read_gate_decisions(spark, dec_path).collect()))
+
+    # a held marker (concurrent or crashed pass) makes the CAS loser raise
+    with open(f"{dec_path}/_maintenance", "w") as f:
+        f.write("another fold")
+    with pytest.raises(RuntimeError, match="_maintenance"):
+        SE.compact_gate_decisions(spark, dec_path)
+    os.remove(f"{dec_path}/_maintenance")  # the documented adjudication
+
+    before, after = SE.compact_gate_decisions(spark, dec_path)
+    assert before >= 2 and after >= 1
+    assert not os.path.exists(f"{dec_path}/_maintenance")  # released
+    assert sorted(map(tuple, SE.read_gate_decisions(spark, dec_path).collect())) == pre
+
+
 def test_foreach_gate_fully_suppressed_epoch(spark, tmp_path):
     """An epoch consisting ONLY of re-deliveries (every id already in
     the decisions log) must run green end-to-end: the suppression
