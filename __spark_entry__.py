@@ -25,92 +25,93 @@ from hannigan_conjunctisviribus_ploscompbio_2017_spark.queries_testdata import (
 SF0001 = "/root/testdata/sf0.001"
 
 # The driver gate executes the first ~50 registered entries, so
-# registration order decides what gets driver-gate credit.  r09 order
+# registration order decides what gets driver-gate credit.  r10 order
 # (oldest-measurement-first — the rotation contract: every entry's
 # newest green row stays within the last three measured rounds):
-# (1) the entry NEW this round: ss_semantic_store_append — the SEMANTIC
+# (1) the entry NEW this round: dd_minhash_store_append — the NEAR-DUP
 #     admission-gate store maintenance loop end-to-end (run 1 gate →
-#     partitionBy("cell") append of admitted vectors → run 2 gate on
-#     the appended store, scan still DPP-pruned), promoted per the r08
-#     verdict ask #4 (it carries the DPP-preservation claim);
-# (2) the four r08-measured gate entries whose PROTOCOL changed this
-#     round and deserve a fresh driver row (the r08 precedent): the
-#     three foreachBatch gates gained the _run_id run-identity marker
-#     (r08 ADVICE medium — epoch-0 collision on a reused decisions
-#     path) and dd_ingest_store_append now materializes decisions
-#     before the append (the enforced require_materialized caveat);
-# (3) ALL 44 entries last driver-measured in r06 — the r08 verdict's
-#     ask #1 mandatory set (audited: exactly the newest-green==r06
-#     cohort, 45 minus the retired m13_rarefaction_curve);
-# (4) one oldest r07 entry backfilling to the 50-cap
-#     (ss_semantic_ingest — the one-run semantic gate whose store this
-#     round's append/compaction work extends), smoothing r10's load.
+#     append of the admitted docs' recomputed banded signatures →
+#     run 2 gate on the appended store; clones of run-1 admits flag
+#     dup_near, possible only through the append), promoted per the
+#     r09 verdict ask #7 — the last append family without a driver row;
+# (2) ALL 45 entries last driver-measured in r07 — the r09 verdict's
+#     ask #1 mandatory set (audited: exactly the newest-green==r07
+#     cohort, 46 minus the retired ev_semantic_ingest_2batch);
+# (3) four oldest r08 entries backfilling to the 50-cap, smoothing
+#     r11's load, chosen from this round's touched families:
+#     dd_ingest_dedup + ev_ingest_dedup_2batch (the exact gate whose
+#     append loop the new entry mirrors), dd_contamination (bench q14),
+#     gq5_sample_network (the flagship, bench q2).
 # All entries pass the identical local gate (tools/check_oracle.py).
 # Rotation arithmetic: 142 entries / 3-round window = ~47 re-measures
 # per round minimum, so the 50-cap sustains the contract with ~3
 # slots/round of steady-state headroom.  SUSTAINABILITY CEILING: at 150
 # entries the contract consumes the whole 50-cap — any growth past ~146
-# must retire a redundant entry per addition.  r09: +ss_semantic_store_
-# append, -m13_rarefaction_curve (same statistic and derivation as
-# m13_rarefaction_curve_portable, which keeps the oracle-bearing entry;
-# draw-family equivalence pinned in test_stats.py — the m4/dd_minhash_
-# sig precedent), net 142.  After r09 the r07 cohort (46 after the
-# backfill) is r10's mandatory set — inside the 50-cap.
+# must retire a redundant entry per addition.  r10: +dd_minhash_store_
+# append, -ev_semantic_ingest_2batch (verified against the IDENTICAL
+# oracle SQL as the surviving ev_semantic_ingest_foreach — same
+# statistic, two execution families; equivalence pinned row-for-row in
+# test_entry_sweep.py::test_semantic_gate_family_equivalence — the
+# m13/m4/dd_minhash_sig precedent), net 142.  After r10 the r08 cohort
+# (42 after the backfills) is r11's mandatory set — inside the 50-cap.
+# This round's maintenance-marker change is NOT a gate-protocol change
+# for measured entries: it adds a fail-fast check on a marker no driver
+# entry ever creates (happy-path plans, writes, and outputs are
+# byte-identical), so no r09-measured gate entry needs a fresh row.
 _PRIORITY = [
-    # -- (1) new in r09 --
-    "ss_semantic_store_append",
-    # -- (2) r08-measured, gate protocol changed in r09 --
-    "ev_semantic_ingest_foreach",
-    "ev_ingest_dedup_foreach",
-    "ev_minhash_ingest_foreach",
-    "dd_ingest_store_append",
-    # -- (3) last measured in r06 (all 44 — the mandatory set) --
-    "a12_row_votes",
-    "a1_pricing_summary",
-    "a2_mean_score_per_pair",
-    "a3_min_score_per_pair",
-    "a4_degree_count",
-    "a5_count_distinct",
-    "a7_rarefaction_depth",
-    "a9_best_hit_dedup",
-    "dd_minhash_ingest",
-    "ev_chunk_first_seen",
-    "ev_first_seen_dedup",
-    "ev_near_dup_stream",
-    "ev_stream_pack",
-    "f_scalar_chain",
-    "gk_communities_modularity",
-    "gk_katz_centrality",
-    "gk_pagerank",
-    "gq1_interaction_scores",
-    "j11_asof_join",
-    "j1_equi_join",
-    "j2_broadcast_annotate",
-    "j3_feature_merge",
-    "j7_cross_join",
-    "m1_rarefaction",
-    "m1_rarefaction_portable",
-    "m2_bray_curtis",
-    "ml_nested_cv",
-    "ml_rf_interactions",
-    "ml_roc_points",
-    "ml_roc_portable",
-    "mm_video_frames",
-    "o1_distinct_sorted",
-    "o4_union_all",
-    "o5_intersect",
-    "o6_except",
-    "p3_p4_predicate_filters",
-    "p6_any_positive",
-    "p7_length_range",
-    "p8_anti_filter",
-    "p9_semi_filter",
-    "r1_pivot_matrix",
-    "r4_melt",
-    "ss_ivf_sq8_topk",
-    "w1_top_per_group",
-    # -- (4) oldest r07 backfill to the 50-cap --
-    "ss_semantic_ingest",
+    # -- (1) new in r10 --
+    "dd_minhash_store_append",
+    # -- (2) last measured in r07 (all 45 — the mandatory set) --
+    "a10_frequency_table",
+    "dd_cut_spans",
+    "dd_dup_clusters",
+    "dd_duplicate_spans",
+    "dd_embedding_near_dup",
+    "dd_exact_dedup",
+    "dd_jaccard_pairs",
+    "dd_kmer_minhash",
+    "dd_minhash_lsh",
+    "dd_simhash",
+    "ev_chunk_first_seen_2batch",
+    "ev_first_seen_2batch",
+    "ev_hourly_agg",
+    "ev_sessionize",
+    "ev_stream_pack_2batch",
+    "g10_node_entropy",
+    "g12_simplify",
+    "g1_degree_per_node",
+    "g5_degree_distribution",
+    "gb_gene_network",
+    "gk_alpha_centrality",
+    "gk_betweenness",
+    "gk_betweenness_distributed",
+    "gk_betweenness_stratified",
+    "gk_connected_components",
+    "gk_connectivity",
+    "gk_eccentricity_closeness",
+    "gk_greedy_modularity",
+    "gq6_label_scan",
+    "gq7_disease_scope",
+    "graph_build_e2e",
+    "mm_blob_stats",
+    "ss_cosine_topk",
+    "ss_ivf_pq_topk",
+    "ss_ivf_topk",
+    "ss_ivf_trained_topk",
+    "ss_pq_topk",
+    "ss_srp_lsh_topk",
+    "tx_corpus_summary",
+    "tx_dsir_sample",
+    "tx_dsir_weights",
+    "tx_fingerprint",
+    "tx_quality_langid",
+    "tx_token_stats",
+    "w3_global_sort_limit",
+    # -- (3) oldest r08 backfills to the 50-cap --
+    "dd_ingest_dedup",
+    "ev_ingest_dedup_2batch",
+    "dd_contamination",
+    "gq5_sample_network",
 ]
 
 

@@ -2133,6 +2133,175 @@ def dd_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_clusters(docs, pairs)
 
 
+def _minhash_two_run_oracle(
+    num_hashes: int = 32, bands: int = 8, threshold: float = 0.25
+) -> str:
+    """DuckDB twin of the NEAR-DUP gate's two-run store-maintenance
+    loop (the _semantic_two_run_oracle shape for the minhash family):
+    run 1 gates a delta (doc_id%10 in {6,7} plus re-idded store clones)
+    against store0 = doc_id%10 < 6; the run-1 ADMITTED docs' signatures
+    join the store; run 2 (doc_id%10 >= 8 plus re-idded clones of run-1
+    docs) gates against the appended store.  Fully independent replay:
+    same affine md5-family signatures as dd_minhash_lsh, run-1 statuses
+    recomputed from scratch, store1 = side-0 signatures UNION the run-1
+    'new' docs' signatures, best match per run-2 doc by (est DESC, id
+    ASC) — exactly minhash_ingest_dedup's tie-break."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.dedup import (
+        _MERSENNE,
+        _hash_coeffs,
+    )
+
+    rpb = num_hashes // bands
+    mins = ",\n           ".join(
+        f"CAST(MIN((h * {a} + {b}) % {_MERSENNE}) AS BIGINT) AS h{i}"
+        for i, (a, b) in enumerate(_hash_coeffs(num_hashes, seed=42))
+    )
+    band_conds = "\n        OR ".join(
+        "("
+        + " AND ".join(f"a.h{b * rpb + j} = s.h{b * rpb + j}" for j in range(rpb))
+        + ")"
+        for b in range(bands)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN a.h{i} = s.h{i} THEN 1 ELSE 0 END)" for i in range(num_hashes)
+    )
+    return f"""
+    WITH alltx AS (
+      SELECT doc_id AS id, text, 0 AS side FROM documents WHERE doc_id % 10 < 6
+      UNION ALL
+      SELECT doc_id AS id, text, 1 AS side FROM documents
+      WHERE doc_id % 10 IN (6, 7)
+      UNION ALL
+      SELECT doc_id + 1000000 AS id, text, 1 AS side FROM documents
+      WHERE doc_id % 10 < 6 AND doc_id % 37 = 0
+      UNION ALL
+      SELECT doc_id AS id, text, 2 AS side FROM documents WHERE doc_id % 10 >= 8
+      UNION ALL
+      SELECT doc_id + 2000000 AS id, text, 2 AS side FROM documents
+      WHERE doc_id % 10 IN (6, 7) AND doc_id % 23 = 0
+    ), toks AS (
+      SELECT id, side, string_split({_NORM_SQL}, ' ') AS t FROM alltx
+    ), pos AS (
+      SELECT id, side, t,
+             unnest(CASE WHEN len(t) >= 3 THEN generate_series(1, len(t) - 2)
+                         ELSE CAST([] AS BIGINT[]) END) AS i
+      FROM toks
+    ), sh AS (
+      SELECT DISTINCT id, side,
+             array_to_string(list_slice(t, i, i + 2), ' ') AS shingle
+      FROM pos
+    ), th AS (
+      SELECT id, side, {_MD5_60.format(c="shingle")} % {_MERSENNE} AS h FROM sh
+    ), sig AS MATERIALIZED (
+      SELECT id, side,
+           {mins}
+      FROM th GROUP BY id, side
+    ), cand1 AS (
+      SELECT a.id AS qid, s.id AS mid,
+             ROUND(({agree}) / {num_hashes}.0, 6) AS est
+      FROM (SELECT * FROM sig WHERE side = 1) a
+      JOIN (SELECT * FROM sig WHERE side = 0) s
+        ON ({band_conds})
+    ), best1 AS (
+      SELECT qid, est FROM (
+        SELECT qid, est,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY est DESC, mid ASC) AS rn
+        FROM cand1
+      ) WHERE rn = 1
+    ), admitted1 AS (
+      -- run-1 docs whose best estimate misses the threshold (or who
+      -- have no bucket collision at all) are 'new' and get appended
+      SELECT d.id FROM (SELECT id FROM alltx WHERE side = 1) d
+      LEFT JOIN best1 b ON b.qid = d.id
+      WHERE b.est IS NULL OR b.est < {threshold}
+    ), store1 AS (
+      SELECT id, side FROM sig WHERE side = 0
+      UNION ALL
+      SELECT g.id, g.side FROM sig g JOIN admitted1 ad ON g.id = ad.id AND g.side = 1
+    ), cand2 AS (
+      SELECT a.id AS qid, s.id AS mid,
+             ROUND(({agree}) / {num_hashes}.0, 6) AS est
+      FROM (SELECT * FROM sig WHERE side = 2) a
+      JOIN (SELECT g.* FROM sig g JOIN store1 st
+              ON g.id = st.id AND g.side = st.side) s
+        ON ({band_conds})
+    ), best2 AS (
+      SELECT qid, mid, est FROM (
+        SELECT qid, mid, est,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY est DESC, mid ASC) AS rn
+        FROM cand2
+      ) WHERE rn = 1
+    )
+    SELECT d.id AS id,
+           CASE WHEN b.est >= {threshold} THEN 'dup_near' ELSE 'new' END AS status,
+           b.mid AS match_id,
+           b.est AS est_jaccard
+    FROM (SELECT id FROM alltx WHERE side = 2) d
+    LEFT JOIN best2 b ON b.qid = d.id
+    """
+
+
+@query("dd_minhash_store_append", oracle=_minhash_two_run_oracle())
+def dd_minhash_store_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NEAR-DUP admission-gate store MAINTENANCE loop end-to-end
+    (r10 — the minhash member of the append trio, completing driver
+    coverage next to dd_ingest_store_append and ss_semantic_store_append
+    per the r09 verdict ask #7): run 1 gates a delta against the
+    persisted banded-signature store, append_admitted_minhash recomputes
+    the admitted docs' signatures with the store's exact hash geometry
+    and appends them (pure parquet append — the derivation never reads
+    the store, plan-guarded in tests/test_gate_maintenance.py), and
+    run 2 — salted with re-idded clones of run-1 docs — gates against
+    the APPENDED store read back from parquet: the clones flag dup_near
+    with their run-1 twin as match, which only happens through the
+    append.  Flat store layout here so the oracle replay stays pure
+    SQL; the partitioned ("band", "_part") layout is pinned by pytest
+    and measured by tools/scale_check.py --compaction-banded.  Portable
+    md5 family + band-content buckets, as in dd_minhash_ingest, so the
+    oracle replays both runs' signatures, banding, the admitted-set
+    store union, and the best-match selection fully independently."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.dedup import (
+        minhash_ingest_dedup,
+        minhash_store,
+        portable_token_hash,
+    )
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.gate_maintenance import (
+        append_admitted_minhash,
+    )
+
+    kw = dict(hash_fn=portable_token_hash, bucket_by_hash=False)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    t = tempfile.mkdtemp(prefix="sg_mhappend_")
+    atexit.register(shutil.rmtree, t, ignore_errors=True)
+    store_path = f"{t}/mh_store"
+    minhash_store(docs.filter(d % 10 < 6), **kw).write.parquet(store_path)
+
+    run1_fresh = docs.filter((d % 10 >= 6) & (d % 10 < 8))
+    run1 = run1_fresh.unionByName(
+        docs.filter((d % 10 < 6) & (d % 37 == 0)).select(
+            (d + 1000000).alias("doc_id"), "text"
+        )
+    )
+    # checkpoint before the append — the enforced require_materialized
+    # caveat (the gate must not re-run inside the append job)
+    dec1 = minhash_ingest_dedup(
+        run1, spark.read.parquet(store_path), threshold=0.25, **kw
+    ).localCheckpoint(eager=False)
+    append_admitted_minhash(dec1, run1, store_path, **kw)
+
+    run2 = docs.filter(d % 10 >= 8).unionByName(
+        run1_fresh.filter(d % 23 == 0).select((d + 2000000).alias("doc_id"), "text")
+    )
+    return minhash_ingest_dedup(
+        run2, spark.read.parquet(store_path), threshold=0.25, **kw
+    )
+
+
 @query("dd_kmer_minhash", oracle=_kmer_minhash_oracle())
 def dd_kmer_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-mer MinHash + LSH banding over character 8-mers — the in-engine
@@ -3326,10 +3495,6 @@ def ss_semantic_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_ingest_dedup(delta, store, cents, dim=64, tau=0.38)
 
 
-@query(
-    "ev_semantic_ingest_2batch",
-    oracle=_semantic_ingest_oracle(with_ts=True),
-)
 def ev_semantic_ingest_2batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming semantic admission gate across TWO real micro-batches —
     the streaming twin of ss_semantic_ingest: the delta docs (vec_id <
@@ -3339,7 +3504,22 @@ def ev_semantic_ingest_2batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     each doc's first batch reproduces the batch operator's best-match
     answer exactly (the candidate pairs against the static store are
     identical whichever batch delivers the doc).  Store never shuffles
-    the stream (stream-static broadcast LEFT join on cell)."""
+    the stream (stream-static broadcast LEFT join on cell).
+
+    REGISTRY ENTRY RETIRED r10 (registry-ceiling management per the r09
+    verdict ask #7, the m13/m4/dd_minhash_sig precedent): this entry
+    and ev_semantic_ingest_foreach verify against the IDENTICAL oracle
+    SQL (`_semantic_ingest_oracle(with_ts=True)`) — same statistic,
+    same feed, two execution families (applyInPandasWithState
+    stream-static broadcast here, foreachBatch + decisions log there) —
+    so the corpus-scale foreachBatch entry carries the oracle-bearing
+    driver row and the family equivalence is pinned in pytest
+    (tests/test_entry_sweep.py::test_semantic_gate_family_equivalence,
+    which replays THIS builder against the surviving entry row-for-
+    row).  The stateful operator itself stays covered by
+    test_sources_streaming_mm (state/nulls/string-ids), and the builder
+    stays unregistered for the equivalence test and
+    tools/gen_fixture_oracles.py's getattr fallback."""
     from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.similarity import (
         sampled_centroids,
         semantic_store,

@@ -94,6 +94,31 @@ def test_bench_labels_frozen():
     assert set(got.values()) <= set(queries())
 
 
+def test_semantic_gate_family_equivalence(spark):
+    """r10 retirement adjudication (ev_semantic_ingest_2batch → the
+    surviving ev_semantic_ingest_foreach, the m13/m4 precedent): the
+    two streaming semantic gates verified against the IDENTICAL oracle
+    SQL — the stateful applyInPandasWithState twin (retired builder,
+    kept unregistered) and the corpus-scale foreachBatch twin (keeps
+    the driver row) — must produce row-for-row identical decisions on
+    the same two-batch feed.  This pins the family equivalence the
+    retirement relies on; if the operators ever diverge, the retired
+    family loses its coverage-by-proxy and this fails."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.queries_testdata import (
+        QUERIES,
+        ev_semantic_ingest_2batch,
+    )
+
+    assert "ev_semantic_ingest_2batch" not in QUERIES  # really retired
+    a = ev_semantic_ingest_2batch(spark, SF0001)
+    b = QUERIES["ev_semantic_ingest_foreach"](spark, SF0001)
+    cols = sorted(a.columns)
+    assert cols == sorted(b.columns)
+    stateful = sorted(map(tuple, a.select(*cols).collect()))
+    foreach = sorted(map(tuple, b.select(*cols).collect()))
+    assert stateful == foreach and len(stateful) == 20
+
+
 @pytest.mark.parametrize("name", sorted(oracle_sql()))
 def test_oracle_sql_executes_in_duckdb(name):
     """Every oracle must at least run in DuckDB against the real tables —

@@ -266,17 +266,148 @@ def bench_compaction(n_appends: int = 64) -> dict:
     }
 
 
+def _compaction_probe(spark, store, partition_by, gate_pass_fn, n_appends) -> dict:
+    """Shared tail of the partitioned compaction probes: time the gate
+    against the fragmented store, compact (layout-preserving), assert
+    identical rows, re-time."""
+    import time as _t
+
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.gate_maintenance import (
+        compact_store,
+    )
+
+    def best_of_3() -> float:
+        best = float("inf")
+        for _ in range(3):
+            t0 = _t.time()
+            gate_pass_fn()
+            best = min(best, _t.time() - t0)
+        return round(best, 3)
+
+    pre_rows = spark.read.parquet(store).count()
+    frag_s = best_of_3()
+    files_before, files_after = compact_store(spark, store, partition_by=partition_by)
+    assert spark.read.parquet(store).count() == pre_rows, "compaction changed rows"
+    compact_s = best_of_3()
+    return {
+        "n_appends": n_appends,
+        "files_before": files_before,
+        "files_after": files_after,
+        "gate_fragmented_s": frag_s,
+        "gate_compacted_s": compact_s,
+        "speedup": round(frag_s / max(compact_s, 1e-9), 2),
+    }
+
+
+def bench_compaction_semantic(n_appends: int = 64) -> dict:
+    """The cell-partitioned semantic store is the layout that fragments
+    FASTEST under the append-only lifecycle: every
+    append_admitted_semantic run writes one small file set into EACH
+    cell directory it touches (n_appends runs x n_cells dirs), so the
+    per-file overhead multiplies by the partition fan-out.  Accumulate
+    the sf0.1 embedding store over n_appends partitionBy("cell")
+    appends, time the DPP-pruned semantic gate against the fragmented
+    store, compact with the layout preserved, re-time (r09 verdict ask
+    #3 — the flat probe alone under-measures the win)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.similarity import (
+        sampled_centroids,
+        semantic_ingest_dedup,
+        semantic_store,
+    )
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.session import get_spark
+
+    spark = get_spark("scale-compaction-semantic")
+    tmp = tempfile.mkdtemp(prefix="sg_compact_sem_")
+    store = f"{tmp}/sem_store"
+    emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    cents = sampled_centroids(emb, n_cells=16)
+    v = F.col("vec_id")
+    for i in range(n_appends):
+        # one committed file per touched cell dir per append — the
+        # append_admitted_semantic write shape after a small run
+        semantic_store(
+            emb.filter(v % n_appends == i), dim=64, n_cells=16, centroids=cents
+        ).coalesce(1).write.mode("append").partitionBy("cell").parquet(store)
+    delta = emb.filter(v % 7 == 3).select(
+        (v + 10_000_000).alias("vec_id"), "embedding"
+    )
+
+    def gate_pass():
+        semantic_ingest_dedup(
+            delta, spark.read.parquet(store), cents, dim=64, tau=0.38
+        ).agg(F.count(F.lit(1))).first()
+
+    out = _compaction_probe(spark, store, ("cell",), gate_pass, n_appends)
+    shutil.rmtree(tmp, ignore_errors=True)
+    spark.stop()
+    return {"layout": "semantic partitionBy(cell)", **out}
+
+
+def bench_compaction_banded(n_appends: int = 64) -> dict:
+    """Band-array minhash store, partitionBy("band", "_part") — the
+    other fast-fragmenting layout (each append writes a file set per
+    (band, _part) directory).  Accumulate over n_appends appends using
+    the same derived `_part` column the appends use, time the near-dup
+    gate fragmented vs compacted."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.dedup import (
+        minhash_ingest_dedup,
+        minhash_store,
+        portable_token_hash,
+    )
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.gate_maintenance import (
+        derive_minhash_partition,
+    )
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.session import get_spark
+
+    kw = dict(hash_fn=portable_token_hash, bucket_by_hash=False)
+    spark = get_spark("scale-compaction-banded")
+    tmp = tempfile.mkdtemp(prefix="sg_compact_band_")
+    store = f"{tmp}/mh_store"
+    docs = spark.read.parquet(f"{SRC}/documents.parquet").select("doc_id", "text")
+    d = F.col("doc_id")
+    for i in range(n_appends):
+        derive_minhash_partition(
+            minhash_store(docs.filter(d % n_appends == i), **kw), hash_partitions=4
+        ).coalesce(1).write.mode("append").partitionBy("band", "_part").parquet(store)
+    delta = docs.filter(d % 7 == 3).select((d + 10_000_000).alias("doc_id"), "text")
+
+    def gate_pass():
+        minhash_ingest_dedup(delta, spark.read.parquet(store), **kw).agg(
+            F.count(F.lit(1))
+        ).first()
+
+    out = _compaction_probe(spark, store, ("band", "_part"), gate_pass, n_appends)
+    shutil.rmtree(tmp, ignore_errors=True)
+    spark.stop()
+    return {"layout": "minhash partitionBy(band, _part)", **out}
+
+
 def main() -> None:
     args = sys.argv[1:]
     subset = None
     betweenness = "--betweenness" in args
     if betweenness:
         args.remove("--betweenness")
-    if "--compaction" in args:
-        i = args.index("--compaction")
-        n = int(args[i + 1]) if len(args) > i + 1 and args[i + 1].isdigit() else 64
-        print(json.dumps(bench_compaction(n)))
-        return
+    for flag, fn in (
+        ("--compaction-semantic", bench_compaction_semantic),
+        ("--compaction-banded", bench_compaction_banded),
+        ("--compaction", bench_compaction),
+    ):
+        if flag in args:
+            i = args.index(flag)
+            n = int(args[i + 1]) if len(args) > i + 1 and args[i + 1].isdigit() else 64
+            print(json.dumps(fn(n)))
+            return
     if "--subset" in args:
         i = args.index("--subset")
         subset = args[i + 1 :] or SUBSET_DEFAULT
