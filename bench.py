@@ -132,7 +132,13 @@ def calibration_io_sec(spark, sf_dir: str) -> float:
     calibration came out FASTER than its documented idle band, so
     cross-round bench comparisons need an I/O-class reference too.
     Not a gate (the band applies to the CPU sentinel only); recorded
-    per round so a later reader can normalize totals across rounds."""
+    per round so a later reader can normalize totals across rounds.
+    Cross-round methodology (r10): published comparisons normalize each
+    round's total by its io_after sample (total_norm = total x
+    io_ref/io_round — the table lives in COVERAGE.md), and any claimed
+    CODE-level regression or improvement must additionally be gated by
+    an interleaved same-session A/B of the two trees (best-of-3 per
+    variant), never by two raw totals from different windows."""
     best = float("inf")
     for _ in range(3):
         t0 = time.time()
