@@ -1383,9 +1383,13 @@ def migrate_gate_decisions_log(
     (re-run rewrites from scratch); a crash in phase 2 leaves the
     marker, so a re-run SKIPS the rewrite — it must not rebuild the
     complete epoch dirs from the surviving subset of root files — and
-    just finishes the deletion.  Returns the number of epoch
-    directories written (0 when there are no root part files — nothing
-    to migrate)."""
+    just finishes the deletion.  No `_maintenance` claim is needed here
+    (unlike compact_gate_decisions): a legacy log cannot have a live
+    stream by definition — the gate fails fast on root part files in
+    every phase where any remain, and once none do the log is already
+    the finished, resumable epoch-dir layout.  Returns the number of
+    epoch directories written (0 when there are no root part files —
+    nothing to migrate)."""
     path = decisions_path.rstrip("/")
     fs, _, jvm = _hadoop_fs(spark, path)
     done_marker = f"{path}/_migrate_dirs_done"
