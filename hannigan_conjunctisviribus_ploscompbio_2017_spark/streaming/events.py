@@ -1408,23 +1408,25 @@ def migrate_gate_decisions_log(
                 f"decisions log at {path} has no _epoch column — not a "
                 "pre-epoch-dir gate decisions log"
             )
-        epochs = [r[0] for r in log.select("_epoch").distinct().collect()]
-        # validate the epochs BEFORE the partitionBy rewrite: a null or
-        # non-integer _epoch would otherwise first land as an
-        # _epoch=__HIVE_DEFAULT_PARTITION__ (or stringly-named) dir the
-        # gate then permanently refuses, and only THEN raise a bare
-        # TypeError at int() below — fail with the guided error first
-        bad = []
-        for n in epochs:
-            try:
-                if n is None or int(n) != n:
-                    bad.append(n)
-            except (TypeError, ValueError):
-                bad.append(n)
-        if bad:
+        # validate _epoch BEFORE the partitionBy rewrite: a null (or a
+        # non-integer-typed column — a DOUBLE writes `_epoch=3.0` dirs
+        # the integer rename below would never find) would otherwise
+        # first land as an _epoch=__HIVE_DEFAULT_PARTITION__ or
+        # stringly-named dir the gate then permanently refuses, and only
+        # THEN fail at int()/rename — fail with the guided error first
+        etype = log.schema["_epoch"].dataType.typeName()
+        if etype not in ("byte", "short", "integer", "long"):
             raise RuntimeError(
-                f"decisions log at {path} holds rows with null or "
-                f"non-integer _epoch values {sorted(bad, key=repr)[:10]} — "
+                f"decisions log at {path} has a non-integer-typed _epoch "
+                f"column ({etype}) — the exactly-once protocol needs "
+                "integer epochs for its directory names. Cast the column "
+                "(e.g. CAST(_epoch AS BIGINT), values must be exact) and "
+                "re-run the migration; no epoch directory has been written"
+            )
+        epochs = [r[0] for r in log.select("_epoch").distinct().collect()]
+        if any(n is None for n in epochs):
+            raise RuntimeError(
+                f"decisions log at {path} holds rows with NULL _epoch — "
                 "not a valid pre-epoch-dir gate decisions log (the "
                 "exactly-once protocol needs integer epochs for its "
                 "directory names). Repair or drop those rows, then re-run "

@@ -2157,23 +2157,34 @@ def test_fs_create_text_reraises_non_race_failures(spark, tmp_path):
         _fs_create_text(spark, str(parent / "_run_id"), "run-A")
 
 
-def test_migrate_rejects_null_epoch_before_writing(spark, tmp_path):
-    """r09 ADVICE: a legacy log holding a null _epoch row must fail the
-    migration UP FRONT with the guided error — before the partitionBy
-    rewrite writes an _epoch=__HIVE_DEFAULT_PARTITION__ directory the
-    gate would then permanently refuse.  Root files stay intact and no
-    epoch directory appears."""
+def test_migrate_rejects_null_and_nonint_epoch_before_writing(spark, tmp_path):
+    """r09 ADVICE: a legacy log holding a null _epoch row — or a
+    non-integer-typed _epoch column (a DOUBLE would write `_epoch=3.0`
+    dirs the integer rename never finds) — must fail the migration UP
+    FRONT with the guided error, before the partitionBy rewrite writes
+    an _epoch=__HIVE_DEFAULT_PARTITION__ or stringly-named directory
+    the gate would then permanently refuse.  Root files stay intact and
+    no epoch directory appears."""
     legacy = str(tmp_path / "legacy_null")
     spark.createDataFrame(
         [(1, "fpA", "new", 0), (2, "fpB", "new", None)],
         "id long, fingerprint string, status string, _epoch int",
     ).coalesce(1).write.parquet(legacy)
-    with pytest.raises(RuntimeError, match="null or non-integer _epoch"):
+    with pytest.raises(RuntimeError, match="NULL _epoch"):
         SE.migrate_gate_decisions_log(spark, legacy)
     names = os.listdir(legacy)
     assert not any(n.startswith("_epoch=") for n in names)  # nothing written
     assert any(n.startswith("part-") for n in names)  # root files intact
     assert not os.path.exists(f"{legacy}/_migrate_dirs_done")
+
+    legacy2 = str(tmp_path / "legacy_float")
+    spark.createDataFrame(
+        [(1, "fpA", "new", 0.0)],
+        "id long, fingerprint string, status string, _epoch double",
+    ).coalesce(1).write.parquet(legacy2)
+    with pytest.raises(RuntimeError, match="non-integer-typed _epoch"):
+        SE.migrate_gate_decisions_log(spark, legacy2)
+    assert not any(n.startswith("_epoch=") for n in os.listdir(legacy2))
 
 
 def test_compact_gate_decisions_maintenance_marker(spark, tmp_path):
