@@ -475,6 +475,17 @@ def compact_store(
     auto-restore); deleting it and re-running is the documented manual
     adjudication step.
 
+    FILESYSTEM CONTRACT: the crash-window analysis above assumes
+    directory rename is atomic (HDFS, POSIX local FS).  On an object
+    store (s3a://...) "rename" is copy+delete, so a crash mid-swap can
+    leave a PARTIAL tree at either side that the leftover guard will
+    refuse but cannot itself repair — there, adjudicate by row count
+    (count `.precompact` against the live path; the complete side is
+    the store), and prefer pointer-swap layouts (write to a versioned
+    directory, flip a manifest) if compaction must run unattended.
+    The maintenance marker semantics are unchanged: create-if-absent
+    is atomic under S3 strong consistency.
+
     Returns (files_before, files_after)."""
     return _guarded_rewrite(spark, store_path, partition_by, target_file_bytes, None)
 
