@@ -189,6 +189,7 @@ def main() -> None:
     contaminated = True
     for round_i in range(MAX_ROUNDS):
         calib_before = calibration_sec(spark)
+        io_before = calibration_io_sec(spark, sf_dir)
         load_before = list(os.getloadavg())
         if calib_before > CALIB_BAND_SEC and round_i < MAX_ROUNDS - 1:
             print(
@@ -197,7 +198,12 @@ def main() -> None:
                 file=sys.stderr,
             )
             calib_samples.append(
-                {"before": calib_before, "load_before": load_before, "skipped": True}
+                {
+                    "before": calib_before,
+                    "io_before": io_before,
+                    "load_before": load_before,
+                    "skipped": True,
+                }
             )
             time.sleep(CALIB_SLEEP_SEC)
             continue
@@ -214,6 +220,11 @@ def main() -> None:
             {
                 "before": calib_before,
                 "after": calib_after,
+                # both ends sampled since r10: an I/O-class swing WITHIN
+                # the measurement round (io_before vs io_after) is
+                # evidence the round itself straddled a drift edge, not
+                # just that two rounds sit in different windows
+                "io_before": io_before,
                 "io_after": calibration_io_sec(spark, sf_dir),
                 "load_before": load_before,
                 "load_after": list(os.getloadavg()),
