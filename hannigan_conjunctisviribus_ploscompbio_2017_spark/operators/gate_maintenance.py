@@ -429,6 +429,45 @@ def _store_data_files(fs, jvm, path: str) -> tuple[int, int]:
     return n, total
 
 
+def store_stats(spark: SparkSession, store_path: str) -> dict:
+    """Operational snapshot of a persisted store — the numbers a crawl
+    loop's compaction policy consumes (e.g. "compact when data_files >
+    4 x partition_dirs, or avg_file_bytes < 8 MiB"), gathered from the
+    filesystem ONLY: no Spark job, no store scan, safe to call from a
+    monitoring loop at any frequency.  Returns
+    {data_files, total_bytes, avg_file_bytes, partition_columns,
+    partition_dirs, under_maintenance}; row counts deliberately
+    excluded (that is a scan — use spark.read.parquet(path).count()
+    between runs if needed).  `partition_dirs` counts the distinct
+    leaf directories holding data files (1 for a flat store), so
+    data_files / partition_dirs is the per-directory fragmentation the
+    partitioned layouts accumulate fastest.  `under_maintenance`
+    reflects the `<store>.maintenance` claim — True either while a
+    rewrite runs or after one crashed (see check_store_maintenance)."""
+    path = store_path.rstrip("/")
+    fs, jpath, jvm = _hadoop_fs(spark, path)
+    n_files = 0
+    total = 0
+    leaf_dirs: set[str] = set()
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.startswith("_") or name.startswith("."):
+            continue
+        n_files += 1
+        total += st.getLen()
+        leaf_dirs.add(st.getPath().getParent().toString())
+    return {
+        "data_files": n_files,
+        "total_bytes": total,
+        "avg_file_bytes": (total // n_files) if n_files else 0,
+        "partition_columns": sorted(_discovered_partition_cols(fs, jvm, path)),
+        "partition_dirs": len(leaf_dirs),
+        "under_maintenance": _fs_read_text(spark, _maintenance_marker(path)) is not None,
+    }
+
+
 def compact_store(
     spark: SparkSession,
     store_path: str,

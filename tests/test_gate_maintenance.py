@@ -628,6 +628,58 @@ def test_maintenance_marker_fails_gate_epoch_loudly(spark, tmp_path):
     assert rows == {1: "new", 2: "new"}
 
 
+def test_store_stats_tracks_fragmentation_and_maintenance(spark, tmp_path):
+    """store_stats is the monitoring face of the lifecycle: appends
+    grow data_files (per partition dir on the cell layout), compaction
+    shrinks them back with the layout intact, and the maintenance
+    marker surfaces as under_maintenance — all from the filesystem
+    alone, no Spark job."""
+    import os
+
+    dim = 4
+    base = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 0.1]), (101, [0.0, 1.0, 0.0, 0.1])],
+        "vec_id long, embedding array<double>",
+    )
+    cents = sampled_centroids(base, n_cells=2)
+    store_path = str(tmp_path / "sem_store_stats")
+    semantic_store(base, dim=dim, n_cells=2, centroids=cents).write.partitionBy(
+        "cell"
+    ).parquet(store_path)
+
+    s0 = GM.store_stats(spark, store_path)
+    assert s0["partition_columns"] == ["cell"]
+    assert s0["partition_dirs"] == 2 and s0["data_files"] >= 2
+    assert s0["total_bytes"] > 0 and s0["avg_file_bytes"] > 0
+    assert s0["under_maintenance"] is False
+
+    run = spark.createDataFrame(
+        [(1, [0.9, 0.1, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    dec = semantic_ingest_dedup(
+        run, spark.read.parquet(store_path), cents, dim, tau=0.999, n_probe=1
+    ).localCheckpoint()
+    GM.append_admitted_semantic(dec, run, store_path, cents, dim)
+    s1 = GM.store_stats(spark, store_path)
+    assert s1["data_files"] > s0["data_files"]  # the append fragmented it
+    assert s1["partition_dirs"] == 2  # inside the existing cell dirs
+
+    GM.compact_store(spark, store_path, partition_by=("cell",))
+    s2 = GM.store_stats(spark, store_path)
+    assert s2["data_files"] < s1["data_files"]
+    assert s2["partition_columns"] == ["cell"] and s2["partition_dirs"] == 2
+
+    marker = GM._take_maintenance_marker(spark, store_path, "stats test")
+    assert GM.store_stats(spark, store_path)["under_maintenance"] is True
+    os.remove(marker)
+
+    # flat store: one leaf dir, no partition columns
+    flat = str(tmp_path / "fp_store_stats")
+    fingerprint_store(_docs(spark, [(1, TEXT_A)])).write.parquet(flat)
+    sf = GM.store_stats(spark, flat)
+    assert sf["partition_columns"] == [] and sf["partition_dirs"] == 1
+
+
 def test_check_materialized_join_detection_is_node_anchored(spark, tmp_path):
     """r09 ADVICE: the lazy-gate-output detector matches plan NODE
     names, so a blessed (materialized) decisions frame whose plan text
