@@ -680,6 +680,54 @@ def test_store_stats_tracks_fragmentation_and_maintenance(spark, tmp_path):
     assert sf["partition_columns"] == [] and sf["partition_dirs"] == 1
 
 
+def test_crawl_loop_lifecycle_end_to_end(spark, tmp_path):
+    """The headline operational claim, pinned as one chained loop: a
+    crawl can run indefinitely on these primitives — gate → append the
+    admits → monitor → compact when fragmented → retire a takedown →
+    gate again — with every decision correct at every step.  Three
+    full runs over the exact-fingerprint store:
+      run 1: cold start (empty store) — everything admits; append.
+      run 2: a clone of a run-1 admit flags dup_store (only possible
+             through the append); append; compact (rows identical,
+             files shrink per store_stats); retire one fingerprint.
+      run 3: a clone of the RETIRED doc is 'new' again, a clone of a
+             surviving doc still dup_store — on the compacted+retired
+             store."""
+    store_path = str(tmp_path / "loop_store")
+
+    # --- run 1: cold start ---
+    run1 = _docs(spark, [(1, TEXT_A), (2, TEXT_B)])
+    dec1 = ingest_dedup(run1, fingerprint_store(_docs(spark, []))).localCheckpoint()
+    assert {r.id: r.status for r in dec1.collect()} == {1: "new", 2: "new"}
+    GM.append_admitted_fingerprints(dec1, store_path)  # creates the store
+
+    # --- run 2: gate against the persisted store ---
+    run2 = _docs(spark, [(3, TEXT_A), (4, TEXT_C)])
+    dec2 = ingest_dedup(run2, spark.read.parquet(store_path)).localCheckpoint()
+    assert {r.id: r.status for r in dec2.collect()} == {3: "dup_store", 4: "new"}
+    GM.append_admitted_fingerprints(dec2, store_path)
+
+    s_frag = GM.store_stats(spark, store_path)
+    assert s_frag["data_files"] >= 2  # two appends fragmented it
+    pre_rows = sorted(map(tuple, spark.read.parquet(store_path).collect()))
+    GM.compact_store(spark, store_path)
+    s_comp = GM.store_stats(spark, store_path)
+    assert s_comp["data_files"] < s_frag["data_files"]
+    assert sorted(map(tuple, spark.read.parquet(store_path).collect())) == pre_rows
+
+    # takedown: retire TEXT_A's fingerprint
+    gone = fingerprint_store(_docs(spark, [(0, TEXT_A)])).collect()[0].fingerprint
+    before, after = GM.retire_from_store(spark, store_path, [gone], "fingerprint")
+    assert (before, after) == (3, 2)
+    assert GM.store_stats(spark, store_path)["under_maintenance"] is False
+
+    # --- run 3: the retired doc re-admits, survivors still gate ---
+    run3 = _docs(spark, [(5, TEXT_A), (6, TEXT_B), (7, TEXT_C)])
+    dec3 = {r.id: r.status for r in ingest_dedup(
+        run3, spark.read.parquet(store_path)).collect()}
+    assert dec3 == {5: "new", 6: "dup_store", 7: "dup_store"}
+
+
 def test_check_materialized_join_detection_is_node_anchored(spark, tmp_path):
     """r09 ADVICE: the lazy-gate-output detector matches plan NODE
     names, so a blessed (materialized) decisions frame whose plan text
