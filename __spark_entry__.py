@@ -25,93 +25,97 @@ from hannigan_conjunctisviribus_ploscompbio_2017_spark.queries_testdata import (
 SF0001 = "/root/testdata/sf0.001"
 
 # The driver gate executes the first ~50 registered entries, so
-# registration order decides what gets driver-gate credit.  r10 order
+# registration order decides what gets driver-gate credit.  r11 order
 # (oldest-measurement-first — the rotation contract: every entry's
-# newest green row stays within the last three measured rounds):
-# (1) the entry NEW this round: dd_minhash_store_append — the NEAR-DUP
-#     admission-gate store maintenance loop end-to-end (run 1 gate →
-#     append of the admitted docs' recomputed banded signatures →
-#     run 2 gate on the appended store; clones of run-1 admits flag
-#     dup_near, possible only through the append), promoted per the
-#     r09 verdict ask #7 — the last append family without a driver row;
-# (2) ALL 45 entries last driver-measured in r07 — the r09 verdict's
-#     ask #1 mandatory set (audited: exactly the newest-green==r07
-#     cohort, 46 minus the retired ev_semantic_ingest_2batch);
-# (3) four oldest r08 entries backfilling to the 50-cap, smoothing
-#     r11's load, chosen from this round's touched families:
-#     dd_ingest_dedup + ev_ingest_dedup_2batch (the exact gate whose
-#     append loop the new entry mirrors), dd_contamination (bench q14),
-#     gq5_sample_network (the flagship, bench q2).
+# newest green row stays within the last three measured rounds; the
+# arithmetic is mechanized in tools/rotation_audit.py and enforced by
+# tests/test_rotation_contract.py):
+# (1) the entry NEW this round: dd_retire_readmit — the TAKEDOWN half
+#     of the store lifecycle end-to-end (run 1 gate → append →
+#     retire_from_store → run 2 gate: clones of retired docs readmit
+#     as 'new', clones of survivors still flag dup_store), promoted
+#     per the r10 verdict ask #2 — retire_from_store's query-visible
+#     semantics were the last lifecycle family without a driver row;
+# (2) ALL 42 entries last driver-measured in r08 — the r10 verdict's
+#     ask #1 mandatory set (audited: exactly the newest-green==r08
+#     cohort rotation_audit.py names);
+# (3) seven oldest r09 entries backfilling to the 50-cap, chosen from
+#     this round's touched family — the gate/append/store lifecycle
+#     whose maintenance internals r11 reworks (versioned-manifest
+#     rewrite mode, retire-claim hoist): dd_ingest_store_append,
+#     ss_semantic_store_append, dd_minhash_ingest, ss_semantic_ingest,
+#     ev_ingest_dedup_foreach, ev_minhash_ingest_foreach,
+#     ev_semantic_ingest_foreach.
 # All entries pass the identical local gate (tools/check_oracle.py).
-# Rotation arithmetic: 142 entries / 3-round window = ~47 re-measures
-# per round minimum, so the 50-cap sustains the contract with ~3
-# slots/round of steady-state headroom.  SUSTAINABILITY CEILING: at 150
-# entries the contract consumes the whole 50-cap — any growth past ~146
-# must retire a redundant entry per addition.  r10: +dd_minhash_store_
-# append, -ev_semantic_ingest_2batch (verified against the IDENTICAL
-# oracle SQL as the surviving ev_semantic_ingest_foreach — same
-# statistic, two execution families; equivalence pinned row-for-row in
-# test_entry_sweep.py::test_semantic_gate_family_equivalence — the
-# m13/m4/dd_minhash_sig precedent), net 142.  After r10 the r08 cohort
-# (42 after the backfills) is r11's mandatory set — inside the 50-cap.
-# This round's maintenance-marker change is NOT a gate-protocol change
-# for measured entries: it adds a fail-fast check on a marker no driver
-# entry ever creates (happy-path plans, writes, and outputs are
-# byte-identical), so no r09-measured gate entry needs a fresh row.
+# Rotation arithmetic: 143 entries / 3-round window = ~47.7 re-measures
+# per round minimum — the 50-cap still sustains the contract, but r13's
+# mandatory set is the full 50-entry r10 cohort unless r12 backfills
+# ~7 of it early (do that: r12 = 43 r09-mandatory + 7 r10 backfills).
+# SUSTAINABILITY CEILING: at 150 entries the contract consumes the
+# whole cap — growth past ~146 must retire a redundant entry per
+# addition.  r11: +dd_retire_readmit, net 143 (no retirement — no
+# same-statistic twin exists for the retirement semantics; headroom 3).
+# This round's gate_maintenance changes are NOT gate-protocol changes
+# for measured entries: the retire-claim hoist reorders fail-fast
+# checks inside retire_from_store (measured fresh via the new entry),
+# the versioned-manifest rewrite is opt-in (no store here uses it),
+# and the store_stats/rollback hardening touches error paths only —
+# happy-path plans, writes, and outputs are byte-identical, so no
+# r09/r10-measured gate entry needs a fresh row.
 _PRIORITY = [
-    # -- (1) new in r10 --
-    "dd_minhash_store_append",
-    # -- (2) last measured in r07 (all 45 — the mandatory set) --
-    "a10_frequency_table",
-    "dd_cut_spans",
-    "dd_dup_clusters",
-    "dd_duplicate_spans",
-    "dd_embedding_near_dup",
-    "dd_exact_dedup",
-    "dd_jaccard_pairs",
-    "dd_kmer_minhash",
-    "dd_minhash_lsh",
-    "dd_simhash",
-    "ev_chunk_first_seen_2batch",
-    "ev_first_seen_2batch",
-    "ev_hourly_agg",
-    "ev_sessionize",
-    "ev_stream_pack_2batch",
-    "g10_node_entropy",
-    "g12_simplify",
-    "g1_degree_per_node",
-    "g5_degree_distribution",
-    "gb_gene_network",
-    "gk_alpha_centrality",
-    "gk_betweenness",
-    "gk_betweenness_distributed",
-    "gk_betweenness_stratified",
-    "gk_connected_components",
-    "gk_connectivity",
-    "gk_eccentricity_closeness",
-    "gk_greedy_modularity",
-    "gq6_label_scan",
-    "gq7_disease_scope",
-    "graph_build_e2e",
-    "mm_blob_stats",
-    "ss_cosine_topk",
-    "ss_ivf_pq_topk",
-    "ss_ivf_topk",
-    "ss_ivf_trained_topk",
-    "ss_pq_topk",
-    "ss_srp_lsh_topk",
-    "tx_corpus_summary",
-    "tx_dsir_sample",
-    "tx_dsir_weights",
-    "tx_fingerprint",
-    "tx_quality_langid",
-    "tx_token_stats",
-    "w3_global_sort_limit",
-    # -- (3) oldest r08 backfills to the 50-cap --
-    "dd_ingest_dedup",
-    "ev_ingest_dedup_2batch",
-    "dd_contamination",
-    "gq5_sample_network",
+    # -- (1) new in r11 --
+    "dd_retire_readmit",
+    # -- (2) last measured in r08 (all 42 — the mandatory set) --
+    "a11_cube_rollup",
+    "dd_chunk_dedup",
+    "dd_semantic_dedup",
+    "f11_substring_extract",
+    "f12_json_props",
+    "g13_robustness",
+    "gk_diameter_radius",
+    "gk_eigenvector_centrality",
+    "gq2_predicted_links",
+    "gq3_triadic_closure",
+    "gq4_study_network",
+    "m13_rarefaction_curve_portable",
+    "m4_permutation_portable",
+    "ml_quality_classifier",
+    "pipeline_altered_diet",
+    "pipeline_compare_skin",
+    "pipeline_compare_twins",
+    "pipeline_corpus_curation",
+    "pipeline_interpersonal_diversity",
+    "pipeline_pretrain_pack",
+    "pipeline_pretrain_pack_spancut",
+    "r6_transpose",
+    "r7_column_subsample",
+    "ss_embedding_health",
+    "ss_pq_rerank_topk",
+    "ss_sq8_topk",
+    "tx_bigram_backoff",
+    "tx_chunk_windows",
+    "tx_exact_k_sample",
+    "tx_line_filter",
+    "tx_mixture_weights",
+    "tx_pii_scrub",
+    "tx_quality_filter",
+    "tx_quality_score",
+    "tx_repetition_stats",
+    "tx_sequence_pack",
+    "tx_split_assign",
+    "tx_stratified_sample",
+    "tx_tfidf_top_terms",
+    "tx_top_ngrams",
+    "tx_unigram_logprob",
+    "tx_vocab_growth",
+    # -- (3) oldest r09 backfills to the 50-cap (gate/store family) --
+    "dd_ingest_store_append",
+    "ss_semantic_store_append",
+    "dd_minhash_ingest",
+    "ss_semantic_ingest",
+    "ev_ingest_dedup_foreach",
+    "ev_minhash_ingest_foreach",
+    "ev_semantic_ingest_foreach",
 ]
 
 

@@ -1769,6 +1769,111 @@ def dd_ingest_store_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dd_retire_readmit",
+    oracle=f"""
+    WITH store0 AS (
+      SELECT DISTINCT {_INGEST_FP} AS fingerprint
+      FROM documents WHERE doc_id % 10 < 6
+    ), r1 AS (
+      SELECT doc_id AS id, text FROM documents WHERE doc_id % 10 IN (6, 7)
+    ), fp1 AS (
+      SELECT id, {_INGEST_FP} AS fingerprint FROM r1
+    ), store1 AS (
+      -- run 1's admits are the delta fingerprints absent from store0,
+      -- so the post-append store collapses to a set union
+      SELECT fingerprint FROM store0
+      UNION
+      SELECT fingerprint FROM fp1
+    ), retired AS (
+      -- the takedown set: every fingerprint carried by a doc_id%5=0 doc
+      SELECT DISTINCT {_INGEST_FP} AS fingerprint
+      FROM documents WHERE doc_id % 10 < 8 AND doc_id % 5 = 0
+    ), store2 AS (
+      -- retire_from_store is an anti-join on the store key
+      SELECT fingerprint FROM store1
+      EXCEPT
+      SELECT fingerprint FROM retired
+    ), r2 AS (
+      SELECT doc_id + 1000000 AS id, text FROM documents
+      WHERE doc_id % 10 < 8 AND doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id + 2000000, text FROM documents
+      WHERE doc_id % 10 < 8 AND doc_id % 5 <> 0 AND doc_id % 11 = 0
+      UNION ALL
+      SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 8
+    ), fp2 AS (
+      SELECT id, {_INGEST_FP} AS fingerprint FROM r2
+    ), keep2 AS (
+      SELECT fingerprint, MIN(id) AS k FROM fp2 GROUP BY fingerprint
+    )
+    SELECT fp2.id, fp2.fingerprint,
+           CASE WHEN fp2.fingerprint IN (SELECT fingerprint FROM store2)
+                THEN 'dup_store'
+                WHEN fp2.id <> keep2.k THEN 'dup_batch'
+                ELSE 'new' END AS status
+    FROM fp2 JOIN keep2 USING (fingerprint)
+    """,
+)
+def dd_retire_readmit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TAKEDOWN half of the admission-gate store lifecycle, as a
+    driver row (r11 — the r10 verdict's missing #2; gate_maintenance.py
+    retire_from_store, the targeted replacement for the reference's
+    drop-and-rebuild loads, Makefile:461-473): gate → append → RETIRE →
+    gate.  Run 1 gates docs with doc_id%10 in {6,7} against the
+    persisted store (doc_id%10 < 6) and append_admitted_fingerprints
+    persists its admits; retire_from_store then anti-joins out every
+    fingerprint carried by a doc_id%5=0 doc (the takedown batch); run 2
+    feeds re-idded clones of the RETIRED docs (must flag 'new' again —
+    readmission is the documented query-visible semantic of a store
+    retirement), clones of SURVIVING docs (must still flag dup_store —
+    the retirement touched only its keys), and fresh doc_id%10 >= 8
+    docs.  Returned: run 2's decisions.  The oracle replays both runs
+    and the retirement in pure SQL (append = set union, retirement =
+    EXCEPT on the store key)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.dedup import (
+        fingerprint_store,
+        ingest_dedup,
+    )
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.gate_maintenance import (
+        append_admitted_fingerprints,
+        retire_from_store,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    t = tempfile.mkdtemp(prefix="sg_retire_")
+    atexit.register(shutil.rmtree, t, ignore_errors=True)
+    store_path = f"{t}/fp_store"
+    fingerprint_store(docs.filter(d % 10 < 6)).write.parquet(store_path)
+
+    run1 = docs.filter((d % 10 >= 6) & (d % 10 < 8))
+    dec1 = ingest_dedup(run1, spark.read.parquet(store_path)).localCheckpoint(
+        eager=False
+    )
+    append_admitted_fingerprints(dec1, store_path)
+
+    # the takedown between runs: retire every fingerprint carried by a
+    # doc_id%5=0 doc (fingerprint_store derives the key set with the
+    # gate's own fingerprint definition — key parity by construction)
+    retired_src = docs.filter((d % 10 < 8) & (d % 5 == 0))
+    retire_from_store(
+        spark, store_path, fingerprint_store(retired_src), "fingerprint"
+    )
+
+    surviving_src = docs.filter((d % 10 < 8) & (d % 5 != 0) & (d % 11 == 0))
+    run2 = (
+        retired_src.select((d + 1000000).alias("doc_id"), "text")
+        .unionByName(surviving_src.select((d + 2000000).alias("doc_id"), "text"))
+        .unionByName(docs.filter(d % 10 >= 8))
+    )
+    return ingest_dedup(run2, spark.read.parquet(store_path))
+
+
+@query(
     "dd_jaccard_pairs",
     oracle="""
     WITH norm AS (

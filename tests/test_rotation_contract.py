@@ -39,6 +39,9 @@ def test_priority_entries_registered_and_unique():
 
 
 def test_newest_green_parser_sees_all_rounds():
-    newest, latest = newest_green_rounds()
+    newest, latest, latest_rows = newest_green_rounds()
     assert latest >= 9  # r01-r09 recorded when this test was written
     assert len(newest) >= 140  # most of the registry has history
+    # the auditor's hardcoded cap is self-checked inside audit() against
+    # the newest artifact's row count; pin the raw observation here too
+    assert latest_rows == DRIVER_CAP

@@ -18,6 +18,15 @@ same check in the suite so a future round cannot forget the rotation.
 
 No Spark needed — it reads the CORRECTNESS_r*.json driver artifacts
 and imports the registry.
+
+BY-DESIGN RED WINDOW: the artifacts are globbed from the WORKING TREE,
+so the moment a new round's CORRECTNESS_r{N}.json lands (committed or
+not) this audit — and test_rotation_contract.py with it — fails until
+`_PRIORITY` is rotated for round N+1.  That failure is the start-of-
+round rotation reminder (its message names the exact mandatory
+cohort), not a regression: a suite run that is green except for the
+rotation contract on a tree carrying a fresh driver artifact is a
+healthy tree awaiting its rotation commit.
 """
 
 from __future__ import annotations
@@ -31,17 +40,21 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DRIVER_CAP = 50
 
 
-def newest_green_rounds(repo: str = REPO) -> tuple[dict[str, int], int]:
+def newest_green_rounds(repo: str = REPO) -> tuple[dict[str, int], int, int]:
     """{entry name -> newest round with a fully green driver row} plus
-    the latest recorded round number.  Green = rows+schema matched and
-    no error (a hash-bearing row also green when the hash matched —
-    the driver omits hash_match for rows-only entries)."""
+    the latest recorded round number and that round's row count.
+    Green = rows+schema matched and no error (a hash-bearing row also
+    green when the hash matched — the driver omits hash_match for
+    rows-only entries)."""
     newest: dict[str, int] = {}
     latest = 0
+    latest_rows = 0
     for f in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
         rnd = int(os.path.basename(f).split("_r")[1].split(".")[0])
-        latest = max(latest, rnd)
-        for name, row in json.load(open(f)).items():
+        rows = json.load(open(f))
+        if rnd > latest:
+            latest, latest_rows = rnd, len(rows)
+        for name, row in rows.items():
             green = (
                 row.get("err") is None
                 and row.get("rows_match")
@@ -50,7 +63,7 @@ def newest_green_rounds(repo: str = REPO) -> tuple[dict[str, int], int]:
             )
             if green and rnd > newest.get(name, 0):
                 newest[name] = rnd
-    return newest, latest
+    return newest, latest, latest_rows
 
 
 def audit(repo: str = REPO) -> dict:
@@ -61,7 +74,20 @@ def audit(repo: str = REPO) -> dict:
 
     live = list(entry_mod.queries())
     priority = live[:DRIVER_CAP]
-    newest, latest = newest_green_rounds(repo)
+    newest, latest, latest_rows = newest_green_rounds(repo)
+
+    # DRIVER_CAP is hardcoded (the driver's "first ~50" behavior);
+    # self-check it against the observed row count of the newest
+    # CORRECTNESS artifact — while the registry exceeds the cap the two
+    # must match, so a silent driver-side cap change cannot drift the
+    # auditor's arithmetic
+    if latest and len(live) > DRIVER_CAP:
+        assert latest_rows == DRIVER_CAP, (
+            f"DRIVER_CAP={DRIVER_CAP} but the newest driver artifact "
+            f"(round {latest}) recorded {latest_rows} rows — the driver's "
+            "measurement cap changed; update DRIVER_CAP to match or the "
+            "rotation arithmetic below is wrong"
+        )
 
     hist: dict[int, int] = {}
     for n in live:
@@ -104,7 +130,10 @@ def audit(repo: str = REPO) -> dict:
         f"{len(missed)} mandatory entries (newest green row == round "
         f"{latest - 2}) are outside the first {DRIVER_CAP} registered "
         f"entries and would fall out of contract after the next driver "
-        f"run: {missed}"
+        f"run: {missed} — EXPECTED at the start of a new round (the "
+        f"round-{latest} driver artifact just landed): this is the "
+        f"designed rotation reminder, not a regression; rotate "
+        f"_PRIORITY in __spark_entry__.py to clear it"
     )
     assert not never, (
         f"live entries with no green driver row ever, not scheduled for "
