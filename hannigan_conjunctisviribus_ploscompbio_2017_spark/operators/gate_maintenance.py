@@ -49,20 +49,30 @@ small file set per run — compaction rewrites the store into few large
 files while PRESERVING its partition layout (partitionBy("cell") /
 ("band", "_part")), so DPP and every plan guard survive.
 
-CONCURRENCY (r10): "run maintenance only between runs" is enforced,
-not advisory.  `compact_store`/`retire_from_store` claim a
+CONCURRENCY (r10, honest edition r11): "run maintenance only between
+runs" is protocol-checked on both sides, with one documented residual
+window.  `compact_store`/`retire_from_store` claim a
 `<store>.maintenance` marker (compare-and-set on the atomic
-create-if-absent primitive) for the duration of their rename-swap
-rewrite; `check_store_maintenance` — run by every append_admitted_*
-writer and, when the foreachBatch gates are given `store_path=`, at
-every gate epoch start — fails fast with a guidance error while the
-marker is held.  Whichever side loses the race gets the protocol's
-designed message instead of a raw FileNotFound from a scan of the
-momentarily-renamed store; two racing maintenance passes resolve the
-same way (the CAS loser raises).  A crashed rewrite leaves the marker
-deliberately — the documented adjudication is: verify nothing is
-running, delete the marker, re-run the helper (its crash-window
-auto-restore repairs the store).
+create-if-absent primitive) for the duration of their pass —
+`retire_from_store` claims BEFORE its counting scan, so count and
+rewrite sit under one claim; `check_store_maintenance` — run by every
+append_admitted_* writer and, when the foreachBatch gates are given
+`store_path=`, at every gate epoch start — fails fast with a guidance
+error while the marker is held.  Two racing maintenance passes resolve
+cleanly (the CAS loser raises).  The writer side, though, is
+CHECK-THEN-ACT, not a lock: appends and gate epochs read the marker at
+start and hold no claim of their own, so a rewrite that takes the
+marker just after a writer's check can still swap the store while that
+writer's Spark job is mid-flight.  The marker NARROWS that race to a
+sub-second window; it cannot close it — scheduling discipline (no
+maintenance while a gate run is live) remains the real contract.  The
+failure mode inside the residual window is also contained: a mid-swap
+append recreates the live path, the rewrite's rename-in then fails,
+and the pass lands in the manual-adjudication path with the original
+store complete at `.precompact` — loud, not corrupting.  A crashed
+rewrite leaves the marker deliberately — the documented adjudication
+is: verify nothing is running, delete the marker, re-run the helper
+(its crash-window auto-restore repairs the store).
 
 COLD START (run 1 of a brand-new crawl, no store on disk): the exact
 and near-dup gates bootstrap trivially — gate against an empty store
@@ -443,9 +453,22 @@ def store_stats(spark: SparkSession, store_path: str) -> dict:
     data_files / partition_dirs is the per-directory fragmentation the
     partitioned layouts accumulate fastest.  `under_maintenance`
     reflects the `<store>.maintenance` claim — True either while a
-    rewrite runs or after one crashed (see check_store_maintenance)."""
+    rewrite runs or after one crashed (see check_store_maintenance).
+    A store path that does not exist yet (cold start — the store is
+    created by the first append) returns zeroed stats rather than
+    raising, so the monitoring loop can start polling before run 1."""
     path = store_path.rstrip("/")
     fs, jpath, jvm = _hadoop_fs(spark, path)
+    if not fs.exists(jpath):
+        return {
+            "data_files": 0,
+            "total_bytes": 0,
+            "avg_file_bytes": 0,
+            "partition_columns": [],
+            "partition_dirs": 0,
+            "under_maintenance": _fs_read_text(spark, _maintenance_marker(path))
+            is not None,
+        }
     n_files = 0
     total = 0
     leaf_dirs: set[str] = set()
@@ -505,11 +528,14 @@ def compact_store(
     next call) the complete original at `<store>.precompact`.
 
     Run it only between runs, never concurrently with a gate — and
-    since r10 that rule is ENFORCED, not advisory: the rewrite claims
-    the `<store>.maintenance` marker (compare-and-set), the gates' scans
-    and the append_admitted_* writers check it, so whichever side loses
-    the race dies with the protocol's guidance error instead of a raw
-    FileNotFound inside the rename window.  A CRASHED rewrite leaves
+    since r10 that rule is protocol-checked: the rewrite claims the
+    `<store>.maintenance` marker (compare-and-set), the gates' scans
+    and the append_admitted_* writers check it, so in the common race
+    the losing side dies with the protocol's guidance error instead of
+    a raw FileNotFound inside the rename window.  The check narrows the
+    race but cannot close it — the writers check-then-act without
+    holding a claim (module docstring, CONCURRENCY), so scheduling
+    discipline remains the real contract.  A CRASHED rewrite leaves
     the marker in place deliberately (the store may need the
     auto-restore); deleting it and re-running is the documented manual
     adjudication step.
@@ -570,45 +596,80 @@ def retire_from_store(
     own.  The retired set is pinned with an eager localCheckpoint
     first, so a non-deterministic `retired` plan (a sampled frame, a
     limit without order) cannot make the counts and the rewrite see
-    different key sets."""
+    different key sets.
+
+    The maintenance marker is claimed BEFORE the counting scan and held
+    through the rewrite — one claim covers both — so another
+    maintenance pass cannot swap the store between the count and the
+    rewrite (the r10 check-then-claim shape left that window open); a
+    racing pass loses the CAS with the designed guidance error."""
     path = store_path.rstrip("/")
-    # fail fast BEFORE the counting scan when another maintenance pass
-    # holds the store (its swap could yank the path mid-count); the
-    # rewrite itself still takes the CAS claim, which is what protects
-    # the swap
-    check_store_maintenance(spark, path)
-    if isinstance(retired, DataFrame):
-        rset = (
-            retired.select(F.col(retired.columns[0]).alias(key_col))
-            .distinct()
-            .localCheckpoint(eager=True)
+    marker = _take_maintenance_marker(spark, path, "retire (count+rewrite)")
+    keep_marker = False
+    try:
+        if isinstance(retired, DataFrame):
+            rset = (
+                retired.select(F.col(retired.columns[0]).alias(key_col))
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+        else:
+            retired = list(retired)
+            if not retired:
+                n = spark.read.parquet(path).count()
+                return (n, n)
+            rset = (
+                spark.createDataFrame([(k,) for k in retired])
+                .toDF(key_col)
+                .distinct()
+            )
+        rows_before, removed = _count_retired(spark, path, rset, key_col)
+        _guarded_rewrite_locked(
+            spark,
+            path,
+            partition_by,
+            target_file_bytes,
+            lambda df: df.join(F.broadcast(rset), key_col, "left_anti"),
         )
-    else:
-        retired = list(retired)
-        if not retired:
-            n = spark.read.parquet(path).count()
-            return (n, n)
-        rset = spark.createDataFrame([(k,) for k in retired]).toDF(key_col).distinct()
-    store = spark.read.parquet(path)
+        return (rows_before, rows_before - removed)
+    except StoreRestoreError:
+        keep_marker = True  # live store path missing — keep gates failing fast
+        raise
+    finally:
+        if not keep_marker:
+            mfs, mpath, _ = _hadoop_fs(spark, marker)
+            mfs.delete(mpath, False)
+
+
+def _count_retired(
+    spark: SparkSession, path: str, rset: DataFrame, key_col: str
+) -> tuple[int, int]:
+    """retire_from_store's single counting pass: (total, matched) over
+    one store scan with the retired set broadcast.  Split out so the
+    marker-coverage test can observe that the claim is already held
+    when the count runs."""
     counts = (
-        store.join(
-            F.broadcast(rset.withColumn("_retired", F.lit(1))), key_col, "left"
-        )
+        spark.read.parquet(path)
+        .join(F.broadcast(rset.withColumn("_retired", F.lit(1))), key_col, "left")
         .agg(
             F.count(F.lit(1)).alias("total"),
             F.count("_retired").alias("removed"),
         )
         .first()
     )
-    rows_before, removed = counts["total"], counts["removed"]
-    _guarded_rewrite(
-        spark,
-        path,
-        partition_by,
-        target_file_bytes,
-        lambda df: df.join(F.broadcast(rset), key_col, "left_anti"),
-    )
-    return (rows_before, rows_before - removed)
+    return counts["total"], counts["removed"]
+
+
+class StoreRestoreError(RuntimeError):
+    """The double-failure case of the rename swap: moving the compacted
+    tree into the live path failed AND the rollback rename of the
+    `.precompact` backup also failed — the live store path is missing
+    and the complete original sits at `<store>.precompact`.  Raised
+    instead of a bare RuntimeError so the maintenance-marker release
+    logic can tell this apart from guards that leave the store intact:
+    the marker is deliberately LEFT IN PLACE, keeping gates failing
+    fast with guidance (not raw FileNotFound) until an operator renames
+    `.precompact` back to the store path and deletes the marker."""
 
 
 def _guarded_rewrite(
@@ -619,25 +680,35 @@ def _guarded_rewrite(
     transform,
 ) -> tuple[int, int]:
     """The shared layout-preserving store rewrite behind compact_store
-    and retire_from_store: maintenance-marker claim, leftover/flattening
-    guards, optional row transform, sized output files, rename-based
-    swap with rollback.  Returns (files_before, files_after).
+    (retire_from_store claims the marker itself, one claim over count
+    plus rewrite, and calls _guarded_rewrite_locked directly):
+    maintenance-marker claim, leftover/flattening guards, optional row
+    transform, sized output files, rename-based swap with rollback.
+    Returns (files_before, files_after).
 
     The `<store>.maintenance` marker is claimed FIRST (compare-and-set)
-    and released on every non-crash exit — success or raised guard —
-    because every raise below leaves the live store intact.  A process
-    CRASH leaves the marker deliberately: the store may be mid-swap, so
-    gates must keep failing fast until an operator deletes the marker
-    and re-runs (the auto-restore then repairs the crash window)."""
+    and released on every exit that leaves a live store — success or
+    raised guard.  Two cases keep the marker: a process CRASH (the
+    store may be mid-swap, so gates must keep failing fast until an
+    operator deletes the marker and re-runs — the auto-restore then
+    repairs the crash window), and StoreRestoreError (swap failed AND
+    rollback failed: no live store path exists until the operator
+    restores `.precompact` by hand, so releasing the marker would trade
+    the protocol's guidance error for a raw FileNotFound)."""
     path = store_path.rstrip("/")
     marker = _take_maintenance_marker(spark, path, "compact/retire rewrite")
+    keep_marker = False
     try:
         return _guarded_rewrite_locked(
             spark, path, partition_by, target_file_bytes, transform
         )
+    except StoreRestoreError:
+        keep_marker = True
+        raise
     finally:
-        mfs, mpath, _ = _hadoop_fs(spark, marker)
-        mfs.delete(mpath, False)
+        if not keep_marker:
+            mfs, mpath, _ = _hadoop_fs(spark, marker)
+            mfs.delete(mpath, False)
 
 
 def _guarded_rewrite_locked(
@@ -704,8 +775,22 @@ def _guarded_rewrite_locked(
     if not fs.rename(jpath, bak):
         raise RuntimeError(f"could not move the live store aside to {bak}")
     if not fs.rename(tmp, jpath):
-        fs.rename(bak, jpath)  # roll back — the original store returns live
-        raise RuntimeError(f"could not move the compacted store into {path}")
+        # roll back — the original store returns live; if the rollback
+        # rename ALSO fails there is no live store path, so raise the
+        # keep-the-marker error with the manual restore step spelled out
+        if not fs.rename(bak, jpath):
+            raise StoreRestoreError(
+                f"could not move the compacted store into {path}, and "
+                f"rolling the original back from {bak} also failed — no "
+                f"live store exists. The complete original is at {bak}: "
+                f"rename it back to {path} by hand, then delete the "
+                f"{_MAINTENANCE_SUFFIX} marker (left in place so gates "
+                "keep failing fast with guidance) and re-run"
+            )
+        raise RuntimeError(
+            f"could not move the compacted store into {path} "
+            "(original rolled back and live again)"
+        )
     fs.delete(bak, True)
     files_after, _ = _store_data_files(fs, jvm, path)
     return (files_before, files_after)

@@ -537,8 +537,9 @@ def test_maintenance_marker_blocks_appends_and_second_rewrite(spark, tmp_path):
     # the CAS loser: a second rewrite racing the holder
     with pytest.raises(RuntimeError, match="already holds"):
         GM.compact_store(spark, store_path)
-    # retire fails fast before its counting scan even starts
-    with pytest.raises(RuntimeError, match="under maintenance"):
+    # retire claims the marker up front (one claim over count+rewrite,
+    # r11) — it loses the CAS before its counting scan even starts
+    with pytest.raises(RuntimeError, match="already holds"):
         GM.retire_from_store(spark, store_path, ["x"], "fingerprint")
     os.remove(marker)  # the documented crash adjudication
 
@@ -749,3 +750,175 @@ def test_check_materialized_join_detection_is_node_anchored(spark, tmp_path):
     )
     GM.append_admitted_fingerprints(dec.drop("joined_note"), store_path)
     assert spark.read.parquet(store_path).count() == 2
+
+
+def test_retire_claim_covers_count_and_rewrite(spark, tmp_path, monkeypatch):
+    """r10 verdict ask #4 (nit #2): retire_from_store claims the
+    maintenance marker BEFORE its counting scan and holds that single
+    claim through the rewrite — spied at both phases: when the counting
+    pass runs AND when the rewrite starts, the marker is already held,
+    and a maintenance pass racing either phase loses the CAS with the
+    designed error (the r10 check-then-claim shape let a rewrite
+    started between count and rewrite yank the path mid-pass)."""
+    import os
+
+    import pytest
+
+    store_path = str(tmp_path / "fp_store_claim")
+    fingerprint_store(
+        _docs(spark, [(1, TEXT_A), (2, TEXT_B), (3, TEXT_C)])
+    ).write.parquet(store_path)
+    gone = fingerprint_store(_docs(spark, [(0, TEXT_A)])).collect()[0].fingerprint
+    marker = store_path + ".maintenance"
+
+    phases = []
+    real_count = GM._count_retired
+    real_rewrite = GM._guarded_rewrite_locked
+
+    def count_spy(spark_, path, rset, key_col):
+        assert os.path.exists(marker)  # claimed before the count
+        with pytest.raises(RuntimeError, match="already holds"):
+            GM._take_maintenance_marker(spark_, path, "racer-during-count")
+        phases.append("count")
+        return real_count(spark_, path, rset, key_col)
+
+    def rewrite_spy(spark_, path, *a, **k):
+        assert os.path.exists(marker)  # the SAME claim, still held
+        with pytest.raises(RuntimeError, match="already holds"):
+            GM._take_maintenance_marker(spark_, path, "racer-during-rewrite")
+        phases.append("rewrite")
+        return real_rewrite(spark_, path, *a, **k)
+
+    monkeypatch.setattr(GM, "_count_retired", count_spy)
+    monkeypatch.setattr(GM, "_guarded_rewrite_locked", rewrite_spy)
+    before, after = GM.retire_from_store(spark, store_path, [gone], "fingerprint")
+    assert (before, after) == (3, 2)
+    assert phases == ["count", "rewrite"]
+    assert not os.path.exists(marker)  # released on success
+
+
+def test_store_stats_cold_start_returns_zeroed(spark, tmp_path):
+    """r10 ADVICE: store_stats on a not-yet-created store path (cold
+    start — the first append creates it) returns zeroed stats instead
+    of a raw Java FileNotFoundException, so the monitoring loop can
+    poll before run 1; a held maintenance marker still surfaces."""
+    import os
+
+    path = str(tmp_path / "never_created_store")
+    assert GM.store_stats(spark, path) == {
+        "data_files": 0,
+        "total_bytes": 0,
+        "avg_file_bytes": 0,
+        "partition_columns": [],
+        "partition_dirs": 0,
+        "under_maintenance": False,
+    }
+    marker = GM._take_maintenance_marker(spark, path, "cold start test")
+    assert GM.store_stats(spark, path)["under_maintenance"] is True
+    os.remove(marker)
+
+
+class _RenameFaultFS:
+    """Delegating wrapper around the JVM Hadoop FileSystem whose
+    rename() fails by predicate — simulates the swap-rename failures a
+    permission change or object-store backend can produce, which a
+    local POSIX tmpdir never does on its own."""
+
+    def __init__(self, real, fail_when):
+        self._real = real
+        self._fail_when = fail_when
+
+    def rename(self, src, dst):
+        if self._fail_when(str(src), str(dst)):
+            return False
+        return self._real.rename(src, dst)
+
+    def __getattr__(self, name):
+        return getattr(self._real, name)
+
+
+def _fault_renames(monkeypatch, fail_when):
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.streaming.events import (
+        _hadoop_fs as real_hfs,
+    )
+
+    def fake(spark_, path_str):
+        fs, jpath, jvm = real_hfs(spark_, path_str)
+        return _RenameFaultFS(fs, fail_when), jpath, jvm
+
+    monkeypatch.setattr(GM, "_hadoop_fs", fake)
+
+
+def test_swap_failure_rolls_back_and_releases_marker(spark, tmp_path, monkeypatch):
+    """Single swap failure: rename(tmp→live) fails but the rollback
+    rename(bak→live) succeeds — the original store returns live, the
+    error says so, and the maintenance marker is RELEASED (the store is
+    intact, gates may proceed).  The superseded .compact.tmp is the
+    documented leftover; clearing it lets a clean pass succeed."""
+    import os
+    import shutil
+
+    import pytest
+
+    store_path = str(tmp_path / "fp_store_rb1")
+    fingerprint_store(
+        _docs(spark, [(1, TEXT_A), (2, TEXT_B), (3, TEXT_C)])
+    ).write.parquet(store_path)
+    rows = sorted(map(tuple, spark.read.parquet(store_path).collect()))
+
+    _fault_renames(
+        monkeypatch, lambda src, dst: src.rstrip("/").endswith(".compact.tmp")
+    )
+    with pytest.raises(RuntimeError, match="rolled back and live again"):
+        GM.compact_store(spark, store_path)
+    assert os.path.exists(store_path)  # original restored live
+    assert not os.path.exists(store_path + ".precompact")
+    assert not os.path.exists(store_path + ".maintenance")  # released
+    assert sorted(map(tuple, spark.read.parquet(store_path).collect())) == rows
+
+    monkeypatch.undo()
+    shutil.rmtree(store_path + ".compact.tmp")  # the documented leftover step
+    GM.compact_store(spark, store_path)
+    assert sorted(map(tuple, spark.read.parquet(store_path).collect())) == rows
+
+
+def test_swap_double_failure_keeps_marker_with_guidance(spark, tmp_path, monkeypatch):
+    """r10 ADVICE: if rename(tmp→live) fails AND the rollback
+    rename(bak→live) also fails, no live store path exists — the raise
+    is StoreRestoreError naming the .precompact restore step, and the
+    maintenance marker is deliberately KEPT so gates keep dying with
+    the protocol's guidance error instead of a raw FileNotFound (the
+    old code's unchecked rollback let the finally delete the marker
+    over a missing store)."""
+    import os
+    import shutil
+
+    import pytest
+
+    store_path = str(tmp_path / "fp_store_rb2")
+    fingerprint_store(
+        _docs(spark, [(1, TEXT_A), (2, TEXT_B), (3, TEXT_C)])
+    ).write.parquet(store_path)
+    rows = sorted(map(tuple, spark.read.parquet(store_path).collect()))
+
+    # every rename INTO the live path fails: both the swap-in and the rollback
+    _fault_renames(
+        monkeypatch, lambda src, dst: dst.rstrip("/").endswith("fp_store_rb2")
+    )
+    with pytest.raises(GM.StoreRestoreError, match="rename it back"):
+        GM.compact_store(spark, store_path)
+    assert not os.path.exists(store_path)  # no live store...
+    assert os.path.exists(store_path + ".precompact")  # ...original complete here
+    assert os.path.exists(store_path + ".maintenance")  # marker KEPT
+    # gates die with guidance, not FileNotFound, until the manual restore
+    with pytest.raises(RuntimeError, match="under maintenance"):
+        GM.check_store_maintenance(spark, store_path)
+
+    # the error message's manual adjudication, then a clean pass works
+    monkeypatch.undo()
+    os.rename(store_path + ".precompact", store_path)
+    os.remove(store_path + ".maintenance")
+    shutil.rmtree(store_path + ".compact.tmp")
+    assert sorted(map(tuple, spark.read.parquet(store_path).collect())) == rows
+    GM.compact_store(spark, store_path)
+    assert sorted(map(tuple, spark.read.parquet(store_path).collect())) == rows
