@@ -74,6 +74,21 @@ rewrite leaves the marker deliberately — the documented adjudication
 is: verify nothing is running, delete the marker, re-run the helper
 (its crash-window auto-restore repairs the store).
 
+VERSIONED LAYOUT (r11, the object-store-safe rewrite): a store may
+instead live as a root of `v<N>/` data directories plus hidden
+`_MANIFEST-v<N>` marker files — the live version is the highest
+manifested N.  `convert_store_to_versioned` migrates (or cold-creates)
+a root; `resolve_store` maps a root to its live data directory (and is
+the identity on plain stores — the appends call it internally, gates
+reading a versioned store must too).  compact_store/retire_from_store
+auto-detect the layout: on a versioned root the rewrite writes
+`v<N+1>` completely, FLIPS by atomically creating `_MANIFEST-v<N+1>`,
+then GCs the old version — zero renames of the live tree, so a kill at
+any point leaves readers on a complete version and the next pass's GC
+sweep repairs the leftovers (both windows pinned in tests).  Use it
+when maintenance must run unattended on s3a-class filesystems where
+directory rename is copy+delete.
+
 COLD START (run 1 of a brand-new crawl, no store on disk): the exact
 and near-dup gates bootstrap trivially — gate against an empty store
 frame (`fingerprint_store`/`minhash_store` over zero docs) and every
@@ -235,7 +250,8 @@ def append_admitted_fingerprints(
     `compact_store`, which the gate never requires)."""
     _check_materialized(decisions, require_materialized)
     check_store_maintenance(decisions.sparkSession, store_path)
-    admitted_fingerprints(decisions).write.mode("append").parquet(store_path)
+    target = resolve_store(decisions.sparkSession, store_path)
+    admitted_fingerprints(decisions).write.mode("append").parquet(target)
 
 
 # --------------------------------------------------------------------------
@@ -309,6 +325,7 @@ def append_admitted_minhash(
     parquet append of delta-derived rows."""
     _check_materialized(decisions, require_materialized)
     check_store_maintenance(decisions.sparkSession, store_path)
+    target = resolve_store(decisions.sparkSession, store_path)
     rows = admitted_minhash_rows(
         decisions, docs, id_col, text_col, k, num_hashes, bands, seed,
         hash_fn, bucket_by_hash,
@@ -317,7 +334,7 @@ def append_admitted_minhash(
     writer = rows.write.mode("append")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    writer.parquet(store_path)
+    writer.parquet(target)
 
 
 def derive_minhash_partition(rows: DataFrame, hash_partitions: int | None) -> DataFrame:
@@ -389,13 +406,235 @@ def append_admitted_semantic(
     was never available to lose)."""
     _check_materialized(decisions, require_materialized)
     check_store_maintenance(decisions.sparkSession, store_path)
+    target = resolve_store(decisions.sparkSession, store_path)
     rows = admitted_semantic_rows(
         decisions, embeddings, centroids, dim, id_col, vec_col, round_to
     )
     writer = rows.write.mode("append")
     if partitioned:
         writer = writer.partitionBy("cell")
-    writer.parquet(store_path)
+    writer.parquet(target)
+
+
+# --------------------------------------------------------------------------
+# versioned (manifest / pointer-swap) store layout — the object-store-safe
+# rewrite mode: no rename of the live tree, ever
+# --------------------------------------------------------------------------
+
+_MANIFEST_PREFIX = "_MANIFEST-v"
+_VERSION_DIR_RE = re.compile(r"v(\d+)$")
+
+
+def _versioned_state(fs, jvm, root: str) -> tuple[int, list[int], list[int]]:
+    """(live version, manifested versions, version data dirs) of a store
+    root.  live == 0 means NOT a versioned store (no manifest files) —
+    the rename-swap layout, or a path that does not exist yet.  The
+    live version is the HIGHEST manifested N: a manifest file is only
+    ever created AFTER its version's data is completely written, so the
+    highest manifest always names a complete tree."""
+    jroot = jvm.org.apache.hadoop.fs.Path(root)
+    if not fs.exists(jroot):
+        return 0, [], []
+    manifests: list[int] = []
+    dirs: list[int] = []
+    for st in fs.listStatus(jroot):
+        name = st.getPath().getName()
+        if name.startswith(_MANIFEST_PREFIX):
+            manifests.append(int(name[len(_MANIFEST_PREFIX):]))
+        elif st.isDirectory():
+            m = _VERSION_DIR_RE.fullmatch(name)
+            if m:
+                dirs.append(int(m.group(1)))
+    return (max(manifests) if manifests else 0), sorted(manifests), sorted(dirs)
+
+
+def resolve_store(spark: SparkSession, store_path: str) -> str:
+    """The ONE reader entry point that makes the two store layouts
+    interchangeable: for a VERSIONED store root (it contains
+    `_MANIFEST-v<N>` files) return the live version's data directory
+    `<root>/v<N>`; for a plain store return the path unchanged.  Gates
+    and any ad-hoc scan of a versioned store must read
+    `spark.read.parquet(resolve_store(spark, root))` — reading the root
+    itself would see zero files (the manifests are dot/underscore-hidden
+    and the data sits one level down).  The appends call this
+    internally, so callers pass the ROOT everywhere either way.  Cost:
+    one listStatus of the root — the same O(1) class as the maintenance
+    marker check, scale-independent."""
+    path = store_path.rstrip("/")
+    fs, _, jvm = _hadoop_fs(spark, path)
+    live, _, _ = _versioned_state(fs, jvm, path)
+    return f"{path}/v{live}" if live else path
+
+
+def convert_store_to_versioned(spark: SparkSession, store_path: str) -> str:
+    """One-time migration of a store to the VERSIONED layout (or cold
+    creation of a brand-new versioned store when `store_path` does not
+    exist yet): afterwards every compact_store/retire_from_store on it
+    runs the manifest/pointer-swap rewrite — write `v<N+1>` fully, flip
+    one atomically-created manifest file, GC the old version — so
+    unattended maintenance never renames the live tree and is safe on
+    object stores (s3a), where directory "rename" is copy+delete and a
+    mid-swap crash leaves partial trees.
+
+    The CONVERSION ITSELF is the one remaining rename user (the
+    existing files must move under `<root>/v1`): run it attended, on a
+    rename-atomic filesystem (HDFS, POSIX) — or create the store
+    versioned from day one (call this on the empty path before run 1;
+    the first append creates `v1/`).  It claims the maintenance marker
+    and repairs its own crash windows: interrupted conversions resume
+    (the moved-aside tree at `<root>.tov` is moved in, a missing
+    manifest is re-created).  Returns the live data directory
+    (`<root>/v1`)."""
+    path = store_path.rstrip("/")
+    marker = _take_maintenance_marker(spark, path, "convert to versioned layout")
+    try:
+        fs, jpath, jvm = _hadoop_fs(spark, path)
+        live, _, _ = _versioned_state(fs, jvm, path)
+        if live:
+            raise RuntimeError(f"store at {path} is already versioned (v{live})")
+        mover = jvm.org.apache.hadoop.fs.Path(path + ".tov")
+        v1 = jvm.org.apache.hadoop.fs.Path(f"{path}/v1")
+        manifest1 = f"{path}/{_MANIFEST_PREFIX}1"
+        if fs.exists(mover):
+            # conversion crashed between moving the tree aside and
+            # moving it under the root — finish it
+            fs.mkdirs(jpath)
+            if not fs.rename(mover, v1):
+                raise RuntimeError(
+                    f"could not resume interrupted conversion: rename "
+                    f"{mover} -> {v1} failed; move it back by hand"
+                )
+        elif fs.exists(v1):
+            pass  # crashed after the move, before the manifest — just flip
+        elif not fs.exists(jpath):
+            fs.mkdirs(jpath)  # cold creation: first append creates v1/
+        else:
+            if not fs.rename(jpath, mover):
+                raise RuntimeError(f"could not move {path} aside to {mover}")
+            fs.mkdirs(jpath)
+            if not fs.rename(mover, v1):
+                raise RuntimeError(
+                    f"conversion stalled: {path} moved aside to {mover} but "
+                    f"rename into {v1} failed — move it back by hand and "
+                    "re-run (the marker is released; gates would fail on "
+                    "the empty root until then)"
+                )
+        if not _fs_create_text(spark, manifest1, "converted"):
+            raise RuntimeError(f"manifest {manifest1} already exists")
+        return f"{path}/v1"
+    finally:
+        mfs, mpath, _ = _hadoop_fs(spark, marker)
+        mfs.delete(mpath, False)
+
+
+def _versioned_rewrite_locked(
+    spark: SparkSession,
+    root: str,
+    partition_by: tuple[str, ...] | None,
+    target_file_bytes: int,
+    transform,
+) -> tuple[int, int]:
+    """The manifest/pointer-swap twin of _guarded_rewrite_locked, for
+    stores in the VERSIONED layout (caller holds the maintenance
+    marker).  Every mutation is an atomic file CREATE or a delete of a
+    tree no reader resolves — zero renames, so the crash-window
+    analysis needs no rename atomicity and holds on object stores:
+
+      - crash BEFORE the manifest flip: readers still resolve v<N>
+        (the live store, untouched); the orphaned v<N+1> data is GC'd
+        at the start of the next pass.
+      - crash AFTER the flip, before GC: readers already resolve the
+        complete v<N+1>; the stale v<N> tree and its manifest are GC'd
+        at the start of the next pass.
+
+    Both windows are pinned in tests/test_gate_maintenance.py by
+    constructing the exact on-disk states a kill would leave."""
+    fs, _, jvm = _hadoop_fs(spark, root)
+    live, manifests, dirs = _versioned_state(fs, jvm, root)
+    if not live:
+        raise RuntimeError(f"{root} is not a versioned store")
+    # GC leftovers of crashed passes: orphan data dirs that never got a
+    # manifest (crash before flip) and superseded versions whose GC was
+    # interrupted (crash after flip)
+    for n in dirs:
+        if n != live:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{root}/v{n}"), True)
+    for n in manifests:
+        if n != live:
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(f"{root}/{_MANIFEST_PREFIX}{n}"), False
+            )
+    cur = f"{root}/v{live}"
+    jcur = jvm.org.apache.hadoop.fs.Path(cur)
+    if not fs.exists(jcur):
+        return (0, 0)  # converted cold store, first append hasn't run
+    discovered = _discovered_partition_cols(fs, jvm, cur)
+    missing_layout = [c for c in discovered if c not in (partition_by or ())]
+    if missing_layout:
+        raise ValueError(
+            f"store at {root} (live v{live}) is partitioned on "
+            f"{sorted(discovered)} but partition_by={partition_by} omits "
+            f"{missing_layout} — rewriting would flatten the layout and "
+            "destroy dynamic partition pruning; pass the store's actual "
+            "layout"
+        )
+    files_before, total_bytes = _store_data_files(fs, jvm, cur)
+    if files_before == 0:
+        return (0, 0)
+    n_files = max(1, math.ceil(total_bytes / target_file_bytes))
+    df = spark.read.parquet(cur)
+    if partition_by:
+        missing = [c for c in partition_by if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"partition_by columns {missing} not in the store at {root} "
+                f"(columns: {df.columns}) — pass the store's actual layout"
+            )
+    if transform is not None:
+        df = transform(df)
+    nxt = f"{root}/v{live + 1}"
+    if partition_by:
+        (
+            df.repartition(n_files, *[F.col(c) for c in partition_by])
+            .write.partitionBy(*partition_by)
+            .parquet(nxt)
+        )
+    else:
+        df.coalesce(n_files).write.parquet(nxt)
+    # THE FLIP: one atomic create-if-absent — the only mutation a reader
+    # can ever observe; before it they resolve v<live>, after it v<live+1>
+    if not _fs_create_text(spark, f"{root}/{_MANIFEST_PREFIX}{live + 1}", "flip"):
+        raise RuntimeError(
+            f"manifest for v{live + 1} already exists at {root} — another "
+            "pass raced this one past the maintenance marker; adjudicate "
+            "by hand"
+        )
+    # GC the superseded version; a crash in here is the documented
+    # after-flip window, repaired by the next pass's GC sweep
+    fs.delete(jcur, True)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(f"{root}/{_MANIFEST_PREFIX}{live}"), False)
+    files_after, _ = _store_data_files(fs, jvm, nxt)
+    return (files_before, files_after)
+
+
+def _rewrite_locked(
+    spark: SparkSession,
+    path: str,
+    partition_by: tuple[str, ...] | None,
+    target_file_bytes: int,
+    transform,
+) -> tuple[int, int]:
+    """Layout dispatch for the marker-held rewrite: versioned roots take
+    the manifest flip, plain stores the rename swap."""
+    fs, _, jvm = _hadoop_fs(spark, path)
+    live, _, _ = _versioned_state(fs, jvm, path)
+    if live:
+        return _versioned_rewrite_locked(
+            spark, path, partition_by, target_file_bytes, transform
+        )
+    return _guarded_rewrite_locked(
+        spark, path, partition_by, target_file_bytes, transform
+    )
 
 
 # --------------------------------------------------------------------------
@@ -456,11 +695,17 @@ def store_stats(spark: SparkSession, store_path: str) -> dict:
     rewrite runs or after one crashed (see check_store_maintenance).
     A store path that does not exist yet (cold start — the store is
     created by the first append) returns zeroed stats rather than
-    raising, so the monitoring loop can start polling before run 1."""
+    raising, so the monitoring loop can start polling before run 1.
+    A VERSIONED root reports the LIVE version's stats (leftover trees
+    of a crashed rewrite are never double-counted) plus a `version`
+    key; plain stores omit the key."""
     path = store_path.rstrip("/")
     fs, jpath, jvm = _hadoop_fs(spark, path)
-    if not fs.exists(jpath):
-        return {
+    live, _, _ = _versioned_state(fs, jvm, path)
+    data_path = f"{path}/v{live}" if live else path
+    jdata = jvm.org.apache.hadoop.fs.Path(data_path)
+    if not fs.exists(jdata):
+        out = {
             "data_files": 0,
             "total_bytes": 0,
             "avg_file_bytes": 0,
@@ -469,10 +714,13 @@ def store_stats(spark: SparkSession, store_path: str) -> dict:
             "under_maintenance": _fs_read_text(spark, _maintenance_marker(path))
             is not None,
         }
+        if live:
+            out["version"] = live
+        return out
     n_files = 0
     total = 0
     leaf_dirs: set[str] = set()
-    it = fs.listFiles(jpath, True)
+    it = fs.listFiles(jdata, True)
     while it.hasNext():
         st = it.next()
         name = st.getPath().getName()
@@ -481,14 +729,17 @@ def store_stats(spark: SparkSession, store_path: str) -> dict:
         n_files += 1
         total += st.getLen()
         leaf_dirs.add(st.getPath().getParent().toString())
-    return {
+    out = {
         "data_files": n_files,
         "total_bytes": total,
         "avg_file_bytes": (total // n_files) if n_files else 0,
-        "partition_columns": sorted(_discovered_partition_cols(fs, jvm, path)),
+        "partition_columns": sorted(_discovered_partition_cols(fs, jvm, data_path)),
         "partition_dirs": len(leaf_dirs),
         "under_maintenance": _fs_read_text(spark, _maintenance_marker(path)) is not None,
     }
+    if live:
+        out["version"] = live
+    return out
 
 
 def compact_store(
@@ -540,16 +791,20 @@ def compact_store(
     auto-restore); deleting it and re-running is the documented manual
     adjudication step.
 
-    FILESYSTEM CONTRACT: the crash-window analysis above assumes
-    directory rename is atomic (HDFS, POSIX local FS).  On an object
-    store (s3a://...) "rename" is copy+delete, so a crash mid-swap can
-    leave a PARTIAL tree at either side that the leftover guard will
-    refuse but cannot itself repair — there, adjudicate by row count
-    (count `.precompact` against the live path; the complete side is
-    the store), and prefer pointer-swap layouts (write to a versioned
-    directory, flip a manifest) if compaction must run unattended.
-    The maintenance marker semantics are unchanged: create-if-absent
-    is atomic under S3 strong consistency.
+    FILESYSTEM CONTRACT: the rename-swap path above assumes directory
+    rename is atomic (HDFS, POSIX local FS).  On an object store
+    (s3a://...) "rename" is copy+delete, so a crash mid-swap can leave
+    a PARTIAL tree at either side that the leftover guard will refuse
+    but cannot itself repair — there, adjudicate by row count (count
+    `.precompact` against the live path; the complete side is the
+    store).  For unattended maintenance on such filesystems, switch the
+    store to the VERSIONED layout (`convert_store_to_versioned` once;
+    read via `resolve_store`): this function auto-detects it and runs
+    the manifest/pointer-swap rewrite instead — write `v<N+1>` fully,
+    flip one atomically-created manifest, GC — which renames nothing
+    and whose both crash windows self-repair on the next pass.  The
+    maintenance marker semantics are unchanged either way:
+    create-if-absent is atomic under S3 strong consistency.
 
     Returns (files_before, files_after)."""
     return _guarded_rewrite(spark, store_path, partition_by, target_file_bytes, None)
@@ -588,6 +843,9 @@ def retire_from_store(
     logs are history and are deliberately not rewritten.  Retiring
     EVERY row leaves an empty store directory parquet cannot re-read;
     the next run then bootstraps via the documented cold-start flow.
+    VERSIONED roots are auto-detected like compact_store: the count
+    scans the live version, the rewrite is the rename-free manifest
+    flip.
 
     Returns (rows_before, rows_after) — both derived from ONE counting
     pass over the store (a broadcast left join against the retired set,
@@ -616,15 +874,17 @@ def retire_from_store(
         else:
             retired = list(retired)
             if not retired:
-                n = spark.read.parquet(path).count()
+                n = spark.read.parquet(resolve_store(spark, path)).count()
                 return (n, n)
             rset = (
                 spark.createDataFrame([(k,) for k in retired])
                 .toDF(key_col)
                 .distinct()
             )
-        rows_before, removed = _count_retired(spark, path, rset, key_col)
-        _guarded_rewrite_locked(
+        rows_before, removed = _count_retired(
+            spark, resolve_store(spark, path), rset, key_col
+        )
+        _rewrite_locked(
             spark,
             path,
             partition_by,
@@ -699,7 +959,7 @@ def _guarded_rewrite(
     marker = _take_maintenance_marker(spark, path, "compact/retire rewrite")
     keep_marker = False
     try:
-        return _guarded_rewrite_locked(
+        return _rewrite_locked(
             spark, path, partition_by, target_file_bytes, transform
         )
     except StoreRestoreError:
