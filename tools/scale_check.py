@@ -266,6 +266,72 @@ def bench_compaction(n_appends: int = 64) -> dict:
     }
 
 
+def bench_compaction_versioned(n_appends: int = 64) -> dict:
+    """The VERSIONED (manifest/pointer-swap) layout run through the
+    identical probe as bench_compaction: same appends, same gate, same
+    content assertion — but the store is converted to the versioned
+    layout first, so the compaction is the rename-free manifest flip
+    (write v2 fully, create _MANIFEST-v2, GC v1).  Establishes that the
+    object-store-safe mode buys the same file-count reduction and gate
+    speedup as the rename swap, i.e. choosing it costs nothing but the
+    one extra listStatus per resolve."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.dedup import (
+        fingerprint_store,
+        ingest_dedup,
+    )
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.gate_maintenance import (
+        compact_store,
+        convert_store_to_versioned,
+        resolve_store,
+    )
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.session import get_spark
+
+    spark = get_spark("scale-compaction-versioned")
+    tmp = tempfile.mkdtemp(prefix="sg_compact_ver_probe_")
+    store = f"{tmp}/fp_store"
+    convert_store_to_versioned(spark, store)  # versioned from day one
+    docs = spark.read.parquet(f"{SRC}/documents.parquet").select("doc_id", "text")
+    d = F.col("doc_id")
+    for i in range(n_appends):
+        fingerprint_store(docs.filter(d % n_appends == i)).write.mode(
+            "append"
+        ).parquet(resolve_store(spark, store))
+    delta = docs.filter(d % 7 == 3).select((d + 10_000_000).alias("doc_id"), "text")
+
+    def gate_pass() -> float:
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            ingest_dedup(
+                delta, spark.read.parquet(resolve_store(spark, store))
+            ).agg(F.count(F.lit(1))).first()
+            best = min(best, time.time() - t0)
+        return round(best, 3)
+
+    pre_rows = spark.read.parquet(resolve_store(spark, store)).count()
+    frag_s = gate_pass()
+    files_before, files_after = compact_store(spark, store)
+    live = resolve_store(spark, store)
+    assert live.endswith("/v2"), "manifest flip did not advance the version"
+    assert spark.read.parquet(live).count() == pre_rows, "compaction changed rows"
+    compact_s = gate_pass()
+    shutil.rmtree(tmp, ignore_errors=True)
+    spark.stop()
+    return {
+        "n_appends": n_appends,
+        "files_before": files_before,
+        "files_after": files_after,
+        "gate_fragmented_s": frag_s,
+        "gate_compacted_s": compact_s,
+        "speedup": round(frag_s / max(compact_s, 1e-9), 2),
+    }
+
+
 def _compaction_probe(spark, store, partition_by, gate_pass_fn, n_appends) -> dict:
     """Shared tail of the partitioned compaction probes: time the gate
     against the fragmented store, compact (layout-preserving), assert
@@ -401,6 +467,7 @@ def main() -> None:
     for flag, fn in (
         ("--compaction-semantic", bench_compaction_semantic),
         ("--compaction-banded", bench_compaction_banded),
+        ("--compaction-versioned", bench_compaction_versioned),
         ("--compaction", bench_compaction),
     ):
         if flag in args:
