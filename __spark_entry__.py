@@ -59,9 +59,12 @@ SF0001 = "/root/testdata/sf0.001"
 # for measured entries: the retire-claim hoist reorders fail-fast
 # checks inside retire_from_store (measured fresh via the new entry),
 # the versioned-manifest rewrite is opt-in (no store here uses it),
-# and the store_stats/rollback hardening touches error paths only —
-# happy-path plans, writes, and outputs are byte-identical, so no
-# r09/r10-measured gate entry needs a fresh row.
+# the store_stats/rollback hardening touches error paths only, and
+# the store-user claims the appends/epochs now hold are transient
+# bookkeeping (claim file created before / deleted after the write;
+# zero persistent trace) — happy-path plans, parquet writes, and
+# outputs are byte-identical, so no r09/r10-measured gate entry needs
+# a fresh row (the r10 marker-check adjudication precedent).
 _PRIORITY = [
     # -- (1) new in r11 --
     "dd_retire_readmit",

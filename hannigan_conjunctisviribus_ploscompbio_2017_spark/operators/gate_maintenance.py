@@ -49,30 +49,30 @@ small file set per run — compaction rewrites the store into few large
 files while PRESERVING its partition layout (partitionBy("cell") /
 ("band", "_part")), so DPP and every plan guard survive.
 
-CONCURRENCY (r10, honest edition r11): "run maintenance only between
-runs" is protocol-checked on both sides, with one documented residual
-window.  `compact_store`/`retire_from_store` claim a
-`<store>.maintenance` marker (compare-and-set on the atomic
-create-if-absent primitive) for the duration of their pass —
+CONCURRENCY (r10, completed r11): "run maintenance only between runs"
+is a two-sided lock for every protocol participant.  Maintenance side:
+`compact_store`/`retire_from_store`/`convert_store_to_versioned` claim
+the `<store>.maintenance` marker (compare-and-set on the atomic
+create-if-absent primitive) for their whole pass —
 `retire_from_store` claims BEFORE its counting scan, so count and
-rewrite sit under one claim; `check_store_maintenance` — run by every
-append_admitted_* writer and, when the foreachBatch gates are given
-`store_path=`, at every gate epoch start — fails fast with a guidance
-error while the marker is held.  Two racing maintenance passes resolve
-cleanly (the CAS loser raises).  The writer side, though, is
-CHECK-THEN-ACT, not a lock: appends and gate epochs read the marker at
-start and hold no claim of their own, so a rewrite that takes the
-marker just after a writer's check can still swap the store while that
-writer's Spark job is mid-flight.  The marker NARROWS that race to a
-sub-second window; it cannot close it — scheduling discipline (no
-maintenance while a gate run is live) remains the real contract.  The
-failure mode inside the residual window is also contained: a mid-swap
-append recreates the live path, the rewrite's rename-in then fails,
-and the pass lands in the manual-adjudication path with the original
-store complete at `.precompact` — loud, not corrupting.  A crashed
-rewrite leaves the marker deliberately — the documented adjudication
-is: verify nothing is running, delete the marker, re-run the helper
-(its crash-window auto-restore repairs the store).
+rewrite sit under one claim — and then REFUSE while any store-user
+claim file exists.  User side: the append_admitted_* writers and,
+given `store_path=`, every foreachBatch gate epoch hold a SHARED claim
+(`store_user_claim`: check marker → create `<store>.claims/<uuid>` →
+re-check marker → run → delete), so every interleaving resolves — a
+claim created before the rewrite's listing makes the rewrite back out;
+one created after it necessarily post-dates the marker claim, so the
+user's re-check backs out.  Closing the r10 check-then-act window
+needs only atomic create-if-absent plus read-after-write visibility
+(HDFS, POSIX, S3 strong consistency).  The honest remainder: an
+AD-HOC reader that scans the store without taking a claim still races
+a rewrite's swap/GC — wrap such scans in `store_user_claim` yourself.
+Crash adjudication is asymmetric by design: a crashed REWRITE leaves
+the marker (the store may be mid-swap; verify nothing is running,
+delete the marker, re-run — the auto-restore repairs the window); a
+crashed USER leaves a claim file that only blocks maintenance (the
+store is untouched; delete the stale claim file and re-run the
+maintenance pass).
 
 VERSIONED LAYOUT (r11, the object-store-safe rewrite): a store may
 instead live as a root of `v<N>/` data directories plus hidden
@@ -106,6 +106,8 @@ from __future__ import annotations
 
 import math
 import re
+import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -206,6 +208,90 @@ def _take_maintenance_marker(spark: SparkSession, store_path: str, what: str) ->
     return marker
 
 
+# --------------------------------------------------------------------------
+# store-user claims — the shared (read) side of the lock, closing the
+# check-then-act window the bare marker check leaves open
+# --------------------------------------------------------------------------
+
+_CLAIMS_SUFFIX = ".claims"
+
+
+def _claims_dir(store_path: str) -> str:
+    """`<store>.claims/` — sibling of the store root like the
+    maintenance marker, for the same reason: it must survive the
+    rewrite's swap of the root itself."""
+    return store_path.rstrip("/") + _CLAIMS_SUFFIX
+
+
+@contextmanager
+def store_user_claim(spark: SparkSession, store_path: str, what: str = "gate/append"):
+    """Hold a SHARED store-user claim for the duration of a gate pass or
+    append — the second half of the maintenance mutual exclusion that
+    makes it an actual lock instead of check-then-act.  Protocol:
+
+      user:     check marker absent → CREATE `<store>.claims/<uuid>` →
+                RE-CHECK marker (a rewrite that claimed in between wins;
+                the user backs out, deleting its claim) → run → delete.
+      rewrite:  CAS-claim `<store>.maintenance` → refuse while ANY claim
+                file exists (`_check_no_user_claims`).
+
+    Every interleaving resolves: a user claim created before the
+    rewrite's claims listing is seen there (rewrite backs out); one
+    created after it necessarily post-dates the marker claim, so the
+    user's re-check sees the marker (user backs out).  Needs only
+    atomic create-if-absent and read-after-write visibility — both held
+    by HDFS, POSIX, and S3 strong consistency; no rename, no mtime.
+
+    The appends and the foreachBatch gates' epochs (when given
+    `store_path=`) hold this automatically; wrap ad-hoc store scans in
+    it yourself when a maintenance pass could run concurrently.  A
+    CRASHED user leaves its claim file and maintenance refuses until an
+    operator deletes it (the claim's content names the holder; the
+    store itself is untouched — user claims guard users FROM
+    maintenance, never the store from users)."""
+    path = store_path.rstrip("/")
+    check_store_maintenance(spark, path)
+    claim = f"{_claims_dir(path)}/{uuid.uuid4().hex}"
+    if not _fs_create_text(spark, claim, what):
+        raise RuntimeError(f"store-user claim collision at {claim}")
+    fs, jclaim, _ = _hadoop_fs(spark, claim)
+    try:
+        # re-check AFTER the claim is visible: a rewrite that claimed
+        # the marker between our first check and our create must win
+        # (it cannot have seen our claim) — back out
+        check_store_maintenance(spark, path)
+        yield
+    finally:
+        fs.delete(jclaim, False)
+
+
+def _check_no_user_claims(spark: SparkSession, store_path: str) -> None:
+    """Run by every maintenance pass AFTER claiming the marker: refuse
+    while any store user (gate epoch, append, claimed ad-hoc scan)
+    holds a claim file — the raise releases the marker (the caller's
+    non-crash cleanup), so the user finishes undisturbed and the
+    maintenance pass simply re-runs later."""
+    cd = _claims_dir(store_path.rstrip("/"))
+    fs, jdir, _ = _hadoop_fs(spark, cd)
+    if not fs.exists(jdir):
+        return
+    holders = sorted(
+        name
+        for st in fs.listStatus(jdir)
+        # belt-and-braces: skip checksum/hidden siblings some Hadoop
+        # FileSystems materialize next to the claim files
+        if not (name := st.getPath().getName()).startswith((".", "_"))
+    )
+    if holders:
+        raise RuntimeError(
+            f"active store-user claims under {cd}: {holders} — a gate "
+            "epoch or append is mid-flight; wait for it and re-run this "
+            "maintenance pass. If a claimant CRASHED (nothing is "
+            "running), the store is untouched: delete the stale claim "
+            "file(s) and re-run"
+        )
+
+
 def _admitted_ids(decisions: DataFrame, alias: str) -> DataFrame:
     """Distinct admitted doc ids, renamed to the source frame's id
     column so the semi probe joins without a cast."""
@@ -249,9 +335,10 @@ def append_admitted_fingerprints(
     once per run regardless of file count, and the periodic rewrite is
     `compact_store`, which the gate never requires)."""
     _check_materialized(decisions, require_materialized)
-    check_store_maintenance(decisions.sparkSession, store_path)
-    target = resolve_store(decisions.sparkSession, store_path)
-    admitted_fingerprints(decisions).write.mode("append").parquet(target)
+    spark = decisions.sparkSession
+    with store_user_claim(spark, store_path, "append_admitted_fingerprints"):
+        target = resolve_store(spark, store_path)
+        admitted_fingerprints(decisions).write.mode("append").parquet(target)
 
 
 # --------------------------------------------------------------------------
@@ -324,17 +411,18 @@ def append_admitted_minhash(
     The existing store is never read or shuffled — the write is a pure
     parquet append of delta-derived rows."""
     _check_materialized(decisions, require_materialized)
-    check_store_maintenance(decisions.sparkSession, store_path)
-    target = resolve_store(decisions.sparkSession, store_path)
-    rows = admitted_minhash_rows(
-        decisions, docs, id_col, text_col, k, num_hashes, bands, seed,
-        hash_fn, bucket_by_hash,
-    )
-    rows = derive_minhash_partition(rows, hash_partitions)
-    writer = rows.write.mode("append")
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    writer.parquet(target)
+    spark = decisions.sparkSession
+    with store_user_claim(spark, store_path, "append_admitted_minhash"):
+        target = resolve_store(spark, store_path)
+        rows = admitted_minhash_rows(
+            decisions, docs, id_col, text_col, k, num_hashes, bands, seed,
+            hash_fn, bucket_by_hash,
+        )
+        rows = derive_minhash_partition(rows, hash_partitions)
+        writer = rows.write.mode("append")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(target)
 
 
 def derive_minhash_partition(rows: DataFrame, hash_partitions: int | None) -> DataFrame:
@@ -405,15 +493,16 @@ def append_admitted_semantic(
     partitioned=False only for a store that was written flat (where DPP
     was never available to lose)."""
     _check_materialized(decisions, require_materialized)
-    check_store_maintenance(decisions.sparkSession, store_path)
-    target = resolve_store(decisions.sparkSession, store_path)
-    rows = admitted_semantic_rows(
-        decisions, embeddings, centroids, dim, id_col, vec_col, round_to
-    )
-    writer = rows.write.mode("append")
-    if partitioned:
-        writer = writer.partitionBy("cell")
-    writer.parquet(target)
+    spark = decisions.sparkSession
+    with store_user_claim(spark, store_path, "append_admitted_semantic"):
+        target = resolve_store(spark, store_path)
+        rows = admitted_semantic_rows(
+            decisions, embeddings, centroids, dim, id_col, vec_col, round_to
+        )
+        writer = rows.write.mode("append")
+        if partitioned:
+            writer = writer.partitionBy("cell")
+        writer.parquet(target)
 
 
 # --------------------------------------------------------------------------
@@ -488,6 +577,7 @@ def convert_store_to_versioned(spark: SparkSession, store_path: str) -> str:
     path = store_path.rstrip("/")
     marker = _take_maintenance_marker(spark, path, "convert to versioned layout")
     try:
+        _check_no_user_claims(spark, path)
         fs, jpath, jvm = _hadoop_fs(spark, path)
         live, _, _ = _versioned_state(fs, jvm, path)
         if live:
@@ -778,18 +868,20 @@ def compact_store(
     detected, auto-rolled-back, and its superseded tmp cleared on the
     next call) the complete original at `<store>.precompact`.
 
-    Run it only between runs, never concurrently with a gate — and
-    since r10 that rule is protocol-checked: the rewrite claims the
-    `<store>.maintenance` marker (compare-and-set), the gates' scans
-    and the append_admitted_* writers check it, so in the common race
-    the losing side dies with the protocol's guidance error instead of
-    a raw FileNotFound inside the rename window.  The check narrows the
-    race but cannot close it — the writers check-then-act without
-    holding a claim (module docstring, CONCURRENCY), so scheduling
-    discipline remains the real contract.  A CRASHED rewrite leaves
-    the marker in place deliberately (the store may need the
-    auto-restore); deleting it and re-running is the documented manual
-    adjudication step.
+    Run it only between runs, never concurrently with a gate — a rule
+    that is a two-sided LOCK since r11 for protocol participants: the
+    rewrite claims the `<store>.maintenance` marker (compare-and-set)
+    and refuses while any store-user claim exists; the
+    append_admitted_* writers and the foreachBatch gates given
+    `store_path=` hold such claims for their whole pass (module
+    docstring, CONCURRENCY), so whichever side is second backs out
+    with the protocol's guidance error instead of a raw FileNotFound
+    inside the rename window — ad-hoc unclaimed scans should wrap
+    themselves in `store_user_claim`.  A CRASHED rewrite leaves the
+    marker in place deliberately (the store may need the auto-restore);
+    deleting it and re-running is the documented manual adjudication
+    step.  A crashed USER leaves only a claim file — delete it and
+    re-run the maintenance pass.
 
     FILESYSTEM CONTRACT: the rename-swap path above assumes directory
     rename is atomic (HDFS, POSIX local FS).  On an object store
@@ -865,6 +957,7 @@ def retire_from_store(
     marker = _take_maintenance_marker(spark, path, "retire (count+rewrite)")
     keep_marker = False
     try:
+        _check_no_user_claims(spark, path)
         if isinstance(retired, DataFrame):
             rset = (
                 retired.select(F.col(retired.columns[0]).alias(key_col))
@@ -959,6 +1052,7 @@ def _guarded_rewrite(
     marker = _take_maintenance_marker(spark, path, "compact/retire rewrite")
     keep_marker = False
     try:
+        _check_no_user_claims(spark, path)
         return _rewrite_locked(
             spark, path, partition_by, target_file_bytes, transform
         )

@@ -817,21 +817,32 @@ def _admission_gate_foreach(
     explainString per micro-batch, nothing executor-side.
 
     `store_path`, if given, is the persisted store's root: each epoch
-    then starts by checking the store's `<store>.maintenance` marker
-    (claimed by compact_store/retire_from_store for their rename-swap
-    rewrite), so a gate racing a maintenance pass dies at the epoch
-    boundary with the protocol's guidance error instead of a raw
-    FileNotFound from a scan of the momentarily-renamed store.  Pass it
-    whenever the gate's store frame was read from a path."""
+    then runs under a SHARED store-user claim
+    (gate_maintenance.store_user_claim — `<store>.claims/<uuid>` held
+    for the whole epoch, not a boundary-only check), so a gate racing a
+    maintenance pass resolves deterministically: a rewrite that claimed
+    the `<store>.maintenance` marker first makes the epoch die at its
+    boundary with the protocol's guidance error, and an epoch whose
+    claim landed first makes the rewrite refuse until the epoch
+    finishes — the store scan can never lose the path mid-plan.  Pass
+    it whenever the gate's store frame was read from a path."""
 
     def _gate(batch: DataFrame, epoch_id: int) -> None:
         spark_b = batch.sparkSession
         if store_path is not None:
             from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.gate_maintenance import (
-                check_store_maintenance,
+                store_user_claim,
             )
 
-            check_store_maintenance(spark_b, store_path)
+            with store_user_claim(
+                spark_b, store_path, f"gate epoch {int(epoch_id)}"
+            ):
+                _gate_epoch(batch, epoch_id)
+        else:
+            _gate_epoch(batch, epoch_id)
+
+    def _gate_epoch(batch: DataFrame, epoch_id: int) -> None:
+        spark_b = batch.sparkSession
         # one row per id: first delivery by event time; a delta-sized
         # exchange, like every ingest gate
         first = batch.groupBy(F.col(id_col)).agg(

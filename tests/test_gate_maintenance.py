@@ -924,6 +924,82 @@ def test_swap_double_failure_keeps_marker_with_guidance(spark, tmp_path, monkeyp
     assert sorted(map(tuple, spark.read.parquet(store_path).collect())) == rows
 
 
+def test_store_user_claims_close_the_writer_race(spark, tmp_path, monkeypatch):
+    """r10 ADVICE #1, the stronger option taken in r11: writers hold a
+    SHARED claim, so maintenance-vs-writer is a two-sided lock, not
+    check-then-act.  Three interleavings: (1) maintenance racing a
+    mid-flight append backs out with the designed error and releases
+    its marker (asserted from INSIDE the append's claim window via a
+    resolve_store spy); (2) a user whose claim post-dates a rewrite's
+    marker claim backs out at the phase-2 re-check and leaves no claim
+    file; (3) a crashed user's stale claim blocks maintenance with the
+    stale-claim guidance until deleted — and the store is untouched."""
+    import os
+
+    import pytest
+
+    store_path = str(tmp_path / "fp_store_claims")
+    fingerprint_store(_docs(spark, [(100, TEXT_A)])).write.parquet(store_path)
+    dec = ingest_dedup(
+        _docs(spark, [(1, TEXT_B)]), spark.read.parquet(store_path)
+    ).localCheckpoint()
+    claims_dir = store_path + ".claims"
+    marker = store_path + ".maintenance"
+
+    def live_claims():
+        # the Hadoop local FS writes hidden .crc siblings — count claims only
+        return [f for f in os.listdir(claims_dir) if not f.startswith((".", "_"))]
+
+    # (1) compact racing a mid-flight append: the append's claim is held
+    # when resolve_store runs — a maintenance pass attempted there must
+    # back out, releasing its marker, and the append finishes untouched
+    real_resolve = GM.resolve_store
+    seen = {}
+
+    def resolve_spy(spark_, path):
+        assert len(live_claims()) == 1  # the append's claim
+        with pytest.raises(RuntimeError, match="active store-user claims"):
+            GM.compact_store(spark_, path)
+        assert not os.path.exists(marker)  # the losing rewrite released it
+        seen["raced"] = True
+        return real_resolve(spark_, path)
+
+    monkeypatch.setattr(GM, "resolve_store", resolve_spy)
+    GM.append_admitted_fingerprints(dec, store_path)
+    monkeypatch.undo()
+    assert seen["raced"]
+    assert live_claims() == []  # claim released after the append
+    assert spark.read.parquet(store_path).count() == 2
+
+    # (2) the phase-2 re-check: a rewrite that claims the marker between
+    # the user's first check and its claim create must win — simulated
+    # by passing check 1 and raising at check 2
+    calls = {"n": 0}
+    real_check = GM.check_store_maintenance
+
+    def flaky_check(spark_, path):
+        calls["n"] += 1
+        if calls["n"] == 2:  # the re-check inside the claim window
+            raise RuntimeError("store is under maintenance (simulated)")
+        return real_check(spark_, path)
+
+    monkeypatch.setattr(GM, "check_store_maintenance", flaky_check)
+    with pytest.raises(RuntimeError, match="under maintenance"):
+        with GM.store_user_claim(spark, store_path, "loser"):
+            raise AssertionError("must not enter — the re-check lost")
+    monkeypatch.undo()
+    assert live_claims() == []  # backed out: no claim left behind
+
+    # (3) a crashed user's stale claim blocks maintenance with guidance
+    with open(f"{claims_dir}/deadbeef", "w") as f:
+        f.write("crashed epoch")
+    with pytest.raises(RuntimeError, match="delete the stale claim"):
+        GM.compact_store(spark, store_path)
+    assert not os.path.exists(marker)  # refused cleanly
+    os.remove(f"{claims_dir}/deadbeef")
+    GM.compact_store(spark, store_path)  # proceeds once clear
+
+
 def test_versioned_lifecycle_runs_with_all_renames_failing(spark, tmp_path, monkeypatch):
     """The object-store-safe mode end-to-end (r10 verdict ask #3): an
     existing exact store converts to the VERSIONED layout, and the
