@@ -14,6 +14,9 @@ processAllAvailable() (the documented local-smoke pattern).
 
 from __future__ import annotations
 
+import uuid
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -828,18 +831,24 @@ def _admission_gate_foreach(
     it whenever the gate's store frame was read from a path."""
 
     def _gate(batch: DataFrame, epoch_id: int) -> None:
+        # every epoch holds a LOG-user claim (the fold's mutual
+        # exclusion), plus a STORE-user claim when the persisted store's
+        # root is known — both two-phase, both released at epoch end
         spark_b = batch.sparkSession
-        if store_path is not None:
-            from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.gate_maintenance import (
-                store_user_claim,
-            )
+        with _log_user_claim(
+            spark_b, decisions_path, f"gate epoch {int(epoch_id)}"
+        ):
+            if store_path is not None:
+                from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.gate_maintenance import (
+                    store_user_claim,
+                )
 
-            with store_user_claim(
-                spark_b, store_path, f"gate epoch {int(epoch_id)}"
-            ):
+                with store_user_claim(
+                    spark_b, store_path, f"gate epoch {int(epoch_id)}"
+                ):
+                    _gate_epoch(batch, epoch_id)
+            else:
                 _gate_epoch(batch, epoch_id)
-        else:
-            _gate_epoch(batch, epoch_id)
 
     def _gate_epoch(batch: DataFrame, epoch_id: int) -> None:
         spark_b = batch.sparkSession
@@ -875,22 +884,12 @@ def _admission_gate_foreach(
         # the compacted marker is checked UNCONDITIONALLY (not only when
         # root part files exist): an interrupted fold can momentarily
         # hold neither epoch dirs nor root files — without this check
-        # that state would read as an EMPTY log and re-admit everything
-        # maintenance guard: compact_gate_decisions claims _maintenance
-        # for the whole fold, including the pre-commit window where the
-        # epoch dirs still look live — a gate epoch admitted THERE would
-        # write new epoch dirs the fold then deletes without folding
-        # (silent decision loss); fail fast with guidance instead
-        if _fs_read_text(spark_b, f"{decisions_path}/{_MAINTENANCE_MARKER}") is not None:
-            raise RuntimeError(
-                f"decisions log at {decisions_path} is under maintenance "
-                "(compact_gate_decisions holds its _maintenance marker) — "
-                "a gate epoch committed mid-fold would be silently "
-                "deleted by the fold. Stop the maintenance pass or wait "
-                "for it; if it CRASHED, delete the marker and re-run "
-                "compact_gate_decisions to completion, then start the "
-                "next run with a fresh decisions_path + checkpoint pair"
-            )
+        # that state would read as an EMPTY log and re-admit everything.
+        # (The maintenance-marker guard against a LIVE fold lives in the
+        # _log_user_claim every epoch holds around this whole body — a
+        # two-phase claim the fold's _check_no_log_claims honors, so the
+        # pre-commit silent-decision-loss window is closed, not merely
+        # narrowed to the boundary check that used to sit here.)
         if _fs_read_text(spark_b, f"{decisions_path}/{_COMPACTED_MARKER}") is not None:
             raise RuntimeError(
                 f"decisions log at {decisions_path} was COMPACTED "
@@ -1266,6 +1265,75 @@ def read_gate_decisions(spark: SparkSession, decisions_path: str) -> DataFrame:
 _RUN_MARKER = "_run_id"
 _COMPACTED_MARKER = "_compacted"
 _MAINTENANCE_MARKER = "_maintenance"
+_CLAIMS_SUBDIR = "_claims"
+
+
+def _check_log_maintenance(spark: SparkSession, decisions_path: str) -> None:
+    """Fail fast while compact_gate_decisions holds the log's
+    `_maintenance` marker — a gate epoch committed mid-fold would be
+    silently deleted by the fold without being folded."""
+    if _fs_read_text(spark, f"{decisions_path}/{_MAINTENANCE_MARKER}") is not None:
+        raise RuntimeError(
+            f"decisions log at {decisions_path} is under maintenance "
+            "(compact_gate_decisions holds its _maintenance marker) — "
+            "a gate epoch committed mid-fold would be silently "
+            "deleted by the fold. Stop the maintenance pass or wait "
+            "for it; if it CRASHED, delete the marker and re-run "
+            "compact_gate_decisions to completion, then start the "
+            "next run with a fresh decisions_path + checkpoint pair"
+        )
+
+
+@contextmanager
+def _log_user_claim(spark: SparkSession, decisions_path: str, what: str):
+    """Shared LOG-user claim held by every gate epoch — the
+    decisions-log twin of gate_maintenance.store_user_claim, same
+    two-phase protocol and the same interleaving proof: check the
+    log's `_maintenance` marker, create `<log>/_claims/<uuid>`,
+    RE-CHECK the marker (a fold that claimed in between wins — back
+    out, deleting the claim), run the epoch, delete.  The fold refuses
+    while any claim exists (`_check_no_log_claims`), so an epoch
+    mid-flight can never have its freshly committed `_epoch=<n>`
+    directory deleted-without-folding — the pre-commit window the bare
+    marker check only narrowed.  `_claims` has no `=` in its name, so
+    parquet reads keep hiding it like the other markers.  A CRASHED
+    epoch leaves its claim file; it blocks only maintenance (delete
+    the stale file and re-run the fold)."""
+    path = decisions_path.rstrip("/")
+    _check_log_maintenance(spark, path)
+    claim = f"{path}/{_CLAIMS_SUBDIR}/{uuid.uuid4().hex}"
+    if not _fs_create_text(spark, claim, what):
+        raise RuntimeError(f"log-user claim collision at {claim}")
+    fs, jclaim, _ = _hadoop_fs(spark, claim)
+    try:
+        _check_log_maintenance(spark, path)
+        yield
+    finally:
+        fs.delete(jclaim, False)
+
+
+def _check_no_log_claims(spark: SparkSession, decisions_path: str) -> None:
+    """Run by the fold AFTER claiming `_maintenance`: refuse while any
+    gate epoch holds a log-user claim — the raise releases the marker
+    (the caller's non-crash cleanup), the epoch finishes undisturbed,
+    and the fold simply re-runs later."""
+    cd = f"{decisions_path.rstrip('/')}/{_CLAIMS_SUBDIR}"
+    fs, jdir, _ = _hadoop_fs(spark, cd)
+    if not fs.exists(jdir):
+        return
+    holders = sorted(
+        name
+        for st in fs.listStatus(jdir)
+        if not (name := st.getPath().getName()).startswith((".", "_"))
+    )
+    if holders:
+        raise RuntimeError(
+            f"active gate-epoch claims under {cd}: {holders} — a gate "
+            "epoch is mid-flight; stop the stream (or wait for the epoch) "
+            "and re-run the fold. If the claimant CRASHED (no stream is "
+            "running), the log is untouched: delete the stale claim "
+            "file(s) and re-run"
+        )
 
 
 def _hadoop_fs(spark: SparkSession, path_str: str):
@@ -1503,17 +1571,21 @@ def compact_gate_decisions(
     reading as an EMPTY log and silently re-admitting every previously
     decided doc.
 
-    Run it only after the stream is stopped — and since r10 that rule
-    is ENFORCED: the fold claims the log's `_maintenance` marker
-    (compare-and-set) for its whole duration and the gate checks it at
-    every epoch start, closing the PRE-commit window the `_compacted`
-    marker cannot cover (epoch dirs still look live while the resolved
-    copy is being written; a gate epoch committed there would be
-    deleted by the fold without being folded).  The marker is released
-    on every non-crash exit; a CRASHED fold leaves it, and the
-    documented adjudication is: verify no fold is running, delete the
-    marker, re-run this helper to completion (the `_compacted`
-    marker — not the lock — is what makes the resume data-safe).
+    Run it only after the stream is stopped — a rule that is a
+    two-sided LOCK since r11: the fold claims the log's `_maintenance`
+    marker (compare-and-set) for its whole duration and then REFUSES
+    while any gate epoch holds a `_claims/<uuid>` file; every epoch
+    holds such a claim around its whole body (check marker → create →
+    re-check → run → delete), so the PRE-commit window the
+    `_compacted` marker cannot cover (epoch dirs still look live while
+    the resolved copy is being written; an epoch committed there would
+    be deleted by the fold without being folded) is closed for every
+    interleaving, not just at the epoch boundary.  The marker is
+    released on every non-crash exit; a CRASHED fold leaves it, and
+    the documented adjudication is: verify no fold is running, delete
+    the marker, re-run this helper to completion (the `_compacted`
+    marker — not the lock — is what makes the resume data-safe); a
+    CRASHED epoch leaves only its claim file — delete it and re-run.
 
     Returns (files_before, files_after) — the test-visible proof the
     listing shrank ((0, n) when resuming an interrupted fold: the
@@ -1528,6 +1600,7 @@ def compact_gate_decisions(
             "safely from its _compacted commit point)"
         )
     try:
+        _check_no_log_claims(spark, path)
         return _compact_gate_decisions_locked(spark, path, target_file_bytes)
     finally:
         mfs, mpath, _ = _hadoop_fs(spark, f"{path}/{_MAINTENANCE_MARKER}")

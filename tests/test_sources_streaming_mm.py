@@ -2213,6 +2213,52 @@ def test_compact_gate_decisions_maintenance_marker(spark, tmp_path):
     assert sorted(map(tuple, SE.read_gate_decisions(spark, dec_path).collect())) == pre
 
 
+def test_log_user_claims_block_fold_and_back_out(spark, tmp_path):
+    """r11: every gate epoch holds a `_claims/<uuid>` file for its whole
+    body and compact_gate_decisions refuses while one exists — the
+    fold-vs-epoch mutual exclusion is two-sided, closing the pre-commit
+    window the marker's boundary check only narrowed.  Pins: epoch
+    claims are released after the run (a quiescent log folds), a stale
+    claim blocks the fold with the adjudication guidance and the losing
+    fold releases its marker, and a claim attempted while the marker is
+    held backs out leaving no claim file."""
+    feed, run = _gate_runner(spark, tmp_path, src_name="clm_docs")
+    feed((1, 0, "claims one"))
+    run("dec_clm", "ckpt_clm")
+    dec_path = str(tmp_path / "dec_clm")
+    claims = f"{dec_path}/_claims"
+
+    def live_claims():
+        if not os.path.isdir(claims):
+            return []
+        return [f for f in os.listdir(claims) if not f.startswith((".", "_"))]
+
+    assert live_claims() == []  # epoch claims released after the run
+
+    # a mid-flight epoch's claim makes the fold refuse with guidance
+    os.makedirs(claims, exist_ok=True)
+    with open(f"{claims}/cafe01", "w") as f:
+        f.write("gate epoch 9")
+    with pytest.raises(RuntimeError, match="active gate-epoch claims"):
+        SE.compact_gate_decisions(spark, dec_path)
+    assert not os.path.exists(f"{dec_path}/_maintenance")  # loser released it
+    os.remove(f"{claims}/cafe01")  # the stale-claim adjudication
+
+    # phase-2 back-out: marker held → a new claim attempt dies claim-free
+    with open(f"{dec_path}/_maintenance", "w") as f:
+        f.write("fold")
+    with pytest.raises(RuntimeError, match="under maintenance"):
+        with SE._log_user_claim(spark, dec_path, "epoch X"):
+            raise AssertionError("must not enter — the claim lost")
+    assert live_claims() == []
+    os.remove(f"{dec_path}/_maintenance")
+
+    # quiescent log: the fold proceeds and the resolved log reads the same
+    pre = sorted(map(tuple, SE.read_gate_decisions(spark, dec_path).collect()))
+    SE.compact_gate_decisions(spark, dec_path)
+    assert sorted(map(tuple, SE.read_gate_decisions(spark, dec_path).collect())) == pre
+
+
 def test_foreach_gate_fully_suppressed_epoch(spark, tmp_path):
     """An epoch consisting ONLY of re-deliveries (every id already in
     the decisions log) must run green end-to-end: the suppression
