@@ -1345,11 +1345,25 @@ def _hadoop_fs(spark: SparkSession, path_str: str):
 
 def _fs_read_text(spark: SparkSession, path_str: str) -> str | None:
     """Contents of a small text file via the Hadoop FS API (None when
-    absent) — the decisions-log markers are one-line files."""
+    absent) — the decisions-log markers are one-line files.  Absence
+    is checked TWICE: exists→open is not atomic, and a marker released
+    by a concurrent maintenance pass between the two must read as
+    absent (the state it is in), not as a raw Java
+    FileNotFoundException — the live two-thread stress test caught
+    exactly that interleaving."""
     fs, jpath, jvm = _hadoop_fs(spark, path_str)
     if not fs.exists(jpath):
         return None
-    inp = fs.open(jpath)
+    try:
+        inp = fs.open(jpath)
+    except Exception as e:
+        # a FileNotFound AT OPEN TIME is authoritative absence — the
+        # open itself is the linearization point (a bare exists()
+        # re-check is not enough: a rapidly flapping marker can be
+        # re-created by the next maintenance pass before the re-check)
+        if "FileNotFoundException" in str(e) or not fs.exists(jpath):
+            return None
+        raise
     try:
         reader = jvm.java.io.BufferedReader(jvm.java.io.InputStreamReader(inp, "UTF-8"))
         lines = []

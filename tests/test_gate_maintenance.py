@@ -1000,6 +1000,86 @@ def test_store_user_claims_close_the_writer_race(spark, tmp_path, monkeypatch):
     GM.compact_store(spark, store_path)  # proceeds once clear
 
 
+def test_concurrent_appends_vs_compactions_stress(spark, tmp_path):
+    """Live two-thread stress of the r11 claim protocol — the
+    real-concurrency counterpart of the constructed interleavings: one
+    thread appends 8 decision sets (retrying on protocol errors), the
+    other loops compactions (skipping on protocol errors), genuinely
+    overlapping on local[32].  The lock's guarantee under test: the
+    ONLY errors either side ever sees are the protocol's designed
+    messages (never a raw FileNotFound / AnalysisException from a
+    half-swapped store), every append eventually lands exactly once,
+    and no marker or claim file survives the run."""
+    import os
+    import threading
+    import time as _t
+
+    store_path = str(tmp_path / "fp_store_stress")
+    fingerprint_store(_docs(spark, [(0, "seed document zero")])).write.parquet(
+        store_path
+    )
+    empty = fingerprint_store(_docs(spark, []))
+    texts = [f"unique stress document number {i} with body {i * 7}" for i in range(8)]
+    decs = [
+        ingest_dedup(_docs(spark, [(i + 1, t)]), empty).localCheckpoint()
+        for i, t in enumerate(texts)
+    ]
+    expected = {
+        r.fingerprint
+        for r in fingerprint_store(
+            _docs(spark, [(0, "seed document zero")] + list(enumerate(texts, 1)))
+        ).collect()
+    }
+
+    PROTOCOL = ("under maintenance", "active store-user claims", "already holds")
+    unexpected: list[str] = []
+    done = threading.Event()
+
+    def appender():
+        try:
+            for dec in decs:
+                while True:
+                    try:
+                        GM.append_admitted_fingerprints(dec, store_path)
+                        break
+                    except RuntimeError as e:
+                        if not any(p in str(e) for p in PROTOCOL):
+                            unexpected.append(f"append: {e!r}")
+                            return
+                        _t.sleep(0.05)  # lost to a compaction — retry
+        except Exception as e:  # noqa: BLE001 — the test records, the main thread asserts
+            unexpected.append(f"append: {e!r}")
+        finally:
+            done.set()
+
+    def compactor():
+        while not done.is_set():
+            try:
+                GM.compact_store(spark, store_path)
+            except RuntimeError as e:
+                if not any(p in str(e) for p in PROTOCOL):
+                    unexpected.append(f"compact: {e!r}")
+                    return
+            except Exception as e:  # noqa: BLE001
+                unexpected.append(f"compact: {e!r}")
+                return
+            _t.sleep(0.01)
+
+    ta = threading.Thread(target=appender)
+    tb = threading.Thread(target=compactor)
+    ta.start(), tb.start()
+    ta.join(timeout=300), tb.join(timeout=300)
+    assert not ta.is_alive() and not tb.is_alive(), "stress threads hung"
+    assert unexpected == [], unexpected
+
+    got = {r.fingerprint for r in spark.read.parquet(store_path).collect()}
+    assert got == expected  # every append landed exactly once, none lost
+    assert not os.path.exists(store_path + ".maintenance")
+    claims = store_path + ".claims"
+    if os.path.isdir(claims):
+        assert [f for f in os.listdir(claims) if not f.startswith((".", "_"))] == []
+
+
 def test_versioned_lifecycle_runs_with_all_renames_failing(spark, tmp_path, monkeypatch):
     """The object-store-safe mode end-to-end (r10 verdict ask #3): an
     existing exact store converts to the VERSIONED layout, and the
