@@ -2259,6 +2259,73 @@ def test_log_user_claims_block_fold_and_back_out(spark, tmp_path):
     assert sorted(map(tuple, SE.read_gate_decisions(spark, dec_path).collect())) == pre
 
 
+def test_concurrent_log_claims_vs_fold_stress(spark, tmp_path):
+    """Live two-thread stress of the log-side claim primitives — one
+    thread takes/releases epoch-style `_log_user_claim`s in a tight
+    loop (retrying on protocol errors), the other loops
+    compact_gate_decisions (skipping on protocol errors): the only
+    errors either side may ever see are the protocol's designed
+    messages (the store-side stress caught a real marker-read TOCTOU
+    this way), and the log ends with no marker and no claim files."""
+    import threading
+    import time as _t
+
+    feed, run = _gate_runner(spark, tmp_path, src_name="stress_docs")
+    feed((1, 0, "stress body one"), (2, 1, "stress body two"))
+    run("dec_stress", "ckpt_stress")
+    dec_path = str(tmp_path / "dec_stress")
+    pre = sorted(map(tuple, SE.read_gate_decisions(spark, dec_path).collect()))
+
+    PROTOCOL = ("under maintenance", "active gate-epoch claims", "_maintenance marker")
+    unexpected: list[str] = []
+    done = threading.Event()
+
+    def claimer():
+        try:
+            for _ in range(40):
+                while True:
+                    try:
+                        with SE._log_user_claim(spark, dec_path, "stress epoch"):
+                            _t.sleep(0.005)
+                        break
+                    except RuntimeError as e:
+                        if not any(p in str(e) for p in PROTOCOL):
+                            unexpected.append(f"claim: {e!r}")
+                            return
+                        _t.sleep(0.005)
+        except Exception as e:  # noqa: BLE001 — recorded, asserted on main thread
+            unexpected.append(f"claim: {e!r}")
+        finally:
+            done.set()
+
+    def folder():
+        while not done.is_set():
+            try:
+                SE.compact_gate_decisions(spark, dec_path)
+            except RuntimeError as e:
+                if not any(p in str(e) for p in PROTOCOL):
+                    unexpected.append(f"fold: {e!r}")
+                    return
+            except Exception as e:  # noqa: BLE001
+                unexpected.append(f"fold: {e!r}")
+                return
+            _t.sleep(0.002)
+
+    ta = threading.Thread(target=claimer)
+    tb = threading.Thread(target=folder)
+    ta.start(), tb.start()
+    ta.join(timeout=240), tb.join(timeout=240)
+    assert not ta.is_alive() and not tb.is_alive(), "stress threads hung"
+    assert unexpected == [], unexpected
+    # the fold won at some point (the log compacts exactly once; later
+    # passes are no-ops) and the resolved rows are intact either way
+    assert sorted(map(tuple, SE.read_gate_decisions(spark, dec_path).collect())) == pre
+    assert not os.path.exists(f"{dec_path}/_maintenance")
+    claims = f"{dec_path}/_claims"
+    if os.path.isdir(claims):
+        assert [f for f in os.listdir(claims) if not f.startswith((".", "_"))] == []
+
+
 def test_foreach_gate_fully_suppressed_epoch(spark, tmp_path):
     """An epoch consisting ONLY of re-deliveries (every id already in
     the decisions log) must run green end-to-end: the suppression
