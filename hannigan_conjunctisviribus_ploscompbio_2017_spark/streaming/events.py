@@ -835,7 +835,7 @@ def _admission_gate_foreach(
         # exclusion), plus a STORE-user claim when the persisted store's
         # root is known — both two-phase, both released at epoch end
         spark_b = batch.sparkSession
-        with _log_user_claim(
+        with log_user_claim(
             spark_b, decisions_path, f"gate epoch {int(epoch_id)}"
         ):
             if store_path is not None:
@@ -886,7 +886,7 @@ def _admission_gate_foreach(
         # hold neither epoch dirs nor root files — without this check
         # that state would read as an EMPTY log and re-admit everything.
         # (The maintenance-marker guard against a LIVE fold lives in the
-        # _log_user_claim every epoch holds around this whole body — a
+        # log_user_claim every epoch holds around this whole body — a
         # two-phase claim the fold's _check_no_log_claims honors, so the
         # pre-commit silent-decision-loss window is closed, not merely
         # narrowed to the boundary check that used to sit here.)
@@ -1244,7 +1244,24 @@ def read_gate_decisions(spark: SparkSession, decisions_path: str) -> DataFrame:
     where a partially committed epoch could historically diverge — the
     first payload column that can differ is `status`, and 'dup_batch' /
     'dup_store' sort before 'new', so a legacy divergence resolves to
-    the conservative decision (never a double admit)."""
+    the conservative decision (never a double admit).
+
+    Fails fast while compact_gate_decisions holds the log's
+    `_maintenance` marker: mid-fold the epoch dirs are being deleted
+    and the resolved copy still sits in the hidden `_compact_tmp`, so
+    a raw read would SILENTLY return a partial (or empty) log — the
+    one wrong-answer mode worse than an error.  The returned frame is
+    LAZY; in a loop where a fold could start concurrently, materialize
+    it (`.localCheckpoint()`) inside a `log_user_claim` — the same
+    frame the append step wants materialized anyway."""
+    _check_log_maintenance(spark, decisions_path.rstrip("/"))
+    return _resolve_gate_decisions(spark, decisions_path)
+
+
+def _resolve_gate_decisions(spark: SparkSession, decisions_path: str) -> DataFrame:
+    """The resolution body of read_gate_decisions, without the
+    maintenance fail-fast — the fold calls this directly (it HOLDS the
+    marker while resolving)."""
     log = spark.read.parquet(decisions_path)
     cols = [c for c in log.columns if c not in ("id", "_epoch")]
     order = F.struct(F.col("_epoch"), *[F.col(c) for c in cols])
@@ -1285,7 +1302,7 @@ def _check_log_maintenance(spark: SparkSession, decisions_path: str) -> None:
 
 
 @contextmanager
-def _log_user_claim(spark: SparkSession, decisions_path: str, what: str):
+def log_user_claim(spark: SparkSession, decisions_path: str, what: str):
     """Shared LOG-user claim held by every gate epoch — the
     decisions-log twin of gate_maintenance.store_user_claim, same
     two-phase protocol and the same interleaving proof: check the
@@ -1639,7 +1656,7 @@ def _compact_gate_decisions_locked(
             return (0, 0)
         total_bytes = sum(s.getLen() for s in before)
         n_files = max(1, math.ceil(total_bytes / target_file_bytes))
-        resolved = read_gate_decisions(spark, path)
+        resolved = _resolve_gate_decisions(spark, path)
         fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
         resolved.coalesce(n_files).write.parquet(tmp)
         # the resolved copy is durable — COMMIT the fold before deleting

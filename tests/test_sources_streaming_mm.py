@@ -2213,7 +2213,7 @@ def test_compact_gate_decisions_maintenance_marker(spark, tmp_path):
     assert sorted(map(tuple, SE.read_gate_decisions(spark, dec_path).collect())) == pre
 
 
-def test_log_user_claims_block_fold_and_back_out(spark, tmp_path):
+def testlog_user_claims_block_fold_and_back_out(spark, tmp_path):
     """r11: every gate epoch holds a `_claims/<uuid>` file for its whole
     body and compact_gate_decisions refuses while one exists — the
     fold-vs-epoch mutual exclusion is two-sided, closing the pre-commit
@@ -2244,13 +2244,18 @@ def test_log_user_claims_block_fold_and_back_out(spark, tmp_path):
     assert not os.path.exists(f"{dec_path}/_maintenance")  # loser released it
     os.remove(f"{claims}/cafe01")  # the stale-claim adjudication
 
-    # phase-2 back-out: marker held → a new claim attempt dies claim-free
+    # phase-2 back-out: marker held → a new claim attempt dies claim-free,
+    # and read_gate_decisions fails FAST instead of silently resolving a
+    # mid-fold partial log (r11: the fold's move phase leaves the data in
+    # the hidden _compact_tmp a raw read cannot see)
     with open(f"{dec_path}/_maintenance", "w") as f:
         f.write("fold")
     with pytest.raises(RuntimeError, match="under maintenance"):
-        with SE._log_user_claim(spark, dec_path, "epoch X"):
+        with SE.log_user_claim(spark, dec_path, "epoch X"):
             raise AssertionError("must not enter — the claim lost")
     assert live_claims() == []
+    with pytest.raises(RuntimeError, match="under maintenance"):
+        SE.read_gate_decisions(spark, dec_path)
     os.remove(f"{dec_path}/_maintenance")
 
     # quiescent log: the fold proceeds and the resolved log reads the same
@@ -2261,7 +2266,7 @@ def test_log_user_claims_block_fold_and_back_out(spark, tmp_path):
 
 def test_concurrent_log_claims_vs_fold_stress(spark, tmp_path):
     """Live two-thread stress of the log-side claim primitives — one
-    thread takes/releases epoch-style `_log_user_claim`s in a tight
+    thread takes/releases epoch-style `log_user_claim`s in a tight
     loop (retrying on protocol errors), the other loops
     compact_gate_decisions (skipping on protocol errors): the only
     errors either side may ever see are the protocol's designed
@@ -2285,7 +2290,7 @@ def test_concurrent_log_claims_vs_fold_stress(spark, tmp_path):
             for _ in range(40):
                 while True:
                     try:
-                        with SE._log_user_claim(spark, dec_path, "stress epoch"):
+                        with SE.log_user_claim(spark, dec_path, "stress epoch"):
                             _t.sleep(0.005)
                         break
                     except RuntimeError as e:
