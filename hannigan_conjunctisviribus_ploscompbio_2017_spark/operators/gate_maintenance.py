@@ -265,6 +265,21 @@ def store_user_claim(spark: SparkSession, store_path: str, what: str = "gate/app
         fs.delete(jclaim, False)
 
 
+def _count_user_claims(spark: SparkSession, store_path: str) -> int:
+    """Number of store-user claim files currently held (0 when the
+    claims dir does not exist yet) — the store_stats monitoring face
+    of the claim protocol.  Hidden/checksum siblings excluded."""
+    cd = _claims_dir(store_path.rstrip("/"))
+    fs, jdir, _ = _hadoop_fs(spark, cd)
+    if not fs.exists(jdir):
+        return 0
+    return sum(
+        1
+        for st in fs.listStatus(jdir)
+        if not st.getPath().getName().startswith((".", "_"))
+    )
+
+
 def _check_no_user_claims(spark: SparkSession, store_path: str) -> None:
     """Run by every maintenance pass AFTER claiming the marker: refuse
     while any store user (gate epoch, append, claimed ad-hoc scan)
@@ -782,7 +797,12 @@ def store_stats(spark: SparkSession, store_path: str) -> dict:
     data_files / partition_dirs is the per-directory fragmentation the
     partitioned layouts accumulate fastest.  `under_maintenance`
     reflects the `<store>.maintenance` claim — True either while a
-    rewrite runs or after one crashed (see check_store_maintenance).
+    rewrite runs or after one crashed (see check_store_maintenance);
+    `active_claims` counts the store-user claim files currently held
+    (a non-zero value means a gate epoch or append is mid-flight — the
+    signal a maintenance scheduler polls before attempting a rewrite,
+    and a steadily non-zero value with no stream running means a
+    crashed user left a stale claim to adjudicate).
     A store path that does not exist yet (cold start — the store is
     created by the first append) returns zeroed stats rather than
     raising, so the monitoring loop can start polling before run 1.
@@ -803,6 +823,7 @@ def store_stats(spark: SparkSession, store_path: str) -> dict:
             "partition_dirs": 0,
             "under_maintenance": _fs_read_text(spark, _maintenance_marker(path))
             is not None,
+            "active_claims": _count_user_claims(spark, path),
         }
         if live:
             out["version"] = live
@@ -826,6 +847,7 @@ def store_stats(spark: SparkSession, store_path: str) -> dict:
         "partition_columns": sorted(_discovered_partition_cols(fs, jvm, data_path)),
         "partition_dirs": len(leaf_dirs),
         "under_maintenance": _fs_read_text(spark, _maintenance_marker(path)) is not None,
+        "active_claims": _count_user_claims(spark, path),
     }
     if live:
         out["version"] = live

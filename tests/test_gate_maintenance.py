@@ -812,6 +812,7 @@ def test_store_stats_cold_start_returns_zeroed(spark, tmp_path):
         "partition_columns": [],
         "partition_dirs": 0,
         "under_maintenance": False,
+        "active_claims": 0,
     }
     marker = GM._take_maintenance_marker(spark, path, "cold start test")
     assert GM.store_stats(spark, path)["under_maintenance"] is True
@@ -958,6 +959,7 @@ def test_store_user_claims_close_the_writer_race(spark, tmp_path, monkeypatch):
 
     def resolve_spy(spark_, path):
         assert len(live_claims()) == 1  # the append's claim
+        assert GM.store_stats(spark_, path)["active_claims"] == 1  # monitored
         with pytest.raises(RuntimeError, match="active store-user claims"):
             GM.compact_store(spark_, path)
         assert not os.path.exists(marker)  # the losing rewrite released it
