@@ -1225,6 +1225,87 @@ def test_versioned_semantic_store_keeps_dpp_and_layout(spark, tmp_path):
     assert rows[9].status == "dup_semantic" and rows[9].match_id == 1
 
 
+def test_versioned_store_state_machine_vs_model(spark, tmp_path):
+    """Seeded state-machine check of the versioned lifecycle: a random
+    sequence of {append, compact, retire, crash-debris injection}
+    against a plain Python-set model — after EVERY op, resolve_store
+    must name a complete readable version whose fingerprint set equals
+    the model.  Crash debris is the exact litter a killed rewrite
+    leaves (orphan v-dirs without manifests; stale version+manifest
+    pairs behind the live one) planted BETWEEN ops; the next
+    maintenance pass must self-repair it without touching the model's
+    rows.  Seeded, so failures replay deterministically."""
+    import os
+    import random
+    import shutil
+
+    rng = random.Random(1109)
+    root = str(tmp_path / "fp_store_sm")
+    GM.convert_store_to_versioned(spark, root)  # cold: versioned from day one
+    model: set[str] = set()
+    next_doc = 0
+    empty = fingerprint_store(_docs(spark, []))
+
+    def fp_of(text):
+        return fingerprint_store(_docs(spark, [(0, text)])).collect()[0].fingerprint
+
+    def check(op):
+        live = GM.resolve_store(spark, root)
+        if not model:
+            # an all-retired store may be empty/unreadable — cold-start
+            # semantics; nothing to compare
+            return
+        got = {r.fingerprint for r in spark.read.parquet(live).collect()}
+        assert got == model, f"after {op}: store diverged from model"
+
+    for step in range(18):
+        op = rng.choice(["append", "append", "compact", "retire", "debris"])
+        if op == "append":
+            texts = [
+                f"state machine doc {next_doc + i} body {(next_doc + i) * 13}"
+                for i in range(rng.randint(1, 3))
+            ]
+            next_doc += len(texts)
+            dec = ingest_dedup(
+                _docs(spark, list(enumerate(texts))), empty
+            ).localCheckpoint()
+            GM.append_admitted_fingerprints(dec, root)
+            model |= {fp_of(t) for t in texts}
+        elif op == "compact":
+            GM.compact_store(spark, root)
+        elif op == "retire" and model:
+            victims = rng.sample(sorted(model), k=min(2, len(model)))
+            before, after = GM.retire_from_store(
+                spark, root, victims, "fingerprint"
+            )
+            assert (before, after) == (len(model), len(model) - len(victims))
+            model -= set(victims)
+        elif op == "debris":
+            live_n = int(GM.resolve_store(spark, root).rsplit("v", 1)[1])
+            kind = rng.choice(["orphan", "stale"])
+            if kind == "orphan":  # killed before the flip
+                os.makedirs(f"{root}/v{live_n + 1}", exist_ok=True)
+                with open(f"{root}/v{live_n + 1}/partial.bin", "w") as f:
+                    f.write("killed mid-write")
+            else:  # killed after a flip, before GC: stale complete twin
+                src = f"{root}/v{live_n}"
+                if os.path.isdir(src) and not os.path.isdir(f"{root}/v{live_n + 9}"):
+                    shutil.copytree(src, f"{root}/v{live_n + 9}")
+                    with open(f"{root}/_MANIFEST-v{live_n + 9}", "w") as f:
+                        f.write("flip")
+        check(op)
+
+    # closing sweep: one compaction clears any remaining debris and the
+    # tree holds exactly one version + one manifest
+    GM.compact_store(spark, root)
+    check("final compact")
+    entries = sorted(os.listdir(root))
+    versions = [e for e in entries if e.startswith("v")]
+    manifests = [e for e in entries if e.startswith("_MANIFEST-")]
+    assert len(versions) == 1 and len(manifests) == 1
+    assert manifests[0] == f"_MANIFEST-{versions[0]}"
+
+
 def test_convert_versioned_cold_and_resume(spark, tmp_path):
     """convert_store_to_versioned's other entries: cold creation (call
     it on the empty path before run 1 — the first append creates v1/),
