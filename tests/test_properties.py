@@ -476,9 +476,12 @@ def test_read_gate_decisions_resolution_properties(spark, rows):
     can never flip a decision (idempotence); (d) within an id's
     earliest epoch, divergent statuses resolve to the lexicographic
     minimum — 'dup_batch'/'dup_store' before 'new', the conservative
-    never-double-admit order."""
+    never-double-admit order.  Targets `_resolve_gate_decisions`, the
+    resolution body — the public read_gate_decisions is that plus the
+    r11 mid-fold maintenance fail-fast, which needs a real FS and is
+    covered in test_sources_streaming_mm.py."""
     from hannigan_conjunctisviribus_ploscompbio_2017_spark.streaming.events import (
-        read_gate_decisions,
+        _resolve_gate_decisions,
     )
 
     df = spark.createDataFrame(rows, "id long, _epoch int, status string, fingerprint string")
@@ -493,7 +496,10 @@ def test_read_gate_decisions_resolution_properties(spark, rows):
         def __init__(self, frame):
             self.read = _FakeReader(frame)
 
-    out = {r.id: r for r in read_gate_decisions(_FakeSession(df), "ignored").collect()}
+    out = {
+        r.id: r
+        for r in _resolve_gate_decisions(_FakeSession(df), "ignored").collect()
+    }
     by_id = {}
     for i, e, s, f in rows:
         by_id.setdefault(i, []).append((e, s, f))
@@ -509,7 +515,9 @@ def test_read_gate_decisions_resolution_properties(spark, rows):
         [(r.id, r._epoch, r.status, r.fingerprint) for r in out.values()],
         "id long, _epoch int, status string, fingerprint string",
     ).repartition(5)
-    again = {r.id: r for r in read_gate_decisions(_FakeSession(resolved), "x").collect()}
+    again = {
+        r.id: r for r in _resolve_gate_decisions(_FakeSession(resolved), "x").collect()
+    }
     assert {(r.id, r._epoch, r.status, r.fingerprint) for r in again.values()} == {
         (r.id, r._epoch, r.status, r.fingerprint) for r in out.values()
     }
