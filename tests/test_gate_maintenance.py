@@ -1306,6 +1306,47 @@ def test_versioned_store_state_machine_vs_model(spark, tmp_path):
     assert manifests[0] == f"_MANIFEST-{versions[0]}"
 
 
+def test_versioned_banded_minhash_store_composes(spark, tmp_path):
+    """Completes the versioned-layout matrix: the band-array bucket
+    store (partitionBy("band","_part") — the documented partitionBy
+    trap) converts, appends land inside the live version with the
+    derived `_part`, the versioned compaction preserves the two-column
+    layout, and the gate still collides a clone of the run-1 admit on
+    the post-flip store."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.dedup import (
+        portable_token_hash,
+    )
+
+    kw = dict(hash_fn=portable_token_hash, bucket_by_hash=False)
+    root = str(tmp_path / "mh_store_arr_ver")
+    GM.derive_minhash_partition(
+        minhash_store(_docs(spark, [(100, TEXT_A)]), **kw), hash_partitions=4
+    ).write.partitionBy("band", "_part").parquet(root)
+    GM.convert_store_to_versioned(spark, root)
+    assert GM.store_stats(spark, root)["partition_columns"] == ["_part", "band"]
+
+    run1 = _docs(spark, [(1, TEXT_B)])
+    dec1 = minhash_ingest_dedup(
+        run1, spark.read.parquet(GM.resolve_store(spark, root)), **kw
+    ).localCheckpoint()
+    assert {r.id: r.status for r in dec1.collect()} == {1: "new"}
+    GM.append_admitted_minhash(
+        dec1, run1, root, partition_by=("band", "_part"), hash_partitions=4, **kw
+    )
+
+    GM.compact_store(spark, root, partition_by=("band", "_part"))
+    s = GM.store_stats(spark, root)
+    assert s["version"] == 2 and s["partition_columns"] == ["_part", "band"]
+    store = spark.read.parquet(GM.resolve_store(spark, root))
+    assert "_part" in store.columns
+    assert store.filter(F.col("_part").isNull()).count() == 0
+    rows = {
+        r.id: r
+        for r in minhash_ingest_dedup(_docs(spark, [(2, TEXT_B)]), store, **kw).collect()
+    }
+    assert rows[2].status == "dup_near" and rows[2].match_id == 1
+
+
 def test_convert_versioned_cold_and_resume(spark, tmp_path):
     """convert_store_to_versioned's other entries: cold creation (call
     it on the empty path before run 1 — the first append creates v1/),
