@@ -2213,7 +2213,7 @@ def test_compact_gate_decisions_maintenance_marker(spark, tmp_path):
     assert sorted(map(tuple, SE.read_gate_decisions(spark, dec_path).collect())) == pre
 
 
-def testlog_user_claims_block_fold_and_back_out(spark, tmp_path):
+def test_log_user_claims_block_fold_and_back_out(spark, tmp_path):
     """r11: every gate epoch holds a `_claims/<uuid>` file for its whole
     body and compact_gate_decisions refuses while one exists — the
     fold-vs-epoch mutual exclusion is two-sided, closing the pre-commit
