@@ -14,6 +14,8 @@ processAllAvailable() (the documented local-smoke pattern).
 
 from __future__ import annotations
 
+import os
+import socket
 import uuid
 from contextlib import contextmanager
 
@@ -1314,12 +1316,15 @@ def log_user_claim(spark: SparkSession, decisions_path: str, what: str):
     directory deleted-without-folding — the pre-commit window the bare
     marker check only narrowed.  `_claims` has no `=` in its name, so
     parquet reads keep hiding it like the other markers.  A CRASHED
-    epoch leaves its claim file; it blocks only maintenance (delete
-    the stale file and re-run the fold)."""
+    epoch leaves its claim file; it blocks only maintenance — delete
+    the stale file by hand, or let `sweep_stale_log_claims` age it out
+    (the claim payload carries its creation stamp + pid/host since
+    r12)."""
     path = decisions_path.rstrip("/")
     _check_log_maintenance(spark, path)
     claim = f"{path}/{_CLAIMS_SUBDIR}/{uuid.uuid4().hex}"
-    if not _fs_create_text(spark, claim, what):
+    _check_atomic_create_capable(spark, claim, "log-user claim CAS")
+    if not _fs_create_text(spark, claim, _claim_payload(what)):
         raise RuntimeError(f"log-user claim collision at {claim}")
     fs, jclaim, _ = _hadoop_fs(spark, claim)
     try:
@@ -1327,6 +1332,110 @@ def log_user_claim(spark: SparkSession, decisions_path: str, what: str):
         yield
     finally:
         fs.delete(jclaim, False)
+
+
+def _claim_payload(what: str) -> str:
+    """The JSON payload every claim file carries since r12 — the
+    machine-adjudicable identity of the holder (r11 verdict missing #2;
+    claims previously held only the free-text `what`, so stale-vs-live
+    adjudication was manual): an ISO-8601 UTC creation stamp (what the
+    stale sweeps age against), the holder's pid and host, and `what`.
+    One line, parseable, still human-readable in an `ls`+`cat`."""
+    import json
+    from datetime import datetime, timezone
+
+    return json.dumps(
+        {
+            "what": what,
+            "created_utc": datetime.now(timezone.utc).strftime(
+                "%Y-%m-%dT%H:%M:%SZ"
+            ),
+            "pid": os.getpid(),
+            "host": socket.gethostname(),
+        }
+    )
+
+
+def _claim_files_info(spark: SparkSession, claims_dir: str) -> list[dict]:
+    """One record per live claim file under `claims_dir`:
+    {name, path, what, created_utc, pid, host, age_s}.  `age_s` is
+    computed from the payload's creation stamp against this process's
+    clock — a pre-r12 claim with a bare-text payload (or an unreadable
+    one: the holder may delete it mid-listing) falls back to the file's
+    FS modification time.  Cross-host clock skew therefore shifts ages;
+    size stale thresholds in hours, not seconds."""
+    import json
+    from datetime import datetime, timezone
+
+    fs, jdir, _ = _hadoop_fs(spark, claims_dir)
+    if not fs.exists(jdir):
+        return []
+    now = datetime.now(timezone.utc)
+    out = []
+    for st in fs.listStatus(jdir):
+        name = st.getPath().getName()
+        if name.startswith((".", "_")):
+            continue
+        rec = {
+            "name": name,
+            "path": st.getPath().toString(),
+            "what": None,
+            "created_utc": None,
+            "pid": None,
+            "host": None,
+        }
+        raw = _fs_read_text(spark, rec["path"])
+        if raw is None:
+            continue  # holder deleted it between the listing and the read
+        try:
+            payload = json.loads(raw)
+            rec.update({k: payload.get(k) for k in ("what", "created_utc", "pid", "host")})
+            created = datetime.strptime(
+                payload["created_utc"], "%Y-%m-%dT%H:%M:%SZ"
+            ).replace(tzinfo=timezone.utc)
+        except Exception:
+            rec["what"] = raw  # pre-r12 bare-text payload
+            created = datetime.fromtimestamp(
+                st.getModificationTime() / 1000.0, tz=timezone.utc
+            )
+        rec["age_s"] = max(0.0, (now - created).total_seconds())
+        out.append(rec)
+    return out
+
+
+def _sweep_stale_claim_files(
+    spark: SparkSession, claims_dir: str, max_age_s: float
+) -> list[dict]:
+    """Shared sweep body for both claim families: delete every claim
+    under `claims_dir` older than `max_age_s`, returning the swept
+    records.  A claim deleted by its holder mid-sweep is simply gone
+    (fs.delete on a missing path is a no-op False).  Callers gate on
+    their family's maintenance marker first."""
+    swept = []
+    for rec in _claim_files_info(spark, claims_dir):
+        if rec["age_s"] > max_age_s:
+            fs, jpath, _ = _hadoop_fs(spark, rec["path"])
+            fs.delete(jpath, False)
+            swept.append(rec)
+    return swept
+
+
+def sweep_stale_log_claims(
+    spark: SparkSession, decisions_path: str, max_age_s: float
+) -> list[dict]:
+    """Delete gate-epoch claims on a DECISIONS LOG older than
+    `max_age_s` seconds — the log-side twin of
+    gate_maintenance.sweep_stale_claims, for the unattended loop where
+    a crashed stream's leftover `_claims/<uuid>` would otherwise block
+    compact_gate_decisions forever.  Refuses while the log's
+    `_maintenance` marker is held (a crashed fold needs its own
+    adjudication first).  A LIVE epoch's claim is only as old as the
+    epoch itself, so any threshold comfortably above the longest epoch
+    (hours, not seconds — payload stamps come from the writer's clock)
+    never sweeps a live claim.  Returns the swept claim records."""
+    path = decisions_path.rstrip("/")
+    _check_log_maintenance(spark, path)
+    return _sweep_stale_claim_files(spark, f"{path}/{_CLAIMS_SUBDIR}", max_age_s)
 
 
 def _check_no_log_claims(spark: SparkSession, decisions_path: str) -> None:
@@ -1404,10 +1513,53 @@ def _fs_write_text(spark: SparkSession, path_str: str, text: str) -> None:
         out.close()
 
 
+_S3_SCHEMES = ("s3a", "s3n", "s3")
+_ATOMIC_CREATE_ATTESTATION = "sparkgraft.fs.atomic.create.attested"
+
+
+def _check_atomic_create_capable(spark: SparkSession, path_str: str, what: str) -> None:
+    """Every CAS in the maintenance/claim protocol (markers, store-user
+    and log-user claims, the versioned manifest flip) rests on
+    `_fs_create_text` being an ATOMIC create-if-absent.  HDFS and POSIX
+    local filesystems provide that; BASELINE s3a does NOT — Hadoop's
+    `create(overwrite=false)` there is a HEAD-then-PUT check-then-act,
+    so two racing passes could BOTH win a marker claim or a manifest
+    flip even under S3 strong consistency (which only makes the
+    individual operations consistent, not the pair atomic).  Refuse the
+    protocol on s3/s3n/s3a paths unless the operator attests the
+    capability by setting the Hadoop conf
+    `sparkgraft.fs.atomic.create.attested=true` (via
+    `spark.hadoop.sparkgraft.fs.atomic.create.attested=true`) — the
+    attestation means the s3a client actually performs conditional
+    If-None-Match creates (Hadoop 3.4.1+ ships s3a conditional-create
+    support; it must be enabled, and the store must honor
+    If-None-Match, as AWS S3 does since 2024).  Non-S3 object stores
+    (abfs, gs) provide atomic create natively and are not gated."""
+    scheme = path_str.split("://", 1)[0].lower() if "://" in path_str else ""
+    if scheme not in _S3_SCHEMES:
+        return
+    if spark._jsc.hadoopConfiguration().getBoolean(_ATOMIC_CREATE_ATTESTATION, False):
+        return
+    raise RuntimeError(
+        f"{what} at {path_str} needs an ATOMIC create-if-absent, which "
+        f"baseline {scheme}:// does not provide (Hadoop's "
+        "create(overwrite=false) on s3a is a HEAD-then-PUT check-then-act "
+        "— two racing passes could both win the claim). If your s3a "
+        "client performs conditional If-None-Match creates (Hadoop "
+        "3.4.1+ with conditional create enabled), attest it by setting "
+        f"spark.hadoop.{_ATOMIC_CREATE_ATTESTATION}=true; otherwise run "
+        "maintenance attended with external mutual exclusion, or keep "
+        "markers/claims on an HDFS/POSIX path"
+    )
+
+
 def _fs_create_text(spark: SparkSession, path_str: str, text: str) -> bool:
     """Create a small text file FAILING IF IT EXISTS (the Hadoop FS
     create(overwrite=false) contract — atomic claim on HDFS and local
-    FS).  Returns False when the path already exists (lost the race);
+    FS; on s3/s3a paths the claim protocols gate on
+    `_check_atomic_create_capable` first, because baseline s3a
+    implements this as HEAD-then-PUT).  Returns False when the path
+    already exists (lost the race);
     True when this caller created it.  Any OTHER create failure — a
     transient FS error, a permission problem — re-raises instead of
     reading as a lost race (which would surface as a misleading
@@ -1622,6 +1774,9 @@ def compact_gate_decisions(
     listing shrank ((0, n) when resuming an interrupted fold: the
     original epoch-file count is no longer known)."""
     path = decisions_path.rstrip("/")
+    _check_atomic_create_capable(
+        spark, f"{path}/{_MAINTENANCE_MARKER}", "log maintenance marker CAS"
+    )
     if not _fs_create_text(spark, f"{path}/{_MAINTENANCE_MARKER}", "compact_gate_decisions"):
         raise RuntimeError(
             f"decisions log at {path} already holds a _maintenance marker "

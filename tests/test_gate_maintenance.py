@@ -813,6 +813,7 @@ def test_store_stats_cold_start_returns_zeroed(spark, tmp_path):
         "partition_dirs": 0,
         "under_maintenance": False,
         "active_claims": 0,
+        "oldest_claim_age_s": None,
     }
     marker = GM._take_maintenance_marker(spark, path, "cold start test")
     assert GM.store_stats(spark, path)["under_maintenance"] is True
@@ -1377,3 +1378,215 @@ def test_convert_versioned_cold_and_resume(spark, tmp_path):
     with pytest.raises(RuntimeError, match="already versioned"):
         GM.convert_store_to_versioned(spark, root2)
     assert not os.path.exists(root2 + ".maintenance")  # released on the raise
+
+
+def test_convert_stall_keeps_marker_with_guidance(spark, tmp_path, monkeypatch):
+    """r11 ADVICE: when the conversion's rename INTO the root fails with
+    the data stranded at `<root>.tov` — either mid-conversion ('stalled')
+    or while resuming an interrupted one — no live store exists, so the
+    raise is StoreRestoreError and the maintenance marker is KEPT (the
+    same treatment the rename-swap's double failure gets): gates keep
+    failing fast with the protocol's guidance error instead of a raw
+    empty-path/schema-inference error until the operator restores the
+    tree.  The old code let the finally delete the marker over the
+    stranded state."""
+    import os
+
+    import pytest
+
+    def restore_and_convert(root):
+        monkeypatch.undo()
+        os.rmdir(root)  # the empty root mkdirs left
+        os.rename(root + ".tov", root)
+        os.remove(root + ".maintenance")  # the documented manual step
+        GM.convert_store_to_versioned(spark, root)
+        assert spark.read.parquet(GM.resolve_store(spark, root)).count() == 2
+
+    # (1) the 'conversion stalled' branch: move-aside succeeded, the
+    # rename into v1 fails
+    root = str(tmp_path / "stall_ver")
+    fingerprint_store(_docs(spark, [(1, TEXT_A), (2, TEXT_B)])).write.parquet(root)
+    _fault_renames(monkeypatch, lambda src, dst: src.rstrip("/").endswith(".tov"))
+    with pytest.raises(GM.StoreRestoreError, match="no live store exists"):
+        GM.convert_store_to_versioned(spark, root)
+    assert os.path.exists(root + ".tov")  # data stranded here, complete
+    assert os.path.exists(root + ".maintenance")  # marker KEPT
+    with pytest.raises(RuntimeError, match="under maintenance"):
+        GM.check_store_maintenance(spark, root)  # guidance, not raw error
+    restore_and_convert(root)
+
+    # (2) the 'could not resume' branch: the kill-window state (.tov
+    # exists) and the resume's rename also fails
+    root2 = str(tmp_path / "stall_resume_ver")
+    fingerprint_store(_docs(spark, [(1, TEXT_A), (2, TEXT_B)])).write.parquet(root2)
+    os.rename(root2, root2 + ".tov")
+    _fault_renames(monkeypatch, lambda src, dst: src.rstrip("/").endswith(".tov"))
+    with pytest.raises(GM.StoreRestoreError, match="could not resume"):
+        GM.convert_store_to_versioned(spark, root2)
+    assert os.path.exists(root2 + ".tov")
+    assert os.path.exists(root2 + ".maintenance")  # marker KEPT
+    restore_and_convert(root2)
+
+
+def test_claim_payload_sweep_and_stats_age(spark, tmp_path):
+    """r11 verdict missing #2: claims carry a machine-adjudicable JSON
+    payload (what, created_utc, pid, host) and sweep_stale_claims ages
+    them out for unattended operation.  Pinned: (1) a stale claim (old
+    payload stamp) is swept with its identity returned, a fresh one
+    survives; (2) store_stats reports active_claims + oldest_claim_age_s
+    from the payload stamps; (3) a pre-r12 bare-text claim falls back
+    to FS mtime (fresh file → young → survives an hours-scale
+    threshold); (4) the sweep refuses while the maintenance marker is
+    held (a crashed rewrite adjudicates first)."""
+    import json
+    import os
+
+    import pytest
+
+    store_path = str(tmp_path / "fp_store_sweep")
+    fingerprint_store(_docs(spark, [(1, TEXT_A)])).write.parquet(store_path)
+    claims_dir = store_path + ".claims"
+    os.makedirs(claims_dir)
+
+    # a crashed writer's claim from two days ago + a live-fresh one
+    stale = json.dumps(
+        {
+            "what": "append_admitted_fingerprints",
+            "created_utc": "2020-01-01T00:00:00Z",
+            "pid": 4242,
+            "host": "lost-worker",
+        }
+    )
+    with open(f"{claims_dir}/deadclaim", "w") as f:
+        f.write(stale)
+    with open(f"{claims_dir}/freshclaim", "w") as f:
+        f.write(GM._claim_payload("live append"))
+    with open(f"{claims_dir}/legacyclaim", "w") as f:
+        f.write("bare-text pre-r12 claim")  # no payload → FS mtime fallback
+
+    s = GM.store_stats(spark, store_path)
+    assert s["active_claims"] == 3
+    assert s["oldest_claim_age_s"] > 365 * 24 * 3600  # the 2020 stamp
+
+    # maintenance refuses while ANY claim exists (stale included) —
+    # the exact situation the sweep exists for
+    with pytest.raises(RuntimeError, match="active store-user claims"):
+        GM.compact_store(spark, store_path)
+
+    swept = GM.sweep_stale_claims(spark, store_path, max_age_s=6 * 3600)
+    assert [r["name"] for r in swept] == ["deadclaim"]
+    assert swept[0]["what"] == "append_admitted_fingerprints"
+    assert swept[0]["pid"] == 4242 and swept[0]["host"] == "lost-worker"
+    left = {r["name"] for r in GM._user_claims_info(spark, store_path)}
+    assert left == {"freshclaim", "legacyclaim"}  # both young, both kept
+    s2 = GM.store_stats(spark, store_path)
+    assert s2["active_claims"] == 2 and s2["oldest_claim_age_s"] < 3600
+
+    # the sweep refuses while a rewrite marker is held
+    with open(store_path + ".maintenance", "w") as f:
+        f.write("crashed rewrite")
+    with pytest.raises(RuntimeError, match="under maintenance"):
+        GM.sweep_stale_claims(spark, store_path, max_age_s=0)
+    os.remove(store_path + ".maintenance")
+
+    # clear the young claims (max_age -1 ages everything out), then
+    # maintenance proceeds — the unattended loop end-to-end
+    swept2 = GM.sweep_stale_claims(spark, store_path, max_age_s=-1)
+    assert {r["name"] for r in swept2} == {"freshclaim", "legacyclaim"}
+    assert GM.store_stats(spark, store_path)["oldest_claim_age_s"] is None
+    GM.compact_store(spark, store_path)
+
+
+def test_sweep_never_sweeps_live_claim(spark, tmp_path):
+    """A claim held by a LIVE pass survives any sane threshold: inside
+    a store_user_claim window, an hours-scale sweep removes nothing and
+    the claim file is still there for maintenance to refuse on."""
+    store_path = str(tmp_path / "fp_store_live")
+    fingerprint_store(_docs(spark, [(1, TEXT_A)])).write.parquet(store_path)
+    with GM.store_user_claim(spark, store_path, "live reader"):
+        assert GM.sweep_stale_claims(spark, store_path, max_age_s=3600) == []
+        info = GM._user_claims_info(spark, store_path)
+        assert len(info) == 1 and info[0]["what"] == "live reader"
+        assert info[0]["age_s"] < 600
+    assert GM._user_claims_info(spark, store_path) == []  # released
+
+
+def test_read_store_facade_claims_and_resolves(spark, tmp_path):
+    """r11 verdict missing #1: read_store is the blessed ad-hoc read
+    path — resolve_store + store_user_claim + the parquet read in one
+    motion.  Pinned: (1) it resolves a VERSIONED root (a bare read of
+    the root sees zero data files); (2) a rewrite racing the read block
+    backs out with the designed claims error and the read finishes
+    undisturbed; (3) against a mid-swap store (live path momentarily
+    absent, marker held) the unclaimed raw read dies with a raw
+    path-not-found while read_store fails fast with the protocol's
+    guidance."""
+    import os
+
+    import pytest
+
+    root = str(tmp_path / "ver_read")
+    GM.convert_store_to_versioned(spark, root)  # versioned from day one
+    dec = ingest_dedup(
+        _docs(spark, [(1, TEXT_A), (2, TEXT_B)]), fingerprint_store(_docs(spark, []))
+    ).localCheckpoint()
+    GM.append_admitted_fingerprints(dec, root)
+
+    # (1) resolves the live version; (2) a racing rewrite backs out
+    with GM.read_store(spark, root) as store:
+        assert store.count() == 2
+        with pytest.raises(RuntimeError, match="active store-user claims"):
+            GM.compact_store(spark, root)
+        assert store.count() == 2  # read window undisturbed
+        assert not os.path.exists(root + ".maintenance")  # loser released it
+    GM.compact_store(spark, root)  # proceeds once the claim is gone
+
+    # (3) the mid-swap contrast, plain layout: live path missing,
+    # marker held — the exact state an unclaimed reader races into
+    plain = str(tmp_path / "plain_read")
+    fingerprint_store(_docs(spark, [(1, TEXT_A)])).write.parquet(plain)
+    os.rename(plain, plain + ".precompact")  # the swap's mid-state
+    with open(plain + ".maintenance", "w") as f:
+        f.write("mid-swap rewrite")
+    with pytest.raises(Exception, match="PATH_NOT_FOUND|does not exist"):
+        spark.read.parquet(plain).count()  # raw read: raw error
+    with pytest.raises(RuntimeError, match="under maintenance"):
+        with GM.read_store(spark, plain):
+            raise AssertionError("must fail fast before yielding")
+    # the facade left no claim behind when backing out
+    assert GM._user_claims_info(spark, plain) == []
+
+
+def test_atomic_create_gate_refuses_unattested_s3(spark):
+    """r11 ADVICE (medium): the marker/claim/manifest CAS rests on
+    atomic create-if-absent, which baseline s3a does not provide
+    (HEAD-then-PUT) — so every CAS entry point refuses s3/s3a paths
+    unless the operator attests a conditional-create-capable client
+    via spark.hadoop.sparkgraft.fs.atomic.create.attested=true.  The
+    refusal fires BEFORE any filesystem access (no s3a classes needed
+    here), and local/HDFS-style paths are never gated."""
+    import pytest
+
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.streaming import events as EV
+
+    # helper-level: s3 schemes refuse, everything else passes untouched
+    for bad in ("s3a://bucket/store.maintenance", "s3://b/x", "s3n://b/x"):
+        with pytest.raises(RuntimeError, match="ATOMIC create-if-absent"):
+            EV._check_atomic_create_capable(spark, bad, "test CAS")
+    for ok in ("/tmp/x", "file:///tmp/x", "hdfs://nn/x", "abfs://c@a/x"):
+        EV._check_atomic_create_capable(spark, ok, "test CAS")
+
+    # entry-point level: the marker take dies with the guidance before
+    # touching the (absent) s3a filesystem classes
+    with pytest.raises(RuntimeError, match="ATOMIC create-if-absent"):
+        GM._take_maintenance_marker(spark, "s3a://bucket/store", "compact")
+
+    # the attestation unlocks the helper (conf is cleaned up after)
+    hconf = spark._jsc.hadoopConfiguration()
+    hconf.setBoolean(EV._ATOMIC_CREATE_ATTESTATION, True)
+    try:
+        EV._check_atomic_create_capable(spark, "s3a://bucket/x", "test CAS")
+    finally:
+        hconf.unset(EV._ATOMIC_CREATE_ATTESTATION)
+    with pytest.raises(RuntimeError, match="ATOMIC create-if-absent"):
+        EV._check_atomic_create_capable(spark, "s3a://bucket/x", "test CAS")

@@ -2264,6 +2264,57 @@ def test_log_user_claims_block_fold_and_back_out(spark, tmp_path):
     assert sorted(map(tuple, SE.read_gate_decisions(spark, dec_path).collect())) == pre
 
 
+def test_sweep_stale_log_claims(spark, tmp_path):
+    """r12: the log-side twin of gate_maintenance.sweep_stale_claims —
+    a crashed stream's leftover epoch claim (old payload stamp) is aged
+    out so an unattended loop's fold unblocks itself; a fresh claim
+    survives; the sweep refuses while the fold's `_maintenance` marker
+    is held (a crashed fold adjudicates first)."""
+    import json
+
+    feed, run = _gate_runner(spark, tmp_path, src_name="swp_docs")
+    feed((1, 0, "sweep body one"))
+    run("dec_swp", "ckpt_swp")
+    dec_path = str(tmp_path / "dec_swp")
+    claims = f"{dec_path}/_claims"
+    os.makedirs(claims, exist_ok=True)
+    with open(f"{claims}/deadepoch", "w") as f:
+        f.write(
+            json.dumps(
+                {
+                    "what": "gate epoch 7",
+                    "created_utc": "2020-01-01T00:00:00Z",
+                    "pid": 99,
+                    "host": "lost-worker",
+                }
+            )
+        )
+    with open(f"{claims}/liveepoch", "w") as f:
+        f.write(SE._claim_payload("gate epoch 8"))
+
+    with pytest.raises(RuntimeError, match="active gate-epoch claims"):
+        SE.compact_gate_decisions(spark, dec_path)
+
+    swept = SE.sweep_stale_log_claims(spark, dec_path, max_age_s=6 * 3600)
+    assert [r["name"] for r in swept] == ["deadepoch"]
+    assert swept[0]["host"] == "lost-worker" and swept[0]["what"] == "gate epoch 7"
+    assert sorted(os.listdir(claims)) and os.path.exists(f"{claims}/liveepoch")
+
+    # refuses while the fold's marker is held
+    with open(f"{dec_path}/_maintenance", "w") as f:
+        f.write("crashed fold")
+    with pytest.raises(RuntimeError, match="under maintenance"):
+        SE.sweep_stale_log_claims(spark, dec_path, max_age_s=0)
+    os.remove(f"{dec_path}/_maintenance")
+
+    # age the live one out too (threshold 0 on a young claim: survives;
+    # -1 ages everything), then the fold proceeds
+    assert SE.sweep_stale_log_claims(spark, dec_path, max_age_s=3600) == []
+    swept2 = SE.sweep_stale_log_claims(spark, dec_path, max_age_s=-1)
+    assert [r["name"] for r in swept2] == ["liveepoch"]
+    SE.compact_gate_decisions(spark, dec_path)
+
+
 def test_concurrent_log_claims_vs_fold_stress(spark, tmp_path):
     """Live two-thread stress of the log-side claim primitives — one
     thread takes/releases epoch-style `log_user_claim`s in a tight
