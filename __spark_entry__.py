@@ -25,100 +25,108 @@ from hannigan_conjunctisviribus_ploscompbio_2017_spark.queries_testdata import (
 SF0001 = "/root/testdata/sf0.001"
 
 # The driver gate executes the first ~50 registered entries, so
-# registration order decides what gets driver-gate credit.  r11 order
+# registration order decides what gets driver-gate credit.  r12 order
 # (oldest-measurement-first — the rotation contract: every entry's
 # newest green row stays within the last three measured rounds; the
 # arithmetic is mechanized in tools/rotation_audit.py and enforced by
 # tests/test_rotation_contract.py):
-# (1) the entry NEW this round: dd_retire_readmit — the TAKEDOWN half
-#     of the store lifecycle end-to-end (run 1 gate → append →
-#     retire_from_store → run 2 gate: clones of retired docs readmit
-#     as 'new', clones of survivors still flag dup_store), promoted
-#     per the r10 verdict ask #2 — retire_from_store's query-visible
-#     semantics were the last lifecycle family without a driver row;
-# (2) ALL 42 entries last driver-measured in r08 — the r10 verdict's
-#     ask #1 mandatory set (audited: exactly the newest-green==r08
+# (1) the entry NEW this round: dd_ingest_versioned_store — the
+#     driver-visible evidence the r11 verdict asked for (ask #6) that
+#     the versioned (object-store-safe) store layout is
+#     query-invisible: the full gate → append → MANIFEST-FLIP compact
+#     → gate lifecycle through a versioned root, same feed and same
+#     oracle as the plain-layout dd_ingest_store_append it RETIRES
+#     (ask #5, the m13/m4/dd_minhash_sig/ev_semantic_ingest_2batch
+#     retire-one-per-add precedent: identical statistic, identical
+#     oracle SQL, equivalence pinned row-for-row in
+#     tests/test_entry_sweep.py::test_store_layout_family_equivalence,
+#     retired builder kept unregistered for it and for
+#     tools/gen_fixture_oracles.py's getattr fallback);
+# (2) ALL 43 entries last driver-measured in r09 — the r11 verdict's
+#     ask #1 mandatory set (audited: exactly the newest-green==r09
 #     cohort rotation_audit.py names);
-# (3) seven oldest r09 entries backfilling to the 50-cap, chosen from
-#     this round's touched family — the gate/append/store lifecycle
-#     whose maintenance internals r11 reworks (versioned-manifest
-#     rewrite mode, retire-claim hoist): dd_ingest_store_append,
-#     ss_semantic_store_append, dd_minhash_ingest, ss_semantic_ingest,
-#     ev_ingest_dedup_foreach, ev_minhash_ingest_foreach,
-#     ev_semantic_ingest_foreach.
+# (3) six oldest-side r10 backfills to the 50-cap, per the r11
+#     forward note (so r13's mandatory set is 44, not the full
+#     50-entry r10 cohort): dd_minhash_store_append + dd_ingest_dedup
+#     from the store/gate family this round's claim-payload work
+#     touches, and the four 2batch streaming entries
+#     (ev_ingest_dedup_2batch, ev_first_seen_2batch,
+#     ev_chunk_first_seen_2batch, ev_stream_pack_2batch) so the slow
+#     streaming re-measures stay spread across rounds.
 # All entries pass the identical local gate (tools/check_oracle.py).
 # Rotation arithmetic: 143 entries / 3-round window = ~47.7 re-measures
-# per round minimum — the 50-cap still sustains the contract, but r13's
-# mandatory set is the full 50-entry r10 cohort unless r12 backfills
-# ~7 of it early (do that: r12 = 43 r09-mandatory + 7 r10 backfills).
+# per round minimum; after this round the histogram is 44 r10 / 49 r11
+# / 50 r12, so r13's mandatory set is 44 (slack 6 — spend it on the
+# oldest r11 entries).
 # SUSTAINABILITY CEILING: at 150 entries the contract consumes the
 # whole cap — growth past ~146 must retire a redundant entry per
-# addition.  r11: +dd_retire_readmit, net 143 (no retirement — no
-# same-statistic twin exists for the retirement semantics; headroom 3).
-# This round's gate_maintenance changes are NOT gate-protocol changes
-# for measured entries: the retire-claim hoist reorders fail-fast
-# checks inside retire_from_store (measured fresh via the new entry),
-# the versioned-manifest rewrite is opt-in (no store here uses it),
-# the store_stats/rollback hardening touches error paths only, and
-# the store-user claims the appends/epochs now hold are transient
-# bookkeeping (claim file created before / deleted after the write;
-# zero persistent trace) — happy-path plans, parquet writes, and
-# outputs are byte-identical, so no r09/r10-measured gate entry needs
-# a fresh row (the r10 marker-check adjudication precedent).
+# addition.  r12: +dd_ingest_versioned_store −dd_ingest_store_append,
+# net 143 (retire-one-per-add applied; headroom 3 holds).
+# This round's claim/maintenance changes are NOT gate-protocol changes
+# for measured entries: the r12 claim PAYLOAD (timestamp/pid/host
+# JSON inside the transient claim file) changes bookkeeping that is
+# created before and deleted after each write with zero persistent
+# trace; sweep_stale_claims / read_store / the s3a CAS gate are new
+# surfaces exercised by pytest, not changes to what measured entries
+# write — happy-path plans, parquet writes, and outputs are
+# byte-identical (the r10 marker-check / r11 claims adjudication
+# precedent).  The store-append/gate entries most adjacent to the
+# claim code are in the measured window anyway (the new entry plus
+# the two family backfills in (3)).
 _PRIORITY = [
-    # -- (1) new in r11 --
-    "dd_retire_readmit",
-    # -- (2) last measured in r08 (all 42 — the mandatory set) --
-    "a11_cube_rollup",
-    "dd_chunk_dedup",
-    "dd_semantic_dedup",
-    "f11_substring_extract",
-    "f12_json_props",
-    "g13_robustness",
-    "gk_diameter_radius",
-    "gk_eigenvector_centrality",
-    "gq2_predicted_links",
-    "gq3_triadic_closure",
-    "gq4_study_network",
-    "m13_rarefaction_curve_portable",
-    "m4_permutation_portable",
-    "ml_quality_classifier",
-    "pipeline_altered_diet",
-    "pipeline_compare_skin",
-    "pipeline_compare_twins",
-    "pipeline_corpus_curation",
-    "pipeline_interpersonal_diversity",
-    "pipeline_pretrain_pack",
-    "pipeline_pretrain_pack_spancut",
-    "r6_transpose",
-    "r7_column_subsample",
-    "ss_embedding_health",
-    "ss_pq_rerank_topk",
-    "ss_sq8_topk",
-    "tx_bigram_backoff",
-    "tx_chunk_windows",
-    "tx_exact_k_sample",
-    "tx_line_filter",
-    "tx_mixture_weights",
-    "tx_pii_scrub",
-    "tx_quality_filter",
-    "tx_quality_score",
-    "tx_repetition_stats",
-    "tx_sequence_pack",
-    "tx_split_assign",
-    "tx_stratified_sample",
-    "tx_tfidf_top_terms",
-    "tx_top_ngrams",
-    "tx_unigram_logprob",
-    "tx_vocab_growth",
-    # -- (3) oldest r09 backfills to the 50-cap (gate/store family) --
-    "dd_ingest_store_append",
-    "ss_semantic_store_append",
-    "dd_minhash_ingest",
-    "ss_semantic_ingest",
-    "ev_ingest_dedup_foreach",
-    "ev_minhash_ingest_foreach",
-    "ev_semantic_ingest_foreach",
+    # -- (1) new in r12 --
+    "dd_ingest_versioned_store",
+    # -- (2) last measured in r09 (all 43 — the mandatory set) --
+    "a12_row_votes",
+    "a1_pricing_summary",
+    "a2_mean_score_per_pair",
+    "a3_min_score_per_pair",
+    "a4_degree_count",
+    "a5_count_distinct",
+    "a7_rarefaction_depth",
+    "a9_best_hit_dedup",
+    "ev_chunk_first_seen",
+    "ev_first_seen_dedup",
+    "ev_near_dup_stream",
+    "ev_stream_pack",
+    "f_scalar_chain",
+    "gk_communities_modularity",
+    "gk_katz_centrality",
+    "gk_pagerank",
+    "gq1_interaction_scores",
+    "j11_asof_join",
+    "j1_equi_join",
+    "j2_broadcast_annotate",
+    "j3_feature_merge",
+    "j7_cross_join",
+    "m1_rarefaction",
+    "m1_rarefaction_portable",
+    "m2_bray_curtis",
+    "ml_nested_cv",
+    "ml_rf_interactions",
+    "ml_roc_points",
+    "ml_roc_portable",
+    "mm_video_frames",
+    "o1_distinct_sorted",
+    "o4_union_all",
+    "o5_intersect",
+    "o6_except",
+    "p3_p4_predicate_filters",
+    "p6_any_positive",
+    "p7_length_range",
+    "p8_anti_filter",
+    "p9_semi_filter",
+    "r1_pivot_matrix",
+    "r4_melt",
+    "ss_ivf_sq8_topk",
+    "w1_top_per_group",
+    # -- (3) oldest-side r10 backfills to the 50-cap --
+    "dd_minhash_store_append",
+    "dd_ingest_dedup",
+    "ev_ingest_dedup_2batch",
+    "ev_first_seen_2batch",
+    "ev_chunk_first_seen_2batch",
+    "ev_stream_pack_2batch",
 ]
 
 

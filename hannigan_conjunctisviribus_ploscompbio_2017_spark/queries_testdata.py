@@ -1673,9 +1673,11 @@ def dd_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ingest_dedup(incoming, fingerprint_store(store_docs))
 
 
-@query(
-    "dd_ingest_store_append",
-    oracle=f"""
+# Shared by dd_ingest_versioned_store (registered) and the retired
+# dd_ingest_store_append it supersedes: the two builders run the same
+# gate → append → gate statistic over the same feed, so the layout
+# (plain vs versioned) being query-invisible IS the assertion.
+_STORE_APPEND_ORACLE = f"""
     WITH store0 AS (
       SELECT DISTINCT {_INGEST_FP} AS fingerprint
       FROM documents WHERE doc_id % 10 < 6
@@ -1712,8 +1714,9 @@ def dd_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN fp2.id <> keep2.k THEN 'dup_batch'
                 ELSE 'new' END AS status
     FROM fp2 JOIN keep2 USING (fingerprint)
-    """,
-)
+    """
+
+
 def dd_ingest_store_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The admission-gate store MAINTENANCE loop end-to-end (r08,
     gate_maintenance.py — the incremental replacement for the
@@ -1726,7 +1729,22 @@ def dd_ingest_store_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet.  Returned: run 2's decisions — the run-1 clones flag
     dup_store, which only happens through the append.  The oracle
     replays both runs; run 1's admitted set is the delta fingerprints
-    minus store0, so store1 collapses to a set union."""
+    minus store0, so store1 collapses to a set union.
+
+    REGISTRY ENTRY RETIRED r12 (registry-ceiling management per the
+    r11 verdict ask #5, the m13/m4/dd_minhash_sig/ev_semantic_ingest
+    precedent): dd_ingest_versioned_store runs the IDENTICAL gate →
+    append → gate statistic over the identical feed against the
+    identical oracle (`_STORE_APPEND_ORACLE`), but through a
+    VERSIONED store root with a manifest-flip rewrite between the
+    runs — the strictly wider entry (it additionally proves the r11
+    layout is query-invisible, the r11 verdict ask #6), so it carries
+    the oracle-bearing driver row.  The plain-layout family
+    equivalence is pinned row-for-row in
+    tests/test_entry_sweep.py::test_store_layout_family_equivalence,
+    which replays THIS builder against the surviving entry; the
+    builder stays unregistered for that test and
+    tools/gen_fixture_oracles.py's getattr fallback."""
     import atexit
     import shutil
     import tempfile
@@ -1766,6 +1784,82 @@ def dd_ingest_store_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         run2_fresh.filter(d % 31 == 0).select((d + 3000000).alias("doc_id"), "text")
     )
     return ingest_dedup(run2, spark.read.parquet(store_path))
+
+
+@query("dd_ingest_versioned_store", oracle=_STORE_APPEND_ORACLE)
+def dd_ingest_versioned_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The admission-gate store lifecycle through a VERSIONED
+    (object-store-safe) store root — the driver-visible evidence the
+    r11 verdict asked for (ask #6) that the r11 manifest/pointer-swap
+    layout is QUERY-INVISIBLE: same feed, same oracle, same decisions
+    as the plain-layout dd_ingest_store_append it supersedes (retired
+    r12, equivalence pinned row-for-row in
+    tests/test_entry_sweep.py::test_store_layout_family_equivalence).
+
+    Flow (gate_maintenance.py): `convert_store_to_versioned` on the
+    empty path creates the root versioned from day one (no rename,
+    ever); the initial store and every gate read go through
+    `resolve_store` (root → live `v<N>/`); run 1 gates docs with
+    doc_id%10 in {6,7} (plus re-idded store clones) and
+    append_admitted_fingerprints persists its admits (resolving the
+    layout internally); `compact_store` then runs the MANIFEST-FLIP
+    rewrite between the runs — v1 written to v2, one atomic
+    `_MANIFEST-v2` create, v1 GC'd — and run 2 (doc_id%10 >= 8, salted
+    with clones of run-1 docs and itself) gates against the flipped
+    store.  Returned: run 2's decisions — the run-1 clones flag
+    dup_store THROUGH the append AND the flip, so a rewrite that
+    dropped or duplicated rows would hash-mismatch the oracle.  The
+    oracle replays both runs in pure SQL (append = set union); the
+    layout never appears in it — that invisibility is the assertion.
+    Ad-hoc reads of such a root outside a driver entry use the
+    `read_store` facade (claim + resolve + read; r12)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.dedup import (
+        fingerprint_store,
+        ingest_dedup,
+    )
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.gate_maintenance import (
+        append_admitted_fingerprints,
+        compact_store,
+        convert_store_to_versioned,
+        resolve_store,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    t = tempfile.mkdtemp(prefix="sg_verstore_")
+    atexit.register(shutil.rmtree, t, ignore_errors=True)
+    root = f"{t}/fp_store"
+    convert_store_to_versioned(spark, root)  # versioned from day one
+    fingerprint_store(docs.filter(d % 10 < 6)).write.mode("append").parquet(
+        resolve_store(spark, root)
+    )
+
+    run1_fresh = docs.filter((d % 10 >= 6) & (d % 10 < 8))
+    run1 = run1_fresh.unionByName(
+        docs.filter((d % 10 < 6) & (d % 37 == 0)).select(
+            (d + 1000000).alias("doc_id"), "text"
+        )
+    )
+    dec1 = ingest_dedup(
+        run1, spark.read.parquet(resolve_store(spark, root))
+    ).localCheckpoint(eager=False)
+    append_admitted_fingerprints(dec1, root)
+
+    # the between-runs maintenance rewrite: v1 → v2 via the atomic
+    # manifest flip (zero renames of the live tree)
+    compact_store(spark, root)
+
+    run2_fresh = docs.filter(d % 10 >= 8)
+    run2 = run2_fresh.unionByName(
+        run1_fresh.filter(d % 23 == 0).select((d + 2000000).alias("doc_id"), "text")
+    ).unionByName(
+        run2_fresh.filter(d % 31 == 0).select((d + 3000000).alias("doc_id"), "text")
+    )
+    return ingest_dedup(run2, spark.read.parquet(resolve_store(spark, root)))
 
 
 @query(

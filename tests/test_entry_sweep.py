@@ -119,6 +119,34 @@ def test_semantic_gate_family_equivalence(spark):
     assert stateful == foreach and len(stateful) == 20
 
 
+def test_store_layout_family_equivalence(spark):
+    """r12 retirement adjudication (dd_ingest_store_append → the
+    surviving dd_ingest_versioned_store, the ev_semantic_ingest_2batch
+    precedent): the two store-append lifecycles verify against the
+    IDENTICAL oracle SQL (`_STORE_APPEND_ORACLE`) — the plain-layout
+    twin (retired builder, kept unregistered) and the versioned-root
+    twin with a manifest-flip compact between the runs (keeps the
+    driver row) — and must produce row-for-row identical run-2
+    decisions on the same feed: the store layout is query-invisible by
+    design, and THIS is where that design claim is pinned.  If the
+    versioned rewrite ever drops/duplicates rows or the layouts
+    diverge, the retired family loses its coverage-by-proxy and this
+    fails."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.queries_testdata import (
+        QUERIES,
+        dd_ingest_store_append,
+    )
+
+    assert "dd_ingest_store_append" not in QUERIES  # really retired
+    a = dd_ingest_store_append(spark, SF0001)
+    b = QUERIES["dd_ingest_versioned_store"](spark, SF0001)
+    cols = sorted(a.columns)
+    assert cols == sorted(b.columns)
+    plain = sorted(map(tuple, a.select(*cols).collect()))
+    versioned = sorted(map(tuple, b.select(*cols).collect()))
+    assert plain == versioned and len(plain) > 0
+
+
 @pytest.mark.parametrize("name", sorted(oracle_sql()))
 def test_oracle_sql_executes_in_duckdb(name):
     """Every oracle must at least run in DuckDB against the real tables —
