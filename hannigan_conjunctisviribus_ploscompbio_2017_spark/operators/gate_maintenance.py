@@ -683,10 +683,15 @@ def convert_store_to_versioned(spark: SparkSession, store_path: str) -> str:
         manifest1 = f"{path}/{_MANIFEST_PREFIX}1"
         if fs.exists(mover):
             # conversion crashed between moving the tree aside and
-            # moving it under the root — finish it
+            # moving it under the root — finish it.  The stranded state
+            # PRE-EXISTS here, so the marker is kept on ANY failure in
+            # this window — a rename returning False, or mkdirs/rename
+            # RAISING (a transient DFS error raises instead of
+            # returning False; the keep must cover both) — until the
+            # move-in lands
+            keep_marker = True
             fs.mkdirs(jpath)
             if not fs.rename(mover, v1):
-                keep_marker = True  # data stranded at .tov, no live store
                 raise StoreRestoreError(
                     f"could not resume interrupted conversion: rename "
                     f"{mover} -> {v1} failed and the store's data sits at "
@@ -695,6 +700,7 @@ def convert_store_to_versioned(spark: SparkSession, store_path: str) -> str:
                     "marker (left in place so gates keep failing fast "
                     "with guidance) and re-run"
                 )
+            keep_marker = False
         elif fs.exists(v1):
             pass  # crashed after the move, before the manifest — just flip
         elif not fs.exists(jpath):
@@ -702,9 +708,11 @@ def convert_store_to_versioned(spark: SparkSession, store_path: str) -> str:
         else:
             if not fs.rename(jpath, mover):
                 raise RuntimeError(f"could not move {path} aside to {mover}")
+            # data stranded at .tov from here until the move-in lands;
+            # keep the marker on any failure, raised or returned
+            keep_marker = True
             fs.mkdirs(jpath)
             if not fs.rename(mover, v1):
-                keep_marker = True  # data stranded at .tov, no live store
                 raise StoreRestoreError(
                     f"conversion stalled: {path} moved aside to {mover} but "
                     f"rename into {v1} failed — no live store exists. Move "
@@ -712,6 +720,7 @@ def convert_store_to_versioned(spark: SparkSession, store_path: str) -> str:
                     f"{_MAINTENANCE_SUFFIX} marker (left in place so gates "
                     "keep failing fast with guidance) and re-run"
                 )
+            keep_marker = False
         if not _fs_create_text(spark, manifest1, "converted"):
             raise RuntimeError(f"manifest {manifest1} already exists")
         return f"{path}/v1"

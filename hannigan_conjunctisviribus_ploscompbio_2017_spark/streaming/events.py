@@ -14,10 +14,12 @@ processAllAvailable() (the documented local-smoke pattern).
 
 from __future__ import annotations
 
+import json
 import os
 import socket
 import uuid
 from contextlib import contextmanager
+from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -1341,9 +1343,6 @@ def _claim_payload(what: str) -> str:
     adjudication was manual): an ISO-8601 UTC creation stamp (what the
     stale sweeps age against), the holder's pid and host, and `what`.
     One line, parseable, still human-readable in an `ls`+`cat`."""
-    import json
-    from datetime import datetime, timezone
-
     return json.dumps(
         {
             "what": what,
@@ -1364,9 +1363,6 @@ def _claim_files_info(spark: SparkSession, claims_dir: str) -> list[dict]:
     one: the holder may delete it mid-listing) falls back to the file's
     FS modification time.  Cross-host clock skew therefore shifts ages;
     size stale thresholds in hours, not seconds."""
-    import json
-    from datetime import datetime, timezone
-
     fs, jdir, _ = _hadoop_fs(spark, claims_dir)
     if not fs.exists(jdir):
         return []
@@ -1388,13 +1384,21 @@ def _claim_files_info(spark: SparkSession, claims_dir: str) -> list[dict]:
         if raw is None:
             continue  # holder deleted it between the listing and the read
         try:
-            payload = json.loads(raw)
-            rec.update({k: payload.get(k) for k in ("what", "created_utc", "pid", "host")})
+            payload = dict(json.loads(raw))
+            rec.update(
+                {k: payload.get(k) for k in ("what", "created_utc", "pid", "host")}
+            )
+        except Exception:
+            payload = None
+            rec["what"] = raw  # pre-r12 bare-text payload
+        # age: the payload stamp when it parses; FS mtime otherwise —
+        # including a JSON payload with a missing/malformed stamp, which
+        # keeps its parsed identity fields but falls back for the age
+        try:
             created = datetime.strptime(
                 payload["created_utc"], "%Y-%m-%dT%H:%M:%SZ"
             ).replace(tzinfo=timezone.utc)
         except Exception:
-            rec["what"] = raw  # pre-r12 bare-text payload
             created = datetime.fromtimestamp(
                 st.getModificationTime() / 1000.0, tz=timezone.utc
             )
@@ -1534,8 +1538,20 @@ def _check_atomic_create_capable(spark: SparkSession, path_str: str, what: str) 
     If-None-Match creates (Hadoop 3.4.1+ ships s3a conditional-create
     support; it must be enabled, and the store must honor
     If-None-Match, as AWS S3 does since 2024).  Non-S3 object stores
-    (abfs, gs) provide atomic create natively and are not gated."""
-    scheme = path_str.split("://", 1)[0].lower() if "://" in path_str else ""
+    (abfs, gs) provide atomic create natively and are not gated.
+
+    A SCHEME-LESS path resolves against `fs.defaultFS`, so the check
+    parses that conf's scheme for it — a cluster whose default
+    filesystem is s3a must not bypass the refusal just because callers
+    pass bare paths.  Both checks are string parses of the path/conf:
+    no FileSystem is instantiated, so the refusal works (with this
+    guidance, not a ClassNotFound) even where the s3a classes are not
+    on the classpath."""
+    if "://" in path_str:
+        scheme = path_str.split("://", 1)[0].lower()
+    else:
+        default_fs = spark._jsc.hadoopConfiguration().get("fs.defaultFS", "file:///")
+        scheme = default_fs.split("://", 1)[0].lower() if "://" in default_fs else ""
     if scheme not in _S3_SCHEMES:
         return
     if spark._jsc.hadoopConfiguration().getBoolean(_ATOMIC_CREATE_ATTESTATION, False):
@@ -1586,8 +1602,6 @@ def streaming_query_id(spark: SparkSession, checkpoint: str) -> str:
     checkpoint, fresh for a new one: exactly the run identity the
     decisions-log `_run_id` marker needs (runId, by contrast, changes
     on every start and would flag a legitimate resume as foreign)."""
-    import json
-
     raw = _fs_read_text(spark, f"{checkpoint.rstrip('/')}/metadata")
     if raw is None:
         raise RuntimeError(

@@ -1427,6 +1427,36 @@ def test_convert_stall_keeps_marker_with_guidance(spark, tmp_path, monkeypatch):
     assert os.path.exists(root2 + ".maintenance")  # marker KEPT
     restore_and_convert(root2)
 
+    # (3) a rename that RAISES (transient DFS error) instead of
+    # returning False, inside the stranded window: the marker must be
+    # kept for raised failures too, not just returned ones
+    class _RaisingRenameFS(_RenameFaultFS):
+        def rename(self, src, dst):
+            if self._fail_when(str(src), str(dst)):
+                raise RuntimeError("simulated transient DFS rename error")
+            return self._real.rename(src, dst)
+
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.streaming.events import (
+        _hadoop_fs as real_hfs,
+    )
+
+    def raising_hfs(spark_, path_str):
+        fs, jpath, jvm = real_hfs(spark_, path_str)
+        return (
+            _RaisingRenameFS(fs, lambda s, d: s.rstrip("/").endswith(".tov")),
+            jpath,
+            jvm,
+        )
+
+    root3 = str(tmp_path / "stall_raise_ver")
+    fingerprint_store(_docs(spark, [(1, TEXT_A), (2, TEXT_B)])).write.parquet(root3)
+    monkeypatch.setattr(GM, "_hadoop_fs", raising_hfs)
+    with pytest.raises(RuntimeError, match="simulated transient"):
+        GM.convert_store_to_versioned(spark, root3)
+    assert os.path.exists(root3 + ".tov")  # data stranded, complete
+    assert os.path.exists(root3 + ".maintenance")  # marker KEPT on the raise
+    restore_and_convert(root3)
+
 
 def test_claim_payload_sweep_and_stats_age(spark, tmp_path):
     """r11 verdict missing #2: claims carry a machine-adjudicable JSON
@@ -1463,10 +1493,26 @@ def test_claim_payload_sweep_and_stats_age(spark, tmp_path):
         f.write(GM._claim_payload("live append"))
     with open(f"{claims_dir}/legacyclaim", "w") as f:
         f.write("bare-text pre-r12 claim")  # no payload → FS mtime fallback
+    with open(f"{claims_dir}/oddstamp", "w") as f:
+        # JSON payload whose stamp is malformed (no Z): identity fields
+        # must survive the parse, age falls back to FS mtime (young)
+        f.write(
+            json.dumps(
+                {
+                    "what": "odd append",
+                    "created_utc": "2020-01-01T00:00:00",
+                    "pid": 77,
+                    "host": "odd-host",
+                }
+            )
+        )
 
     s = GM.store_stats(spark, store_path)
-    assert s["active_claims"] == 3
+    assert s["active_claims"] == 4
     assert s["oldest_claim_age_s"] > 365 * 24 * 3600  # the 2020 stamp
+    odd = [r for r in GM._user_claims_info(spark, store_path) if r["name"] == "oddstamp"][0]
+    assert odd["what"] == "odd append" and odd["pid"] == 77  # identity kept
+    assert odd["age_s"] < 3600  # mtime fallback, not the broken stamp
 
     # maintenance refuses while ANY claim exists (stale included) —
     # the exact situation the sweep exists for
@@ -1478,9 +1524,9 @@ def test_claim_payload_sweep_and_stats_age(spark, tmp_path):
     assert swept[0]["what"] == "append_admitted_fingerprints"
     assert swept[0]["pid"] == 4242 and swept[0]["host"] == "lost-worker"
     left = {r["name"] for r in GM._user_claims_info(spark, store_path)}
-    assert left == {"freshclaim", "legacyclaim"}  # both young, both kept
+    assert left == {"freshclaim", "legacyclaim", "oddstamp"}  # young, kept
     s2 = GM.store_stats(spark, store_path)
-    assert s2["active_claims"] == 2 and s2["oldest_claim_age_s"] < 3600
+    assert s2["active_claims"] == 3 and s2["oldest_claim_age_s"] < 3600
 
     # the sweep refuses while a rewrite marker is held
     with open(store_path + ".maintenance", "w") as f:
@@ -1492,7 +1538,7 @@ def test_claim_payload_sweep_and_stats_age(spark, tmp_path):
     # clear the young claims (max_age -1 ages everything out), then
     # maintenance proceeds — the unattended loop end-to-end
     swept2 = GM.sweep_stale_claims(spark, store_path, max_age_s=-1)
-    assert {r["name"] for r in swept2} == {"freshclaim", "legacyclaim"}
+    assert {r["name"] for r in swept2} == {"freshclaim", "legacyclaim", "oddstamp"}
     assert GM.store_stats(spark, store_path)["oldest_claim_age_s"] is None
     GM.compact_store(spark, store_path)
 
@@ -1590,3 +1636,17 @@ def test_atomic_create_gate_refuses_unattested_s3(spark):
         hconf.unset(EV._ATOMIC_CREATE_ATTESTATION)
     with pytest.raises(RuntimeError, match="ATOMIC create-if-absent"):
         EV._check_atomic_create_capable(spark, "s3a://bucket/x", "test CAS")
+
+    # a SCHEME-LESS path on a cluster whose fs.defaultFS is s3a must
+    # not bypass the refusal — the check resolves the default scheme
+    # (string parse only, still no FS instantiation)
+    prev = hconf.get("fs.defaultFS", "file:///")
+    hconf.set("fs.defaultFS", "s3a://bucket")
+    try:
+        with pytest.raises(RuntimeError, match="ATOMIC create-if-absent"):
+            EV._check_atomic_create_capable(spark, "/stores/fp.maintenance", "t")
+        # explicit non-S3 scheme still passes even under an s3a default
+        EV._check_atomic_create_capable(spark, "file:///tmp/x", "t")
+    finally:
+        hconf.set("fs.defaultFS", prev)
+    EV._check_atomic_create_capable(spark, "/stores/fp.maintenance", "t")

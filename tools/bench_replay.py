@@ -80,8 +80,14 @@ def _run_bench(tree: str) -> dict:
             f"bench.py failed in {tree} (exit {proc.returncode}):\n"
             f"{proc.stderr[-2000:]}"
         )
-    line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
-    rec = json.loads(line)
+    lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
+    if not lines:
+        raise RuntimeError(
+            f"bench.py in {tree} exited 0 but printed no JSON line; "
+            f"stdout tail:\n{proc.stdout[-2000:]}\n"
+            f"stderr tail:\n{proc.stderr[-1000:]}"
+        )
+    rec = json.loads(lines[-1])
     samples = rec.get("calibration", {}).get("samples", [])
     last = samples[-1] if samples else {}
     return {
@@ -113,6 +119,26 @@ def main() -> None:
     baseline_ref, round_n = sys.argv[1], int(sys.argv[2])
     n = int(sys.argv[3]) if len(sys.argv) > 3 else 2
     cur_sha = _sha("HEAD")
+    # the artifact attributes the current tree's numbers to a commit
+    # SHA, so a dirty working tree would be silently mislabeled —
+    # refuse (SG_REPLAY_ALLOW_DIRTY=1 overrides; the artifact then
+    # carries current_tree_dirty: true so the mislabel is at least
+    # visible)
+    dirty = bool(
+        subprocess.run(
+            ["git", "-C", REPO, "status", "--porcelain"],
+            check=True,
+            capture_output=True,
+            text=True,
+        ).stdout.strip()
+    )
+    if dirty and os.environ.get("SG_REPLAY_ALLOW_DIRTY") != "1":
+        sys.exit(
+            "bench_replay: working tree has uncommitted changes — the "
+            "artifact would attribute them to HEAD's SHA. Commit first, "
+            "or set SG_REPLAY_ALLOW_DIRTY=1 to record anyway (the "
+            "artifact then carries current_tree_dirty: true)"
+        )
     base_sha = _sha(baseline_ref)
     base_tree = _ensure_worktree(base_sha)
 
@@ -141,6 +167,7 @@ def main() -> None:
     out = {
         "round": round_n,
         "current_commit": cur_sha,
+        "current_tree_dirty": dirty,
         "baseline_commit": base_sha,
         "baseline_ref": baseline_ref,
         "sf_dir": os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
