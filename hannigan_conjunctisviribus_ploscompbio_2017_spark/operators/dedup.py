@@ -109,7 +109,15 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 
 def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3) -> DataFrame:
     """(id, shingle) pairs: k-token shingles of the normalized text,
-    deduped per doc. Pure Catalyst (sequence + transform), no UDF.
+    deduped per doc. Pure Catalyst (sequence + transform), no UDF —
+    and no shuffle (r12 optimization round, guide §2.4): the dedup key
+    is (id, shingle), i.e. WITHIN one document, so a per-row
+    array_distinct before the explode produces the identical row
+    multiset that the old frame-level .distinct() did — minus the full
+    exchange + two-phase aggregate every consumer (MinHash signatures,
+    Jaccard pairs, the contamination screen, k-mer MinHash) was paying
+    for it. At corpus scale that exchange carried the whole exploded
+    shingle stream.
 
     The token array is materialized ONCE per row before the per-index
     transform — inlining the tokenizer into the lambda re-runs the regex
@@ -124,7 +132,7 @@ def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: i
         F.sequence(F.lit(1), F.size("_toks") - (k - 1)),
     ).otherwise(F.array().cast("array<int>"))
     sh = F.transform(idx, lambda i: F.array_join(F.slice("_toks", i, k), " "))
-    return toked.select("id", F.explode(sh).alias("shingle")).distinct()
+    return toked.select("id", F.explode(F.array_distinct(sh)).alias("shingle"))
 
 
 def jaccard_pairs(
@@ -460,15 +468,15 @@ def char_shingles(
     """(id, shingle) pairs of character k-mers — the genomic analog of
     token shingles (SURVEY §2.12: the Spark-native replacement for the
     reference's BLAST-based contig similarity is k-mer MinHash LSH).
-    Upper-cased; deduped per sequence."""
+    Upper-cased; deduped per sequence (per-row array_distinct — the
+    dedup key is within one sequence, so no shuffle; see shingles())."""
     up = F.upper(F.col(seq_col))
     idx = F.when(
         F.length(up) >= k, F.sequence(F.lit(1), F.length(up) - (k - 1))
     ).otherwise(F.array().cast("array<int>"))
     km = F.transform(idx, lambda i: F.substring(up, F.lit(0) + i, k))
-    return (
-        df.select(F.col(id_col).alias("id"), F.explode(km).alias("shingle"))
-        .distinct()
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(F.array_distinct(km)).alias("shingle")
     )
 
 

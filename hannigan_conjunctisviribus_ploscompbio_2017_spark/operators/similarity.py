@@ -126,6 +126,75 @@ def _lit_mat(rows) -> "F.Column":
     )
 
 
+def _lit_cube(cubes) -> "F.Column":
+    """array<array<array<double>>> literal in one py4j call (see
+    _lit_vec) — the m × k × dsub PQ codebook stack as a single plan
+    literal, so expression factories can index it with F.get instead of
+    duplicating one 2-D literal per subspace."""
+    cubes = [[[float(x) for x in r] for r in cb] for cb in cubes]
+    if not all(math.isfinite(x) for cb in cubes for r in cb for x in r):
+        return F.array(*[_lit_mat(cb) for cb in cubes])
+    return F.expr(
+        "array("
+        + ",".join(
+            "array("
+            + ",".join("array(" + ",".join(f"{x!r}D" for x in r) + ")" for r in cb)
+            + ")"
+            for cb in cubes
+        )
+        + ")"
+    )
+
+
+# below this plan-stat size an item table is broadcast-scale: one encode
+# task beats paying an exchange + a stage of latency
+_SPREAD_MIN_BYTES = 256 * 1024
+
+
+def _spread_if_undersplit(df: DataFrame) -> DataFrame:
+    """Guide §2.5 'input skew: one huge unsplittable file' fix for the
+    encode-heavy item scans (r12 optimization round): the per-row work
+    of these operators — n_cells cosine distances for cell assignment,
+    m×k subspace L2s for PQ codes, num_planes dots for SRP signatures —
+    is orders of magnitude heavier than the scan itself, and it pipelines
+    into the scan stage. A single-rowgroup (or gzip'd, or otherwise
+    unsplittable) item file therefore runs the whole encode on ONE task
+    while the rest of the cluster idles. One round-robin repartition
+    spreads the encode; a calibration-gated interleaved A/B measured
+    0.70× on the PQ tiers with it (and a net LOSS for the same rebalance
+    applied blanket at the table reader — join/aggregate-shaped queries
+    lose more to the extra exchange than the scan parallelism returns,
+    so it lives HERE, next to the work that justifies it).
+
+    Scale-adaptive by construction: fires only when the frame's physical
+    plan yields fewer partitions than half the cluster's
+    defaultParallelism — a corpus-scale item table has orders of
+    magnitude more splits than cores, making this a no-op there — AND
+    the plan-stat size is at least _SPREAD_MIN_BYTES (an item table
+    small enough to broadcast encodes fine on one task; this also keeps
+    the sf0.001 single-exchange plan pins meaningful). Frames whose
+    stats are unknown (in-memory relations report the default max) count
+    as big. SPARK_GRAFT_ANN_SPREAD=off disables it outright."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_ANN_SPREAD", "auto") == "off":
+        return df
+    sc = df.sparkSession.sparkContext
+    cores = sc.defaultParallelism
+    try:
+        parts = df.rdd.getNumPartitions()
+        if parts * 2 > cores:
+            return df
+        stat_bytes = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return df
+    if stat_bytes < _SPREAD_MIN_BYTES:
+        return df
+    return df.repartition(cores)
+
+
 def _py_norm(v: list[float]) -> float:
     """Python replay of _norm() over a literal vector: left-fold double
     adds then sqrt — the exact IEEE sequence Catalyst's aggregate()
@@ -180,7 +249,7 @@ def brute_force_topk(
         F.col(vec_col).alias("_qv"),
         _norm(F.col(vec_col)).alias("_qn"),
     )
-    n = items.select(
+    n = _spread_if_undersplit(items).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_nv"),
         _norm(F.col(vec_col)).alias("_nn"),
@@ -389,6 +458,10 @@ def srp_lsh_topk(
             F.col("bb.bucket").alias("bucket"),
         )
 
+    # deliberately NOT _spread_if_undersplit here: the SRP signature is
+    # one fold over num_planes dots — cheap enough that the gated A/B
+    # measured the spread's exchange as a net loss (1.19×) on this
+    # operator, unlike the PQ/SQ8 encode scans
     cand = (
         banded(items, "n")
         .join(banded(queries, "q"), ["band", "bucket"])
@@ -545,7 +618,7 @@ def semantic_dedup(
     ranked_cells = _ranked_cells_expr(cents, round_to)
     # row norm once per row (cell assignment binds its own copy inside
     # the ranked-cells lambda; `_n` feeds the pair rerank)
-    base = items.select(
+    base = _spread_if_undersplit(items).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("_v"),
         _norm(F.col(vec_col)).alias("_n"),
@@ -692,7 +765,7 @@ def ivf_topk(
     # row norm once per side (own projection, kept by CollapseProject's
     # non-cheap-expression rule), reused by the n_cells cell distances
     # AND the candidate rerank
-    nb = items.select(
+    nb = _spread_if_undersplit(items).select(
         F.col(id_col).alias("n_id"),
         F.col(vec_col).alias("n_vec"),
         _norm(F.col(vec_col)).alias("n_nrm"),
@@ -814,10 +887,22 @@ def _pq_exprs(cbs: list[list[list[float]]], dsub: int, round_to: int):
     (code_expr(v), dtable_expr(v), adc_expr()) where adc_expr reads the
     joined `codes`/`dtable` columns."""
     m = len(cbs)
-    cb_lits = [_lit_mat(cb) for cb in cbs]
-
-    def sub(v, s):
-        return F.slice(v, s * dsub + 1, dsub)
+    # ONE 3-D codebook literal indexed by the subspace lambda variable
+    # (r12 optimization round, guide §1.2 step 2 / §7.3 plan-build cost):
+    # the previous per-subspace form built m separate
+    # zip_with+aggregate+transform trees, each costing ~3 py4j lambda
+    # round trips AND embedding its own k × dsub literal — ~1.3 s of
+    # driver-side plan build/analysis per pq_topk invocation at m=8
+    # (profiled: executions summed to 1.4 s of a 2.7 s warm run). The
+    # sequence(0, m-1) transform below is the identical arithmetic — the
+    # same slice bounds, the same zip_with/aggregate fold, the same
+    # round/tie-break — with the codebook literal appearing ONCE per
+    # expression, so plan build is O(1) lambdas and every analyzer pass
+    # walks the literals once instead of m times. Values are
+    # bit-identical (pinned by the A/B equivalence test and the
+    # unchanged DuckDB oracles).
+    seq_m = F.sequence(F.lit(0), F.lit(m - 1))
+    cb3 = _lit_cube(cbs)
 
     def l2sq(a, b):
         return F.aggregate(
@@ -826,32 +911,33 @@ def _pq_exprs(cbs: list[list[list[float]]], dsub: int, round_to: int):
             lambda acc, x: acc + x,
         )
 
-    # closure factories, NOT default-arg lambdas: PySpark derives the
-    # higher-order function's arity from the python signature, so a
-    # `lambda c, _s=s:` registers as the 2-arg (element, index) form
-    # and silently binds the array index to _s
-    def _code_sub(v, s):
-        def entry(c, i):
-            return F.struct(
-                F.round(l2sq(sub(v, s), c), round_to).alias("d"), i.alias("i")
-            )
-
-        return F.array_sort(F.transform(cb_lits[s], entry))[0]["i"].cast("int")
-
     def code_expr(v):
         # per subspace: argmin_{c} round(L2², 6), ties by index — the
         # same deterministic rule (and rounding) the oracles replay
-        return F.array(*[_code_sub(v, s) for s in range(m)])
+        def percode(s):
+            def entry(c, i):
+                return F.struct(
+                    F.round(
+                        l2sq(F.slice(v, s * dsub + 1, dsub), c), round_to
+                    ).alias("d"),
+                    i.alias("i"),
+                )
 
-    def _dtable_sub(v, s):
-        def entry(c):
-            return F.round(l2sq(sub(v, s), c), round_to)
+            return F.array_sort(F.transform(F.get(cb3, s), entry))[0]["i"].cast(
+                "int"
+            )
 
-        return F.transform(cb_lits[s], entry)
+        return F.transform(seq_m, percode)
 
     def dtable_expr(v):
         # m × k lookup table, computed ONCE per query row
-        return F.array(*[_dtable_sub(v, s) for s in range(m)])
+        def pertable(s):
+            def entry(c):
+                return F.round(l2sq(F.slice(v, s * dsub + 1, dsub), c), round_to)
+
+            return F.transform(F.get(cb3, s), entry)
+
+        return F.transform(seq_m, pertable)
 
     def adc_expr():
         # ADC distance: m table lookups per pair (F.get is 0-based,
@@ -911,7 +997,7 @@ def pq_topk(
     too."""
     cbs = _pq_codebooks(items, dim, m, n_codes, id_col, vec_col)
     code_expr, dtable_expr, adc_expr = _pq_exprs(cbs, dim // m, round_to)
-    items = items.filter(_pq_usable(vec_col, dim))
+    items = _spread_if_undersplit(items.filter(_pq_usable(vec_col, dim)))
     queries = queries.filter(_pq_usable(vec_col, dim))
 
     n = items.select(
@@ -997,7 +1083,7 @@ def ivf_pq_topk(
     ranked_cells = _ranked_cells_expr(cents, round_to)
     cbs = _pq_codebooks(items, dim, m, n_codes, id_col, vec_col)
     code_expr, dtable_expr, adc_expr = _pq_exprs(cbs, dim // m, round_to)
-    items = items.filter(_pq_usable(vec_col, dim))
+    items = _spread_if_undersplit(items.filter(_pq_usable(vec_col, dim)))
     queries = queries.filter(_pq_usable(vec_col, dim))
 
     n = items.select(
@@ -1166,7 +1252,7 @@ def sq8_topk(
     reconstructed items, rank asc (ties by neighbor id)."""
     mins, steps = _sq8_params(items, dim, vec_col)
     code_expr, recon_expr = _sq8_exprs(mins, steps)
-    items = items.filter(_pq_usable(vec_col, dim))
+    items = _spread_if_undersplit(items.filter(_pq_usable(vec_col, dim)))
     queries = queries.filter(_pq_usable(vec_col, dim))
 
     n = items.select(
@@ -1237,7 +1323,7 @@ def ivf_sq8_topk(
     ranked_cells = _ranked_cells_expr(cents, round_to)
     mins, steps = _sq8_params(items, dim, vec_col)
     code_expr, recon_expr = _sq8_exprs(mins, steps)
-    items = items.filter(_pq_usable(vec_col, dim))
+    items = _spread_if_undersplit(items.filter(_pq_usable(vec_col, dim)))
     queries = queries.filter(_pq_usable(vec_col, dim))
 
     n = items.select(

@@ -78,25 +78,70 @@ def rarefy(
     # the closure must not capture the depth DataFrame (unpicklable)
     depth_int = None if depth_is_frame else int(depth)
 
-    def _rarefy_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        d = int(pdf["_depth"].iloc[0]) if depth_is_frame else depth_int
-        total = int(pdf[count_col].sum())
-        if total < d:
-            return pd.DataFrame(
-                {sample_col: [], item_col: [], count_col: []}
-            ).astype({sample_col: str, item_col: str, count_col: np.int64})
-        # canonical item order: the draw must not depend on partition
-        # layout or shuffle order, only on (seed, sample, item multiset)
-        pdf = pdf.sort_values(item_col, kind="mergesort").reset_index(drop=True)
-        key = str(pdf[sample_col].iloc[0])
-        rng = np.random.default_rng(_seed_for(key, seed))
+    # Partition-at-a-time Python stage (r12 optimization round, guide
+    # §4.2/§4.5): the natural groupBy().applyInPandas ships one Arrow
+    # batch + one pandas DataFrame + one Python call PER SAMPLE — at 15k
+    # samples of ~40 rows each that per-group machinery was ~90% of the
+    # operator's wall-clock (SQL-tab: 4.6 s/task in FlatMapGroupsInPandas
+    # vs <0.5 s of actual draw math). mapInPandas over the SAME
+    # hash-exchange (repartition on the sample key) hands each task its
+    # whole partition; groups are recovered with one stable numpy sort +
+    # boundary scan, and the per-sample draw itself is unchanged: same
+    # canonical item order (stable sort by (sample, item) orders each
+    # group's items exactly as the old per-group mergesort on item), same
+    # sha256-seeded generator, same multivariate-hypergeometric call —
+    # bit-identical rows, verified against the frozen m1_rarefaction
+    # fixture and the double-run identity test. Peak task memory moves
+    # from one GROUP to one PARTITION of the abundance table, which is
+    # what spark.sql.shuffle.partitions sizes at any scale (the abundance
+    # frame is samples × items — orders of magnitude smaller than the raw
+    # data).
+    def _rarefy_partition(batches):
+        pdfs = list(batches)
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        # canonical item order per group: one stable sort of the whole
+        # partition by (sample, item) — within each sample this is the
+        # identical mergesort-by-item order the per-group form used
+        pdf = pdf.sort_values(
+            [sample_col, item_col], kind="mergesort", ignore_index=True
+        )
+        samples = pdf[sample_col].to_numpy()
+        items = pdf[item_col].to_numpy()
         counts = pdf[count_col].to_numpy(dtype=np.int64)
-        # draw `d` individuals without replacement from the pooled
-        # community: multivariate hypergeometric via sequential draws
-        kept = rng.multivariate_hypergeometric(counts, d)
-        res = pdf[[sample_col, item_col]].copy()
-        res[count_col] = kept
-        return res[res[count_col] > 0]
+        depths = (
+            pdf["_depth"].to_numpy(dtype=np.int64) if depth_is_frame else None
+        )
+        starts = np.flatnonzero(
+            np.concatenate(([True], samples[1:] != samples[:-1]))
+        )
+        ends = np.concatenate((starts[1:], [len(samples)]))
+        out_s: list = []
+        out_i: list = []
+        out_c: list = []
+        for s0, s1 in zip(starts, ends):
+            c = counts[s0:s1]
+            d = int(depths[s0]) if depths is not None else depth_int
+            if int(c.sum()) < d:
+                continue
+            rng = np.random.default_rng(_seed_for(str(samples[s0]), seed))
+            # draw `d` individuals without replacement from the pooled
+            # community: multivariate hypergeometric via sequential draws
+            kept = rng.multivariate_hypergeometric(c, d)
+            m = kept > 0
+            if m.any():
+                out_s.append(samples[s0:s1][m])
+                out_i.append(items[s0:s1][m])
+                out_c.append(kept[m])
+        if out_s:
+            yield pd.DataFrame(
+                {
+                    sample_col: np.concatenate(out_s),
+                    item_col: np.concatenate(out_i),
+                    count_col: np.concatenate(out_c).astype(np.int64),
+                }
+            )
 
     typed = df.select(
         F.col(sample_col).cast("string").alias(sample_col),
@@ -108,7 +153,9 @@ def rarefy(
         typed = typed.crossJoin(
             F.broadcast(depth.select(F.col(dcol).cast("long").alias("_depth")))
         )
-    return typed.groupBy(sample_col).applyInPandas(_rarefy_group, schema=out_schema)
+    return typed.repartition(sample_col).mapInPandas(
+        _rarefy_partition, schema=out_schema
+    )
 
 
 def rarefy_hash(
@@ -243,8 +290,17 @@ def _hash_ranked_kept(
 
     # candidate threshold: double-precision ratio + 512 absolute slack
     # covers the ~2⁷ ulp error of 2⁶⁰-scale doubles; min() guards the
-    # m ≥ T case (τ beyond the key range ⇒ every individual passes)
-    margin = F.col("_d") + F.ceil(F.lit(10.0) * F.sqrt(F.col("_d"))).cast("long") + 64
+    # m ≥ T case (τ beyond the key range ⇒ every individual passes).
+    # Margin slack 6√d + 24 (r12 optimization round; was 10√d + 64):
+    # the candidate pool is Binomial(T, m/T) per sample, so
+    # P[pool < d] ≤ exp(−slack²/2m) ≤ e⁻¹⁸ ≈ 1.5e-8 per sample — and a
+    # short sample routes through the exact full-sort fallback anyway,
+    # so the margin buys only performance, never correctness. At small
+    # depths the old slack dominated the pool (d=17 → 122 candidates/
+    # sample, a 7× inflation of the checkpoint + rank-window input);
+    # the tighter slack halves those stages' rows while keeping the
+    # expected fallback count ~zero until ~10⁷ samples per job.
+    margin = F.col("_d") + F.ceil(F.lit(6.0) * F.sqrt(F.col("_d"))).cast("long") + 24
     # clamp the ratio at 1.0 BEFORE scaling: m ≥ T means keep-all, and an
     # unclamped 2⁶⁰·m/T overflows the long cast
     ratio = F.least(margin.cast("double") / F.col("_t"), F.lit(1.0))

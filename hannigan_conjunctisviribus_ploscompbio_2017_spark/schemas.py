@@ -171,7 +171,16 @@ def load_table(spark, sf_dir: str, name: str):
     The events table stores TIMESTAMP(NANOS), which Spark's parquet reader
     rejects by default ([PARQUET_TYPE_ILLEGAL]); we read nanos as long via
     the legacy conf and rebuild a microsecond TimestampType column.
-    """
+
+    NOT rebalanced after the read, on measurement (r12 optimization
+    round): the testdata parquet files are single-rowgroup (a scan never
+    splits past one real task), but a calibration-gated interleaved A/B
+    of a blanket repartition-after-read came out a net LOSS (28.7 s →
+    31.2 s over the 14 heaviest entries) — the extra exchange + stage
+    costs more than the scan-stage parallelism it buys for every join-
+    and aggregate-shaped query; only the embedding operators' heavy
+    per-row encode scans won, and those rebalance inside the similarity
+    operators themselves (similarity._spread_if_undersplit)."""
     if name == "events":
         from pyspark.sql import functions as F
 

@@ -1643,3 +1643,98 @@ def test_minhash_ingest_dedup_semantics(spark):
         ).collect()
     }
     assert again == out
+
+
+def test_pq_exprs_match_per_subspace_form(spark):
+    """r12 optimization pin: the single-3D-literal PQ expression factory
+    (one sequence-transform, codebook literal appearing once) is
+    bit-identical to the original per-subspace construction — same
+    slice bounds, same zip_with/aggregate fold, same round + index
+    tie-break. The reference below IS that original construction."""
+    from pyspark.sql import functions as F
+
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.similarity import (
+        _lit_mat,
+        _pq_exprs,
+    )
+
+    dim, m, dsub = 8, 4, 2
+    cbs = [
+        [[0.5 * s + 0.25 * c, -1.0 + 0.125 * c] for c in range(3)]
+        for s in range(m)
+    ]
+
+    def ref_l2sq(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double")) ** 2),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    cb_lits = [_lit_mat(cb) for cb in cbs]
+
+    def ref_code(v):
+        def one(s):
+            def entry(c, i):
+                return F.struct(
+                    F.round(ref_l2sq(F.slice(v, s * dsub + 1, dsub), c), 6).alias("d"),
+                    i.alias("i"),
+                )
+
+            return F.array_sort(F.transform(cb_lits[s], entry))[0]["i"].cast("int")
+
+        return F.array(*[one(s) for s in range(m)])
+
+    def ref_dtable(v):
+        def one(s):
+            return F.transform(
+                cb_lits[s],
+                lambda c: F.round(ref_l2sq(F.slice(v, s * dsub + 1, dsub), c), 6),
+            )
+
+        return F.array(*[one(s) for s in range(m)])
+
+    code_expr, dtable_expr, _adc = _pq_exprs(cbs, dsub, 6)
+    vecs = [
+        (1, [0.1, -0.9, 0.6, -0.8, 1.1, -1.0, 0.74, -0.88]),
+        (2, [0.49, -0.99, 0.51, 0.0, 0.0, 0.125, 1.5, -0.875]),
+        (3, [0.0] * 8),
+    ]
+    df = spark.createDataFrame(vecs, "id long, v array<double>")
+    got = df.select(
+        code_expr(F.col("v")).alias("codes"), dtable_expr(F.col("v")).alias("dt")
+    ).collect()
+    want = df.select(
+        ref_code(F.col("v")).alias("codes"), ref_dtable(F.col("v")).alias("dt")
+    ).collect()
+    assert [r["codes"] for r in got] == [r["codes"] for r in want]
+    assert [r["dt"] for r in got] == [r["dt"] for r in want]
+
+
+def test_spread_if_undersplit_is_scale_adaptive(spark):
+    """r12 optimization pin for the encode-scan spread: fires only on
+    (undersplit AND fact-sized) frames; a well-split frame and a
+    broadcast-sized frame pass through untouched; the env kill-switch
+    works."""
+    import os
+
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.similarity import (
+        _spread_if_undersplit,
+    )
+
+    cores = spark.sparkContext.defaultParallelism
+    # undersplit + fact-sized (range stats = 8 bytes/row → 8 MB) → spreads
+    big_narrow = spark.range(1_000_000).coalesce(1)
+    assert _spread_if_undersplit(big_narrow).rdd.getNumPartitions() == cores
+    # well-split → untouched (identical object, no repartition node)
+    split = spark.range(1_000_000, numPartitions=cores)
+    assert _spread_if_undersplit(split) is split
+    # broadcast-sized → untouched even when undersplit
+    small = spark.range(1_000).coalesce(1)
+    assert _spread_if_undersplit(small) is small
+    # kill switch
+    os.environ["SPARK_GRAFT_ANN_SPREAD"] = "off"
+    try:
+        assert _spread_if_undersplit(big_narrow) is big_narrow
+    finally:
+        del os.environ["SPARK_GRAFT_ANN_SPREAD"]

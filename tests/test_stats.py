@@ -431,3 +431,41 @@ def test_rarefaction_facade_filters_routes_and_pins_one_copy(spark):
     out = stats.rarefaction(df, "sample", "item", "count", 5)
     assert out.count() > 0
     assert jsc.getPersistentRDDs().size() - before <= 2
+
+
+def test_rarefy_draw_matches_per_group_reference(spark):
+    """r12 optimization pin: rarefy's partition-at-a-time mapInPandas
+    stage must reproduce the ORIGINAL per-group draw contract exactly —
+    items in canonical (sorted) order, generator seeded
+    sha256('{seed}:{sample}'), one multivariate-hypergeometric draw per
+    sample, kept>0 rows only, samples with total < depth dropped. The
+    reference below is the straight per-group form the operator shipped
+    with before the partition-batched rewrite."""
+    import numpy as np
+
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.stats import _seed_for
+
+    rows = [
+        ("s1", "a", 10), ("s1", "b", 20), ("s1", "c", 70),
+        ("s2", "a", 50), ("s2", "b", 50),
+        ("s3", "d", 5),  # total 5 < depth → dropped
+        ("s4", "x", 3), ("s4", "y", 4), ("s4", "z", 40),
+    ]
+    depth, seed = 30, 11
+    expected = []
+    by_sample: dict = {}
+    for s, i, c in rows:
+        by_sample.setdefault(s, []).append((i, c))
+    for s, items in by_sample.items():
+        items = sorted(items)  # canonical item order
+        counts = np.array([c for _, c in items], dtype=np.int64)
+        if int(counts.sum()) < depth:
+            continue
+        rng = np.random.default_rng(_seed_for(s, seed))
+        kept = rng.multivariate_hypergeometric(counts, depth)
+        expected.extend(
+            (s, items[j][0], int(kept[j])) for j in range(len(items)) if kept[j] > 0
+        )
+    df = spark.createDataFrame(rows, "sample string, item string, count long")
+    got = sorted(map(tuple, stats.rarefy(df, "sample", "item", "count", depth, seed=seed).collect()))
+    assert got == sorted(expected)
