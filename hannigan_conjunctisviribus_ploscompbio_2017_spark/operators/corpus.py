@@ -386,8 +386,13 @@ def exact_k_sample(
     # match the NULL stratum's count row, which would route that (often
     # large) stratum through the full-population fallback sort on every
     # run — correct rows, but the exact cost the two-phase pool avoids
+    # broadcast the per-stratum candidate counts: both sides are
+    # stratum-sized aggregates the planner can't estimate, so this
+    # two-tiny-frame join planned as a SortMergeJoin (two exchanges +
+    # sorts) without the hint (r12; same rationale as contamination's
+    # cand_counts broadcast)
     short = (
-        sizes.join(cc, F.col("_sk").eqNullSafe(F.col("_cck")), "left")
+        sizes.join(F.broadcast(cc), F.col("_sk").eqNullSafe(F.col("_cck")), "left")
         .filter(F.coalesce(F.col("_cc"), F.lit(0)) < F.least(F.lit(k), F.col("_n")))
         .select(F.col("_sk").alias("_shortk"))
     )
@@ -674,12 +679,16 @@ def mixture_weights(
         F.count(F.lit(1)).alias("n_docs")
     ).localCheckpoint(eager=False)
     if target:
+        # union + max instead of a full-outer join (r12 optimization
+        # round): counts is key-unique (it IS a groupBy output), so
+        # "add requested domains with n_docs 0" is a union with zero
+        # rows + a max per domain — identical rows, no SortMergeJoin
+        # sorts over two tiny frames
         requested = df.sparkSession.createDataFrame(
-            [(d,) for d in sorted(target)], "domain string"
+            [(d, 0) for d in sorted(target)], "domain string, n_docs long"
         )
-        counts = (
-            counts.join(requested, "domain", "full_outer")
-            .fillna(0, subset=["n_docs"])
+        counts = counts.unionByName(requested).groupBy("domain").agg(
+            F.max("n_docs").alias("n_docs")
         )
     total = counts.agg(
         F.sum("n_docs").alias("_t"), F.count(F.lit(1)).alias("_d")

@@ -84,22 +84,57 @@ def feature_merge(
     value_col: str = "score",
     fill: float | None = 0.0,
 ) -> DataFrame:
-    """J3 — the graph-edge feature matrix: full-outer join cascade merging
-    per-feature score tables on (bacterium, phage), one output column per
-    feature (bin/iteratePredictedRelationships.R:50-52;
-    bin/BenchmarkDatabaseCreation.pl:147-175 upsert semantics).
+    """J3 — the graph-edge feature matrix: merge per-feature score tables
+    on (bacterium, phage), one output column per feature
+    (bin/iteratePredictedRelationships.R:50-52;
+    bin/BenchmarkDatabaseCreation.pl:147-175 upsert semantics). Inputs
+    are score tables — one row per key tuple, non-null keys (both
+    callers feed grouped aggregates; "≤1 edge per pair").
 
-    Scale: all inputs shuffle once on the same key set, then AQE coalesces;
-    at 100 TB this is a single co-partitioned multi-way merge.
+    Executed as tag + union + ONE grouped pivot-aggregate rather than
+    the equivalent full-outer join cascade (r12 optimization round,
+    guide §2.4): a USING-keys full-outer chain rewrites the join keys to
+    COALESCE(left, right) at every step, so every additional table
+    re-exchanged and re-sorted the whole accumulated merge (measured: 6
+    Exchange + 6 SortMergeJoin sorts for 4 tables). The union form
+    shuffles every input row exactly once on the key set — at 100 TB a
+    single co-partitioned merge — and produces the identical rows: with
+    key-unique inputs each (key, feature) group holds at most one value,
+    so the conditional max IS that value, absent features go NULL →
+    `fill`, and the output key set is the union of the inputs' key sets,
+    exactly as the full-outer cascade. Tables whose value columns
+    disagree on type fall back to the join cascade (the union would
+    silently widen them).
     """
     keys = list(keys)
-    out: DataFrame | None = None
-    for name, df in tables.items():
-        cur = df.select(*keys, F.col(value_col).alias(name))
-        out = cur if out is None else out.join(cur, keys, "full_outer")
-    assert out is not None, "feature_merge needs ≥1 table"
+    names = list(tables)
+    assert names, "feature_merge needs ≥1 table"
+    if len(names) == 1:
+        out = tables[names[0]].select(*keys, F.col(value_col).alias(names[0]))
+        return out.fillna(fill, subset=names) if fill is not None else out
+    vtypes = {dict(df.dtypes).get(value_col) for df in tables.values()}
+    if len(vtypes) == 1:
+        tagged = None
+        for name, df in tables.items():
+            cur = df.select(
+                *keys,
+                F.lit(name).alias("_feat"),
+                F.col(value_col).alias("_val"),
+            )
+            tagged = cur if tagged is None else tagged.unionByName(cur)
+        out = tagged.groupBy(*keys).agg(
+            *[
+                F.max(F.when(F.col("_feat") == n, F.col("_val"))).alias(n)
+                for n in names
+            ]
+        )
+    else:
+        out = None
+        for name, df in tables.items():
+            cur = df.select(*keys, F.col(value_col).alias(name))
+            out = cur if out is None else out.join(cur, keys, "full_outer")
     if fill is not None:
-        out = out.fillna(fill, subset=[n for n in tables])
+        out = out.fillna(fill, subset=names)
     return out
 
 

@@ -71,7 +71,15 @@ def q3_triadic_closure(
     Scale: self-join on dst shuffles once on the shared-target key; skewed
     hub targets are split by AQE skew-join handling.
     """
-    e = edges.filter(F.col("type") == edge_type).select("src", "dst")
+    # both sides of the self-join derive e and Catalyst shares no
+    # subtrees — one materialized pass of the (src, dst) projection
+    # (r12 optimization round; same rationale + A/B as the testdata
+    # gq3 entry: the edge projection is tiny next to the pair explosion)
+    e = (
+        edges.filter(F.col("type") == edge_type)
+        .select("src", "dst")
+        .localCheckpoint(eager=False)
+    )
     a, b = e.alias("a"), e.alias("b")
     # n != k (not <): the Cypher's symmetric MATCH emits BOTH (n,k) and
     # (k,n) — reference row counts and per-'from' degree tallies depend

@@ -884,10 +884,15 @@ def gq3_triadic_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     target count ≥2 (bin/TriadicClosures.R:88-89; aggregated instead of
     LIMIT 50000 so the result is deterministic)."""
     li = _t(spark, sf_dir, "lineitem")
+    # the deduped edge set feeds BOTH sides of the self-join and Catalyst
+    # shares no subtrees — one materialized pass (r12 optimization round:
+    # gated A/B 1.78 s → 1.34 s; the edge set is tiny next to the pair
+    # explosion, so pinning it is the right call at any scale)
     e = (
         li.filter(F.col("l_quantity") > 40)
         .select(F.col("l_partkey").alias("src"), F.col("l_suppkey").alias("dst"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     a, b = e.alias("a"), e.alias("b")
     return (

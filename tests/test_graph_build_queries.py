@@ -264,3 +264,46 @@ def test_simplify_deterministic_survivor_per_multi_edge(spark):
     again = {(r.src, r.dst, r.type): r.abundance
              for r in GB.simplify(e.repartition(7)).collect()}
     assert rows == again
+
+
+def test_feature_merge_union_form_equals_full_outer_cascade(spark):
+    """r12 optimization pin: feature_merge's tag+union+pivot-aggregate
+    execution must reproduce the full-outer join cascade row-for-row on
+    its contract domain (key-unique score tables): keys present in only
+    some tables, NULL scores, fill on/off, and the mixed-type fallback
+    path."""
+    from pyspark.sql import functions as F
+
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.relational import (
+        feature_merge,
+    )
+
+    t1 = spark.createDataFrame(
+        [("p1", "b1", 0.5), ("p2", "b2", 1.5)], "src string, dst string, score double"
+    )
+    t2 = spark.createDataFrame(
+        [("p1", "b1", 2.0), ("p3", "b3", None)], "src string, dst string, score double"
+    )
+    t3 = spark.createDataFrame(
+        [("p4", "b4", 7.0)], "src string, dst string, score double"
+    )
+    tables = {"a": t1, "b": t2, "c": t3}
+
+    def cascade(fill):
+        out = None
+        for name, df in tables.items():
+            cur = df.select("src", "dst", F.col("score").alias(name))
+            out = cur if out is None else out.join(cur, ["src", "dst"], "full_outer")
+        return out.fillna(fill, subset=list(tables)) if fill is not None else out
+
+    for fill in (0.0, None):
+        got = sorted(map(tuple, feature_merge(tables, ["src", "dst"], fill=fill).collect()))
+        want = sorted(map(tuple, cascade(fill).collect()))
+        assert got == want, f"fill={fill}"
+
+    # mixed value types take the cascade fallback and still merge
+    t2i = spark.createDataFrame([("p1", "b1", 3)], "src string, dst string, score int")
+    mixed = feature_merge({"a": t1, "b": t2i}, ["src", "dst"], fill=0.0)
+    rows = {(r["src"], r["dst"]): (r["a"], r["b"]) for r in mixed.collect()}
+    assert rows[("p1", "b1")] == (0.5, 3)
+    assert rows[("p2", "b2")] == (1.5, 0)
