@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.dedup import (
+    _spread_if_undersplit,
     portable_token_hash,
     validate_banding,
 )
@@ -144,55 +145,6 @@ def _lit_cube(cubes) -> "F.Column":
         )
         + ")"
     )
-
-
-# below this plan-stat size an item table is broadcast-scale: one encode
-# task beats paying an exchange + a stage of latency
-_SPREAD_MIN_BYTES = 256 * 1024
-
-
-def _spread_if_undersplit(df: DataFrame) -> DataFrame:
-    """Guide §2.5 'input skew: one huge unsplittable file' fix for the
-    encode-heavy item scans (r12 optimization round): the per-row work
-    of these operators — n_cells cosine distances for cell assignment,
-    m×k subspace L2s for PQ codes, num_planes dots for SRP signatures —
-    is orders of magnitude heavier than the scan itself, and it pipelines
-    into the scan stage. A single-rowgroup (or gzip'd, or otherwise
-    unsplittable) item file therefore runs the whole encode on ONE task
-    while the rest of the cluster idles. One round-robin repartition
-    spreads the encode; a calibration-gated interleaved A/B measured
-    0.70× on the PQ tiers with it (and a net LOSS for the same rebalance
-    applied blanket at the table reader — join/aggregate-shaped queries
-    lose more to the extra exchange than the scan parallelism returns,
-    so it lives HERE, next to the work that justifies it).
-
-    Scale-adaptive by construction: fires only when the frame's physical
-    plan yields fewer partitions than half the cluster's
-    defaultParallelism — a corpus-scale item table has orders of
-    magnitude more splits than cores, making this a no-op there — AND
-    the plan-stat size is at least _SPREAD_MIN_BYTES (an item table
-    small enough to broadcast encodes fine on one task; this also keeps
-    the sf0.001 single-exchange plan pins meaningful). Frames whose
-    stats are unknown (in-memory relations report the default max) count
-    as big. SPARK_GRAFT_ANN_SPREAD=off disables it outright."""
-    import os
-
-    if os.environ.get("SPARK_GRAFT_ANN_SPREAD", "auto") == "off":
-        return df
-    sc = df.sparkSession.sparkContext
-    cores = sc.defaultParallelism
-    try:
-        parts = df.rdd.getNumPartitions()
-        if parts * 2 > cores:
-            return df
-        stat_bytes = int(
-            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-        )
-    except Exception:
-        return df
-    if stat_bytes < _SPREAD_MIN_BYTES:
-        return df
-    return df.repartition(cores)
 
 
 def _py_norm(v: list[float]) -> float:
