@@ -110,6 +110,9 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 # below this plan-stat size an item table is broadcast-scale: one encode
 # task beats paying an exchange + a stage of latency
 _SPREAD_MIN_BYTES = 256 * 1024
+# plan-stat sizes at or above this are the planner's "unknown" default
+# (spark.sql.defaultSizeInBytes ≈ Long.MaxValue), not a real measurement
+_SPREAD_STATS_UNKNOWN = 1 << 50
 
 
 def _spread_if_undersplit(df: DataFrame) -> DataFrame:
@@ -134,8 +137,15 @@ def _spread_if_undersplit(df: DataFrame) -> DataFrame:
     the plan-stat size is at least _SPREAD_MIN_BYTES (an item table
     small enough to broadcast encodes fine on one task; this also keeps
     the sf0.001 single-exchange plan pins meaningful). Frames whose
-    stats are unknown (in-memory relations report the default max) count
-    as big. SPARK_GRAFT_ANN_SPREAD=off disables it outright."""
+    stats are UNKNOWN (the planner's defaultSizeInBytes max) skip: the
+    win was only ever measured on file-scan inputs, which report real
+    sizes — repartitioning a stats-opaque in-memory relation on spec
+    would add an exchange nothing justifies (r13, ADVICE). The cheap
+    stats check also runs FIRST so the expensive plan-to-RDD partition
+    count (a full physical-planning round trip on every call) is only
+    paid by frames that could actually fire (r13, guide §7.3
+    driver-latency note). SPARK_GRAFT_ANN_SPREAD=off disables it
+    outright."""
     import os
 
     if os.environ.get("SPARK_GRAFT_ANN_SPREAD", "auto") == "off":
@@ -143,15 +153,15 @@ def _spread_if_undersplit(df: DataFrame) -> DataFrame:
     sc = df.sparkSession.sparkContext
     cores = sc.defaultParallelism
     try:
-        parts = df.rdd.getNumPartitions()
-        if parts * 2 > cores:
-            return df
         stat_bytes = int(
             df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
         )
+        if not (_SPREAD_MIN_BYTES <= stat_bytes < _SPREAD_STATS_UNKNOWN):
+            return df
+        parts = df.rdd.getNumPartitions()
     except Exception:
         return df
-    if stat_bytes < _SPREAD_MIN_BYTES:
+    if parts * 2 > cores:
         return df
     return df.repartition(cores)
 
@@ -167,6 +177,14 @@ def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: i
     Jaccard pairs, the contamination screen, k-mer MinHash) was paying
     for it. At corpus scale that exchange carried the whole exploded
     shingle stream.
+
+    CONTRACT (r13): one row per id. The old frame-level .distinct()
+    also absorbed duplicate-id input rows; the per-row form does not —
+    a caller passing the same id twice gets duplicate (id, shingle)
+    pairs, which would inflate the count(1)-based set sizes in
+    jaccard_pairs / contamination_pairs. Every caller here feeds a
+    one-row-per-document table; the behavior is pinned by
+    test_shingles_duplicate_id_contract.
 
     The token array is materialized ONCE per row before the per-index
     transform — inlining the tokenizer into the lambda re-runs the regex
@@ -522,7 +540,9 @@ def char_shingles(
     token shingles (SURVEY §2.12: the Spark-native replacement for the
     reference's BLAST-based contig similarity is k-mer MinHash LSH).
     Upper-cased; deduped per sequence (per-row array_distinct — the
-    dedup key is within one sequence, so no shuffle; see shingles())."""
+    dedup key is within one sequence, so no shuffle; see shingles()).
+    Same one-row-per-id CONTRACT as shingles(): duplicate-id inputs
+    emit duplicate pairs (test_shingles_duplicate_id_contract)."""
     up = F.upper(F.col(seq_col))
     idx = F.when(
         F.length(up) >= k, F.sequence(F.lit(1), F.length(up) - (k - 1))

@@ -91,6 +91,11 @@ def feature_merge(
     are score tables — one row per key tuple, non-null keys (both
     callers feed grouped aggregates; "≤1 edge per pair").
 
+    Non-null keys are ENFORCED on the union path (raise_error inside
+    the key projection — r13): NULL keys are where the union+pivot and
+    full-outer forms diverge, so they fail loudly instead of silently
+    merging (test_feature_merge_null_key_raises).
+
     Executed as tag + union + ONE grouped pivot-aggregate rather than
     the equivalent full-outer join cascade (r12 optimization round,
     guide §2.4): a USING-keys full-outer chain rewrites the join keys to
@@ -114,10 +119,27 @@ def feature_merge(
         return out.fillna(fill, subset=names) if fill is not None else out
     vtypes = {dict(df.dtypes).get(value_col) for df in tables.values()}
     if len(vtypes) == 1:
+        # non-null-key contract, enforced loudly (r13, ADVICE): a
+        # USING-keys full-outer join never matches NULL keys (each
+        # side's NULL-key rows stay separate), while groupBy would
+        # silently merge them into one row — so a NULL key here is a
+        # caller bug and must fail, not change semantics. The check is
+        # a per-row null test inside codegen, not an extra action.
+        def _keyval(k: str) -> F.Column:
+            return F.when(F.col(k).isNotNull(), F.col(k)).otherwise(
+                F.raise_error(
+                    F.lit(
+                        f"feature_merge: NULL join key '{k}' — the union+pivot "
+                        "form requires non-null keys (a full-outer cascade "
+                        "leaves NULL keys unmatched; groupBy would merge them)"
+                    )
+                )
+            ).alias(k)
+
         tagged = None
         for name, df in tables.items():
             cur = df.select(
-                *keys,
+                *[_keyval(k) for k in keys],
                 F.lit(name).alias("_feat"),
                 F.col(value_col).alias("_val"),
             )

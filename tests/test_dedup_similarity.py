@@ -1738,3 +1738,40 @@ def test_spread_if_undersplit_is_scale_adaptive(spark):
         assert _spread_if_undersplit(big_narrow) is big_narrow
     finally:
         del os.environ["SPARK_GRAFT_ANN_SPREAD"]
+
+
+def test_shingles_duplicate_id_contract(spark):
+    """r13 contract pin (ADVICE): shingles()/char_shingles() dedupe
+    WITHIN a row (array_distinct), so a duplicate-id input emits
+    duplicate (id, shingle) pairs — the documented one-row-per-id
+    contract. The pre-r12 frame-level .distinct() absorbed these; any
+    count(1)-based consumer (jaccard_pairs, contamination) must feed
+    one row per id."""
+    dup_docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (1, "alpha beta gamma delta")],
+        "doc_id int, text string",
+    )
+    rows = dedup.shingles(dup_docs, k=3).collect()
+    # 2 shingles per row × 2 identical rows → duplicates preserved
+    assert len(rows) == 4
+    assert len({(r.id, r.shingle) for r in rows}) == 2
+
+    dup_seqs = spark.createDataFrame(
+        [(1, "ACGTACGTAC"), (1, "ACGTACGTAC")], "id int, seq string"
+    )
+    krows = dedup.char_shingles(dup_seqs, k=8).collect()
+    assert len(krows) == 6  # 3 per row × 2 rows
+    assert len({(r.id, r.shingle) for r in krows}) == 3
+
+
+def test_spread_if_undersplit_skips_unknown_stats(spark):
+    """r13 pin (ADVICE): frames whose plan stats are the planner's
+    'unknown' default (defaultSizeInBytes max) must NOT be spread — the
+    win was only measured on file-scan inputs, which report real sizes."""
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.dedup import (
+        _spread_if_undersplit,
+    )
+
+    rdd = spark.sparkContext.parallelize([(i,) for i in range(1000)], 1)
+    opaque = spark.createDataFrame(rdd, "v long")  # LogicalRDD: unknown stats
+    assert _spread_if_undersplit(opaque) is opaque

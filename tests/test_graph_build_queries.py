@@ -307,3 +307,31 @@ def test_feature_merge_union_form_equals_full_outer_cascade(spark):
     rows = {(r["src"], r["dst"]): (r["a"], r["b"]) for r in mixed.collect()}
     assert rows[("p1", "b1")] == (0.5, 3)
     assert rows[("p2", "b2")] == (1.5, 0)
+
+
+def test_feature_merge_null_key_raises(spark):
+    """r13 contract pin (ADVICE): NULL join keys are the one input where
+    the union+pivot form and the full-outer cascade diverge (the cascade
+    leaves NULL keys unmatched per table; groupBy would merge them), so
+    the union path must fail loudly instead of silently merging."""
+    from pyspark.sql import functions as F
+    from pyspark.errors import PySparkException
+
+    from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.relational import (
+        feature_merge,
+    )
+
+    t1 = spark.createDataFrame(
+        [("p1", "b1", 0.5), (None, "b2", 1.5)], "src string, dst string, score double"
+    )
+    t2 = spark.createDataFrame(
+        [("p1", "b1", 2.0)], "src string, dst string, score double"
+    )
+    merged = feature_merge({"a": t1, "b": t2}, ["src", "dst"], fill=0.0)
+    with pytest.raises(PySparkException, match="feature_merge: NULL join key"):
+        merged.collect()
+    # non-null inputs are untouched by the guard
+    ok = feature_merge(
+        {"a": t2, "b": t2}, ["src", "dst"], fill=0.0
+    ).collect()
+    assert [tuple(r) for r in ok] == [("p1", "b1", 2.0, 2.0)]
