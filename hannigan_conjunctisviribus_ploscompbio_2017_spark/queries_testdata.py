@@ -764,9 +764,18 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cust = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 0)
+    # r13 optimization (guide §2.3 narrower types): every join and
+    # aggregation below runs on the RAW BIGINT keys — the 'C'/'P'/'S'
+    # node-name prefixes are injective decorations, so grouping/joining
+    # on (custkey, partkey, suppkey) produces the identical row set, and
+    # the concat to strings happens ONCE, in the final projection. The
+    # SQL-tab profile showed the string form's cost concentrated in the
+    # infects distinct (7.3 s task time) and the final join/count stage
+    # (28.7 s): UTF8String hashing + comparison over ~600 k-row streams,
+    # paid per probe. Long keys also halve the exchange/broadcast bytes.
     members = cust.join(
         F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
-    ).select(F.concat(F.lit("C"), F.col("c_custkey")).alias("sample"))
+    ).select(F.col("c_custkey").alias("custkey"))
 
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
@@ -775,12 +784,12 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .select(
-            F.concat(F.lit("C"), F.col("o_custkey")).alias("sample"),
+            F.col("o_custkey").alias("custkey"),
             "l_partkey",
             "l_suppkey",
             "l_quantity",
         )
-        .join(F.broadcast(members), "sample")
+        .join(F.broadcast(members), "custkey")
     )
     # Two separate groupBys deliberately, NOT one grouping-sets pass:
     # measured at sf0.1, groupingSets([[sample,phage],[sample,host]]) is
@@ -791,33 +800,30 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     # columns + id. The fact subtree is all broadcast joins over one
     # columnar scan, so recomputing it per branch is the cheaper plan.
     phage_ab = (
-        fact.groupBy("sample", F.concat(F.lit("P"), F.col("l_partkey")).alias("phage"))
+        fact.groupBy("custkey", "l_partkey")
         .agg(F.sum("l_quantity").cast("long").alias("phage_abundance"))
         .filter(F.col("phage_abundance") > 0)
     )
     host_ab = (
-        fact.groupBy("sample", F.concat(F.lit("S"), F.col("l_suppkey")).alias("host"))
+        fact.groupBy("custkey", "l_suppkey")
         .agg(F.sum("l_quantity").cast("long").alias("host_abundance"))
         .filter(F.col("host_abundance") > 0)
     )
-    infects = li.select(
-        F.concat(F.lit("P"), F.col("l_partkey")).alias("phage"),
-        F.concat(F.lit("S"), F.col("l_suppkey")).alias("host"),
-    ).distinct()
+    infects = li.select("l_partkey", "l_suppkey").distinct()
     lengths = _t(spark, sf_dir, "part").select(
-        F.concat(F.lit("P"), F.col("p_partkey")).alias("phage"),
+        F.col("p_partkey").alias("l_partkey"),
         F.col("p_size").cast("long").alias("phage_length"),
     )
 
     return (
-        phage_ab.join(infects, "phage")
-        .join(host_ab, ["sample", "host"])
-        .join(F.broadcast(lengths), "phage", "left")
+        phage_ab.join(infects, "l_partkey")
+        .join(host_ab, ["custkey", "l_suppkey"])
+        .join(F.broadcast(lengths), "l_partkey", "left")
         .select(
-            "sample",
-            "phage",
+            F.concat(F.lit("C"), F.col("custkey")).alias("sample"),
+            F.concat(F.lit("P"), F.col("l_partkey")).alias("phage"),
             "phage_abundance",
-            "host",
+            F.concat(F.lit("S"), F.col("l_suppkey")).alias("host"),
             "host_abundance",
             "phage_length",
             length_normalize(
@@ -5254,31 +5260,33 @@ def gq4_study_network(spark: SparkSession, sf_dir: str) -> DataFrame:
     -[:Infects]->(host)<-[:Sampled]-(s2)<--(study)."""
     cust = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 1)
+    # r13 optimization (guide §2.3 narrower types): joins/aggregations on
+    # the raw BIGINT keys, 'C'/'P'/'S' prefixes applied once in the final
+    # projection — same injective-decoration argument and profile
+    # evidence as gq5 (infects distinct 7.2 s task time, final join/count
+    # stage 13.0 s, all UTF8String hashing over concat keys).
     members = cust.join(
         F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
-    ).select(F.concat(F.lit("C"), F.col("c_custkey")).alias("sample"))
+    ).select(F.col("c_custkey").alias("custkey"))
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     fact = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .select(
-            F.concat(F.lit("C"), F.col("o_custkey")).alias("sample"),
+            F.col("o_custkey").alias("custkey"),
             "l_partkey",
             "l_suppkey",
             "l_quantity",
         )
-        .join(F.broadcast(members), "sample")
+        .join(F.broadcast(members), "custkey")
     )
-    sampled_phage = fact.groupBy(
-        "sample", F.concat(F.lit("P"), F.col("l_partkey")).alias("phage")
-    ).agg(F.sum("l_quantity").cast("long").alias("phage_abundance"))
-    sampled_host = fact.groupBy(
-        "sample", F.concat(F.lit("S"), F.col("l_suppkey")).alias("host")
-    ).agg(F.sum("l_quantity").cast("long").alias("host_abundance"))
-    infects = li.select(
-        F.concat(F.lit("P"), F.col("l_partkey")).alias("phage"),
-        F.concat(F.lit("S"), F.col("l_suppkey")).alias("host"),
-    ).distinct()
+    sampled_phage = fact.groupBy("custkey", "l_partkey").agg(
+        F.sum("l_quantity").cast("long").alias("phage_abundance")
+    )
+    sampled_host = fact.groupBy("custkey", "l_suppkey").agg(
+        F.sum("l_quantity").cast("long").alias("host_abundance")
+    )
+    infects = li.select("l_partkey", "l_suppkey").distinct()
     # The raw (s1, phage, host, s2) expansion is quadratically explosive
     # (the reference caps its variant with LIMIT 50000,
     # bin/TriadicClosures.R:89).  The per-(phage, host) aggregates factor
@@ -5286,17 +5294,17 @@ def gq4_study_network(spark: SparkSession, sf_dir: str) -> DataFrame:
     # total_phage_abundance = Σ_s1 ab(phage)·n_s2(host) — so aggregate
     # each side FIRST and join per-node dims: the quadratic intermediate
     # never materializes (an algebraic rewrite Catalyst can't derive).
-    pa = sampled_phage.groupBy("phage").agg(
+    pa = sampled_phage.groupBy("l_partkey").agg(
         F.count(F.lit(1)).alias("_n_p"),
         F.sum("phage_abundance").cast("long").alias("_sum_ab"),
     )
-    ha = sampled_host.groupBy("host").agg(F.count(F.lit(1)).alias("_n_h"))
+    ha = sampled_host.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("_n_h"))
     return (
-        infects.join(pa, "phage")
-        .join(ha, "host")
+        infects.join(pa, "l_partkey")
+        .join(ha, "l_suppkey")
         .select(
-            "phage",
-            "host",
+            F.concat(F.lit("P"), F.col("l_partkey")).alias("phage"),
+            F.concat(F.lit("S"), F.col("l_suppkey")).alias("host"),
             (F.col("_n_p") * F.col("_n_h")).alias("n_sample_pairs"),
             (F.col("_sum_ab") * F.col("_n_h")).alias("total_phage_abundance"),
         )

@@ -1,5 +1,5 @@
 """Capture `.explain("formatted")` for every headline bench query into
-plans/r12/<name>_<tag>.txt — the optimization round's before/after plan
+plans/r13/<name>_<tag>.txt (dir overridable via SPARK_GRAFT_PLANS_DIR) — the round's before/after plan
 evidence (the judge reads these files instead of running Spark).
 
 Usage: python tools/capture_plans.py <tag> [name ...]
@@ -25,7 +25,7 @@ def main() -> None:
     tag = sys.argv[1] if len(sys.argv) > 1 else "before"
     only = set(sys.argv[2:])
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r12")
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", os.environ.get("SPARK_GRAFT_PLANS_DIR", "r13"))
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("capture-plans")
     for label, name in HEADLINE:
