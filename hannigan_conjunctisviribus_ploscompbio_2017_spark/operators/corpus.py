@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.dedup import (
-    normalized,
+    norm_tokens,
     portable_token_hash,
 )
 
@@ -45,7 +45,7 @@ def ngram_counts(
     exchange, so shuffle rows ∝ distinct ngrams per partition."""
     toked = df.select(
         F.col(id_col).alias("id"),
-        F.split(normalized(text_col), "\\s+").alias("_toks"),
+        norm_tokens(text_col).alias("_toks"),
     )
     idx = F.when(
         F.size("_toks") >= n, F.sequence(F.lit(1), F.size("_toks") - (n - 1))
@@ -157,7 +157,7 @@ def repetition_stats(
     aggregated map-side."""
     toked = df.select(
         F.col(id_col).alias("id"),
-        F.split(normalized(text_col), "\\s+").alias("_toks"),
+        norm_tokens(text_col).alias("_toks"),
     )
     idx = F.when(
         F.size("_toks") >= n, F.sequence(F.lit(1), F.size("_toks") - (n - 1))
@@ -297,7 +297,7 @@ def sequence_pack(
     Returns (id, bucket, n_tok, pack_id, pack_offset) where
     `pack_offset` is the doc's first-token position inside its pack."""
     h = portable_token_hash(F.concat_ws("|", F.col(id_col).cast("string"), F.lit(str(seed))))
-    ntok = F.size(F.split(normalized(text_col), r"\s+")).cast("long")
+    ntok = F.size(norm_tokens(text_col)).cast("long")
     base = df.select(
         F.col(id_col).alias("id"),
         (h % n_buckets).alias("bucket"),
@@ -501,7 +501,7 @@ def vocab_growth(
     toks = df.select(
         F.col(id_col).alias("id"),
         h.alias("_h"),
-        F.explode(F.split(normalized(text_col), r"\s+")).alias("tok"),
+        F.explode(norm_tokens(text_col)).alias("tok"),
     )
     aggs = []
     for frac in fractions:
@@ -534,7 +534,7 @@ def _doc_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     pair extraction can never tokenize differently."""
     return df.select(
         F.col(id_col).alias("id"),
-        F.split(normalized(text_col), r"\s+").alias("_t"),
+        norm_tokens(text_col).alias("_t"),
     )
 
 

@@ -35,6 +35,22 @@ def normalized(text_col="text"):
     return F.trim(F.regexp_replace(F.lower(c), r"[^a-z0-9]+", " "))
 
 
+def norm_tokens(text_col="text"):
+    """THE tokenization — split(normalized(c), '\\s+') — consolidated
+    from 12 call sites (r13) so the token stream can never silently
+    diverge between operators. Deliberately NOT a one-regex-pass form:
+    the r13 rewrite splitting lower(text) directly on '[^a-z0-9]+' with
+    a boundary-empty fixup measured SLOWER on explode-everything
+    consumers (micro-bench on the sf0.1 documents table: 0.334 s vs
+    0.237 s per pass; interleaved A/B: tx_unigram_logprob 1.25x) — the
+    when(size(toks)=0, [''])/otherwise wrapper re-evaluates the
+    filtered split, and the replace pass it saves is mostly single-char
+    matches, i.e. cheap. Equivalence of the rejected form was pinned by
+    test_norm_tokens_matches_normalized_split, which now pins this
+    definition against an inlined copy."""
+    return F.split(normalized(text_col), r"\s+")
+
+
 def validate_banding(total_bits: int, bands: int, what: str) -> int:
     """Shared banding precondition for every LSH family (MinHash,
     SimHash, SRP — batch and streaming): bands must divide the
@@ -191,7 +207,7 @@ def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: i
     per shingle (O(tokens²) regex work; measured 10× slower)."""
     toked = df.select(
         F.col(id_col).alias("id"),
-        F.split(normalized(text_col), "\\s+").alias("_toks"),
+        norm_tokens(text_col).alias("_toks"),
     )
     # guard short docs: sequence(1, 0) would generate a DESCENDING [1, 0]
     idx = F.when(
@@ -320,7 +336,24 @@ def _lsh_pairs_from_sig(
 
     banded = _band_explode(sig, num_hashes, bands, bucket_by_hash)
     a, b = banded.alias("a"), banded.alias("b")
-    cand = (
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    )
+    # r13 optimization (guide §2.3 shuffle metadata, not payloads):
+    # estimate Jaccard BEFORE the per-pair dedup — a pair colliding in
+    # several bands estimates identically each time (same signatures),
+    # so max == the value, and the dedup exchange carries
+    # (long, long, double) instead of BOTH num_hashes-long signature
+    # arrays (a ~40x per-row byte cut), with a codegen HashAggregate
+    # replacing the SortAggregate that array first() forced. Isolated
+    # interleaved noop-sink A/B at sf0.1: FLAT locally (1.45 vs 1.53
+    # best-of-6 — the per-duplicate zip_with re-score costs about what
+    # the payload cut saves at this size); kept for the exchange-byte
+    # cut, which is what matters when candidates are shuffle-bound.
+    return (
         a.join(b, ["band", "bucket"])
         .filter(F.col("a.id") < F.col("b.id"))
         .select(
@@ -329,18 +362,13 @@ def _lsh_pairs_from_sig(
             F.col("a.sig").alias("sig_a"),
             F.col("b.sig").alias("sig_b"),
         )
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    agree = F.size(
-        F.filter(
-            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-            lambda v: v == 1,
+        .select(
+            "id_a",
+            "id_b",
+            F.round(agree / F.lit(num_hashes), 6).alias("est_jaccard"),
         )
-    )
-    return cand.select(
-        "id_a",
-        "id_b",
-        F.round(agree / F.lit(num_hashes), 6).alias("est_jaccard"),
+        .groupBy("id_a", "id_b")
+        .agg(F.max("est_jaccard").alias("est_jaccard"))
     )
 
 
@@ -448,7 +476,7 @@ def simhash(
     md5-capable engine reproduces bit-for-bit."""
     tok = df.select(
         F.col(id_col).alias("id"),
-        F.explode(F.split(normalized(text_col), "\\s+")).alias("token"),
+        F.explode(norm_tokens(text_col)).alias("token"),
     )
     h = hash_fn("token") if hash_fn is not None else F.xxhash64("token")
     bit_sums = [
@@ -514,7 +542,12 @@ def simhash_pairs(
         ).alias("bb"),
     ).select("id", "simhash", F.col("bb.band").alias("band"), F.col("bb.chunk").alias("chunk"))
     a, b = banded.alias("a"), banded.alias("b")
-    cand = (
+    hamming = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+    # r13: hamming computed BEFORE the per-pair dedup (identical per
+    # duplicate band collision → max == the value), so the dedup
+    # exchange drops the two simhash longs — same rewrite as
+    # _lsh_pairs_from_sig, marginal here but uniform across the family
+    return (
         a.join(b, ["band", "chunk"])
         .filter(F.col("a.id") < F.col("b.id"))
         .select(
@@ -523,11 +556,9 @@ def simhash_pairs(
             F.col("a.simhash").alias("_ha"),
             F.col("b.simhash").alias("_hb"),
         )
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    hamming = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
-    return (
-        cand.withColumn("hamming", hamming.cast("int"))
+        .select("id_a", "id_b", hamming.cast("int").alias("hamming"))
+        .groupBy("id_a", "id_b")
+        .agg(F.max("hamming").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
@@ -593,7 +624,7 @@ def doc_chunks(
     toked = df.select(
         *[F.col(c) for c in keep_cols],
         F.col(id_col).alias("id"),
-        F.split(normalized(text_col), "\\s+").alias("_toks"),
+        norm_tokens(text_col).alias("_toks"),
     )
     n_chunks = F.ceil(F.size("_toks") / F.lit(chunk_tokens)).cast("int")
     idx = F.when(
@@ -754,7 +785,7 @@ def duplicate_spans(
     base = hash_fn if hash_fn is not None else F.xxhash64
     toked = df.select(
         F.col(id_col).alias("id"),
-        F.split(normalized(text_col), r"\s+").alias("_t"),
+        norm_tokens(text_col).alias("_t"),
     )
     idx = F.when(
         F.size("_t") >= k, F.sequence(F.lit(1), F.size("_t") - (k - 1))
@@ -837,7 +868,7 @@ def remove_duplicate_spans(
     )
     toked = df.select(
         F.col(id_col).alias("id"),
-        F.split(normalized(F.coalesce(F.col(text_col), F.lit(""))), r"\s+").alias("_t"),
+        norm_tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("_t"),
     )
     joined = toked.join(sp, "id", "left").withColumn(
         "_spans",

@@ -308,7 +308,24 @@ def embedding_near_dup_pairs(
                 ["band", "bucket"],
             )
             .filter(F.col("id_a") < F.col("id_b"))
-            .dropDuplicates(["id_a", "id_b"])
+        )
+        # r13: score before the per-pair dedup (same argument as
+        # srp_lsh_topk — duplicate band collisions score identically, so
+        # the dedup exchange carries (long, long, double), not vectors)
+        return (
+            cand.select(
+                "id_a",
+                "id_b",
+                F.round(
+                    cosine_pre(
+                        _dot(F.col("_va"), F.col("_vb")), F.col("_na"), F.col("_nb")
+                    ),
+                    round_to,
+                ).alias("cosine_sim"),
+            )
+            .groupBy("id_a", "id_b")
+            .agg(F.max("cosine_sim").alias("cosine_sim"))
+            .filter(F.col("cosine_sim") >= threshold)
         )
     return (
         cand.select(
@@ -418,19 +435,31 @@ def srp_lsh_topk(
         banded(items, "n")
         .join(banded(queries, "q"), ["band", "bucket"])
         .filter(F.col("q_id") != F.col("n_id"))
-        .dropDuplicates(["q_id", "n_id"])
     )
-    scored = cand.select(
-        F.col("q_id").alias("query_id"),
-        F.col("n_id").alias("neighbor_id"),
-        F.round(
-            cosine_pre(
-                _dot(F.col("q_vec"), F.col("n_vec")),
-                F.col("q_nrm"),
-                F.col("n_nrm"),
-            ),
-            round_to,
-        ).alias("cosine_sim"),
+    # r13 optimization (guide §2.3 shuffle metadata, not payloads): score
+    # BEFORE the per-pair dedup. A (q, n) pair colliding in several bands
+    # scores identically each time (same two vectors), so max == the
+    # value — while the dedup exchange now carries (long, long, double)
+    # instead of BOTH embedding arrays, and the aggregate is a codegen
+    # HashAggregate instead of the SortAggregate (+ two array-payload
+    # sorts) that first(vec) forced. Profile: the dedup exchange was
+    # 2.7 MiB for 10 k candidates (~276 B/row, all vector bytes).
+    # Isolated interleaved noop-sink A/B (best of 6): 1.71 s -> 1.46 s.
+    scored = (
+        cand.select(
+            F.col("q_id").alias("query_id"),
+            F.col("n_id").alias("neighbor_id"),
+            F.round(
+                cosine_pre(
+                    _dot(F.col("q_vec"), F.col("n_vec")),
+                    F.col("q_nrm"),
+                    F.col("n_nrm"),
+                ),
+                round_to,
+            ).alias("cosine_sim"),
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("cosine_sim").alias("cosine_sim"))
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -231,10 +231,10 @@ def minhash_sig_cols(text_col, k: int = 3, num_hashes: int = 16, seed: int = 42)
     from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.dedup import (
         _MERSENNE,
         _hash_coeffs,
-        normalized,
+        norm_tokens,
     )
 
-    toks = F.split(normalized(text_col), "\\s+")
+    toks = norm_tokens(text_col)
     idx = F.when(
         F.size(toks) >= k, F.sequence(F.lit(1), F.size(toks) - (k - 1))
     ).otherwise(F.array().cast("array<int>"))
@@ -524,7 +524,7 @@ def streaming_sequence_pack(
     import pandas as pd
 
     from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.dedup import (
-        normalized,
+        norm_tokens,
         portable_token_hash,
     )
 
@@ -541,7 +541,7 @@ def streaming_sequence_pack(
         F.col(id_col).cast("long").alias("id"),
         (h % n_buckets).cast("long").alias("bucket"),
         h.alias("ord"),
-        F.size(F.split(normalized(text_col), r"\s+")).cast("long").alias("n_tok"),
+        F.size(norm_tokens(text_col)).cast("long").alias("n_tok"),
     )
     out_schema = T.StructType(
         [

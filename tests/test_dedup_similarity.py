@@ -1775,3 +1775,30 @@ def test_spread_if_undersplit_skips_unknown_stats(spark):
     rdd = spark.sparkContext.parallelize([(i,) for i in range(1000)], 1)
     opaque = spark.createDataFrame(rdd, "v long")  # LogicalRDD: unknown stats
     assert _spread_if_undersplit(opaque) is opaque
+
+
+def test_norm_tokens_matches_normalized_split(spark):
+    """r13 optimization pin: norm_tokens (one regex pass) must produce
+    exactly split(normalized(c), '\\s+') for every boundary case —
+    leading/trailing/internal separator runs, all-separator text, empty
+    text, NULL text, and non-Latin text that normalizes away."""
+    rows = [
+        (0, "The quick  brown fox!"),
+        (1, "  leading and trailing  "),
+        (2, "...!!..."),
+        (3, ""),
+        (4, None),
+        (5, "ünïcode 北京 mixed42text"),
+        (6, "a"),
+        (7, "42 7x9"),
+        (8, "tab\tand\nnewline  mix"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = df.select(
+        "doc_id", dedup.norm_tokens("text").alias("t")
+    ).collect()
+    want = df.select(
+        "doc_id",
+        F.split(dedup.normalized("text"), r"\s+").alias("t"),
+    ).collect()
+    assert {r.doc_id: r.t for r in got} == {r.doc_id: r.t for r in want}
