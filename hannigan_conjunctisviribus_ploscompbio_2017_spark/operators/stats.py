@@ -339,10 +339,17 @@ def _hash_ranked_kept(
         ).withColumn("_k", key)
 
     # lazy checkpoint: the candidate set feeds BOTH the margin-guard
-    # count and the rank — without it the explode+md5 subtree runs twice
+    # count and the rank — without it the explode+md5 subtree runs twice.
+    # Projected to the documented kept-contract columns (r13, guide §2.3
+    # project-before-the-exchange): `count_col` and `_tau` are dead once
+    # the candidate filter has run, and carrying them pinned ~25% more
+    # bytes in the checkpoint and the rank-window exchange.
+    # Isolated interleaved noop-sink A/B on m1_rarefaction_portable
+    # (best of 5): 7.70 s without the projection -> 5.49 s with it.
     cand = (
         _individuals(base)
         .filter(F.col("_k") <= F.col("_tau"))
+        .select(sample_col, item_col, "_i", "_k", "_t", "_d")
         .localCheckpoint(eager=False)
     )
     # margin guard: samples whose candidate pool came up short of depth
@@ -376,6 +383,7 @@ def _hash_ranked_kept(
         _individuals(base.join(F.broadcast(short), sample_col))
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= F.col("_d"))
+        .select(*sel_main.columns)
     )
     return sel_main.unionByName(sel_fallback)
 

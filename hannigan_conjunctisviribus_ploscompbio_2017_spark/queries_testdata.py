@@ -4872,11 +4872,15 @@ def m1_rarefaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     ab = (
         orders.join(li, orders.o_orderkey == li.l_orderkey)
-        .groupBy(
+        # r13: aggregate on raw bigints, concat/cast after (see the
+        # portable twin — identical groups, narrower exchange)
+        .groupBy("o_custkey", "l_partkey")
+        .agg(F.sum("l_quantity").cast("long").alias("count"))
+        .select(
             F.concat(F.lit("C"), F.col("o_custkey")).alias("sample"),
             F.col("l_partkey").cast("string").alias("item"),
+            "count",
         )
-        .agg(F.sum("l_quantity").cast("long").alias("count"))
         # ab feeds BOTH the depth aggregate and the draw, and Catalyst
         # does not dedupe the subtree — without this the join+groupBy
         # runs twice (once inside the broadcast depth branch); values
@@ -4933,11 +4937,18 @@ def m1_rarefaction_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     ab = (
         orders.join(li, orders.o_orderkey == li.l_orderkey)
-        .groupBy(
+        # r13 (guide §2.3 narrower types): aggregate on the raw bigints,
+        # concat/cast to the oracle's string keys AFTER the aggregate —
+        # identical groups (the key mapping is injective), narrower
+        # exchange, long-keyed hash table. The md5 draw downstream is
+        # oracle-pinned on the STRING keys and unchanged.
+        .groupBy("o_custkey", "l_partkey")
+        .agg(F.sum("l_quantity").cast("long").alias("count"))
+        .select(
             F.concat(F.lit("C"), F.col("o_custkey")).alias("sample"),
             F.col("l_partkey").cast("string").alias("item"),
+            "count",
         )
-        .agg(F.sum("l_quantity").cast("long").alias("count"))
     )
     # in-plan depth: the min is a window over the per-sample totals
     # rarefy_hash already aggregates — one less derivation of ab than a
