@@ -123,10 +123,18 @@ def feature_merge(
         # USING-keys full-outer join never matches NULL keys (each
         # side's NULL-key rows stay separate), while groupBy would
         # silently merge them into one row — so a NULL key here is a
-        # caller bug and must fail, not change semantics. The check is
-        # a per-row null test inside codegen, not an extra action.
-        def _keyval(k: str) -> F.Column:
-            return F.when(F.col(k).isNotNull(), F.col(k)).otherwise(
+        # caller bug and must fail, not change semantics. Enforced as a
+        # FILTER predicate (per-row null test inside codegen, no extra
+        # action) rather than by rewriting the key expressions: a
+        # CASE-WHEN-wrapped key is a new expression, which breaks
+        # output-partitioning alias propagation and re-introduced the
+        # final exchange the union form exists to avoid (caught in the
+        # r13 plan diff: Exchange 4 -> 5).
+        guard = None
+        for k in keys:
+            ok = F.when(
+                F.col(k).isNotNull(), F.lit(True)
+            ).otherwise(
                 F.raise_error(
                     F.lit(
                         f"feature_merge: NULL join key '{k}' — the union+pivot "
@@ -134,12 +142,13 @@ def feature_merge(
                         "leaves NULL keys unmatched; groupBy would merge them)"
                     )
                 )
-            ).alias(k)
+            )
+            guard = ok if guard is None else guard & ok
 
         tagged = None
         for name, df in tables.items():
-            cur = df.select(
-                *[_keyval(k) for k in keys],
+            cur = df.where(guard).select(
+                *keys,
                 F.lit(name).alias("_feat"),
                 F.col(value_col).alias("_val"),
             )

@@ -28,7 +28,11 @@ def main() -> None:
     out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", os.environ.get("SPARK_GRAFT_PLANS_DIR", "r13"))
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("capture-plans")
-    for label, name in HEADLINE:
+    targets = list(HEADLINE)
+    headline_names = {n for _, n in HEADLINE}
+    # registry entries outside the headline suite are addressable too
+    targets += [(name, name) for name in sorted(only - headline_names)]
+    for label, name in targets:
         if only and name not in only:
             continue
         spark.sparkContext.setJobDescription(f"plan-capture {name}")
