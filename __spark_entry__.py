@@ -25,7 +25,13 @@ from hannigan_conjunctisviribus_ploscompbio_2017_spark.queries_testdata import (
 SF0001 = "/root/testdata/sf0.001"
 
 # The driver gate executes the first ~50 registered entries, so
-# registration order decides what gets driver-gate credit.  r12 order
+# registration order decides what gets driver-gate credit.
+# r13 rotation: mandatory set = the 44-entry newest-green==r10 cohort
+# (rotation_audit.py's named list), backfilled to the 50-cap with the
+# six r11-cohort entries this optimization round touched. After this
+# round the histogram is 44 r11 / 50 r12 / 50 r13 → r14's mandatory
+# set is the 44 r11 cohort.  Historical r12 rationale kept below for
+# the audit trail.  r12 order
 # (oldest-measurement-first — the rotation contract: every entry's
 # newest green row stays within the last three measured rounds; the
 # arithmetic is mechanized in tools/rotation_audit.py and enforced by
@@ -74,59 +80,68 @@ SF0001 = "/root/testdata/sf0.001"
 # claim code are in the measured window anyway (the new entry plus
 # the two family backfills in (3)).
 _PRIORITY = [
-    # -- (1) new in r12 --
-    "dd_ingest_versioned_store",
-    # -- (2) last measured in r09 (all 43 — the mandatory set) --
-    "a12_row_votes",
-    "a1_pricing_summary",
-    "a2_mean_score_per_pair",
-    "a3_min_score_per_pair",
-    "a4_degree_count",
-    "a5_count_distinct",
-    "a7_rarefaction_depth",
-    "a9_best_hit_dedup",
-    "ev_chunk_first_seen",
-    "ev_first_seen_dedup",
-    "ev_near_dup_stream",
-    "ev_stream_pack",
-    "f_scalar_chain",
-    "gk_communities_modularity",
-    "gk_katz_centrality",
-    "gk_pagerank",
-    "gq1_interaction_scores",
-    "j11_asof_join",
-    "j1_equi_join",
-    "j2_broadcast_annotate",
-    "j3_feature_merge",
-    "j7_cross_join",
-    "m1_rarefaction",
-    "m1_rarefaction_portable",
-    "m2_bray_curtis",
-    "ml_nested_cv",
-    "ml_rf_interactions",
-    "ml_roc_points",
-    "ml_roc_portable",
-    "mm_video_frames",
-    "o1_distinct_sorted",
-    "o4_union_all",
-    "o5_intersect",
-    "o6_except",
-    "p3_p4_predicate_filters",
-    "p6_any_positive",
-    "p7_length_range",
-    "p8_anti_filter",
-    "p9_semi_filter",
-    "r1_pivot_matrix",
-    "r4_melt",
-    "ss_ivf_sq8_topk",
-    "w1_top_per_group",
-    # -- (3) oldest-side r10 backfills to the 50-cap --
-    "dd_minhash_store_append",
-    "dd_ingest_dedup",
-    "ev_ingest_dedup_2batch",
-    "ev_first_seen_2batch",
-    "ev_chunk_first_seen_2batch",
-    "ev_stream_pack_2batch",
+    # -- r13 rotation (optimization round — no new entries).
+    # (1) ALL 44 entries last driver-measured in r10 — the mandatory
+    #     set rotation_audit.py names at r13 start (newest green == 3
+    #     rounds old). Several are exactly this round's optimization
+    #     targets (gq5 long keys, the LSH score-first family, the
+    #     spread/stats fix consumers), so the driver re-verifies them.
+    "a10_frequency_table",
+    "dd_contamination",
+    "dd_cut_spans",
+    "dd_dup_clusters",
+    "dd_duplicate_spans",
+    "dd_embedding_near_dup",
+    "dd_exact_dedup",
+    "dd_jaccard_pairs",
+    "dd_kmer_minhash",
+    "dd_minhash_lsh",
+    "dd_simhash",
+    "ev_hourly_agg",
+    "ev_sessionize",
+    "g10_node_entropy",
+    "g12_simplify",
+    "g1_degree_per_node",
+    "g5_degree_distribution",
+    "gb_gene_network",
+    "gk_alpha_centrality",
+    "gk_betweenness",
+    "gk_betweenness_distributed",
+    "gk_betweenness_stratified",
+    "gk_connected_components",
+    "gk_connectivity",
+    "gk_eccentricity_closeness",
+    "gk_greedy_modularity",
+    "gq5_sample_network",
+    "gq6_label_scan",
+    "gq7_disease_scope",
+    "graph_build_e2e",
+    "mm_blob_stats",
+    "ss_cosine_topk",
+    "ss_ivf_pq_topk",
+    "ss_ivf_topk",
+    "ss_ivf_trained_topk",
+    "ss_pq_topk",
+    "ss_srp_lsh_topk",
+    "tx_corpus_summary",
+    "tx_dsir_sample",
+    "tx_dsir_weights",
+    "tx_fingerprint",
+    "tx_quality_langid",
+    "tx_token_stats",
+    "w3_global_sort_limit",
+    # (2) six oldest-side r11 backfills to the 50-cap (slack 6),
+    #     spent on the r11-cohort entries whose code paths THIS round
+    #     optimized, so the changes get driver-gate re-verification:
+    #     gq4 (bigint-key rewrite), m13 curve (rarefy_hash candidate
+    #     projection), dd_chunk_dedup + tx twins (norm_tokens
+    #     consolidation), dd_semantic_dedup (spread stats-first fix).
+    "gq4_study_network",
+    "m13_rarefaction_curve_portable",
+    "dd_chunk_dedup",
+    "dd_semantic_dedup",
+    "tx_tfidf_top_terms",
+    "tx_unigram_logprob",
 ]
 
 

@@ -112,13 +112,21 @@ def test_gq4_factored_no_quadratic_expansion(spark):
     assert not any("HashAggregate" in l for l in above_first_join), above_first_join
 
 
-def test_rarefy_hash_two_phase_filters_before_rank(spark):
+def test_rarefy_hash_two_phase_filters_before_rank(spark, monkeypatch):
     # the rank window must consume the tau-FILTERED candidate set, not
     # the full exploded community: a Filter on _tau sits below the Sort
     # feeding the Window, and the full-community fallback joins before
     # its explode (Generate above the join in that branch).
+    # localCheckpoint is made transparent for the assertion: since r13
+    # the candidate frame is projected to its contract columns (no
+    # _tau) before the checkpoint, so the filter is only visible in the
+    # un-truncated plan.
     from hannigan_conjunctisviribus_ploscompbio_2017_spark.operators.stats import rarefy_hash
 
+    # patch the RUNTIME DataFrame class (pyspark.sql.DataFrame is the
+    # abstract base in Spark 4; instances are the classic subclass)
+    cls = type(spark.range(1))
+    monkeypatch.setattr(cls, "localCheckpoint", lambda self, eager=True: self)
     ab = load_table(spark, SF0001, "lineitem").groupBy(
         F.col("l_orderkey").cast("string").alias("s"),
         F.col("l_partkey").cast("string").alias("i"),
