@@ -13,8 +13,12 @@ in one window — 8, 32, 8, 32 — and writes SCALING_r13.json with each
 query's low/high-core ratio (min-over-runs per side). Interleaving is
 what makes the RATIO trustworthy on this drift-prone host.
 
-Usage: python tools/parallel_scaling.py [k] [n_interleaves]
+Usage: python tools/parallel_scaling.py [k] [n_interleaves] [--subset q...]
   k: replication factor (default 8; builds .scratch/sf{k}x if missing)
+  --subset: time only the named bench labels / registry names via
+    tools/scale_check.bench_subset (for probing the heavy queries at a
+    K where compute dominates driver overhead); writes
+    SCALING_r13_k{k}_subset.json instead.
 """
 
 from __future__ import annotations
@@ -42,9 +46,35 @@ def bench(sf_dir: str, cpus: int) -> dict:
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
+def bench_subset_proc(sf_dir: str, cpus: int, names: list[str]) -> dict:
+    """tools/scale_check.bench_subset in a fresh subprocess so each
+    core count gets its own local[N] JVM."""
+    code = (
+        "import sys, json; sys.path.insert(0, %r); "
+        "from tools.scale_check import bench_subset; "
+        "print(json.dumps(bench_subset(%r, %r)))" % (REPO, sf_dir, names)
+    )
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        env=env,
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        check=True,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
 def main() -> None:
-    k = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    n = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    args = [a for a in sys.argv[1:]]
+    subset: list[str] | None = None
+    if "--subset" in args:
+        i = args.index("--subset")
+        subset = args[i + 1 :]
+        args = args[:i]
+    k = int(args[0]) if args else 8
+    n = int(args[1]) if len(args) > 1 else 2
     dst = os.path.abspath(os.path.join(REPO, f".scratch/sf{k}x"))
     if not os.path.exists(f"{dst}/lineitem.parquet"):
         from tools.scale_check import build
@@ -53,6 +83,34 @@ def main() -> None:
         t0 = time.time()
         build(dst, k)
         print(f"# built in {time.time() - t0:.0f}s", file=sys.stderr)
+
+    if subset:
+        runs = []
+        for i in range(n):
+            for cpus in (8, 32):
+                t0 = time.time()
+                qs = bench_subset_proc(dst, cpus, subset)
+                runs.append({"cpus": cpus, "queries": qs,
+                             "wall": round(time.time() - t0, 1)})
+                print(f"# subset run {i}.{cpus}c: {qs}", file=sys.stderr)
+
+        def best_side(c):
+            sides = [r for r in runs if r["cpus"] == c]
+            return {q: min(r["queries"][q] for r in sides)
+                    for q in sides[0]["queries"]}
+
+        lo, hi = best_side(8), best_side(32)
+        ratios = {q: round(lo[q] / max(hi[q], 1e-9), 2) for q in lo}
+        out = {"k": k, "sf_dir": dst, "cpus_low": 8, "cpus_high": 32,
+               "subset": subset, "runs": runs, "low": lo, "high": hi,
+               "ratio_low_over_high": ratios,
+               "n_queries_scaling_1_5x": sum(1 for v in ratios.values() if v >= 1.5)}
+        path = os.path.join(REPO, f"SCALING_r13_k{k}_subset.json")
+        with open(path, "w") as f:
+            json.dump(out, f, indent=1)
+        print(json.dumps({"ratios": ratios,
+                          "n_queries_scaling_1_5x": out["n_queries_scaling_1_5x"]}))
+        return
 
     runs: list[dict] = []
     for i in range(n):
